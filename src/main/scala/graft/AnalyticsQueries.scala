@@ -1,0 +1,260 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General OLAP surface: scans with pushed filters, multi-way joins with
+  * broadcastable dimensions, exact aggregation, windows, set ops, rollup.
+  *
+  * Cross-engine determinism conventions (shared with the DuckDB oracle):
+  * money/quantity sums aggregate as DECIMAL (exact, order-independent) and
+  * cast to DOUBLE only at the end; averages divide the exact decimal sum by
+  * the count in double space; running/windowed sums stay decimal inside the
+  * frame. Double group keys and comparisons are bit-identical across
+  * engines, so filters/ranks on raw doubles are safe — only ORDER of double
+  * summation is not.
+  */
+object AnalyticsQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // decimal-exact money arithmetic, textually identical in Spark and DuckDB
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+  private val charge =
+    s"$discPrice * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: the canonical scan+group — filter pushed to parquet,
+    // partial aggregation map-side, 6 aggregates per group.
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("sum_qty"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").as("sum_base_price"),
+          expr(s"CAST(SUM($discPrice) AS DOUBLE)").as("sum_disc_price"),
+          expr(s"CAST(SUM($charge) AS DOUBLE)").as("sum_charge"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)").as("avg_qty"),
+          expr("CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)").as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3 shape: 3-way join, group, deterministic top-10 (revenue is
+    // bit-identical in both engines, ties broken by key).
+    "q3_shipping_priority" -> ((s, dir) => {
+      val customer = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val lineitem = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(expr(s"CAST(SUM($discPrice) AS DOUBLE)").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-way join; nation/region are broadcast dims.
+    "q5_local_supplier" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      val supplier = t(s, dir, "supplier")
+      val nation = broadcast(t(s, dir, "nation"))
+      val region = broadcast(t(s, dir, "region"))
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(expr(s"CAST(SUM($discPrice) AS DOUBLE)").as("revenue"))
+    }),
+
+    // Window functions: row_number / rank / lag / decimal-exact running sum.
+    "w_window_functions" -> ((s, dir) => {
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(byDate).cast("long"))
+        .withColumn("price_rank", rank().over(byPrice).cast("long"))
+        .withColumn("prev_order", lag(col("o_orderkey"), 1).over(byDate))
+        .withColumn("running_spend",
+          sum(expr("CAST(o_totalprice AS DECIMAL(12,2))"))
+            .over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .select("o_custkey", "o_orderkey", "rn", "price_rank", "prev_order", "running_spend")
+    }),
+
+    // Set operations: INTERSECT / EXCEPT / UNION ALL with provenance tags.
+    "set_operations" -> ((s, dir) => {
+      val buyers = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey")).distinct()
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 4000)
+        .select(col("c_custkey").as("custkey")).distinct()
+      buyers.intersect(rich).withColumn("tag", lit("both"))
+        .unionAll(buyers.except(rich).withColumn("tag", lit("buyer_only")))
+        .unionAll(rich.except(buyers).withColumn("tag", lit("rich_only")))
+    }),
+
+    // Distinct aggregation (two-phase at scale: partial distinct then merge).
+    "q_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))),
+
+    // HAVING over a grouped count.
+    "q_having_filter" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").as("spend"))
+        .filter(col("n_orders") >= 12)),
+
+    // Semi join (EXISTS): customers having at least one big order.
+    "q_semi_join_exists" -> ((s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+      val c = t(s, dir, "customer")
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // ROLLUP: hierarchical totals with sentinel labels for the null levels.
+    "q_rollup_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("qty"), col("n"))),
+
+    // Top-k per group via window (the distributed argmax pattern).
+    "q_top_k_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // Conditional aggregation (CASE inside SUM/COUNT).
+    "q_conditional_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          expr("CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)").as("qty_hi_disc"),
+          expr("COUNT(CASE WHEN l_tax = 0 THEN 1 END)").as("n_notax"),
+          expr("CAST(MIN(l_extendedprice) AS DOUBLE)").as("min_price"),
+          expr("CAST(MAX(l_extendedprice) AS DOUBLE)").as("max_price"))),
+
+    // Global sort + limit with a total order (O1/O2).
+    "o2_sort_limit" -> ((s, dir) =>
+      t(s, dir, "events")
+        .orderBy(col("ts").desc, col("event_id"))
+        .limit(100)
+        .select("event_id", "ts", "user_id", "event_type"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($charge) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      s"""SELECT n_name, CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+
+    "w_window_functions" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+        |  lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin,
+
+    "set_operations" ->
+      """WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000),
+        |rich AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 4000)
+        |SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM rich)
+        |UNION ALL
+        |SELECT custkey, 'buyer_only' AS tag FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM rich)
+        |UNION ALL
+        |SELECT custkey, 'rich_only' AS tag FROM (SELECT custkey FROM rich EXCEPT SELECT custkey FROM buyers)""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_having_filter" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12""".stripMargin,
+
+    "q_semi_join_exists" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)""".stripMargin,
+
+    "q_rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_top_k_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_hi_disc,
+        |  COUNT(CASE WHEN l_tax = 0 THEN 1 END) AS n_notax,
+        |  CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+        |  CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "o2_sort_limit" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+        |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin
+  )
+}

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.envelope.{DebeziumSchema, EnvelopeCodec}
+import graft.ops.{CdcMerge, Dedup}
+
+/** Queries exercising the reference's own operator surface (SURVEY.md §2):
+  * envelope decode (S1/P1/P2/P10), latest-wins dedup (A4/O1), join-based
+  * MERGE (K2/J1), anti-join (J3/P5), min/max bounds probe (A1/S2), scalar
+  * functions (§2.8), metadata-style pushdown projections (S3/P4).
+  *
+  * Names are keyed to the SURVEY §2 operator ids so the coverage check maps
+  * line-by-line.
+  */
+object ParityQueries extends QueryPack {
+
+  private def events(s: SparkSession, dir: String) = Tables(s, dir, "events")
+
+  /** __op derivation shared by the CDC fixtures (see
+    * EnvelopeCodec.opFromEventType); the SQL twin must stay in sync.
+    */
+  private val opSql =
+    "CASE WHEN event_type='signup' THEN 'c' WHEN event_type='error' THEN 'd' ELSE 'u' END"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A4 + O1: the flagship compaction — one latest row per key, total
+    // order (ts desc, event_id desc). One shuffle on the key.
+    "a4_dedup_latest_wins" -> ((s, dir) =>
+      Dedup.latestWins(events(s, dir), Seq("user_id"), "ts", Seq("event_id"))
+        .select("user_id", "event_id", "ts", "event_type", "value", "props")),
+
+    // S1 + P1/P2/P10 + §2.8 from_json: synthesize the Debezium envelope
+    // from events, decode it back through the double-from_json pipeline,
+    // normalize the logical Timestamp. Round-trip must equal the source.
+    "s1_envelope_decode" -> ((s, dir) => {
+      val env = EnvelopeCodec.withMeta(EnvelopeCodec.synthesize(events(s, dir)))
+      val fields = DebeziumSchema.parseFields(EnvelopeCodec.eventsSchemaJson)
+      EnvelopeCodec.decodePayload(env, fields, primaryKey = Some("event_id"))
+        .select(
+          col("event_id"), col("user_id"), col("event_type"), col("value"),
+          col("props"), col("created_at"),
+          col("__op").as("op"), col("__db").as("db"), col("__ts_ms").as("ts_ms"))
+    }),
+
+    // K2 + J1: full CDC merge — history half builds the base state, the
+    // other half is the incoming batch; deletes drop, updates replace,
+    // inserts append. Full-outer join on the key, exactly the
+    // copy-on-write plan Iceberg would run for the reference's MERGE INTO.
+    "k2_cdc_merge" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("__op", EnvelopeCodec.opFromEventType(col("event_type")))
+      val history = ev.filter(col("event_id") % 2 === 0)
+      val base = Dedup.latestWins(history, Seq("user_id"), "ts", Seq("event_id"))
+        .filter(col("__op") =!= "d")
+        .select("user_id", "event_id", "event_type", "value", "ts")
+      val batch = ev.filter(col("event_id") % 2 === 1)
+        .select("user_id", "event_id", "event_type", "value", "ts", "__op")
+      CdcMerge.applyCdcBatch(base, batch, Seq("user_id"), "ts", Seq("event_id"))
+    }),
+
+    // J3 + P5: anti-join restartability — rows whose key is NOT in the
+    // already-processed set (the reference's insert_log skip).
+    "j3_anti_join_watermark" -> ((s, dir) => {
+      val customer = Tables(s, dir, "customer")
+      val loaded = events(s, dir).filter(col("event_type") === "signup")
+        .select(col("user_id")).distinct()
+      customer.join(loaded, customer("c_custkey") === loaded("user_id"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    }),
+
+    // A1 + S2: the min/max bounds probe that sizes the partitioned scan.
+    "a1_minmax_bounds" -> ((s, dir) =>
+      Tables(s, dir, "orders").agg(
+        min(col("o_orderkey")).as("lo"),
+        max(col("o_orderkey")).as("hi"),
+        count(lit(1)).as("cnt"))),
+
+    // §2.8 scalar functions: regexp_extract of tenant/rds ids from topic
+    // strings, epoch arithmetic, conditional defaulting — the reference's
+    // add_multitenant_columns over synthesized topics.
+    "f_scalar_tenant_extract" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("topic",
+          concat(lit("source_glaucus7.oms"), (col("user_id") % 3).cast("string"), lit(".events")))
+        .select(
+          col("event_id"),
+          coalesce(regexp_extract(col("topic"), "glaucus(\\d+)", 1).cast("long"), lit(0L)).as("rds_id"),
+          coalesce(regexp_extract(col("topic"), "oms(\\d+)", 1).cast("long"), lit(0L)).as("tenant_id"),
+          unix_millis(col("ts")).as("ts_epoch_ms"),
+          (unix_millis(col("ts")) / lit(1000)).cast("long").as("ts_epoch_s"),
+          when(col("value") > 50, "high").otherwise("low").as("value_band"))),
+
+    // S3 + P4: metadata-style pushdown projection — concat/substr
+    // projections with a regex filter and negation, the
+    // information_schema query shapes of the snapshot path.
+    "s3_metadata_projection" -> ((s, dir) => {
+      val nation = Tables(s, dir, "nation")
+      val region = Tables(s, dir, "region")
+      nation.join(region, nation("n_regionkey") === region("r_regionkey"))
+        .filter(col("n_name").rlike("NATION_1\\d$"))
+        .filter(!col("r_name").rlike("^EU"))
+        .select(
+          concat(col("r_name"), lit("."), col("n_name")).as("qualified"),
+          substring(col("n_name"), 1, 3).as("prefix"),
+          lower(col("n_name")).as("sanitized"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "a4_dedup_latest_wins" ->
+      """SELECT user_id, event_id, ts, event_type, value, props
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "s1_envelope_decode" ->
+      s"""SELECT event_id, user_id, event_type, value, props,
+         |  date_trunc('milliseconds', ts) AS created_at,
+         |  $opSql AS op,
+         |  'oms' || CAST(user_id % 2 + 1 AS VARCHAR) AS db,
+         |  date_trunc('milliseconds', ts) AS ts_ms
+         |FROM events""".stripMargin,
+
+    "k2_cdc_merge" ->
+      s"""WITH ops AS (SELECT *, $opSql AS op FROM events),
+         |base AS (
+         |  SELECT user_id, event_id, event_type, value, ts FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM ops WHERE event_id % 2 = 0)
+         |  WHERE rn = 1 AND op <> 'd'),
+         |upd AS (
+         |  SELECT user_id, event_id, event_type, value, ts, op FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM ops WHERE event_id % 2 = 1)
+         |  WHERE rn = 1)
+         |SELECT coalesce(u.user_id, b.user_id) AS user_id,
+         |  CASE WHEN u.op IS NOT NULL THEN u.event_id ELSE b.event_id END AS event_id,
+         |  CASE WHEN u.op IS NOT NULL THEN u.event_type ELSE b.event_type END AS event_type,
+         |  CASE WHEN u.op IS NOT NULL THEN u.value ELSE b.value END AS value,
+         |  CASE WHEN u.op IS NOT NULL THEN u.ts ELSE b.ts END AS ts
+         |FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+         |WHERE u.op IS NULL OR u.op <> 'd'""".stripMargin,
+
+    "j3_anti_join_watermark" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT user_id FROM events WHERE event_type = 'signup')""".stripMargin,
+
+    "a1_minmax_bounds" ->
+      "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, count(*) AS cnt FROM orders",
+
+    "f_scalar_tenant_extract" ->
+      """SELECT event_id,
+        |  CAST(7 AS BIGINT) AS rds_id,
+        |  user_id % 3 AS tenant_id,
+        |  epoch_ms(ts) AS ts_epoch_ms,
+        |  CAST(floor(epoch_ms(ts) / 1000) AS BIGINT) AS ts_epoch_s,
+        |  CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS value_band
+        |FROM events""".stripMargin,
+
+    "s3_metadata_projection" ->
+      """SELECT r_name || '.' || n_name AS qualified,
+        |  substring(n_name, 1, 3) AS prefix,
+        |  lower(n_name) AS sanitized
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |WHERE regexp_matches(n_name, 'NATION_1\d$') AND NOT regexp_matches(r_name, '^EU')""".stripMargin
+  )
+}

@@ -1,0 +1,283 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Near-duplicate detection and similarity search — the LLM-training-data
+  * operators (SURVEY.md §7 step 7): n-gram Jaccard, MinHash+LSH banding,
+  * SimHash, embedding-cosine near-dup, brute-force cosine top-k, and an
+  * LSH-bucketed ANN variant.
+  *
+  * Scale design: every pipeline avoids the quadratic all-pairs step at
+  * 100 TB — MinHash banding and SimHash byte-bands bound candidate
+  * generation to hash-equal buckets (a hash-partition shuffle, no cross
+  * join); only verified candidates pay the exact-similarity cost. The
+  * brute-force variants exist as correctness baselines for the oracles.
+  *
+  * Determinism across engines: MinHash permutations are salted md5 hashes
+  * (h64), never random; embeddings are quantized to integers (floor(x*1000
+  * + 0.5)) so dot products and norms are exact in IEEE double arithmetic
+  * regardless of summation order; cosine formulas are textually identical
+  * in Spark and DuckDB SQL.
+  */
+object SimilarityQueries extends QueryPack {
+  import TextQueries.{h64, duckH64}
+
+  private def docs(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(sql)
+  }
+  private def embs(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql(sql)
+  }
+
+  // 3-word shingle sets per doc — Spark and DuckDB twins.
+  private val sparkShingles =
+    """w AS (SELECT doc_id, split(text, '\\s+') AS words FROM documents
+      |       WHERE size(split(text, '\\s+')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, explode(transform(sequence(0, size(words)-3),
+      |    i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle FROM w)),
+      |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val duckShingles =
+    """w AS (SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents
+      |       WHERE len(string_split_regex(text, '\s+')) >= 3),
+      |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w),
+      |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx),
+      |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  // integer-quantized embeddings + exact integer norms
+  private val sparkQuant =
+    """q AS (SELECT vec_id, label, transform(embedding, x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
+      |v AS (SELECT vec_id, label, qe, aggregate(qe, CAST(0 AS BIGINT), (acc, x) -> acc + x*x) AS nrm FROM q)""".stripMargin
+
+  private val duckQuant =
+    """q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
+      |v AS (SELECT vec_id, label, qe, CAST(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) AS BIGINT) AS nrm FROM q)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact n-gram Jaccard near-dup: candidate pairs from an inverted
+    // shingle index (equi-join, not a cross join), verified exactly.
+    "x_dedup_ngram_jaccard" -> ((s, dir) => docs(s, dir,
+      s"""WITH $sparkShingles,
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT d1, d2,
+         |  CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) AS jaccard
+         |FROM pairs JOIN n n1 ON n1.doc_id = d1 JOIN n n2 ON n2.doc_id = d2
+         |WHERE CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) >= 0.8""".stripMargin)),
+
+    // MinHash + LSH banding (16 salted-hash permutations, 4 bands x 4
+    // rows), candidates from band-signature equality, then exact verify.
+    // The banding join is the 100 TB path: no all-pairs step anywhere.
+    "x_dedup_minhash_lsh" -> ((s, dir) => docs(s, dir,
+      s"""WITH $sparkShingles,
+         |mh AS (
+         |  SELECT doc_id, p, min(${h64("concat(p, '|', shingle)")}) AS mh
+         |  FROM sh LATERAL VIEW explode(sequence(0, 15)) t AS p
+         |  GROUP BY doc_id, p),
+         |sig AS (
+         |  SELECT doc_id, p DIV 4 AS band,
+         |    concat_ws(',', transform(array_sort(collect_list(struct(p, mh))),
+         |      x -> cast(x.mh AS string))) AS sig
+         |  FROM mh GROUP BY doc_id, p DIV 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS inter
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY c.d1, c.d2)
+         |SELECT i.d1, i.d2,
+         |  CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) AS jaccard
+         |FROM inter i JOIN n n1 ON n1.doc_id = i.d1 JOIN n n2 ON n2.doc_id = i.d2
+         |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.8""".stripMargin)),
+
+    // SimHash (32-bit over distinct tokens) + byte-band candidate join;
+    // hamming <= 2 guaranteed found by pigeonhole over 4 bands.
+    "x_dedup_simhash" -> ((s, dir) => docs(s, dir,
+      s"""WITH w AS (SELECT doc_id, explode(array_distinct(split(text, '\\\\s+'))) AS word FROM documents),
+         |h AS (SELECT doc_id, ${h64("word")} AS hw FROM w),
+         |bits AS (SELECT doc_id, b, hw FROM h LATERAL VIEW explode(sequence(0, 31)) t AS b),
+         |s AS (SELECT doc_id, b,
+         |  CASE WHEN sum(CASE WHEN (shiftright(hw, b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM bits GROUP BY doc_id, b),
+         |sig AS (SELECT doc_id, CAST(sum(bit * shiftleft(CAST(1 AS BIGINT), b)) AS BIGINT) AS simhash
+         |  FROM s GROUP BY doc_id),
+         |bands AS (SELECT doc_id, simhash, k, (shiftright(simhash, 8*k) & 255) AS band
+         |  FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS k),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2
+         |  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, CAST(bit_count(s1 ^ s2) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(s1 ^ s2) <= 2""".stripMargin)),
+
+    // Embedding cosine near-dup over integer-quantized vectors.
+    "x_dedup_embedding" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuant,
+         |pairs AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    aggregate(zip_with(a.qe, b.qe, (x, y) -> x*y), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dot,
+         |    a.nrm AS n1, b.nrm AS n2
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |SELECT v1, v2,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+         |FROM pairs
+         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) >= 0.4""".stripMargin)),
+
+    // Brute-force cosine top-10 per query vector (correctness baseline).
+    "x_ann_topk" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuant,
+         |qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    aggregate(zip_with(qs.qe, v.qe, (x, y) -> x*y), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dot,
+         |    qs.nrm AS n1, v.nrm AS n2
+         |  FROM qs JOIN v ON qs.vec_id != v.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored) WHERE rank <= 10""".stripMargin)),
+
+    // LSH-bucketed ANN: 8 deterministic hyperplanes (salted-hash weights),
+    // sign-bit bucket, top-5 within bucket. The scale path: candidate set
+    // is one hash bucket, not the full corpus.
+    "x_ann_lsh" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuant,
+         |planes AS (
+         |  SELECT pp.p, dd.d, (${h64("concat(pp.p, '_', dd.d)")} % 2001) - 1000 AS wgt
+         |  FROM (SELECT explode(sequence(0, 7)) AS p) pp
+         |  CROSS JOIN (SELECT explode(sequence(0, 63)) AS d) dd),
+         |proj AS (
+         |  SELECT v.vec_id, planes.p, sum(element_at(v.qe, planes.d + 1) * planes.wgt) AS s
+         |  FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.p),
+         |bucket AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |vb AS (SELECT v.vec_id, v.qe, v.nrm, bucket.bucket FROM v JOIN bucket ON v.vec_id = bucket.vec_id),
+         |qs AS (SELECT * FROM vb WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, vb.vec_id AS neighbor_id,
+         |    aggregate(zip_with(qs.qe, vb.qe, (x, y) -> x*y), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dot,
+         |    qs.nrm AS n1, vb.nrm AS n2
+         |  FROM qs JOIN vb ON qs.bucket = vb.bucket AND qs.vec_id != vb.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "x_dedup_ngram_jaccard" ->
+      s"""WITH $duckShingles,
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT d1, d2,
+         |  CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) AS jaccard
+         |FROM pairs JOIN n n1 ON n1.doc_id = d1 JOIN n n2 ON n2.doc_id = d2
+         |WHERE CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) >= 0.8""".stripMargin,
+
+    "x_dedup_minhash_lsh" ->
+      s"""WITH $duckShingles,
+         |perms AS (SELECT unnest(generate_series(0, 15)) AS p),
+         |mh AS (
+         |  SELECT doc_id, p, min(${duckH64("p::VARCHAR || '|' || shingle")}) AS mh
+         |  FROM sh CROSS JOIN perms GROUP BY doc_id, p),
+         |sig AS (
+         |  SELECT doc_id, p // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig
+         |  FROM mh GROUP BY doc_id, p // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS inter
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  GROUP BY c.d1, c.d2)
+         |SELECT i.d1, i.d2,
+         |  CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) AS jaccard
+         |FROM inter i JOIN n n1 ON n1.doc_id = i.d1 JOIN n n2 ON n2.doc_id = i.d2
+         |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.8""".stripMargin,
+
+    "x_dedup_simhash" ->
+      s"""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS word FROM documents),
+         |h AS (SELECT doc_id, ${duckH64("word")} AS hw FROM w),
+         |bits AS (SELECT doc_id, unnest(generate_series(0, 31)) AS b, hw FROM h),
+         |s AS (SELECT doc_id, b,
+         |  CASE WHEN sum(CASE WHEN (hw >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM bits GROUP BY doc_id, b),
+         |sig AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
+         |  FROM s GROUP BY doc_id),
+         |bands AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS k FROM sig),
+         |bands2 AS (SELECT doc_id, simhash, k, (simhash >> (8*k)) & 255 AS band FROM bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2
+         |  FROM bands2 a JOIN bands2 b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)::BIT) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(s1, s2)::BIT) <= 2""".stripMargin,
+
+    "x_dedup_embedding" ->
+      s"""WITH $duckQuant,
+         |pairs AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    CAST(list_dot_product(a.qe::DOUBLE[], b.qe::DOUBLE[]) AS BIGINT) AS dot,
+         |    a.nrm AS n1, b.nrm AS n2
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |SELECT v1, v2,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+         |FROM pairs
+         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) >= 0.4""".stripMargin,
+
+    "x_ann_topk" ->
+      s"""WITH $duckQuant,
+         |qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(qs.qe::DOUBLE[], v.qe::DOUBLE[]) AS BIGINT) AS dot,
+         |    qs.nrm AS n1, v.nrm AS n2
+         |  FROM qs JOIN v ON qs.vec_id != v.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "x_ann_lsh" ->
+      s"""WITH $duckQuant,
+         |planes AS (
+         |  SELECT pp.p, dd.d, (${duckH64("pp.p::VARCHAR || '_' || dd.d::VARCHAR")} % 2001) - 1000 AS wgt
+         |  FROM (SELECT unnest(generate_series(0, 7)) AS p) pp
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd),
+         |proj AS (
+         |  SELECT v.vec_id, planes.p, sum(v.qe[planes.d + 1] * planes.wgt) AS s
+         |  FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.p),
+         |bucket AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |vb AS (SELECT v.vec_id, v.qe, v.nrm, bucket.bucket FROM v JOIN bucket ON v.vec_id = bucket.vec_id),
+         |qs AS (SELECT * FROM vb WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, vb.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(qs.qe::DOUBLE[], vb.qe::DOUBLE[]) AS BIGINT) AS dot,
+         |    qs.nrm AS n1, vb.nrm AS n2
+         |  FROM qs JOIN vb ON qs.bucket = vb.bucket AND qs.vec_id != vb.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin
+  )
+}

@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * Queries are organized in [[QueryPack]]s; every entry is either
+  * hash-checked against the DuckDB SQL in `oracleSql` or covered by a
+  * ScalaTest spec (non-SQL-expressible streaming/DDL paths).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val packs: Seq[QueryPack] = Seq(
+    ParityQueries,
+    AnalyticsQueries,
+    TextQueries,
+    SimilarityQueries
+  )
+
+  /** Flagship: the full CDC slice on sf0.001 — synthesize the Debezium
+    * envelope from `events`, decode, dedup latest-wins, merge into a base
+    * state (the reference's whole streaming soul as one declarative plan).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ParityQueries.queries("k2_cdc_merge")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    packs.flatMap(_.oracle).toMap
 }

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, position-salted document
+  * fingerprinting, exact content dedup, and the multimodal binary-column
+  * plumbing. All are single-pass, map-side-combinable aggregations — at
+  * 100 TB each is one scan plus (at most) one hash-partition shuffle on
+  * doc_id/content-hash.
+  *
+  * Cross-engine hash primitive shared with the DuckDB oracles: the top 60
+  * bits of md5 interpreted as a BIGINT —
+  *   Spark:  CAST(conv(substring(md5(x),1,15),16,10) AS BIGINT)
+  *   DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT
+  * (verified identical; md5 is bit-stable everywhere).
+  */
+object TextQueries extends QueryPack {
+
+  private def run(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(sql)
+  }
+
+  /** Spark-side 60-bit md5 hash of an expression. */
+  def h64(x: String): String =
+    s"CAST(conv(substring(md5($x),1,15),16,10) AS BIGINT)"
+
+  /** DuckDB twin of [[h64]]. */
+  def duckH64(x: String): String =
+    s"('0x' || substr(md5($x),1,15))::BIGINT"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting: whitespace tokens + a BPE-ish regex segmentation.
+    "x_token_count" -> ((s, dir) => run(s, dir,
+      """SELECT doc_id,
+        |  CAST(size(split(text, '\\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS bpe_ish_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents""".stripMargin)),
+
+    // Quality scoring: word stats, stopword/unique ratios, composite score.
+    "x_quality_score" -> ((s, dir) => run(s, dir,
+      """WITH w AS (SELECT doc_id, length(text) AS n_chars, split(text, '\\s+') AS words FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(size(words) AS BIGINT) AS n_words,
+        |  CAST(size(array_distinct(words)) AS DOUBLE) / size(words) AS unique_ratio,
+        |  CAST(size(filter(words, x -> x IN ('the','a','of','and'))) AS DOUBLE) / size(words) AS stopword_ratio,
+        |  CAST(n_chars AS DOUBLE) / size(words) AS avg_word_len,
+        |  0.5 * (CAST(size(array_distinct(words)) AS DOUBLE) / size(words))
+        |    + 0.3 * (1.0 - CAST(size(filter(words, x -> x IN ('the','a','of','and'))) AS DOUBLE) / size(words))
+        |    + 0.2 * least(CAST(size(words) AS DOUBLE) / 50.0, 1.0) AS quality_score
+        |FROM w""".stripMargin)),
+
+    // Language-ID: stopword-marker voting with a deterministic tie order.
+    "x_lang_id" -> ((s, dir) => run(s, dir,
+      """WITH w AS (SELECT doc_id, lang, split(text, '\\s+') AS words FROM documents),
+        |hits AS (SELECT doc_id, lang,
+        |  CAST(size(filter(words, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS en_hits,
+        |  CAST(size(filter(words, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits,
+        |  CAST(size(filter(words, x -> x IN ('el','la','los','de','es'))) AS BIGINT) AS es_hits
+        |FROM w)
+        |SELECT doc_id, lang, en_hits, de_hits, es_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |       WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |       WHEN es_hits > 0 THEN 'es'
+        |       ELSE 'unknown' END AS predicted_lang
+        |FROM hits""".stripMargin)),
+
+    // Position-salted rolling fingerprint: order-sensitive content hash,
+    // map-side combinable (sum of per-token hashes mod a prime).
+    "x_fingerprint" -> ((s, dir) => run(s, dir,
+      s"""WITH t AS (
+         |  SELECT doc_id, pos, word
+         |  FROM documents LATERAL VIEW posexplode(split(text, '\\\\s+')) x AS pos, word)
+         |SELECT doc_id,
+         |  sum(${h64("concat(pos + 1, ':', word)")} % 1000000007) AS fingerprint,
+         |  count(*) AS n_tokens
+         |FROM t GROUP BY doc_id""".stripMargin)),
+
+    // Exact dedup: one representative (min doc_id) per distinct content.
+    "x_dedup_exact" -> ((s, dir) => run(s, dir,
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // Multimodal plumbing: opaque binary payload column + typed metadata,
+    // deterministic "decode" features (real decode is a mapPartitions stub
+    // — see multimodal.MultimodalSpec). Binary round-trips through the
+    // engine; features derive from bytes only.
+    "x_multimodal_features" -> ((s, dir) => run(s, dir,
+      """WITH blobs AS (
+        |  SELECT doc_id, source, encode(text, 'UTF-8') AS payload, length(text) AS meta_len FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(octet_length(payload) AS BIGINT) AS payload_bytes,
+        |  md5(payload) AS content_hash,
+        |  substring(md5(payload), 1, 8) AS magic,
+        |  CAST(meta_len AS BIGINT) AS meta_len
+        |FROM blobs""".stripMargin))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "x_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+        |  length(text) AS n_chars_actual
+        |FROM documents""".stripMargin,
+
+    "x_quality_score" ->
+      """WITH w AS (SELECT doc_id, length(text) AS n_chars, string_split_regex(text, '\s+') AS words FROM documents)
+        |SELECT doc_id, n_chars,
+        |  len(words) AS n_words,
+        |  CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS unique_ratio,
+        |  CAST(len(list_filter(words, x -> x IN ('the','a','of','and'))) AS DOUBLE) / len(words) AS stopword_ratio,
+        |  CAST(n_chars AS DOUBLE) / len(words) AS avg_word_len,
+        |  0.5 * (CAST(len(list_distinct(words)) AS DOUBLE) / len(words))
+        |    + 0.3 * (1.0 - CAST(len(list_filter(words, x -> x IN ('the','a','of','and'))) AS DOUBLE) / len(words))
+        |    + 0.2 * least(CAST(len(words) AS DOUBLE) / 50.0, 1.0) AS quality_score
+        |FROM w""".stripMargin,
+
+    "x_lang_id" ->
+      """WITH w AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS words FROM documents),
+        |hits AS (SELECT doc_id, lang,
+        |  len(list_filter(words, x -> x IN ('the','a','of','and','is'))) AS en_hits,
+        |  len(list_filter(words, x -> x IN ('der','die','das','und','ist'))) AS de_hits,
+        |  len(list_filter(words, x -> x IN ('el','la','los','de','es'))) AS es_hits
+        |FROM w)
+        |SELECT doc_id, lang, en_hits, de_hits, es_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |       WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |       WHEN es_hits > 0 THEN 'es'
+        |       ELSE 'unknown' END AS predicted_lang
+        |FROM hits""".stripMargin,
+
+    "x_fingerprint" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents),
+         |t AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i FROM w)
+         |SELECT doc_id,
+         |  CAST(sum(${duckH64("i::VARCHAR || ':' || words[i]")} % 1000000007) AS BIGINT) AS fingerprint,
+         |  count(*) AS n_tokens
+         |FROM t GROUP BY doc_id""".stripMargin,
+
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "x_multimodal_features" ->
+      """SELECT doc_id, source,
+        |  octet_length(encode(text)) AS payload_bytes,
+        |  md5(text) AS content_hash,
+        |  substr(md5(text), 1, 8) AS magic,
+        |  length(text) AS meta_len
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Join-based MERGE: the one operator the reference needs that plain Spark
+  * lacks (SQL `MERGE INTO`, incremental_kafka_s3_cdc.py:243-292). Semantics:
+  *
+  *   - WHEN MATCHED AND __op='d'        THEN DELETE
+  *   - WHEN MATCHED AND __op IN (u,c,r) THEN UPDATE SET *
+  *   - WHEN NOT MATCHED AND __op!='d'   THEN INSERT *
+  *
+  * Implemented as a full-outer join on the key columns with per-column
+  * choose-side, which is exactly the copy-on-write physical plan the
+  * reference's Iceberg config requests (`write.delete.mode=copy-on-write`,
+  * incremental_kafka_s3_cdc.py:133-135). Schema evolution is additive in
+  * both directions: batch columns absent from the target appear (backfilled
+  * null for pre-existing rows); target columns absent from the batch are
+  * null-filled on updated rows only if the batch never carried them
+  * (incremental_kafka_s3_cdc.py:96-102,304-309).
+  *
+  * Scale notes: Catalyst picks broadcast-hash when the deduped batch is
+  * small (the common CDC case — a micro-batch against a huge table),
+  * sort-merge otherwise; with a partitioned [[CdcTable]] only the touched
+  * partitions join and rewrite (the reference's months(t.pc)=months(s.pc)
+  * pruning conjunct, incremental_kafka_s3_cdc.py:262-264).
+  */
+object CdcMerge {
+
+  val OpColumn = "__op"
+
+  /** Merge a deduped update batch into `existing`. `updates` must carry
+    * `__op` and at most one row per key (use [[Dedup.latestWins]] first).
+    * Returns the post-merge table content.
+    */
+  def merge(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "keyless tables append instead of merging (reference K3)")
+    val eCols = existing.columns.filterNot(keys.contains).toSeq
+    val uCols = updates.columns.filterNot(c => keys.contains(c) || c == OpColumn).toSeq
+    val outCols = (eCols ++ uCols.filterNot(eCols.contains)).toSeq
+    val eTypes = existing.schema.map(f => f.name -> f.dataType).toMap
+    val uTypes = updates.schema.map(f => f.name -> f.dataType).toMap
+
+    val e = existing.select(
+      (keys.map(col) :+ struct(eCols.map(col): _*).as("__e")): _*)
+    val u = updates.select(
+      (keys.map(col) ++ Seq(struct(uCols.map(col): _*).as("__u"), col(OpColumn))): _*)
+
+    val joined = e.join(u, keys, "full_outer")
+    // matched delete -> drop; not-matched delete -> never insert
+    val kept = joined.filter(col(OpColumn).isNull || col(OpColumn) =!= "d")
+
+    def sideField(side: String, c: String, types: Map[String, DataType]): Column =
+      if (types.contains(c)) col(side).getField(c) else lit(null).cast(resolveType(c, eTypes, uTypes))
+
+    val out = kept.select(
+      (keys.map(col) ++ outCols.map { c =>
+        when(col(OpColumn).isNotNull, sideField("__u", c, uTypes))
+          .otherwise(sideField("__e", c, eTypes))
+          .as(c)
+      }): _*)
+    out
+  }
+
+  private def resolveType(c: String, e: Map[String, DataType], u: Map[String, DataType]): DataType =
+    u.getOrElse(c, e.getOrElse(c, org.apache.spark.sql.types.NullType))
+
+  /** One-shot "apply a CDC event stream to a base table": dedup the raw
+    * events latest-wins per key, then merge. This is the reference's whole
+    * per-table batch flow (process_for_table -> merge_to_table) as a single
+    * declarative plan.
+    */
+  def applyCdcBatch(base: DataFrame, rawEvents: DataFrame, keys: Seq[String],
+                    tsCol: String, tieBreakers: Seq[String] = Nil): DataFrame = {
+    val deduped = Dedup.latestWins(rawEvents, keys, tsCol, tieBreakers)
+    merge(base, deduped, keys)
+  }
+}

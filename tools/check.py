@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: load each Verify
+parquet result, run the matching oracle SQL in DuckDB over the same
+testdata tables, and compare schemas + sorted rowsets.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(rows):
+    out = []
+    for r in rows:
+        rr = []
+        for v in r:
+            if isinstance(v, float):
+                rr.append(round(v, 9))
+            else:
+                rr.append(v)
+        out.append(tuple(rr))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+            got_cols = [d[0] for d in con.description]
+            exp = con.execute(sql).fetchall()
+            exp_cols = [d[0] for d in con.description]
+            exp_types = [d[1] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        # driver sorts columns by name before hashing values
+        gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+        ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        g = norm([[r[i] for i in gi] for r in got])
+        e = norm([[r[i] for i in ei] for r in exp])
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            n_fail += 1
+            continue
+        if g != e:
+            bad = [(a, b) for a, b in zip(g, e) if a != b][:3]
+            print(f"FAIL {name}: values differ, first diffs: {bad}")
+            n_fail += 1
+            continue
+        print(f"PASS {name}: {len(g)} rows")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
