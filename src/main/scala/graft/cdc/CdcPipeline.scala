@@ -1,0 +1,89 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.envelope.EnvelopeCodec
+import graft.ops.CdcTable
+
+/** The streaming CDC engine: Structured Streaming over an envelope source,
+  * `foreachBatch` into per-table merges, exactly-once via checkpointing +
+  * idempotent latest-wins merge. Re-expresses the reference's flagship path
+  * (incremental_kafka_s3_cdc.py:360-403, SURVEY.md §3.1) with the Kafka
+  * source swapped for a file source carrying the same envelope rows
+  * (key, value, headers, topic) — the wire format is identical, so the
+  * decode pipeline is shared with the batch path.
+  *
+  * Trigger semantics: `Trigger.AvailableNow` — the 4.x successor of the
+  * reference's `trigger(once=True)` incremental run-to-completion. Restart
+  * resumes from the checkpoint: already-processed files are never
+  * reprocessed, and the idempotent merge makes replays safe anyway.
+  */
+final class CdcPipeline(
+    spark: SparkSession,
+    envelopeDir: String,
+    checkpointDir: String,
+    tableRoot: String) {
+
+  /** Envelope file-source schema — same shape the Kafka source yields
+    * after the reference's casts (incremental_kafka_s3_cdc.py:376-383).
+    */
+  val envelopeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "key STRING, value STRING, " +
+        "headers ARRAY<STRUCT<key: STRING, value: BINARY>>, topic STRING")
+
+  @volatile private var batchesSeen: Long = 0L
+  def batchCount: Long = batchesSeen
+
+  /** Process one micro-batch: null-drop, split by __table, dynamic decode
+    * per table, merge into that table's CdcTable. Mirrors df_to_sink +
+    * process_for_table (incremental_kafka_s3_cdc.py:311-357,390-398) as
+    * declarative plans — no RDD round-trips, no pandas detour.
+    */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    batchesSeen += 1
+    val withMeta = EnvelopeCodec.withMeta(batch)
+      .na.drop(Seq("__op", "value", "__table", "__db"))
+      .cache()
+    try {
+      val tables = withMeta.select("__table").distinct()
+        .collect().map(_.getString(0))
+      tables.foreach { t =>
+        val env = withMeta.filter(col("__table") === t)
+        val decoded = EnvelopeCodec.withTenantColumns(EnvelopeCodec.decodeDynamic(env))
+        val keyName = graft.envelope.DebeziumSchema
+          .primaryKeyFromKeyJson(env.select("key").tail(1).head.getString(0))
+        keyName match {
+          case Some(pk) =>
+            val table = new CdcTable(spark, s"$tableRoot/$t", Seq(pk))
+            val payload = decoded
+              .drop("__deleted", "__db", "__topic")
+            table.merge(payload, "__ts_ms", Seq(pk))
+          case None =>
+            // keyless tables degrade to append (reference K3)
+            new CdcTable(spark, s"$tableRoot/$t", Nil)
+              .append(decoded.drop("__deleted", "__db", "__topic", "__op"))
+        }
+      }
+    } finally {
+      withMeta.unpersist(): Unit
+    }
+  }
+
+  /** Run one incremental pass over all currently-available envelope files,
+    * then stop (trigger-once semantics). Safe to call repeatedly; each call
+    * picks up only files the checkpoint has not seen.
+    */
+  def runOnce(): Unit = {
+    val stream = spark.readStream
+      .schema(envelopeSchema)
+      .parquet(envelopeDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

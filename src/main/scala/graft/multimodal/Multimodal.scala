@@ -1,0 +1,66 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata; decode / feature-extraction runs
+  * as a partition-local batch transform (`mapPartitions` over a typed
+  * Dataset — Spark's Scala-side analogue of a Pandas-UDF batch).
+  *
+  * The actual media decode is STUBBED (no image/audio libraries in this
+  * environment): [[decodeStub]] produces deterministic pseudo-features from
+  * the bytes. The Spark-side plumbing — schema, batching, partition-local
+  * execution, feature schema — is real and tested (MultimodalSpec).
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + metadata, the multimodal table schema. */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte], meta_len: Long)
+
+  /** Extracted features per media item. */
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      checksum: Long, width: Int, height: Int)
+
+  /** STUB decoder — stands in for an image/audio codec. Deterministic:
+    * derives a checksum and fake dimensions from the payload bytes alone,
+    * so tests are stable. A real deployment swaps only this function.
+    */
+  def decodeStub(payload: Array[Byte]): (Long, Int, Int) = {
+    var crc = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { crc = 31 * crc + payload(i); i += 1 }
+    val w = 64 + math.floorMod(crc, 512).toInt
+    val h = 64 + math.floorMod(crc >> 9, 512).toInt
+    (crc, w, h)
+  }
+
+  /** Partition-local feature extraction: one decoder instantiation per
+    * partition (the expensive-init pattern real codecs need), streaming
+    * over rows without materializing the partition.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here
+      rows.map { r =>
+        val (crc, w, h) = decodeStub(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, crc, w, h)
+      }
+    }
+  }
+
+  /** Build a synthetic media table from the documents table (text bytes as
+    * payload) — the offline fixture for the plumbing.
+    */
+  def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("n_chars").as("meta_len")
+    ).as[MediaRow]
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{CdcMerge, Dedup}
+
+class CdcMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "alice", 100.0),
+    (2L, "bob", 200.0),
+    (3L, "carol", 300.0)
+  ).toDF("id", "name", "amount")
+
+  test("matched update replaces, matched delete drops, unmatched inserts") {
+    val batch = Seq(
+      (2L, "bob2", 250.0, "u"),
+      (3L, null.asInstanceOf[String], 0.0, "d"),
+      (4L, "dave", 400.0, "c")
+    ).toDF("id", "name", "amount", "__op")
+    val out = CdcMerge.merge(base, batch, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, "alice", 100.0), (2L, "bob2", 250.0), (4L, "dave", 400.0)))
+  }
+
+  test("not-matched delete never inserts") {
+    val batch = Seq((9L, "ghost", 0.0, "d")).toDF("id", "name", "amount", "__op")
+    assert(CdcMerge.merge(base, batch, Seq("id")).count() == 3)
+  }
+
+  test("merge is idempotent") {
+    val batch = Seq((2L, "bob2", 250.0, "u"), (4L, "dave", 400.0, "c"))
+      .toDF("id", "name", "amount", "__op")
+    val once = CdcMerge.merge(base, batch, Seq("id"))
+    val twice = CdcMerge.merge(once, batch, Seq("id"))
+    assert(once.orderBy("id").collect().toSeq == twice.orderBy("id").collect().toSeq)
+  }
+
+  test("schema evolution: new batch column appears, old rows backfilled null") {
+    val batch = Seq((2L, "bob2", 250.0, "x@y.z", "u"))
+      .toDF("id", "name", "amount", "email", "__op")
+    val out = CdcMerge.merge(base, batch, Seq("id"))
+    assert(out.columns.toSeq == Seq("id", "name", "amount", "email"))
+    val byId = out.collect().map(r => r.getLong(0) -> r.getAs[String]("email")).toMap
+    assert(byId(2L) == "x@y.z" && byId(1L) == null)
+  }
+
+  test("batch missing a sink column leaves null on updated rows (soft drop)") {
+    val batch = Seq((1L, "alice2", "u")).toDF("id", "name", "__op")
+    val out = CdcMerge.merge(base, batch, Seq("id"))
+    val r1 = out.filter($"id" === 1L).head()
+    assert(r1.getAs[String]("name") == "alice2" && r1.isNullAt(r1.fieldIndex("amount")))
+  }
+
+  test("latest-wins dedup has a total order on (ts, tie)") {
+    val events = Seq(
+      (1L, "first", 10L, 1L), (1L, "late", 20L, 2L), (1L, "tie", 20L, 3L)
+    ).toDF("id", "v", "ts", "seq")
+    val out = Dedup.latestWins(events, Seq("id"), "ts", Seq("seq"))
+    assert(out.select("v").as[String].collect().toSeq == Seq("tie"))
+  }
+
+  test("applyCdcBatch composes dedup + merge (last state per key wins)") {
+    val raw = Seq(
+      (2L, "v1", 900.0, 1L, "u"),
+      (2L, "v2", 950.0, 2L, "u"),
+      (3L, "x", 0.0, 3L, "d"),
+      (5L, "new", 500.0, 4L, "c")
+    ).toDF("id", "name", "amount", "ts", "__op")
+    val out = CdcMerge.applyCdcBatch(
+      base.withColumn("ts", lit(0L)), raw, Seq("id"), "ts")
+      .orderBy("id")
+    assert(out.select("id", "name").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "alice"), (2L, "v2"), (5L, "new")))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cdc.CdcPipeline
+import graft.envelope.EnvelopeCodec
+
+/** End-to-end streaming CDC: envelope files -> Structured Streaming ->
+  * foreachBatch -> per-table merge, with checkpoint-based incremental
+  * restart (the reference's trigger-once + checkpoint semantics, K1/§2.9).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def envelopesFor(ids: Range, tsBase: Long, op: String = "u") = {
+    val events = ids.map { i =>
+      (i.toLong, new java.sql.Timestamp(tsBase + i), i.toLong % 10,
+        if (op == "auto") (if (i % 5 == 0) "error" else "click") else opName(op),
+        i * 1.5, s"""{"k": $i}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    EnvelopeCodec.synthesize(events)
+  }
+  private def opName(op: String) = op match {
+    case "c" => "signup"; case "d" => "error"; case _ => "click"
+  }
+
+  test("availableNow processes files once; restart picks up only new files; merges are applied") {
+    val root = tmpDir("cdcstream")
+    val envDir = s"$root/env"; val ckpt = s"$root/ckpt"; val tables = s"$root/tables"
+
+    envelopesFor(0 until 100, 1700000000000L, "auto").write.parquet(envDir)
+    val p1 = new CdcPipeline(spark, envDir, ckpt, tables)
+    p1.runOnce()
+    assert(p1.batchCount >= 1)
+
+    val t = spark.read.parquet(s"$tables/events")
+    // error rows are deletes -> absent; others upserted by event_id
+    assert(t.count() == (0 until 100).count(_ % 5 != 0))
+    assert(t.filter(col("event_id") % 5 === 0).count() == 0)
+
+    // restart with NO new data: checkpoint prevents reprocessing
+    val p2 = new CdcPipeline(spark, envDir, ckpt, tables)
+    p2.runOnce()
+    assert(spark.read.parquet(s"$tables/events").count() ==
+      (0 until 100).count(_ % 5 != 0))
+
+    // new file arrives: updates for 10 existing keys with later ts
+    envelopesFor(0 until 10, 1800000000000L, "u")
+      .write.mode("append").parquet(envDir)
+    val p3 = new CdcPipeline(spark, envDir, ckpt, tables)
+    p3.runOnce()
+    assert(p3.batchCount >= 1)
+    val after = spark.read.parquet(s"$tables/events")
+    // previously-deleted ids 0 and 5 are re-inserted by the update batch
+    assert(after.count() == (0 until 100).count(_ % 5 != 0) + 2)
+    // __ts_ms of id 1 advanced to the new batch
+    val ts1 = after.filter(col("event_id") === 1).select("__ts_ms")
+      .as[java.sql.Timestamp].head()
+    assert(ts1.getTime == 1800000000001L)
+  }
+
+  test("latest-wins within one batch: several events per key collapse to final state") {
+    val root = tmpDir("cdcstream2")
+    val envDir = s"$root/env"
+    // same key updated 3x then deleted, all in one batch -> key absent
+    val events = Seq(
+      (1L, new java.sql.Timestamp(1000L), 1L, "click", 1.0, "{}"),
+      (1L, new java.sql.Timestamp(2000L), 1L, "click", 2.0, "{}"),
+      (1L, new java.sql.Timestamp(3000L), 1L, "error", 3.0, "{}"),
+      (2L, new java.sql.Timestamp(1000L), 2L, "signup", 9.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    EnvelopeCodec.synthesize(events).write.parquet(envDir)
+    val p = new CdcPipeline(spark, envDir, s"$root/ckpt", s"$root/tables")
+    p.runOnce()
+    val t = spark.read.parquet(s"$root/tables/events")
+    assert(t.select("event_id").as[Long].collect().toSeq == Seq(2L))
+  }
+}
