@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warm-up: classloading, codegen compiler, parquet footers —
+    // otherwise the first timed query absorbs several seconds of JVM cost
+    spark.sql("SELECT count(*) FROM range(1000000)").collect()
+    try SparkEntry.queries.get("a1_minmax_bounds").foreach(_(spark, sfDir).count())
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -26,31 +26,51 @@ object SimilarityQueries extends QueryPack {
     Tables(s, dir, "documents").createOrReplaceTempView("documents")
     s.sql(sql)
   }
+
+  /** Register the hashed shingle set (`sh`) and per-doc shingle counts
+    * (`n`) as cached temp views before running `sql`. The shingle pipeline
+    * (regex split + md5 per shingle + distinct) is the most expensive
+    * shared stage of the document-dedup queries; as plain CTEs Spark
+    * re-inlines and recomputes it per reference, so we materialize it once
+    * (the DuckDB oracle keeps the equivalent CTE text — results identical).
+    */
+  private def docsWithShingles(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "documents").createOrReplaceTempView("documents")
+    val sh = s.sql(s"WITH $sparkShingles SELECT doc_id, shingle_h FROM sh").cache()
+    sh.createOrReplaceTempView("sh")
+    s.sql("SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id")
+      .createOrReplaceTempView("n")
+    s.sql(sql)
+  }
   private def embs(s: SparkSession, dir: String, sql: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
     s.sql(sql)
   }
 
-  // 3-word shingle sets per doc — Spark and DuckDB twins.
+  // 3-word shingle sets per doc, hashed to 60-bit longs at the source —
+  // every downstream join/shuffle moves 8-byte keys, never shingle
+  // strings. Spark and DuckDB twins.
   private val sparkShingles =
-    """w AS (SELECT doc_id, split(text, '\\s+') AS words FROM documents
-      |       WHERE size(split(text, '\\s+')) >= 3),
-      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
-      |  SELECT doc_id, explode(transform(sequence(0, size(words)-3),
-      |    i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingle FROM w)),
-      |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+    s"""w AS (SELECT doc_id, split(text, '\\\\s+') AS words FROM documents
+       |       WHERE size(split(text, '\\\\s+')) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, shingle_h FROM (
+       |  SELECT doc_id, explode(transform(sequence(0, size(words)-3),
+       |    i -> ${h64("concat(words[i], ' ', words[i+1], ' ', words[i+2])")})) AS shingle_h FROM w)),
+       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   private val duckShingles =
-    """w AS (SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents
-      |       WHERE len(string_split_regex(text, '\s+')) >= 3),
-      |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w),
-      |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM idx),
-      |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+    s"""w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+       |       WHERE len(string_split_regex(text, '\\s+')) >= 3),
+       |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w),
+       |sh AS (SELECT DISTINCT doc_id, ${duckH64("words[i] || ' ' || words[i+1] || ' ' || words[i+2]")} AS shingle_h FROM idx),
+       |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
-  // integer-quantized embeddings + exact integer norms
+  // integer-quantized embeddings + exact integer norms (dot_i64 is the
+  // engine's codegen'd Catalyst expression — see functions.DotI64)
   private val sparkQuant =
     """q AS (SELECT vec_id, label, transform(embedding, x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
-      |v AS (SELECT vec_id, label, qe, aggregate(qe, CAST(0 AS BIGINT), (acc, x) -> acc + x*x) AS nrm FROM q)""".stripMargin
+      |v AS (SELECT vec_id, label, qe, dot_i64(qe, qe) AS nrm FROM q)""".stripMargin
 
   private val duckQuant =
     """q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
@@ -60,25 +80,27 @@ object SimilarityQueries extends QueryPack {
 
     // Exact n-gram Jaccard near-dup: candidate pairs from an inverted
     // shingle index (equi-join, not a cross join), verified exactly.
-    "x_dedup_ngram_jaccard" -> ((s, dir) => docs(s, dir,
-      s"""WITH $sparkShingles,
-         |pairs AS (
+    "x_dedup_ngram_jaccard" -> ((s, dir) => docsWithShingles(s, dir,
+      s"""WITH pairs AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM sh a JOIN sh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT d1, d2,
          |  CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) AS jaccard
          |FROM pairs JOIN n n1 ON n1.doc_id = d1 JOIN n n2 ON n2.doc_id = d2
          |WHERE CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) >= 0.8""".stripMargin)),
 
-    // MinHash + LSH banding (16 salted-hash permutations, 4 bands x 4
-    // rows), candidates from band-signature equality, then exact verify.
-    // The banding join is the 100 TB path: no all-pairs step anywhere.
-    "x_dedup_minhash_lsh" -> ((s, dir) => docs(s, dir,
-      s"""WITH $sparkShingles,
+    // MinHash + LSH banding (16 xor-mix permutations of the 60-bit
+    // shingle hash, 4 bands x 4 rows), candidates from band-signature
+    // equality, then exact verify. The banding join is the 100 TB path:
+    // no all-pairs step anywhere, and each permutation is one xor — not
+    // another md5 over the shingle text.
+    "x_dedup_minhash_lsh" -> ((s, dir) => docsWithShingles(s, dir,
+      s"""WITH perms AS (SELECT p, ${h64("CAST(p AS STRING)")} AS kp
+         |  FROM (SELECT explode(sequence(0, 15)) AS p)),
          |mh AS (
-         |  SELECT doc_id, p, min(${h64("concat(p, '|', shingle)")}) AS mh
-         |  FROM sh LATERAL VIEW explode(sequence(0, 15)) t AS p
+         |  SELECT doc_id, p, min(shingle_h ^ kp) AS mh
+         |  FROM sh CROSS JOIN perms
          |  GROUP BY doc_id, p),
          |sig AS (
          |  SELECT doc_id, p DIV 4 AS band,
@@ -90,7 +112,7 @@ object SimilarityQueries extends QueryPack {
          |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          |inter AS (
          |  SELECT c.d1, c.d2, count(*) AS inter
-         |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle_h = a.shingle_h
          |  GROUP BY c.d1, c.d2)
          |SELECT i.d1, i.d2,
          |  CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) AS jaccard
@@ -98,16 +120,18 @@ object SimilarityQueries extends QueryPack {
          |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.8""".stripMargin)),
 
     // SimHash (32-bit over distinct tokens) + byte-band candidate join;
-    // hamming <= 2 guaranteed found by pigeonhole over 4 bands.
+    // hamming <= 2 guaranteed found by pigeonhole over 4 bands. The bit
+    // tallies run as 32 codegen'd conditional sums in ONE pass over the
+    // token rows — no 32x bit-explosion shuffle (the DuckDB oracle keeps
+    // the straightforward exploded form; results are identical).
     "x_dedup_simhash" -> ((s, dir) => docs(s, dir,
       s"""WITH w AS (SELECT doc_id, explode(array_distinct(split(text, '\\\\s+'))) AS word FROM documents),
          |h AS (SELECT doc_id, ${h64("word")} AS hw FROM w),
-         |bits AS (SELECT doc_id, b, hw FROM h LATERAL VIEW explode(sequence(0, 31)) t AS b),
-         |s AS (SELECT doc_id, b,
-         |  CASE WHEN sum(CASE WHEN (shiftright(hw, b) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
-         |  FROM bits GROUP BY doc_id, b),
-         |sig AS (SELECT doc_id, CAST(sum(bit * shiftleft(CAST(1 AS BIGINT), b)) AS BIGINT) AS simhash
-         |  FROM s GROUP BY doc_id),
+         |tallies AS (SELECT doc_id,
+         |  ${(0 to 31).map(b => s"sum(CASE WHEN (shiftright(hw, $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")}
+         |  FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST(${(0 to 31).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")} AS BIGINT) AS simhash
+         |  FROM tallies),
          |bands AS (SELECT doc_id, simhash, k, (shiftright(simhash, 8*k) & 255) AS band
          |  FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS k),
          |cand AS (SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2
@@ -120,7 +144,7 @@ object SimilarityQueries extends QueryPack {
       s"""WITH $sparkQuant,
          |pairs AS (
          |  SELECT a.vec_id AS v1, b.vec_id AS v2,
-         |    aggregate(zip_with(a.qe, b.qe, (x, y) -> x*y), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dot,
+         |    dot_i64(a.qe, b.qe) AS dot,
          |    a.nrm AS n1, b.nrm AS n2
          |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
          |SELECT v1, v2,
@@ -134,7 +158,7 @@ object SimilarityQueries extends QueryPack {
          |qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
          |pairs AS (
          |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
-         |    aggregate(zip_with(qs.qe, v.qe, (x, y) -> x*y), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dot,
+         |    dot_i64(qs.qe, v.qe) AS dot,
          |    qs.nrm AS n1, v.nrm AS n2
          |  FROM qs JOIN v ON qs.vec_id != v.vec_id),
          |scored AS (
@@ -164,7 +188,7 @@ object SimilarityQueries extends QueryPack {
          |qs AS (SELECT * FROM vb WHERE vec_id % 50 = 0),
          |pairs AS (
          |  SELECT qs.vec_id AS query_id, vb.vec_id AS neighbor_id,
-         |    aggregate(zip_with(qs.qe, vb.qe, (x, y) -> x*y), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dot,
+         |    dot_i64(qs.qe, vb.qe) AS dot,
          |    qs.nrm AS n1, vb.nrm AS n2
          |  FROM qs JOIN vb ON qs.bucket = vb.bucket AND qs.vec_id != vb.vec_id),
          |scored AS (
@@ -181,7 +205,7 @@ object SimilarityQueries extends QueryPack {
       s"""WITH $duckShingles,
          |pairs AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM sh a JOIN sh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT d1, d2,
          |  CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) AS jaccard
@@ -190,9 +214,10 @@ object SimilarityQueries extends QueryPack {
 
     "x_dedup_minhash_lsh" ->
       s"""WITH $duckShingles,
-         |perms AS (SELECT unnest(generate_series(0, 15)) AS p),
+         |perms AS (SELECT p, ${duckH64("p::VARCHAR")} AS kp
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS p)),
          |mh AS (
-         |  SELECT doc_id, p, min(${duckH64("p::VARCHAR || '|' || shingle")}) AS mh
+         |  SELECT doc_id, p, min(xor(shingle_h, kp)) AS mh
          |  FROM sh CROSS JOIN perms GROUP BY doc_id, p),
          |sig AS (
          |  SELECT doc_id, p // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig
@@ -202,7 +227,7 @@ object SimilarityQueries extends QueryPack {
          |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
          |inter AS (
          |  SELECT c.d1, c.d2, count(*) AS inter
-         |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle_h = a.shingle_h
          |  GROUP BY c.d1, c.d2)
          |SELECT i.d1, i.d2,
          |  CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) AS jaccard
