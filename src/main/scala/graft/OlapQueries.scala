@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Second OLAP pack: correlated subqueries, outer/cross/non-equi joins,
+  * date and string function surface, exact two-pass stddev, windowed
+  * median, grouping sets. These run through `spark.sql` over registered
+  * views — the engine's SQL surface — with DuckDB twins that are textually
+  * near-identical (dialect differences only), keeping the determinism
+  * conventions of [[AnalyticsQueries]].
+  */
+object OlapQueries extends QueryPack {
+
+  private val views = Seq("customer", "orders", "lineitem", "supplier", "nation", "region", "events")
+
+  private def sql(s: SparkSession, dir: String, q: String): DataFrame = {
+    views.foreach(v => Tables(s, dir, v).createOrReplaceTempView(v))
+    s.sql(q)
+  }
+
+  private val decSpend =
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Correlated scalar subquery per outer row (Catalyst rewrites to a
+    // left outer aggregate join — no per-row execution at scale).
+    "q_correlated_scalar" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT min(l_extendedprice) FROM lineitem WHERE l_orderkey = o_orderkey) AS min_line_price
+        |FROM orders WHERE o_totalprice > 400000""".stripMargin)),
+
+    // Left outer join against an aggregate; unmatched rows keep nulls.
+    "q_left_outer_agg" -> ((s, dir) => sql(s, dir,
+      s"""SELECT c_custkey, c_name, o.n_orders, o.spend
+         |FROM customer
+         |LEFT JOIN (SELECT o_custkey, count(*) AS n_orders, $decSpend AS spend
+         |           FROM orders GROUP BY o_custkey) o
+         |  ON o.o_custkey = c_custkey
+         |WHERE c_custkey <= 300""".stripMargin)),
+
+    // Full outer join of two aggregates with asymmetric coverage.
+    "q_full_outer_counts" -> ((s, dir) => sql(s, dir,
+      """SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer WHERE c_acctbal > 4500 GROUP BY c_nationkey) c
+        |FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier WHERE s_acctbal > 4500 GROUP BY s_nationkey) s
+        |  ON c.nk = s.nk""".stripMargin)),
+
+    // Cross join of two small dimensions (broadcast nested loop).
+    "q_cross_join_dims" -> ((s, dir) => sql(s, dir,
+      """SELECT r_name, p.o_orderpriority
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p""".stripMargin)),
+
+    // Scalar subquery (uncorrelated) used in projection and filter.
+    "q_scalar_subquery" -> ((s, dir) => sql(s, dir,
+      s"""SELECT o_orderkey, o_totalprice,
+         |  o_totalprice - (SELECT $decSpend / count(*) FROM orders) AS delta_vs_avg
+         |FROM orders WHERE o_totalprice > 480000""".stripMargin)),
+
+    // Non-equi conjunct on top of the equi join (range condition):
+    // lineitems shipped within 30 days of the order date.
+    "q_range_join" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderkey, count(*) AS n_fast
+        |FROM orders JOIN lineitem
+        |  ON l_orderkey = o_orderkey
+        |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey""".stripMargin)),
+
+    // Calendar functions: month bucketing + year/quarter extraction.
+    "q_date_functions" -> ((s, dir) => sql(s, dir,
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+         |  count(*) AS n, $decSpend AS spend
+         |FROM orders GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE),
+         |  CAST(year(o_orderdate) AS BIGINT), CAST(quarter(o_orderdate) AS BIGINT)""".stripMargin)),
+
+    // String function surface.
+    "q_string_functions" -> ((s, dir) => sql(s, dir,
+      """SELECT c_custkey,
+        |  upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        |  substring(c_name, 10, 5) AS sub,
+        |  replace(c_name, 'Customer#', 'C') AS repl,
+        |  lpad(CAST(c_custkey AS STRING), 8, '0') AS pad,
+        |  CAST(length(c_name) AS BIGINT) AS len,
+        |  c_name LIKE '%12%' AS has12,
+        |  CAST(instr(c_name, '9') AS BIGINT) AS pos9,
+        |  concat_ws('-', c_mktsegment, c_name) AS tagged
+        |FROM customer WHERE c_custkey <= 200""".stripMargin)),
+
+    // Exact sample stddev from decimal power sums (order-independent,
+    // unlike a naive double stddev whose partial-sum order varies).
+    "q_exact_stddev" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+        |  sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |        - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+        |       / (count(*) - 1)) AS stddev_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // Deterministic lower-median per group via window position.
+    "q_median_window" -> ((s, dir) => sql(s, dir,
+      """SELECT o_custkey, o_totalprice AS median_price FROM (
+        |  SELECT o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_custkey) AS cnt
+        |  FROM orders) WHERE rn = (cnt + 1) DIV 2""".stripMargin)),
+
+    // GROUPING SETS with sentinel labels.
+    "q_grouping_sets" -> ((s, dir) => sql(s, dir,
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin)),
+
+    // NOT EXISTS (anti join through a subquery, P5/J3's SQL face).
+    "q_not_exists" -> ((s, dir) => sql(s, dir,
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)""".stripMargin))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_correlated_scalar" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT min(l_extendedprice) FROM lineitem WHERE l_orderkey = o_orderkey) AS min_line_price
+        |FROM orders WHERE o_totalprice > 400000""".stripMargin,
+
+    "q_left_outer_agg" ->
+      s"""SELECT c_custkey, c_name, o.n_orders, o.spend
+         |FROM customer
+         |LEFT JOIN (SELECT o_custkey, count(*) AS n_orders, $decSpend AS spend
+         |           FROM orders GROUP BY o_custkey) o
+         |  ON o.o_custkey = c_custkey
+         |WHERE c_custkey <= 300""".stripMargin,
+
+    "q_full_outer_counts" ->
+      """SELECT coalesce(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer WHERE c_acctbal > 4500 GROUP BY c_nationkey) c
+        |FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier WHERE s_acctbal > 4500 GROUP BY s_nationkey) s
+        |  ON c.nk = s.nk""".stripMargin,
+
+    "q_cross_join_dims" ->
+      """SELECT r_name, p.o_orderpriority
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p""".stripMargin,
+
+    "q_scalar_subquery" ->
+      s"""SELECT o_orderkey, o_totalprice,
+         |  o_totalprice - (SELECT $decSpend / count(*) FROM orders) AS delta_vs_avg
+         |FROM orders WHERE o_totalprice > 480000""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_fast
+        |FROM orders JOIN lineitem
+        |  ON l_orderkey = o_orderkey
+        |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey""".stripMargin,
+
+    "q_date_functions" ->
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+         |  count(*) AS n, $decSpend AS spend
+         |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_string_functions" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        |  substring(c_name, 10, 5) AS sub,
+        |  replace(c_name, 'Customer#', 'C') AS repl,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+        |  CAST(length(c_name) AS BIGINT) AS len,
+        |  c_name LIKE '%12%' AS has12,
+        |  CAST(strpos(c_name, '9') AS BIGINT) AS pos9,
+        |  concat_ws('-', c_mktsegment, c_name) AS tagged
+        |FROM customer WHERE c_custkey <= 200""".stripMargin,
+
+    "q_exact_stddev" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+        |  sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |        - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+        |       / (count(*) - 1)) AS stddev_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_median_window" ->
+      """SELECT o_custkey, o_totalprice AS median_price FROM (
+        |  SELECT o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_custkey) AS cnt
+        |  FROM orders) WHERE rn = (cnt + 1) // 2""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin,
+
+    "q_not_exists" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)""".stripMargin
+  )
+}

@@ -14,6 +14,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     ParityQueries,
     AnalyticsQueries,
+    OlapQueries,
     TextQueries,
     SimilarityQueries
   )
