@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** First-class Structured Streaming operators of the engine, beyond the
+  * CDC ingest path (cdc.CdcPipeline): event-time windowed aggregation
+  * with watermarks, keyed stateful accumulation with checkpointed state,
+  * and cross-batch streaming dedup. The reference needs none of these
+  * (its state lives in the sink table — SURVEY.md §2.9); they are part of
+  * the engine's extended streaming surface for pipeline workloads.
+  */
+object StreamOps {
+
+  /** A typed event row (the `events` table shape, minus free-form JSON). */
+  final case class Evt(event_id: Long, user_id: Long, event_type: String, ts: java.sql.Timestamp)
+
+  /** Keyed running totals carried in streaming state. */
+  final case class UserTotal(user_id: Long, n_events: Long, id_sum: Long)
+
+  /** Tumbling-window counts per event type with an event-time watermark.
+    * In append mode the watermark bounds state and lateness; scale-wise
+    * this is one shuffle on (window, event_type) with partial aggregation.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String,
+                     windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Keyed stateful accumulation: per-user totals maintained in streaming
+    * state across micro-batches AND across restarts (state checkpointed
+    * with the query). The engine's mapGroupsWithState surface.
+    */
+  def runningTotals(events: Dataset[Evt]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Evt], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0L))
+          var n = prev.n_events
+          var s = prev.id_sum
+          batch.foreach { e => n += 1; s += e.event_id }
+          val next = UserTotal(user, n, s)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming exact dedup by key: `dropDuplicates` backed by streaming
+    * state, bounded by the event-time watermark (duplicates arriving
+    * within the watermark horizon are dropped, state beyond it expires —
+    * the scale-safe configuration).
+    */
+  def dedupStream(events: DataFrame, tsCol: String, watermarkDelay: String,
+                  keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Output-mode helper kept with the operators so call sites stay
+    * declarative in specs and pipelines.
+    */
+  val Update: OutputMode = OutputMode.Update()
+  val Append: OutputMode = OutputMode.Append()
+  val Complete: OutputMode = OutputMode.Complete()
+}

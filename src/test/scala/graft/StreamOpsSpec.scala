@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Evt
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evtSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP")
+
+  private def writeEvents(dir: String, ids: Range, typeOf: Int => String): Unit =
+    ids.map(i => (i.toLong, i.toLong % 5, typeOf(i), new java.sql.Timestamp(1700000000000L + i * 60000L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("append").parquet(dir)
+
+  test("windowed counts equal the batch computation (complete mode)") {
+    val root = tmpDir("streamops")
+    writeEvents(s"$root/in", 0 until 600, i => if (i % 3 == 0) "click" else "view")
+    val stream = spark.readStream.schema(evtSchema).parquet(s"$root/in")
+    val q = StreamOps.windowedCounts(stream, "ts", "1 hour", "10 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("win_counts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("win_counts")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val want = spark.read.parquet(s"$root/in")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("stateful running totals persist across micro-batches and restarts") {
+    val root = tmpDir("streamops2")
+    writeEvents(s"$root/in", 0 until 100, _ => "click")
+
+    // update-mode emissions land in a per-run buffer via foreachBatch
+    // (the memory sink cannot recover from a checkpoint; foreachBatch can)
+    def runOnce(): Map[Long, StreamOps.UserTotal] = {
+      val emitted = scala.collection.concurrent.TrieMap.empty[Long, StreamOps.UserTotal]
+      val stream = spark.readStream.schema(evtSchema).parquet(s"$root/in").as[Evt]
+      val q = StreamOps.runningTotals(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.UserTotal], _: Long) =>
+          df.collect().foreach(t => emitted.put(t.user_id, t))
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      emitted.toMap
+    }
+
+    val t1 = runOnce()
+    assert(t1.size == 5 && t1.values.map(_.n_events).sum == 100)
+    assert(t1.values.map(_.id_sum).sum == (0 until 100).map(_.toLong).sum)
+
+    // restart with more data: state restored from checkpoint, totals grow
+    writeEvents(s"$root/in", 100 until 150, _ => "click")
+    val t2 = runOnce()
+    assert(t2.values.map(_.n_events).sum == 150)
+    assert(t2.values.map(_.id_sum).sum == (0 until 150).map(_.toLong).sum)
+  }
+
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    val root = tmpDir("streamops3")
+    writeEvents(s"$root/in", 0 until 50, _ => "click")
+    writeEvents(s"$root/in", 0 until 50, _ => "click") // exact duplicates
+
+    val stream = spark.readStream.schema(evtSchema).parquet(s"$root/in")
+    val q = StreamOps.dedupStream(stream, "ts", "1 hour", Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("deduped")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("deduped").count() == 50)
+  }
+}
