@@ -160,6 +160,18 @@ object AnalyticsQueries extends QueryPack {
           expr("CAST(MIN(l_extendedprice) AS DOUBLE)").as("min_price"),
           expr("CAST(MAX(l_extendedprice) AS DOUBLE)").as("max_price"))),
 
+    // Approximate sketches — HLL distinct counts and quantile sketches.
+    // Deliberately NO DuckDB oracle (different sketch implementations
+    // cannot hash-match); the driver records a rows-only check. At scale
+    // these replace exact distinct/percentile when error tolerance allows:
+    // mergeable, single-pass, bounded memory.
+    "x_approx_sketches" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("price_quantiles"))),
+
     // Global sort + limit with a total order (O1/O2).
     "o2_sort_limit" -> ((s, dir) =>
       t(s, dir, "events")

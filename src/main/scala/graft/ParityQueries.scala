@@ -91,6 +91,28 @@ object ParityQueries extends QueryPack {
           (unix_millis(col("ts")) / lit(1000)).cast("long").as("ts_epoch_s"),
           when(col("value") > 50, "high").otherwise("low").as("value_band"))),
 
+    // S2: the range-partitioned parallel scan (5-way on the PK, the
+    // reference's JDBC numPartitions/bounds semantics). Content equals a
+    // plain scan — the oracle checks that repartitioning is lossless.
+    "s2_parallel_scan" -> ((s, dir) => {
+      val snap = new graft.snapshot.Snapshot(s, "/tmp/graft_nolog")
+      snap.parallelScan(Tables(s, dir, "orders"), Some("o_orderkey"))
+    }),
+
+    // P6/P7/P10 + §2.8 get_json_object: envelope hygiene — null-drop on
+    // required meta columns, JSON key extraction from the props payload,
+    // typed casts, column drops.
+    "p_envelope_hygiene" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+        .na.drop(Seq("event_type", "props"))
+        .filter(col("k_val").isNotNull)
+        .select(
+          col("event_id"),
+          col("k_val"),
+          col("value").cast("decimal(12,2)").cast("string").as("value_str"),
+          col("user_id").cast("int").cast("long").as("user_id"))),
+
     // S3 + P4: metadata-style pushdown projection — concat/substr
     // projections with a regex filter and negation, the
     // information_schema query shapes of the snapshot path.
@@ -147,6 +169,18 @@ object ParityQueries extends QueryPack {
 
     "a1_minmax_bounds" ->
       "SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, count(*) AS cnt FROM orders",
+
+    "s2_parallel_scan" ->
+      "SELECT * FROM orders",
+
+    "p_envelope_hygiene" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_str,
+        |  CAST(CAST(user_id AS INTEGER) AS BIGINT) AS user_id
+        |FROM events
+        |WHERE event_type IS NOT NULL AND props IS NOT NULL
+        |  AND json_extract_string(props, '$.k') IS NOT NULL""".stripMargin,
 
     "f_scalar_tenant_extract" ->
       """SELECT event_id,

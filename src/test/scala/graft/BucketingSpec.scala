@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Bucketing: the co-located join path for 100 TB — both sides bucketed
+  * on the join key join WITHOUT a shuffle exchange. This is the engine's
+  * answer to "big fact-fact joins shuffle on their keys" (builder brief):
+  * pre-bucket once, join many times shuffle-free.
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed-bucketed equi-join plans without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.range(0, 10000).select($"id", ($"id" % 97).as("va"))
+        .write.bucketBy(8, "id").sortBy("id").saveAsTable("graft_bucket_a")
+      spark.range(0, 10000).select($"id", ($"id" % 89).as("vb"))
+        .write.bucketBy(8, "id").sortBy("id").saveAsTable("graft_bucket_b")
+
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "id")
+      assert(joined.count() == 10000) // execute first so AQE finalizes
+      val inner = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = inner.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"expected shuffle-free bucketed join, got:\n${inner.toString}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+}
