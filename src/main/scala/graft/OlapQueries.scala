@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Second OLAP pack: correlated subqueries, outer/cross/non-equi joins,
   * date and string function surface, exact two-pass stddev, windowed
@@ -115,6 +116,24 @@ object OlapQueries extends QueryPack {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin)),
 
+    // As-of join (ops.AsOfJoin): each event picks up the user's latest
+    // order state at event time — single-shuffle union+window form, no
+    // range-join blow-up. Oracle: DuckDB's native ASOF LEFT JOIN.
+    "x_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        expr("timestamp'1995-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, (event_id * 97) % 200000000)").as("ts2"))
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val od = Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.ops.AsOfJoin.asofJoin(e, od, "user_id", "ts2", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+    }),
+
     // NOT EXISTS (anti join through a subquery, P5/J3's SQL face).
     "q_not_exists" -> ((s, dir) => sql(s, dir,
       """SELECT s_suppkey, s_name FROM supplier
@@ -203,6 +222,19 @@ object OlapQueries extends QueryPack {
     "q_not_exists" ->
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE NOT EXISTS (
-        |  SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)""".stripMargin
+        |  SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)""".stripMargin,
+
+    "x_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    TIMESTAMP '1995-01-01 00:00:00' + INTERVAL ((event_id * 97) % 200000000) SECOND AS ts2
+        |  FROM events),
+        |od AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts2, od.o_orderkey, od.o_totalprice
+        |FROM e ASOF LEFT JOIN od
+        |  ON e.user_id = od.user_id AND e.ts2 >= od.o_orderdate""".stripMargin
   )
 }

@@ -169,6 +169,26 @@ object SimilarityQueries extends QueryPack {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM scored) WHERE rank <= 10""".stripMargin)),
 
+    // IVF-style ANN: the label column is the coarse quantizer (inverted
+    // list id); search probes only the query's own list. At 100 TB the
+    // lists are hash-partitioned so each probe touches one partition's
+    // worth of vectors instead of the corpus.
+    "x_ann_ivf" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuant,
+         |qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    dot_i64(qs.qe, v.qe) AS dot,
+         |    qs.nrm AS n1, v.nrm AS n2
+         |  FROM qs JOIN v ON qs.label = v.label AND qs.vec_id != v.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin)),
+
     // LSH-bucketed ANN: 8 deterministic hyperplanes (salted-hash weights),
     // sign-bit bucket, top-5 within bucket. The scale path: candidate set
     // is one hash bucket, not the full corpus.
@@ -277,6 +297,22 @@ object SimilarityQueries extends QueryPack {
          |SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "x_ann_ivf" ->
+      s"""WITH $duckQuant,
+         |qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(qs.qe::DOUBLE[], v.qe::DOUBLE[]) AS BIGINT) AS dot,
+         |    qs.nrm AS n1, v.nrm AS n2
+         |  FROM qs JOIN v ON qs.label = v.label AND qs.vec_id != v.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
 
     "x_ann_lsh" ->
       s"""WITH $duckQuant,
