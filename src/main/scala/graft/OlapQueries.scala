@@ -116,6 +116,40 @@ object OlapQueries extends QueryPack {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin)),
 
+    // TPC-H Q7 shape: the same dimension joined twice under different
+    // roles (customer nation vs supplier nation), revenue by nation pair
+    // and year.
+    "q7_nation_volume" -> ((s, dir) => sql(s, dir,
+      """SELECT supp_nation, cust_nation, yr,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |    l_extendedprice, l_discount
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND n1.n_nationkey IN (3, 4) AND n2.n_nationkey IN (3, 4)
+        |    AND n1.n_nationkey <> n2.n_nationkey)
+        |GROUP BY supp_nation, cust_nation, yr""".stripMargin)),
+
+    // TPC-H Q8 shape: market share — conditional share of a numerator
+    // population inside a grouped denominator, exact decimal division at
+    // the end.
+    "q8_market_share" -> ((s, dir) => sql(s, dir,
+      """SELECT yr,
+        |  CAST(SUM(CASE WHEN nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, n_name AS nation,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS vol
+        |  FROM lineitem, orders, customer, nation, region
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA')
+        |GROUP BY yr""".stripMargin)),
+
     // As-of join (ops.AsOfJoin): each event picks up the user's latest
     // order state at event time — single-shuffle union+window form, no
     // range-join blow-up. Oracle: DuckDB's native ASOF LEFT JOIN.
@@ -223,6 +257,34 @@ object OlapQueries extends QueryPack {
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, yr,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |    l_extendedprice, l_discount
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND n1.n_nationkey IN (3, 4) AND n2.n_nationkey IN (3, 4)
+        |    AND n1.n_nationkey <> n2.n_nationkey) t
+        |GROUP BY supp_nation, cust_nation, yr""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT yr,
+        |  CAST(SUM(CASE WHEN nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, n_name AS nation,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS vol
+        |  FROM lineitem, orders, customer, nation, region
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA') t
+        |GROUP BY yr""".stripMargin,
 
     "x_asof_join" ->
       """WITH e AS (

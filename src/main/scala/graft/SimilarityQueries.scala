@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, least, min}
 
 /** Near-duplicate detection and similarity search — the LLM-training-data
   * operators (SURVEY.md §7 step 7): n-gram Jaccard, MinHash+LSH banding,
@@ -118,6 +119,46 @@ object SimilarityQueries extends QueryPack {
          |  CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) AS jaccard
          |FROM inter i JOIN n n1 ON n1.doc_id = i.d1 JOIN n n2 ON n2.doc_id = i.d2
          |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.8""".stripMargin)),
+
+    // Near-dup CLUSTERS: connected components over the verified jaccard
+    // pairs via iterative min-label propagation (each iteration one
+    // equi-join + groupBy — the scalable formulation; converges in
+    // O(diameter) rounds, and near-dup components have tiny diameters).
+    // Oracle: DuckDB recursive-CTE transitive closure.
+    "x_dedup_clusters" -> ((s, dir) => {
+      // localCheckpoint after every round truncates the logical plan —
+      // without it the self-referencing lineage doubles per iteration and
+      // blows up the optimizer (stack overflow by ~round 10).
+      val pairs = queries("x_dedup_ngram_jaccard")(s, dir)
+        .select("d1", "d2").localCheckpoint()
+      val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+        .localCheckpoint()
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 15) {
+        // (1) neighbor-min, (2) pointer-jump label(label) — halves the
+        // rounds needed vs pure propagation
+        val byNeighbor = edges
+          .join(labels.select(col("node").as("b"), col("label")), "b")
+          .groupBy(col("a").as("node")).agg(min("label").as("nlabel"))
+        val stepped = labels.join(byNeighbor, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        val next = stepped
+          .join(stepped.select(col("node").as("label"), col("label").as("jump")),
+            Seq("label"), "left")
+          .select(col("node"), coalesce(col("jump"), col("label")).as("label"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    }),
 
     // SimHash (32-bit over distinct tokens) + byte-band candidate join;
     // hamming <= 2 guaranteed found by pigeonhole over 4 bands. The bit
@@ -253,6 +294,23 @@ object SimilarityQueries extends QueryPack {
          |  CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) AS jaccard
          |FROM inter i JOIN n n1 ON n1.doc_id = i.d1 JOIN n n2 ON n2.doc_id = i.d2
          |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.8""".stripMargin,
+
+    "x_dedup_clusters" ->
+      s"""WITH RECURSIVE $duckShingles,
+         |prs AS (
+         |  SELECT d1, d2 FROM (
+         |    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |    FROM sh a JOIN sh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+         |    GROUP BY a.doc_id, b.doc_id) p
+         |  JOIN n n1 ON n1.doc_id = p.d1 JOIN n n2 ON n2.doc_id = p.d2
+         |  WHERE CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) >= 0.8),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
+         |closure(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM closure GROUP BY a""".stripMargin,
 
     "x_dedup_simhash" ->
       s"""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS word FROM documents),
