@@ -10,19 +10,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warm-up: classloading, codegen compiler, parquet footers —
-    // otherwise the first timed query absorbs several seconds of JVM cost
+    // untimed warm-up: classloading, codegen compiler, parquet footers,
+    // first shuffle and window machinery — otherwise whichever query runs
+    // first absorbs several seconds of one-time JVM cost
     spark.sql("SELECT count(*) FROM range(1000000)").collect()
+    spark.sql(
+      """SELECT x % 10 AS k, count(*), sum(x),
+        |  row_number() OVER (PARTITION BY x % 10 ORDER BY x) AS rn
+        |FROM (SELECT id AS x FROM range(100000)) GROUP BY x % 10, x""".stripMargin).count()
     try SparkEntry.queries.get("a1_minmax_bounds").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fixed name order: per-query timings comparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -22,6 +22,9 @@ class DdlSpec extends SparkSpec {
   test("CREATE TABLE from wire fields, ALTER ADD COLUMN, DESCRIBE, REFRESH") {
     val fields = DebeziumSchema.parseFields(schemaJson)
     val cols = fields.map(f => s"${SchemaEvolution.sanitizeName(f.name)} ${f.ddlType}")
+    // K8: per-tenant namespace
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tenant_1")
+    assert(spark.catalog.databaseExists("graft_tenant_1"))
     spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
     // K6: codegen'd CREATE TABLE from the inferred schema
     spark.sql(s"CREATE TABLE graft_ddl_t (${cols.mkString(", ")}) USING parquet")
