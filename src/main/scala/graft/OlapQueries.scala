@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object OlapQueries extends QueryPack {
 
-  private val views = Seq("customer", "orders", "lineitem", "supplier", "nation", "region", "events")
+  private val views = Seq("customer", "orders", "lineitem", "supplier", "part", "nation", "region", "events")
 
   private def sql(s: SparkSession, dir: String, q: String): DataFrame = {
     views.foreach(v => Tables(s, dir, v).createOrReplaceTempView(v))
@@ -115,6 +115,17 @@ object OlapQueries extends QueryPack {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin)),
+
+    // Part-dimension rollup (TPC-H Q9-ish): fact x part with grouped
+    // margin — the remaining base table exercised.
+    "q_part_margin" -> ((s, dir) => sql(s, dir,
+      """SELECT p_type, p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+        |  count(*) AS n,
+        |  CAST(MAX(p_retailprice) AS DOUBLE) AS max_retail
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type, p_brand""".stripMargin)),
 
     // TPC-H Q7 shape: the same dimension joined twice under different
     // roles (customer nation vs supplier nation), revenue by nation pair
@@ -257,6 +268,15 @@ object OlapQueries extends QueryPack {
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)""".stripMargin,
+
+    "q_part_margin" ->
+      """SELECT p_type, p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+        |  count(*) AS n,
+        |  CAST(MAX(p_retailprice) AS DOUBLE) AS max_retail
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type, p_brand""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT supp_nation, cust_nation, yr,

@@ -163,22 +163,29 @@ object SimilarityQueries extends QueryPack {
     // SimHash (32-bit over distinct tokens) + byte-band candidate join;
     // hamming <= 2 guaranteed found by pigeonhole over 4 bands. The bit
     // tallies run as 32 codegen'd conditional sums in ONE pass over the
-    // token rows — no 32x bit-explosion shuffle (the DuckDB oracle keeps
-    // the straightforward exploded form; results are identical).
-    "x_dedup_simhash" -> ((s, dir) => docs(s, dir,
-      s"""WITH w AS (SELECT doc_id, explode(array_distinct(split(text, '\\\\s+'))) AS word FROM documents),
-         |h AS (SELECT doc_id, ${h64("word")} AS hw FROM w),
-         |tallies AS (SELECT doc_id,
-         |  ${(0 to 31).map(b => s"sum(CASE WHEN (shiftright(hw, $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")}
-         |  FROM h GROUP BY doc_id),
-         |sig AS (SELECT doc_id, CAST(${(0 to 31).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")} AS BIGINT) AS simhash
-         |  FROM tallies),
-         |bands AS (SELECT doc_id, simhash, k, (shiftright(simhash, 8*k) & 255) AS band
-         |  FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS k),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2
-         |  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
-         |SELECT d1, d2, CAST(bit_count(s1 ^ s2) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(s1 ^ s2) <= 2""".stripMargin)),
+    // token rows — no 32x bit-explosion shuffle — and the signature table
+    // materializes once (cached temp view) instead of being recomputed
+    // per band-join side. (The DuckDB oracle keeps the straightforward
+    // exploded CTE form; results are identical.)
+    "x_dedup_simhash" -> ((s, dir) => {
+      Tables(s, dir, "documents").createOrReplaceTempView("documents")
+      val sig = s.sql(
+        s"""WITH w AS (SELECT doc_id, explode(array_distinct(split(text, '\\\\s+'))) AS word FROM documents),
+           |h AS (SELECT doc_id, ${h64("word")} AS hw FROM w),
+           |tallies AS (SELECT doc_id,
+           |  ${(0 to 31).map(b => s"sum(CASE WHEN (shiftright(hw, $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")}
+           |  FROM h GROUP BY doc_id)
+           |SELECT doc_id, CAST(${(0 to 31).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")} AS BIGINT) AS simhash
+           |FROM tallies""".stripMargin).cache()
+      sig.createOrReplaceTempView("simhash_sig")
+      s.sql(
+        """WITH bands AS (SELECT doc_id, simhash, k, (shiftright(simhash, 8*k) & 255) AS band
+          |  FROM simhash_sig LATERAL VIEW explode(sequence(0, 3)) t AS k),
+          |cand AS (SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2
+          |  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
+          |SELECT d1, d2, CAST(bit_count(s1 ^ s2) AS BIGINT) AS hamming
+          |FROM cand WHERE bit_count(s1 ^ s2) <= 2""".stripMargin)
+    }),
 
     // Embedding cosine near-dup over integer-quantized vectors.
     "x_dedup_embedding" -> ((s, dir) => embs(s, dir,
@@ -229,6 +236,33 @@ object SimilarityQueries extends QueryPack {
          |SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin)),
+
+    // Top-k via the typed Aggregator (functions.TopKAggregator): map-side
+    // combinable bounded buffers instead of a window — each partition
+    // reduces to k rows before the shuffle. Same totals order as the
+    // window form, so the same oracle shape applies (k=8).
+    "x_ann_topk_agg" -> ((s, dir) => {
+      val scored = embs(s, dir,
+        s"""WITH $sparkQuant,
+           |qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+           |pairs AS (
+           |  SELECT qs.vec_id AS query_id, v.vec_id AS id,
+           |    dot_i64(qs.qe, v.qe) AS dot, qs.nrm AS n1, v.nrm AS n2
+           |  FROM qs JOIN v ON qs.vec_id != v.vec_id)
+           |SELECT query_id, id,
+           |  CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS score
+           |FROM pairs""".stripMargin)
+      import s.implicits._
+      import graft.functions.{Scored, TopKAggregator}
+      val ds = scored.as[(Long, Long, Double)]
+      ds.groupByKey(_._1)
+        .mapValues(t => Scored(t._2, t._3))
+        .agg(new TopKAggregator(8).toColumn.name("top"))
+        .flatMap { case (qid, top) =>
+          top.zipWithIndex.map { case (sc, i) => (qid, sc.id, (i + 1).toLong, sc.score) }
+        }
+        .toDF("query_id", "neighbor_id", "rank", "cos")
+    }),
 
     // LSH-bucketed ANN: 8 deterministic hyperplanes (salted-hash weights),
     // sign-bit bucket, top-5 within bucket. The scale path: candidate set
@@ -371,6 +405,22 @@ object SimilarityQueries extends QueryPack {
          |SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "x_ann_topk_agg" ->
+      s"""WITH $duckQuant,
+         |qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(qs.qe::DOUBLE[], v.qe::DOUBLE[]) AS BIGINT) AS dot,
+         |    qs.nrm AS n1, v.nrm AS n2
+         |  FROM qs JOIN v ON qs.vec_id != v.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+         |  FROM pairs)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 8""".stripMargin,
 
     "x_ann_lsh" ->
       s"""WITH $duckQuant,
