@@ -113,6 +113,28 @@ object ParityQueries extends QueryPack {
           col("value").cast("decimal(12,2)").cast("string").as("value_str"),
           col("user_id").cast("int").cast("long").as("user_id"))),
 
+    // Sessionization (gaps-and-islands): split each user's event stream
+    // into sessions at >2h silence, one pass + one shuffle on the key.
+    // The batch twin of streaming session windows.
+    "x_sessionization" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events")
+      s.sql(
+        """WITH gaps AS (
+          |  SELECT user_id, event_id, ts, value,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |           OR unix_millis(ts) - unix_millis(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 7200000
+          |         THEN 1 ELSE 0 END AS new_sess
+          |  FROM events),
+          |sess AS (
+          |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+          |  FROM gaps)
+          |SELECT user_id, sess_no, count(*) AS n_events,
+          |  min(ts) AS sess_start, max(ts) AS sess_end,
+          |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sess_value
+          |FROM sess GROUP BY user_id, sess_no""".stripMargin)
+    }),
+
     // S3 + P4: metadata-style pushdown projection — concat/substr
     // projections with a regex filter and negation, the
     // information_schema query shapes of the snapshot path.
@@ -172,6 +194,22 @@ object ParityQueries extends QueryPack {
 
     "s2_parallel_scan" ->
       "SELECT * FROM orders",
+
+    "x_sessionization" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 7200000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+        |  FROM gaps)
+        |SELECT user_id, sess_no, count(*) AS n_events,
+        |  min(ts) AS sess_start, max(ts) AS sess_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sess_value
+        |FROM sess GROUP BY user_id, sess_no""".stripMargin,
 
     "p_envelope_hygiene" ->
       """SELECT event_id,
