@@ -70,11 +70,11 @@ object SimilarityQueries extends QueryPack {
   // integer-quantized embeddings + exact integer norms (dot_i64 is the
   // engine's codegen'd Catalyst expression — see functions.DotI64)
   private val sparkQuant =
-    """q AS (SELECT vec_id, label, transform(embedding, x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
+    """q AS (SELECT vec_id, label, transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
       |v AS (SELECT vec_id, label, qe, dot_i64(qe, qe) AS nrm FROM q)""".stripMargin
 
   private val duckQuant =
-    """q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
+    """q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
       |v AS (SELECT vec_id, label, qe, CAST(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) AS BIGINT) AS nrm FROM q)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
