@@ -33,11 +33,31 @@ object CdcMerge {
   /** Merge a deduped update batch into `existing`. `updates` must carry
     * `__op` and at most one row per key (use [[Dedup.latestWins]] first).
     * Returns the post-merge table content.
+    *
+    * Fast path: when the batch carries every existing column (the normal
+    * CDC case — row images are full), matched updates never need values
+    * from the existing side, so the full-outer join collapses to
+    *   (existing LEFT ANTI updates) UNION ALL (updates where op != 'd')
+    * The anti join broadcasts the micro-batch side: the big table is
+    * never shuffled, which is the difference between O(|batch|) and
+    * O(|table|) network per merge at 100 TB. The general (schema-soft-
+    * drop) path keeps the full-outer form.
     */
   def merge(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "keyless tables append instead of merging (reference K3)")
     val eCols = existing.columns.filterNot(keys.contains).toSeq
     val uCols = updates.columns.filterNot(c => keys.contains(c) || c == OpColumn).toSeq
+    if (eCols.forall(uCols.contains)) {
+      val outCols = keys ++ eCols ++ uCols.filterNot(eCols.contains)
+      val eAligned = (uCols.filterNot(eCols.contains))
+        .foldLeft(existing) { (d, c) =>
+          d.withColumn(c, lit(null).cast(updates.schema(c).dataType))
+        }
+      val untouched = eAligned.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      val applied = updates.filter(col(OpColumn) =!= "d").drop(OpColumn)
+      return untouched.select(outCols.map(col): _*)
+        .unionAll(applied.select(outCols.map(col): _*))
+    }
     val outCols = (eCols ++ uCols.filterNot(eCols.contains)).toSeq
     val eTypes = existing.schema.map(f => f.name -> f.dataType).toMap
     val uTypes = updates.schema.map(f => f.name -> f.dataType).toMap

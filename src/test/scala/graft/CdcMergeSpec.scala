@@ -61,6 +61,27 @@ class CdcMergeSpec extends SparkSpec {
     assert(out.select("v").as[String].collect().toSeq == Seq("tie"))
   }
 
+  test("full-image batch merges via broadcast anti join (no full-outer shuffle of the table)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val big = spark.range(0, 50000)
+      .select($"id", concat(lit("n"), $"id").as("name"), ($"id" * 1.5).as("amount"))
+    val batch = Seq((1L, "upd", 9.9, "u"), (99999L, "new", 1.0, "c"), (2L, null.asInstanceOf[String], 0.0, "d"))
+      .toDF("id", "name", "amount", "__op")
+    val merged = CdcMerge.merge(big, batch, Seq("id"))
+    assert(merged.count() == 50000) // -1 delete +1 insert
+    val inner = merged.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val antiBroadcast = inner.collect {
+      case b: BroadcastHashJoinExec if b.joinType.sql == "LEFT ANTI" => b
+    }
+    assert(antiBroadcast.nonEmpty, s"expected broadcast anti join, got:\n$inner")
+    val r1 = merged.filter($"id" === 1L).head()
+    assert(r1.getAs[String]("name") == "upd" && merged.filter($"id" === 2L).count() == 0)
+  }
+
   test("applyCdcBatch composes dedup + merge (last state per key wins)") {
     val raw = Seq(
       (2L, "v1", 900.0, 1L, "u"),
