@@ -84,6 +84,34 @@ object TextQueries extends QueryPack {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin)),
 
+    // Output sharding: deterministic hash-assignment of documents to N
+    // training shards with per-shard stats — the write-side partitioner
+    // of a data pipeline (at scale this IS the repartition key, so each
+    // shard is one output task/file group).
+    "x_shard_assignment" -> ((s, dir) => run(s, dir,
+      s"""WITH assigned AS (
+         |  SELECT doc_id, n_chars, pmod(${h64("text")}, 16) AS shard
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS first_doc
+         |FROM assigned GROUP BY shard""".stripMargin)),
+
+    // Equal-frequency bucketing (NTILE): pack ordered documents into 10
+    // balanced buckets by length — shard-balancing by size. The global
+    // ORDER BY funnels one partition here (fine for an oracle query); the
+    // 100 TB form replaces ntile with approx_percentile boundaries + a
+    // range join, which needs no global sort.
+    "x_ntile_bucketing" -> ((s, dir) => run(s, dir,
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM b GROUP BY bucket""".stripMargin)),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata,
     // deterministic "decode" features (real decode is a mapPartitions stub
     // — see multimodal.MultimodalSpec). Binary round-trips through the
@@ -144,6 +172,25 @@ object TextQueries extends QueryPack {
     "x_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "x_shard_assignment" ->
+      s"""WITH assigned AS (
+         |  SELECT doc_id, n_chars, ${duckH64("text")} % 16 AS shard
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS first_doc
+         |FROM assigned GROUP BY shard""".stripMargin,
+
+    "x_ntile_bucketing" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM b GROUP BY bucket""".stripMargin,
 
     "x_multimodal_features" ->
       """SELECT doc_id, source,
