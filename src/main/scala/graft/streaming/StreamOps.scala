@@ -51,6 +51,48 @@ object StreamOps {
       }
   }
 
+  /** An open or closed user session. */
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Streaming sessionizer (flatMapGroupsWithState): maintains one open
+    * session per user in state; a gap larger than `gapMs` closes and
+    * EMITS the finished session and opens a new one; an event-time
+    * timeout (watermark passing end+gap) flushes idle sessions. This is
+    * the streaming twin of the batch gaps-and-islands query
+    * (x_sessionization) — same split rule.
+    */
+  def sessionize(events: Dataset[Evt], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[Evt], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val times = batch.map(_.ts.getTime).toArray.sorted
+            var open = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            times.foreach { t =>
+              if (open == null) open = Session(user, t, t, 1L)
+              else if (t - open.end_ms > gapMs) {
+                closed += open
+                open = Session(user, t, t, 1L)
+              } else open = open.copy(end_ms = t, n_events = open.n_events + 1)
+            }
+            if (open != null) {
+              state.update(open)
+              state.setTimeoutTimestamp(open.end_ms + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup by key: `dropDuplicates` backed by streaming
     * state, bounded by the event-time watermark (duplicates arriving
     * within the watermark horizon are dropped, state beyond it expires —

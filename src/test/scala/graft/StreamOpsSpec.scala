@@ -66,6 +66,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(t2.values.map(_.id_sum).sum == (0 until 150).map(_.toLong).sum)
   }
 
+  test("flatMapGroupsWithState sessionizer emits closed sessions at gap boundaries") {
+    val root = tmpDir("streamops4")
+    // user 1: burst at t0..t0+2min (3 events), burst at t0+5h (2 events),
+    // then a final event at t0+10h — the first two sessions close, the
+    // last stays open in state (stream never ends it)
+    val t0 = 1700000000000L
+    val rows = Seq(
+      (1L, 1L, t0), (2L, 1L, t0 + 60000L), (3L, 1L, t0 + 120000L),
+      (4L, 1L, t0 + 5 * 3600000L), (5L, 1L, t0 + 5 * 3600000L + 30000L),
+      (6L, 1L, t0 + 10 * 3600000L)
+    ).map { case (e, u, t) => (e, u, "click", new java.sql.Timestamp(t)) }
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .write.parquet(s"$root/in")
+
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[StreamOps.Session]
+    val stream = spark.readStream.schema(evtSchema).parquet(s"$root/in").as[Evt]
+    val q = StreamOps.sessionize(stream, gapMs = 2 * 3600000L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.Session], _: Long) =>
+        emitted.synchronized { emitted ++= df.collect() }: Unit
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val sessions = emitted.sortBy(_.start_ms)
+    assert(sessions.map(_.n_events).toSeq == Seq(3L, 2L))
+    assert(sessions.head.start_ms == t0 && sessions.head.end_ms == t0 + 120000L)
+    assert(sessions(1).start_ms == t0 + 5 * 3600000L)
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     val root = tmpDir("streamops3")
     writeEvents(s"$root/in", 0 until 50, _ => "click")
