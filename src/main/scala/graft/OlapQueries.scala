@@ -108,6 +108,16 @@ object OlapQueries extends QueryPack {
         |    count(*) OVER (PARTITION BY o_custkey) AS cnt
         |  FROM orders) WHERE rn = (cnt + 1) DIV 2""".stripMargin)),
 
+    // RANGE frame over event time: 90-day rolling spend per customer —
+    // the interval-bounded window frame (peers included by value, not
+    // row position).
+    "q_range_frame_window" -> ((s, dir) => sql(s, dir,
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+        |FROM orders""".stripMargin)),
+
     // GROUPING SETS with sentinel labels.
     "q_grouping_sets" -> ((s, dir) => sql(s, dir,
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
@@ -256,6 +266,13 @@ object OlapQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS rn,
         |    count(*) OVER (PARTITION BY o_custkey) AS cnt
         |  FROM orders) WHERE rn = (cnt + 1) // 2""".stripMargin,
+
+    "q_range_frame_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+        |FROM orders""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,

@@ -200,6 +200,20 @@ object SimilarityQueries extends QueryPack {
          |FROM pairs
          |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) >= 0.4""".stripMargin)),
 
+    // Array/higher-order function surface over the quantized vectors:
+    // slicing, extrema, membership, filtered counts, element sums.
+    "f_array_functions" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuant
+         |SELECT vec_id,
+         |  CAST(size(qe) AS BIGINT) AS dim,
+         |  element_at(qe, 1) AS first_q,
+         |  array_max(qe) AS max_q,
+         |  array_min(qe) AS min_q,
+         |  dot_i64(qe, qe) AS sum_sq,
+         |  CAST(size(filter(qe, x -> x > 0)) AS BIGINT) AS n_positive,
+         |  aggregate(slice(qe, 1, 8), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS head8_sum
+         |FROM q""".stripMargin)),
+
     // Brute-force cosine top-10 per query vector (correctness baseline).
     "x_ann_topk" -> ((s, dir) => embs(s, dir,
       s"""WITH $sparkQuant,
@@ -373,6 +387,18 @@ object SimilarityQueries extends QueryPack {
          |  CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
          |FROM pairs
          |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) >= 0.4""".stripMargin,
+
+    "f_array_functions" ->
+      s"""WITH $duckQuant
+         |SELECT vec_id,
+         |  CAST(len(qe) AS BIGINT) AS dim,
+         |  qe[1] AS first_q,
+         |  list_max(qe) AS max_q,
+         |  list_min(qe) AS min_q,
+         |  CAST(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) AS BIGINT) AS sum_sq,
+         |  CAST(len(list_filter(qe, x -> x > 0)) AS BIGINT) AS n_positive,
+         |  CAST(list_sum(qe[1:8]) AS BIGINT) AS head8_sum
+         |FROM q""".stripMargin,
 
     "x_ann_topk" ->
       s"""WITH $duckQuant,
