@@ -137,6 +137,21 @@ object OlapQueries extends QueryPack {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_type, p_brand""".stripMargin)),
 
+    // TPC-H Q9 shape: profit per nation-year — revenue minus a computed
+    // cost (retail price stands in for supplycost; no partsupp table),
+    // fact joined to two dimensions plus supplier nation.
+    "q9_profit" -> ((s, dir) => sql(s, dir,
+      """SELECT nation, yr,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(4,2))) AS DOUBLE) AS profit
+        |FROM (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    l_extendedprice, l_discount, p_retailprice, l_quantity
+        |  FROM lineitem, orders, part, supplier, nation
+        |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        |    AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey) t
+        |GROUP BY nation, yr""".stripMargin)),
+
     // TPC-H Q7 shape: the same dimension joined twice under different
     // roles (customer nation vs supplier nation), revenue by nation pair
     // and year.
@@ -294,6 +309,18 @@ object OlapQueries extends QueryPack {
         |  CAST(MAX(p_retailprice) AS DOUBLE) AS max_retail
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_type, p_brand""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT nation, yr,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(4,2))) AS DOUBLE) AS profit
+        |FROM (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    l_extendedprice, l_discount, p_retailprice, l_quantity
+        |  FROM lineitem, orders, part, supplier, nation
+        |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+        |    AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey) t
+        |GROUP BY nation, yr""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT supp_nation, cust_nation, yr,
