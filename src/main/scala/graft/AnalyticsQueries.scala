@@ -165,12 +165,15 @@ object AnalyticsQueries extends QueryPack {
     // cannot hash-match); the driver records a rows-only check. At scale
     // these replace exact distinct/percentile when error tolerance allows:
     // mergeable, single-pass, bounded memory.
+    // Scalar p50/p95 (not one array column) so the driver's rows-only
+    // compare can sort the frame.
     "x_approx_sketches" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("price_quantiles"))),
+          expr("element_at(approx_percentile(l_extendedprice, array(0.5, 0.95), 1000), 1)").as("price_p50"),
+          expr("element_at(approx_percentile(l_extendedprice, array(0.5, 0.95), 1000), 2)").as("price_p95"))),
 
     // Global sort + limit with a total order (O1/O2).
     "o2_sort_limit" -> ((s, dir) =>

@@ -59,7 +59,13 @@ final class CdcPipeline(
             val table = new CdcTable(spark, s"$tableRoot/$t", Seq(pk))
             val payload = decoded
               .drop("__deleted", "__db", "__topic")
-            table.merge(payload, "__ts_ms", Seq(pk))
+            // Tie-break on every non-key payload column: within a key group
+            // the dedup key is constant, so it can never break a tie — order
+            // by the remaining columns gives a deterministic winner even for
+            // two ops sharing __ts_ms (SURVEY §7 risk d).
+            val tieCols = payload.columns.toSeq
+              .filterNot(c => c == pk || c == "__ts_ms")
+            table.merge(payload, "__ts_ms", tieCols)
           case None =>
             // keyless tables degrade to append (reference K3)
             new CdcTable(spark, s"$tableRoot/$t", Nil)

@@ -33,15 +33,22 @@ case class DotI64(left: Expression, right: Expression) extends BinaryExpression 
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: two dot_i64 calls can land in one generated function;
+      // fixed local names would collide and janino would reject the whole
+      // function (silent interpreted fallback).
+      val n = ctx.freshName("dotN")
+      val acc = ctx.freshName("dotAcc")
+      val i = ctx.freshName("dotI")
       s"""
-         |int dotN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long dotAcc = 0L;
-         |for (int dotI = 0; dotI < dotN; dotI++) {
-         |  dotAcc += $a.getLong(dotI) * $b.getLong(dotI);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = dotAcc;
-       """.stripMargin)
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
