@@ -161,19 +161,25 @@ object AnalyticsQueries extends QueryPack {
           expr("CAST(MAX(l_extendedprice) AS DOUBLE)").as("max_price"))),
 
     // Approximate sketches — HLL distinct counts and quantile sketches.
-    // Deliberately NO DuckDB oracle (different sketch implementations
-    // cannot hash-match); the driver records a rows-only check. At scale
-    // these replace exact distinct/percentile when error tolerance allows:
-    // mergeable, single-pass, bounded memory.
-    // Scalar p50/p95 (not one array column) so the driver's rows-only
-    // compare can sort the frame.
+    // Sketch values can never hash-match a different engine's estimator,
+    // so the oracle is tolerance-boolean: this query computes BOTH the
+    // sketch and the exact value and emits `approx within tolerance of
+    // exact` per group; the DuckDB oracle emits the same group keys, the
+    // same exact counts (value-checked), and literal TRUEs. Deterministic:
+    // Spark's HLL++ and percentile sketches are deterministic on fixed
+    // data. The exact aggregates here exist only to anchor the check — at
+    // 100 TB the sketch columns are the production path (mergeable,
+    // single-pass, bounded memory) and the exact ones are what they
+    // replace.
     "x_approx_sketches" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-          expr("element_at(approx_percentile(l_extendedprice, array(0.5, 0.95), 1000), 1)").as("price_p50"),
-          expr("element_at(approx_percentile(l_extendedprice, array(0.5, 0.95), 1000), 2)").as("price_p95"))),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          expr("abs(CAST(approx_count_distinct(l_orderkey) AS DOUBLE) / COUNT(DISTINCT l_orderkey) - 1.0) <= 0.10").as("orders_ok"),
+          expr("abs(CAST(approx_count_distinct(l_partkey, 0.01) AS DOUBLE) / COUNT(DISTINCT l_partkey) - 1.0) <= 0.05").as("parts_ok"),
+          expr("abs(element_at(approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000), 1) / percentile(l_extendedprice, 0.5D) - 1.0) <= 0.05").as("p50_ok"),
+          expr("abs(element_at(approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000), 2) / percentile(l_extendedprice, 0.95D) - 1.0) <= 0.05").as("p95_ok"))),
 
     // Global sort + limit with a total order (O1/O2).
     "o2_sort_limit" -> ((s, dir) =>
@@ -270,6 +276,13 @@ object AnalyticsQueries extends QueryPack {
 
     "o2_sort_limit" ->
       """SELECT event_id, ts, user_id, event_type FROM events
-        |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin
+        |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin,
+
+    "x_approx_sketches" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS orders_ok, TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

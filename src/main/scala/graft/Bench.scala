@@ -21,7 +21,7 @@ object Bench {
     try SparkEntry.queries.get("a1_minmax_bounds").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
     // fixed name order: per-query timings comparable across rounds.
-    // best-of-2 per query: the host environment shows multi-second burst
+    // best-of-3 per query: the host environment shows multi-second burst
     // pauses (external VM contention); min-of-n is the standard way to
     // report engine time rather than neighbor noise.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -30,15 +30,17 @@ object Bench {
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
-      // -1 sentinel: a broken query must not masquerade as a fast one
-      name -> Seq(once(), once()).flatten.minOption.getOrElse(-1.0)
+      name -> Seq(once(), once(), once()).flatten.minOption
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // broken queries report null (not a numeric sentinel) and are listed
+    // in errors; ok_count lets consumers detect differing denominators
+    // before comparing totals across runs
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val errors = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val ok = results.flatMap(_._2)
+    println(s"""{"metric":"total","value":${ok.sum},"unit":"sec","queries":$qs,"errors":$errors,"ok_count":${ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -208,7 +208,45 @@ object OlapQueries extends QueryPack {
     "q_not_exists" -> ((s, dir) => sql(s, dir,
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE NOT EXISTS (
-        |  SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)""".stripMargin))
+        |  SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)""".stripMargin)),
+
+    // TPC-H Q17 shape: small-quantity revenue — a correlated average
+    // subquery gating the fact scan. Catalyst rewrites the correlated
+    // aggregate into a grouped join (one extra shuffle on l_partkey),
+    // never per-row execution; the brand/size filters push into the part
+    // scan and the part side broadcasts.
+    "q17_small_qty_revenue" -> ((s, dir) => sql(s, dir,
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1' AND p_size <= 15
+        |  AND l_quantity < (
+        |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+
+    // TPC-H Q18 shape: large-volume customers — IN over a grouped HAVING
+    // (a semi join against an aggregate at scale), then re-aggregation and
+    // a deterministic top-100.
+    "q18_large_volume_customer" -> ((s, dir) => sql(s, dir,
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // TPC-H Q2 shape: correlated-min selection — rows whose measure equals
+    // the per-group minimum, the min computed by a correlated subquery
+    // (rewritten to a grouped join; double equality is bit-identical
+    // across engines so the match set is deterministic).
+    "q2_min_acct_supplier" -> ((s, dir) => sql(s, dir,
+      """SELECT n_name, s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+        |FROM supplier s JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_acctbal = (
+        |  SELECT min(s2.s_acctbal) FROM supplier s2
+        |  WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -349,6 +387,32 @@ object OlapQueries extends QueryPack {
         |    AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |    AND r_name = 'ASIA') t
         |GROUP BY yr""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1' AND p_size <= 15
+        |  AND l_quantity < (
+        |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q18_large_volume_customer" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q2_min_acct_supplier" ->
+      """SELECT n_name, s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+        |FROM supplier s JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_acctbal = (
+        |  SELECT min(s2.s_acctbal) FROM supplier s2
+        |  WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin,
 
     "x_asof_join" ->
       """WITH e AS (

@@ -28,21 +28,28 @@ object SimilarityQueries extends QueryPack {
     s.sql(sql)
   }
 
-  /** Register the hashed shingle set (`sh`) and per-doc shingle counts
-    * (`n`) as cached temp views before running `sql`. The shingle pipeline
-    * (regex split + md5 per shingle + distinct) is the most expensive
-    * shared stage of the document-dedup queries; as plain CTEs Spark
-    * re-inlines and recomputes it per reference, so we materialize it once
-    * (the DuckDB oracle keeps the equivalent CTE text — results identical).
+  /** Register the hashed shingle set (`sh`), per-doc shingle counts
+    * (`n`), and the MinHash band-signature table (`mh_sig`) as cached
+    * temp views before running `sql`. The shingle pipeline (regex split +
+    * md5 per shingle + distinct) and the signature table (16 permutations
+    * -> 4 bands x 4 rows per doc) are the expensive shared stages of the
+    * document-dedup queries; as plain CTEs Spark re-inlines and recomputes
+    * them per reference, so both materialize once per session (the DuckDB
+    * oracle keeps the equivalent CTE text — results identical). All three
+    * document-dedup queries (jaccard, minhash, clusters) gate pair
+    * generation on band equality over `mh_sig`.
     */
-  private def docsWithShingles(s: SparkSession, dir: String, sql: String): DataFrame = {
+  private def docsWithBands(s: SparkSession, dir: String, sql: String): DataFrame = {
     Tables(s, dir, "documents").createOrReplaceTempView("documents")
     val sh = s.sql(s"WITH $sparkShingles SELECT doc_id, shingle_h FROM sh").cache()
     sh.createOrReplaceTempView("sh")
     s.sql("SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id")
       .createOrReplaceTempView("n")
+    val sig = s.sql(s"WITH $sparkSigCtes SELECT doc_id, band, sig FROM sigt").cache()
+    sig.createOrReplaceTempView("mh_sig")
     s.sql(sql)
   }
+
   private def embs(s: SparkSession, dir: String, sql: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
@@ -67,6 +74,46 @@ object SimilarityQueries extends QueryPack {
        |sh AS (SELECT DISTINCT doc_id, ${duckH64("words[i] || ' ' || words[i+1] || ' ' || words[i+2]")} AS shingle_h FROM idx),
        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  // MinHash signatures over the hashed shingles: 16 xor-mix permutations
+  // of the 60-bit shingle hash, folded into 4 band signatures of 4 rows
+  // each. Each permutation is one xor — not another md5 over shingle text.
+  private val sparkSigCtes =
+    s"""perms AS (SELECT p, ${h64("CAST(p AS STRING)")} AS kp
+       |  FROM (SELECT explode(sequence(0, 15)) AS p)),
+       |mh AS (
+       |  SELECT doc_id, p, min(shingle_h ^ kp) AS mh
+       |  FROM sh CROSS JOIN perms
+       |  GROUP BY doc_id, p),
+       |sigt AS (
+       |  SELECT doc_id, p DIV 4 AS band,
+       |    concat_ws(',', transform(array_sort(collect_list(struct(p, mh))),
+       |      x -> cast(x.mh AS string))) AS sig
+       |  FROM mh GROUP BY doc_id, p DIV 4)""".stripMargin
+
+  // Band-equality candidate pairs over the cached signature view — the
+  // 100 TB pair-generation path: an equi-join on (band, signature), no
+  // all-pairs or inverted-index blow-up anywhere.
+  private val sparkCand =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM mh_sig a JOIN mh_sig b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  // DuckDB twin of the full signature + candidate chain (the oracle keeps
+  // the inline CTE form; results are identical).
+  private val duckBandCand =
+    s"""perms AS (SELECT p, ${duckH64("p::VARCHAR")} AS kp
+       |  FROM (SELECT unnest(generate_series(0, 15)) AS p)),
+       |mh AS (
+       |  SELECT doc_id, p, min(xor(shingle_h, kp)) AS mh
+       |  FROM sh CROSS JOIN perms GROUP BY doc_id, p),
+       |sig AS (
+       |  SELECT doc_id, p // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig
+       |  FROM mh GROUP BY doc_id, p // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
   // integer-quantized embeddings + exact integer norms (dot_i64 is the
   // engine's codegen'd Catalyst expression — see functions.DotI64)
   private val sparkQuant =
@@ -77,40 +124,83 @@ object SimilarityQueries extends QueryPack {
     """q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
       |v AS (SELECT vec_id, label, qe, CAST(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) AS BIGINT) AS nrm FROM q)""".stripMargin
 
+  // Shared LSH-bucketed ANN candidate scoring (8 deterministic
+  // hyperplanes, full-signature bucket, every-50th vector as query set) —
+  // used by both the window-ranked and the Aggregator-reduced top-k.
+  private val sparkLshScored =
+    s"""planes AS (
+       |  SELECT pp.p, dd.d, (${h64("concat(pp.p, '_', dd.d)")} % 2001) - 1000 AS wgt
+       |  FROM (SELECT explode(sequence(0, 7)) AS p) pp
+       |  CROSS JOIN (SELECT explode(sequence(0, 63)) AS d) dd),
+       |proj AS (
+       |  SELECT v.vec_id, planes.p, sum(element_at(v.qe, planes.d + 1) * planes.wgt) AS s
+       |  FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.p),
+       |bucket AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |vb AS (SELECT v.vec_id, v.qe, v.nrm, bucket.bucket FROM v JOIN bucket ON v.vec_id = bucket.vec_id),
+       |qs AS (SELECT * FROM vb WHERE vec_id % 50 = 0),
+       |pairs AS (
+       |  SELECT qs.vec_id AS query_id, vb.vec_id AS neighbor_id,
+       |    dot_i64(qs.qe, vb.qe) AS dot,
+       |    qs.nrm AS n1, vb.nrm AS n2
+       |  FROM qs JOIN vb ON qs.bucket = vb.bucket AND qs.vec_id != vb.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+       |  FROM pairs)""".stripMargin
+
+  private val duckLshScored =
+    s"""planes AS (
+       |  SELECT pp.p, dd.d, (${duckH64("pp.p::VARCHAR || '_' || dd.d::VARCHAR")} % 2001) - 1000 AS wgt
+       |  FROM (SELECT unnest(generate_series(0, 7)) AS p) pp
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd),
+       |proj AS (
+       |  SELECT v.vec_id, planes.p, sum(v.qe[planes.d + 1] * planes.wgt) AS s
+       |  FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.p),
+       |bucket AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |vb AS (SELECT v.vec_id, v.qe, v.nrm, bucket.bucket FROM v JOIN bucket ON v.vec_id = bucket.vec_id),
+       |qs AS (SELECT * FROM vb WHERE vec_id % 50 = 0),
+       |pairs AS (
+       |  SELECT qs.vec_id AS query_id, vb.vec_id AS neighbor_id,
+       |    CAST(list_dot_product(qs.qe::DOUBLE[], vb.qe::DOUBLE[]) AS BIGINT) AS dot,
+       |    qs.nrm AS n1, vb.nrm AS n2
+       |  FROM qs JOIN vb ON qs.bucket = vb.bucket AND qs.vec_id != vb.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+       |  FROM pairs)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Exact n-gram Jaccard near-dup: candidate pairs from an inverted
-    // shingle index (equi-join, not a cross join), verified exactly.
-    "x_dedup_ngram_jaccard" -> ((s, dir) => docsWithShingles(s, dir,
-      s"""WITH pairs AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT d1, d2,
-         |  CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) AS jaccard
-         |FROM pairs JOIN n n1 ON n1.doc_id = d1 JOIN n n2 ON n2.doc_id = d2
-         |WHERE CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) >= 0.8""".stripMargin)),
+    // Exact n-gram Jaccard verification, gated on the MinHash band
+    // prefilter: pair generation is the band-signature equi-join (never
+    // the inverted-index join, whose candidate count grows quadratically
+    // with shingle-bucket density); only surviving candidates pay the
+    // exact intersection count. Emits both Jaccard and the overlap
+    // coefficient. Pairs whose true Jaccard >= 0.8 but which collide in
+    // no band are (deterministically, in both engines) not reported —
+    // the standard LSH recall trade (16 perms, 4x4 banding: >= 88%
+    // expected recall at the 0.8 threshold).
+    "x_dedup_ngram_jaccard" -> ((s, dir) => docsWithBands(s, dir,
+      s"""WITH $sparkCand,
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS inter
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle_h = a.shingle_h
+         |  GROUP BY c.d1, c.d2)
+         |SELECT i.d1, i.d2,
+         |  CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) AS jaccard,
+         |  CAST(i.inter AS DOUBLE) / least(n1.n, n2.n) AS overlap
+         |FROM inter i JOIN n n1 ON n1.doc_id = i.d1 JOIN n n2 ON n2.doc_id = i.d2
+         |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.8""".stripMargin)),
 
-    // MinHash + LSH banding (16 xor-mix permutations of the 60-bit
-    // shingle hash, 4 bands x 4 rows), candidates from band-signature
-    // equality, then exact verify. The banding join is the 100 TB path:
-    // no all-pairs step anywhere, and each permutation is one xor — not
-    // another md5 over the shingle text.
-    "x_dedup_minhash_lsh" -> ((s, dir) => docsWithShingles(s, dir,
-      s"""WITH perms AS (SELECT p, ${h64("CAST(p AS STRING)")} AS kp
-         |  FROM (SELECT explode(sequence(0, 15)) AS p)),
-         |mh AS (
-         |  SELECT doc_id, p, min(shingle_h ^ kp) AS mh
-         |  FROM sh CROSS JOIN perms
-         |  GROUP BY doc_id, p),
-         |sig AS (
-         |  SELECT doc_id, p DIV 4 AS band,
-         |    concat_ws(',', transform(array_sort(collect_list(struct(p, mh))),
-         |      x -> cast(x.mh AS string))) AS sig
-         |  FROM mh GROUP BY doc_id, p DIV 4),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    // MinHash + LSH banding end-to-end: candidates from band-signature
+    // equality over the cached signature view, then exact verify. The
+    // banding join is the 100 TB path: no all-pairs step anywhere.
+    "x_dedup_minhash_lsh" -> ((s, dir) => docsWithBands(s, dir,
+      s"""WITH $sparkCand,
          |inter AS (
          |  SELECT c.d1, c.d2, count(*) AS inter
          |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle_h = a.shingle_h
@@ -121,7 +211,9 @@ object SimilarityQueries extends QueryPack {
          |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.8""".stripMargin)),
 
     // Near-dup CLUSTERS: connected components over the verified jaccard
-    // pairs via iterative min-label propagation (each iteration one
+    // pairs (band-prefiltered, same as x_dedup_ngram_jaccard — the
+    // cached shingle/signature views are shared) via iterative
+    // min-label propagation (each iteration one
     // equi-join + groupBy — the scalable formulation; converges in
     // O(diameter) rounds, and near-dup components have tiny diameters).
     // Oracle: DuckDB recursive-CTE transitive closure.
@@ -187,14 +279,33 @@ object SimilarityQueries extends QueryPack {
           |FROM cand WHERE bit_count(s1 ^ s2) <= 2""".stripMargin)
     }),
 
-    // Embedding cosine near-dup over integer-quantized vectors.
+    // Embedding cosine near-dup over integer-quantized vectors, with
+    // hyperplane-LSH banded candidates (16 deterministic hyperplanes ->
+    // 4 bands x 4 sign bits; candidates share at least one band value).
+    // Pair generation is a (band, value) equi-join — the 100 TB path —
+    // and only candidates pay the exact dot product. Both engines apply
+    // the identical deterministic bucketing, so results hash-match; the
+    // recall trade vs all-pairs is the standard LSH operating point.
     "x_dedup_embedding" -> ((s, dir) => embs(s, dir,
       s"""WITH $sparkQuant,
+         |planes AS (
+         |  SELECT pp.p, dd.d, (${h64("concat(pp.p, '_', dd.d)")} % 2001) - 1000 AS wgt
+         |  FROM (SELECT explode(sequence(0, 15)) AS p) pp
+         |  CROSS JOIN (SELECT explode(sequence(0, 63)) AS d) dd),
+         |proj AS (
+         |  SELECT v.vec_id, planes.p, sum(element_at(v.qe, planes.d + 1) * planes.wgt) AS s
+         |  FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.p),
+         |bands AS (
+         |  SELECT vec_id, p DIV 4 AS band,
+         |    CAST(sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), p % 4) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bval
+         |  FROM proj GROUP BY vec_id, p DIV 4),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id),
          |pairs AS (
-         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
-         |    dot_i64(a.qe, b.qe) AS dot,
-         |    a.nrm AS n1, b.nrm AS n2
-         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |  SELECT c.v1, c.v2, dot_i64(a.qe, b.qe) AS dot, a.nrm AS n1, b.nrm AS n2
+         |  FROM cand c JOIN v a ON a.vec_id = c.v1 JOIN v b ON b.vec_id = c.v2)
          |SELECT v1, v2,
          |  CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
          |FROM pairs
@@ -251,21 +362,17 @@ object SimilarityQueries extends QueryPack {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin)),
 
-    // Top-k via the typed Aggregator (functions.TopKAggregator): map-side
-    // combinable bounded buffers instead of a window — each partition
-    // reduces to k rows before the shuffle. Same totals order as the
-    // window form, so the same oracle shape applies (k=8).
+    // Top-k via the typed Aggregator (functions.TopKAggregator) over the
+    // LSH bucket candidates: the scale composition — candidate generation
+    // is the bucket equi-join (not all-pairs), and the per-query top-k
+    // reduction is map-side combinable (each partition reduces to k rows
+    // before the shuffle). Same total order as the window form, so the
+    // window-based oracle applies (k=8).
     "x_ann_topk_agg" -> ((s, dir) => {
       val scored = embs(s, dir,
         s"""WITH $sparkQuant,
-           |qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
-           |pairs AS (
-           |  SELECT qs.vec_id AS query_id, v.vec_id AS id,
-           |    dot_i64(qs.qe, v.qe) AS dot, qs.nrm AS n1, v.nrm AS n2
-           |  FROM qs JOIN v ON qs.vec_id != v.vec_id)
-           |SELECT query_id, id,
-           |  CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS score
-           |FROM pairs""".stripMargin)
+           |$sparkLshScored
+           |SELECT query_id, neighbor_id AS id, cos AS score FROM scored""".stripMargin)
       import s.implicits._
       import graft.functions.{Scored, TopKAggregator}
       val ds = scored.as[(Long, Long, Double)]
@@ -283,27 +390,7 @@ object SimilarityQueries extends QueryPack {
     // is one hash bucket, not the full corpus.
     "x_ann_lsh" -> ((s, dir) => embs(s, dir,
       s"""WITH $sparkQuant,
-         |planes AS (
-         |  SELECT pp.p, dd.d, (${h64("concat(pp.p, '_', dd.d)")} % 2001) - 1000 AS wgt
-         |  FROM (SELECT explode(sequence(0, 7)) AS p) pp
-         |  CROSS JOIN (SELECT explode(sequence(0, 63)) AS d) dd),
-         |proj AS (
-         |  SELECT v.vec_id, planes.p, sum(element_at(v.qe, planes.d + 1) * planes.wgt) AS s
-         |  FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.p),
-         |bucket AS (
-         |  SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-         |  FROM proj GROUP BY vec_id),
-         |vb AS (SELECT v.vec_id, v.qe, v.nrm, bucket.bucket FROM v JOIN bucket ON v.vec_id = bucket.vec_id),
-         |qs AS (SELECT * FROM vb WHERE vec_id % 50 = 0),
-         |pairs AS (
-         |  SELECT qs.vec_id AS query_id, vb.vec_id AS neighbor_id,
-         |    dot_i64(qs.qe, vb.qe) AS dot,
-         |    qs.nrm AS n1, vb.nrm AS n2
-         |  FROM qs JOIN vb ON qs.bucket = vb.bucket AND qs.vec_id != vb.vec_id),
-         |scored AS (
-         |  SELECT query_id, neighbor_id,
-         |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
-         |  FROM pairs)
+         |$sparkLshScored
          |SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin))
@@ -312,28 +399,20 @@ object SimilarityQueries extends QueryPack {
   def oracle: Map[String, String] = Map(
     "x_dedup_ngram_jaccard" ->
       s"""WITH $duckShingles,
-         |pairs AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT d1, d2,
-         |  CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) AS jaccard
-         |FROM pairs JOIN n n1 ON n1.doc_id = d1 JOIN n n2 ON n2.doc_id = d2
-         |WHERE CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) >= 0.8""".stripMargin,
+         |$duckBandCand,
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS inter
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle_h = a.shingle_h
+         |  GROUP BY c.d1, c.d2)
+         |SELECT i.d1, i.d2,
+         |  CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) AS jaccard,
+         |  CAST(i.inter AS DOUBLE) / least(n1.n, n2.n) AS overlap
+         |FROM inter i JOIN n n1 ON n1.doc_id = i.d1 JOIN n n2 ON n2.doc_id = i.d2
+         |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.8""".stripMargin,
 
     "x_dedup_minhash_lsh" ->
       s"""WITH $duckShingles,
-         |perms AS (SELECT p, ${duckH64("p::VARCHAR")} AS kp
-         |  FROM (SELECT unnest(generate_series(0, 15)) AS p)),
-         |mh AS (
-         |  SELECT doc_id, p, min(xor(shingle_h, kp)) AS mh
-         |  FROM sh CROSS JOIN perms GROUP BY doc_id, p),
-         |sig AS (
-         |  SELECT doc_id, p // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig
-         |  FROM mh GROUP BY doc_id, p // 4),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |$duckBandCand,
          |inter AS (
          |  SELECT c.d1, c.d2, count(*) AS inter
          |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle_h = a.shingle_h
@@ -345,11 +424,12 @@ object SimilarityQueries extends QueryPack {
 
     "x_dedup_clusters" ->
       s"""WITH RECURSIVE $duckShingles,
+         |$duckBandCand,
          |prs AS (
-         |  SELECT d1, d2 FROM (
-         |    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         |    FROM sh a JOIN sh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
-         |    GROUP BY a.doc_id, b.doc_id) p
+         |  SELECT p.d1, p.d2 FROM (
+         |    SELECT c.d1, c.d2, count(*) AS inter
+         |    FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle_h = a.shingle_h
+         |    GROUP BY c.d1, c.d2) p
          |  JOIN n n1 ON n1.doc_id = p.d1 JOIN n n2 ON n2.doc_id = p.d2
          |  WHERE CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) >= 0.8),
          |edges AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
@@ -378,11 +458,26 @@ object SimilarityQueries extends QueryPack {
 
     "x_dedup_embedding" ->
       s"""WITH $duckQuant,
+         |planes AS (
+         |  SELECT pp.p, dd.d, (${duckH64("pp.p::VARCHAR || '_' || dd.d::VARCHAR")} % 2001) - 1000 AS wgt
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS p) pp
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd),
+         |proj AS (
+         |  SELECT v.vec_id, planes.p, sum(v.qe[planes.d + 1] * planes.wgt) AS s
+         |  FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.p),
+         |bands AS (
+         |  SELECT vec_id, p // 4 AS band,
+         |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (p % 4)) ELSE 0::BIGINT END) AS BIGINT) AS bval
+         |  FROM proj GROUP BY vec_id, p // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id),
          |pairs AS (
-         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |  SELECT c.v1, c.v2,
          |    CAST(list_dot_product(a.qe::DOUBLE[], b.qe::DOUBLE[]) AS BIGINT) AS dot,
          |    a.nrm AS n1, b.nrm AS n2
-         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |  FROM cand c JOIN v a ON a.vec_id = c.v1 JOIN v b ON b.vec_id = c.v2)
          |SELECT v1, v2,
          |  CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
          |FROM pairs
@@ -434,43 +529,14 @@ object SimilarityQueries extends QueryPack {
 
     "x_ann_topk_agg" ->
       s"""WITH $duckQuant,
-         |qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
-         |pairs AS (
-         |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
-         |    CAST(list_dot_product(qs.qe::DOUBLE[], v.qe::DOUBLE[]) AS BIGINT) AS dot,
-         |    qs.nrm AS n1, v.nrm AS n2
-         |  FROM qs JOIN v ON qs.vec_id != v.vec_id),
-         |scored AS (
-         |  SELECT query_id, neighbor_id,
-         |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
-         |  FROM pairs)
+         |$duckLshScored
          |SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 8""".stripMargin,
 
     "x_ann_lsh" ->
       s"""WITH $duckQuant,
-         |planes AS (
-         |  SELECT pp.p, dd.d, (${duckH64("pp.p::VARCHAR || '_' || dd.d::VARCHAR")} % 2001) - 1000 AS wgt
-         |  FROM (SELECT unnest(generate_series(0, 7)) AS p) pp
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd),
-         |proj AS (
-         |  SELECT v.vec_id, planes.p, sum(v.qe[planes.d + 1] * planes.wgt) AS s
-         |  FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.p),
-         |bucket AS (
-         |  SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
-         |  FROM proj GROUP BY vec_id),
-         |vb AS (SELECT v.vec_id, v.qe, v.nrm, bucket.bucket FROM v JOIN bucket ON v.vec_id = bucket.vec_id),
-         |qs AS (SELECT * FROM vb WHERE vec_id % 50 = 0),
-         |pairs AS (
-         |  SELECT qs.vec_id AS query_id, vb.vec_id AS neighbor_id,
-         |    CAST(list_dot_product(qs.qe::DOUBLE[], vb.qe::DOUBLE[]) AS BIGINT) AS dot,
-         |    qs.nrm AS n1, vb.nrm AS n2
-         |  FROM qs JOIN vb ON qs.bucket = vb.bucket AND qs.vec_id != vb.vec_id),
-         |scored AS (
-         |  SELECT query_id, neighbor_id,
-         |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
-         |  FROM pairs)
+         |$duckLshScored
          |SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin

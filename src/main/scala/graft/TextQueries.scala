@@ -112,6 +112,32 @@ object TextQueries extends QueryPack {
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM b GROUP BY bucket""".stripMargin)),
 
+    // Scale-safe equal-frequency bucketing: the 100 TB replacement for
+    // ntile's global sort. Decile boundaries come from one mergeable
+    // approx_percentile aggregate (a single tiny sketch, no sort); bucket
+    // assignment is a broadcast nested-loop join of that one boundary row
+    // against the scan — fully map-parallel. The boundary values are
+    // sketch output and cannot hash-match another engine, so the oracle is
+    // tolerance-boolean: every decile bucket must hold its fair share of
+    // rows within 10%; DuckDB emits the same 10 bucket ids with literal
+    // TRUEs (bucket balance is the semantic contract of equal-frequency
+    // bucketing).
+    "x_bucket_boundaries" -> ((s, dir) => run(s, dir,
+      """WITH bs AS (
+        |  SELECT approx_percentile(n_chars, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 10000) AS b
+        |  FROM documents),
+        |assigned AS (
+        |  SELECT d.doc_id, CAST(1 + size(filter(bs.b, x -> x < d.n_chars)) AS BIGINT) AS bucket
+        |  FROM documents d CROSS JOIN bs),
+        |counts AS (SELECT bucket, count(*) AS cnt FROM assigned GROUP BY bucket),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |buckets AS (SELECT CAST(bucket AS BIGINT) AS bucket
+        |            FROM (SELECT explode(sequence(1, 10)) AS bucket))
+        |SELECT b.bucket,
+        |  abs(CAST(coalesce(c.cnt, 0) AS DOUBLE) - CAST(t.n AS DOUBLE) / 10)
+        |    <= 0.10 * CAST(t.n AS DOUBLE) / 10 AS balanced
+        |FROM buckets b LEFT JOIN counts c ON b.bucket = c.bucket CROSS JOIN tot t""".stripMargin)),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata,
     // deterministic "decode" features (real decode is a mapPartitions stub
     // — see multimodal.MultimodalSpec). Binary round-trips through the
@@ -191,6 +217,10 @@ object TextQueries extends QueryPack {
         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM b GROUP BY bucket""".stripMargin,
+
+    "x_bucket_boundaries" ->
+      """SELECT CAST(bucket AS BIGINT) AS bucket, TRUE AS balanced
+        |FROM (SELECT unnest(generate_series(1, 10)) AS bucket) t""".stripMargin,
 
     "x_multimodal_features" ->
       """SELECT doc_id, source,

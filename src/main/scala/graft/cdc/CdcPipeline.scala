@@ -62,7 +62,12 @@ final class CdcPipeline(
             // Tie-break on every non-key payload column: within a key group
             // the dedup key is constant, so it can never break a tie — order
             // by the remaining columns gives a deterministic winner even for
-            // two ops sharing __ts_ms (SURVEY §7 risk d).
+            // two ops sharing __ts_ms (SURVEY §7 risk d). The file-envelope
+            // source carries no per-record sequence (no Kafka offset), so a
+            // same-millisecond update/delete pair resolves update-wins
+            // ('u' > 'd' in the __op tie column) — deterministic, and the
+            // documented semantics until a monotonic offset column exists
+            // to rank the physically-later op first.
             val tieCols = payload.columns.toSeq
               .filterNot(c => c == pk || c == "__ts_ms")
             table.merge(payload, "__ts_ms", tieCols)

@@ -27,14 +27,18 @@ final class Snapshot(spark: SparkSession, logPath: String) {
 
   /** Range-partitioned parallel scan: with a PK and non-empty bounds, read
     * range-partitioned `numPartitions` ways on the key (the reference's
-    * JDBC `partitionColumn/lowerBound/upperBound/numPartitions=5`);
-    * keyless or empty falls back to a single-partition read.
+    * JDBC `partitionColumn/lowerBound/upperBound/numPartitions=5`).
+    * Keyless or empty keeps the source's own partitioning: the reference
+    * falls back to a single JDBC connection there, but for a distributed
+    * file source serializing the scan to one partition would make the
+    * keyless path a 100 TB bottleneck — the parquet splits are already
+    * parallel, so pass them through.
     */
   def parallelScan(df: DataFrame, pk: Option[String], numPartitions: Int = 5): DataFrame =
     pk match {
       case Some(k) if probeBounds(df, k).isDefined =>
         df.repartitionByRange(numPartitions, col(k))
-      case _ => df.coalesce(1)
+      case _ => df
     }
 
   private def loadedTables: Set[String] =

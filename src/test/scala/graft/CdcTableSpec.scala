@@ -37,6 +37,48 @@ class CdcTableSpec extends SparkSpec {
     assert(t.read.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("versioned commits: every merge is a new immutable version; time travel reads history") {
+    val path = tmpDir("cdcversions") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"))
+    t.init(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+    assert(t.currentVersion.contains(1L))
+    t.merge(Seq((1L, "a2", 2L, "u")).toDF("id", "v", "ts", "__op"), "ts")
+    assert(t.currentVersion.contains(2L))
+    assert(t.versions == Seq(1L, 2L))
+    // time travel: v1 still holds the pre-merge state
+    assert(t.readVersion(1L).select("v").as[String].head() == "a")
+    assert(t.read.select("v").as[String].head() == "a2")
+  }
+
+  test("crash recovery: an orphan version dir (commit died before pointer move) is invisible and cleaned") {
+    val path = tmpDir("cdccrash") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"))
+    t.init(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+    // simulate a commit that wrote data but crashed before the pointer
+    // rename: a future-numbered dir the pointer never reached
+    Seq((9L, "junk", 9L)).toDF("id", "v", "ts")
+      .write.parquet(s"$path/v00000099")
+    // reads ignore the orphan entirely (pointer-driven resolution)
+    assert(t.read.select("id").as[Long].collect().toSeq == Seq(1L))
+    // the next successful commit proceeds from the pointer and expiry
+    // removes the unreachable orphan
+    t.merge(Seq((2L, "b", 2L, "c")).toDF("id", "v", "ts", "__op"), "ts")
+    assert(t.currentVersion.contains(2L))
+    assert(!new java.io.File(s"$path/v00000099").exists())
+    assert(t.read.orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L))
+  }
+
+  test("snapshot expiry: history beyond retainVersions is dropped, current never touched") {
+    val path = tmpDir("cdcexpire") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), retainVersions = 2)
+    t.init(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+    t.merge(Seq((1L, "b", 2L, "u")).toDF("id", "v", "ts", "__op"), "ts")
+    t.merge(Seq((1L, "c", 3L, "u")).toDF("id", "v", "ts", "__op"), "ts")
+    assert(t.versions == Seq(2L, 3L)) // v1 expired
+    assert(t.read.select("v").as[String].head() == "c")
+    intercept[java.io.FileNotFoundException](t.readVersion(1L))
+  }
+
   test("partitioned merge rewrites only touched month partitions") {
     val path = tmpDir("cdctable") + "/t"
     val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"))
@@ -63,13 +105,62 @@ class CdcTableSpec extends SparkSpec {
     assert(got == Seq((1L, "jan2"), (2L, "feb"), (3L, "mar"), (4L, "jan-new")))
   }
 
+  test("moved partition key: an update that changes the month leaves exactly one row per key") {
+    val path = tmpDir("cdcmove") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"))
+    t.init(Seq(
+      (1L, "jan", ts("2024-01-10 00:00:00"), 1L),
+      (2L, "jan", ts("2024-01-15 00:00:00"), 1L)
+    ).toDF("id", "v", "created_at", "ts"))
+    // id=1 moves from January to February
+    t.merge(
+      Seq((1L, "feb-now", ts("2024-02-01 00:00:00"), 2L, "u"))
+        .toDF("id", "v", "created_at", "ts", "__op"),
+      "ts")
+    val got = t.read.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "feb-now"), (2L, "jan")))
+    // the old January copy is gone (no duplicate key across partitions)
+    assert(t.read.filter(col("id") === 1L).count() == 1)
+  }
+
+  test("moved partition key: sole row of a partition moving away removes the stale partition dir") {
+    val path = tmpDir("cdcmove2") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"))
+    t.init(Seq((1L, "jan", ts("2024-01-10 00:00:00"), 1L))
+      .toDF("id", "v", "created_at", "ts"))
+    t.merge(
+      Seq((1L, "feb", ts("2024-02-01 00:00:00"), 2L, "u"))
+        .toDF("id", "v", "created_at", "ts", "__op"),
+      "ts")
+    assert(t.read.count() == 1)
+    assert(t.read.select("v").as[String].head() == "feb")
+    assert(!new java.io.File(s"$path/${CdcTable.PartCol}=2024-01").exists())
+  }
+
+  test("delete arriving with a different month than the stored row still deletes") {
+    val path = tmpDir("cdcmove3") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"))
+    t.init(Seq(
+      (1L, "jan", ts("2024-01-10 00:00:00"), 1L),
+      (2L, "jan", ts("2024-01-15 00:00:00"), 1L)
+    ).toDF("id", "v", "created_at", "ts"))
+    // the delete's row image carries a March timestamp; the stored row is
+    // in January — without the moved-key guard this would silently no-op
+    t.merge(
+      Seq((1L, null.asInstanceOf[String], ts("2024-03-01 00:00:00"), 2L, "d"))
+        .toDF("id", "v", "created_at", "ts", "__op"),
+      "ts")
+    assert(t.read.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("compaction rewrites to target file count, content unchanged") {
     val path = tmpDir("cdctable") + "/t"
     val t = new CdcTable(spark, path, Seq("id"))
     t.init(spark.range(1000).select($"id", ($"id" % 7).as("v")).repartition(8))
     val before = t.read.orderBy("id").collect().toSeq
     t.compact(1)
-    assert(new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    val cur = new java.io.File(path, "v%08d".format(t.currentVersion.get))
+    assert(cur.listFiles().count(_.getName.endsWith(".parquet")) == 1)
     assert(t.read.orderBy("id").collect().toSeq == before)
   }
 

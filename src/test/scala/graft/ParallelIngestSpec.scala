@@ -23,7 +23,7 @@ class ParallelIngestSpec extends SparkSpec {
     }
     new ParallelIngest(spark, maxConcurrent = 4).runAllOnce(streams)
     (1 to 4).foreach { i =>
-      assert(spark.read.parquet(s"$root/tables$i/events").count() == 50L * i)
+      assert(new graft.ops.CdcTable(spark, s"$root/tables$i/events", Seq("event_id")).read.count() == 50L * i)
     }
   }
 
@@ -36,7 +36,7 @@ class ParallelIngestSpec extends SparkSpec {
 
     val p = new CdcPipeline(spark, s"$root/env", s"$root/ckpt", s"$root/tables")
     p.runOnce()
-    val t = spark.read.parquet(s"$root/tables/events")
+    val t = new graft.ops.CdcTable(spark, s"$root/tables/events", Nil).read
     // pure insert path: every event lands, including the 'd'-op ones,
     // and no __op column consumption happened (K3 semantics)
     assert(t.count() == 20)
@@ -46,6 +46,6 @@ class ParallelIngestSpec extends SparkSpec {
       .withColumn("key", lit("{}"))
       .write.mode("append").parquet(s"$root/env")
     new CdcPipeline(spark, s"$root/env", s"$root/ckpt", s"$root/tables").runOnce()
-    assert(spark.read.parquet(s"$root/tables/events").count() == 40)
+    assert(new graft.ops.CdcTable(spark, s"$root/tables/events", Nil).read.count() == 40)
   }
 }

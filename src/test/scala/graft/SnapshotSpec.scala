@@ -13,8 +13,12 @@ class SnapshotSpec extends SparkSpec {
     val scanned = snap.parallelScan(src, Some("id"), numPartitions = 5)
     assert(scanned.rdd.getNumPartitions == 5)
     assert(scanned.count() == 1000)
-    // keyless falls back to single partition
-    assert(snap.parallelScan(src, None).rdd.getNumPartitions == 1)
+    // keyless keeps the source's own parallelism — never a 1-partition
+    // funnel (the reference's single-connection JDBC fallback would
+    // serialize a whole-table scan at scale)
+    val multi = src.repartition(8)
+    assert(snap.parallelScan(multi, None).rdd.getNumPartitions == 8)
+    assert(snap.parallelScan(multi, None).count() == 1000)
   }
 
   test("loadTable sanitizes columns, adds audit cols, logs watermark, skips on restart") {

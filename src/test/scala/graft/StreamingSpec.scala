@@ -23,6 +23,11 @@ class StreamingSpec extends SparkSpec {
     case "c" => "signup"; case "d" => "error"; case _ => "click"
   }
 
+  // versioned-table read (the unpartitioned CdcTable layout keeps data
+  // under pointer-named version directories)
+  private def tbl(path: String) =
+    new graft.ops.CdcTable(spark, path, Seq("event_id")).read
+
   test("availableNow processes files once; restart picks up only new files; merges are applied") {
     val root = tmpDir("cdcstream")
     val envDir = s"$root/env"; val ckpt = s"$root/ckpt"; val tables = s"$root/tables"
@@ -32,7 +37,7 @@ class StreamingSpec extends SparkSpec {
     p1.runOnce()
     assert(p1.batchCount >= 1)
 
-    val t = spark.read.parquet(s"$tables/events")
+    val t = tbl(s"$tables/events")
     // error rows are deletes -> absent; others upserted by event_id
     assert(t.count() == (0 until 100).count(_ % 5 != 0))
     assert(t.filter(col("event_id") % 5 === 0).count() == 0)
@@ -40,7 +45,7 @@ class StreamingSpec extends SparkSpec {
     // restart with NO new data: checkpoint prevents reprocessing
     val p2 = new CdcPipeline(spark, envDir, ckpt, tables)
     p2.runOnce()
-    assert(spark.read.parquet(s"$tables/events").count() ==
+    assert(tbl(s"$tables/events").count() ==
       (0 until 100).count(_ % 5 != 0))
 
     // new file arrives: updates for 10 existing keys with later ts
@@ -49,7 +54,7 @@ class StreamingSpec extends SparkSpec {
     val p3 = new CdcPipeline(spark, envDir, ckpt, tables)
     p3.runOnce()
     assert(p3.batchCount >= 1)
-    val after = spark.read.parquet(s"$tables/events")
+    val after = tbl(s"$tables/events")
     // previously-deleted ids 0 and 5 are re-inserted by the update batch
     assert(after.count() == (0 until 100).count(_ % 5 != 0) + 2)
     // __ts_ms of id 1 advanced to the new batch
@@ -71,7 +76,7 @@ class StreamingSpec extends SparkSpec {
     EnvelopeCodec.synthesize(events).write.parquet(envDir)
     val p = new CdcPipeline(spark, envDir, s"$root/ckpt", s"$root/tables")
     p.runOnce()
-    val t = spark.read.parquet(s"$root/tables/events")
+    val t = tbl(s"$root/tables/events")
     assert(t.select("event_id").as[Long].collect().toSeq == Seq(2L))
   }
 }
