@@ -246,7 +246,135 @@ object OlapQueries extends QueryPack {
         |FROM supplier s JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_acctbal = (
         |  SELECT min(s2.s_acctbal) FROM supplier s2
-        |  WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin))
+        |  WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin)),
+
+    // TPC-H Q4 shape: order-priority checking — EXISTS turns into a left
+    // semi join on the order key (shipdate-lag stands in for the missing
+    // commit/receipt dates); the date filter prunes the orders scan first.
+    "q4_order_priority" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q6 shape: forecast revenue — pure scan+filter+scalar agg; all
+    // three predicates push into the parquet scan, no shuffle but the
+    // single-row final combine.
+    "q6_forecast_revenue" -> ((s, dir) => sql(s, dir,
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q10 shape: returned-item reporting — fact filtered to one
+    // quarter and returnflag R, three dimension joins, deterministic
+    // top-20 (revenue is an exact decimal sum, c_custkey breaks ties).
+    "q10_returned_items" -> ((s, dir) => sql(s, dir,
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q12 shape: priority mix among late-shipped lines (shipdate lag
+    // stands in for shipmode/receipt lag) — conditional counts as a single
+    // pass over the joined fact.
+    "q12_late_priority" -> ((s, dir) => sql(s, dir,
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus""".stripMargin)),
+
+    // TPC-H Q13 shape: customer order-count distribution — left join with
+    // an extra ON conjunct (null-extending, not filtering), then a
+    // two-level aggregation (per-customer count, then histogram).
+    "q13_order_distribution" -> ((s, dir) => sql(s, dir,
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin)),
+
+    // TPC-H Q14 shape: promo revenue share — conditional numerator over a
+    // grouped-free denominator, one month of fact, part broadcast.
+    "q14_promo_share" -> ((s, dir) => sql(s, dir,
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+        |  / CAST(SUM(vol) AS DOUBLE) AS promo_share
+        |FROM (
+        |  SELECT p_type,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS vol
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01') t""".stripMargin)),
+
+    // TPC-H Q15 shape: top supplier — a CTE aggregated once, reused for
+    // both the join and the max scalar subquery; exact decimal equality
+    // picks the winner(s) deterministically.
+    "q15_top_supplier" -> ((s, dir) => sql(s, dir,
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin)),
+
+    // TPC-H Q19 shape: disjunctive multi-attribute predicate — three OR'd
+    // brand/size/quantity branches; the equi-join key stays clean so the
+    // disjunction is a residual filter, not a join-condition explosion.
+    "q19_disjunctive_filters" -> ((s, dir) => sql(s, dir,
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 40)""".stripMargin)),
+
+    // TPC-H Q21 shape: suppliers who kept orders waiting — the only
+    // supplier who shipped last on a multi-supplier finished order
+    // (shipdate stands in for receipt/commit): one EXISTS + one NOT
+    // EXISTS against the same fact, both becoming semi/anti joins.
+    "q21_waiting_supplier" -> ((s, dir) => sql(s, dir,
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l1.l_shipdate)
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |GROUP BY s_name""".stripMargin)),
+
+    // TPC-H Q22 shape: dormant high-balance customers — deterministic
+    // average threshold (decimal sum / count), NOT EXISTS anti join on
+    // orders, grouped by a derived code column.
+    "q22_dormant_customers" -> ((s, dir) => sql(s, dir,
+      """SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+        |  count(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY CAST(c_nationkey % 5 AS BIGINT)""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -413,6 +541,104 @@ object OlapQueries extends QueryPack {
         |WHERE s_acctbal = (
         |  SELECT min(s2.s_acctbal) FROM supplier s2
         |  WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+        |  / CAST(SUM(vol) AS DOUBLE) AS promo_share
+        |FROM (
+        |  SELECT p_type,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS vol
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01') t""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+
+    "q19_disjunctive_filters" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l1.l_shipdate)
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |GROUP BY s_name""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+        |  count(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY CAST(c_nationkey % 5 AS BIGINT)""".stripMargin,
 
     "x_asof_join" ->
       """WITH e AS (
