@@ -138,6 +138,50 @@ object TextQueries extends QueryPack {
         |    <= 0.10 * CAST(t.n AS DOUBLE) / 10 AS balanced
         |FROM buckets b LEFT JOIN counts c ON b.bucket = c.bucket CROSS JOIN tot t""".stripMargin)),
 
+    // Overlapping token-window chunking: 64-token chunks on a 48-token
+    // stride (16-token overlap) — the tokenize-and-window step feeding a
+    // training pipeline. Pure per-row flatMap (explode over a computed
+    // chunk range): no shuffle at all; chunk identity is (doc_id,
+    // chunk_id) and content is carried as an md5 so the oracle compare
+    // stays compact.
+    "x_doc_chunking" -> ((s, dir) => run(s, dir,
+      """WITH w AS (SELECT doc_id, split(text, '\\s+') AS words FROM documents),
+        |c AS (
+        |  SELECT doc_id, words,
+        |    explode(sequence(0, CAST((size(words) - 1) DIV 48 AS INT))) AS chunk_id
+        |  FROM w)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(size(slice(words, chunk_id * 48 + 1, 64)) AS BIGINT) AS n_tokens,
+        |  md5(array_join(slice(words, chunk_id * 48 + 1, 64), ' ')) AS chunk_hash
+        |FROM c""".stripMargin)),
+
+    // Stratified sampling: deterministic per-language rates (5% en / 20%
+    // de / 50% everything else) gated by the shared 60-bit doc hash — the
+    // reproducible downsampling step of a data mix. Pure filter: no
+    // shuffle, no RNG, same sample on every engine and every run.
+    "x_stratified_sample" -> ((s, dir) => run(s, dir,
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE pmod(${h64("CAST(doc_id AS STRING)")}, 1000) <
+         |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 200 ELSE 500 END""".stripMargin)),
+
+    // Corpus term statistics: top-10 terms (length >= 4) per language by
+    // frequency — explode + two-level aggregation; the shuffle key is
+    // (lang, word) so the heavy explode output combines map-side before
+    // moving, then the tiny per-lang top-k windows.
+    "x_term_stats" -> ((s, dir) => run(s, dir,
+      """WITH t AS (
+        |  SELECT lang, word
+        |  FROM documents LATERAL VIEW explode(split(lower(text), '\\s+')) x AS word),
+        |f AS (
+        |  SELECT lang, word, count(*) AS freq
+        |  FROM t WHERE length(word) >= 4 GROUP BY lang, word),
+        |r AS (
+        |  SELECT lang, word, freq,
+        |    row_number() OVER (PARTITION BY lang ORDER BY freq DESC, word) AS rnk
+        |  FROM f)
+        |SELECT lang, word, freq, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 10""".stripMargin)),
+
     // Multimodal plumbing: opaque binary payload column + typed metadata,
     // deterministic "decode" features (real decode is a mapPartitions stub
     // — see multimodal.MultimodalSpec). Binary round-trips through the
@@ -221,6 +265,36 @@ object TextQueries extends QueryPack {
     "x_bucket_boundaries" ->
       """SELECT CAST(bucket AS BIGINT) AS bucket, TRUE AS balanced
         |FROM (SELECT unnest(generate_series(1, 10)) AS bucket) t""".stripMargin,
+
+    "x_doc_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents),
+        |c AS (
+        |  SELECT doc_id, words,
+        |    unnest(generate_series(0, (len(words) - 1) // 48)) AS chunk_id
+        |  FROM w)
+        |SELECT doc_id, chunk_id,
+        |  len(list_slice(words, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_tokens,
+        |  md5(array_to_string(list_slice(words, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_hash
+        |FROM c""".stripMargin,
+
+    "x_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${duckH64("doc_id::VARCHAR")} % 1000 <
+         |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 200 ELSE 500 END""".stripMargin,
+
+    "x_term_stats" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang, word, count(*) AS freq
+        |  FROM t WHERE length(word) >= 4 GROUP BY lang, word),
+        |r AS (
+        |  SELECT lang, word, freq,
+        |    row_number() OVER (PARTITION BY lang ORDER BY freq DESC, word) AS rnk
+        |  FROM f)
+        |SELECT lang, word, freq, rnk
+        |FROM r WHERE rnk <= 10""".stripMargin,
 
     "x_multimodal_features" ->
       """SELECT doc_id, source,
