@@ -103,6 +103,28 @@ object StreamOps {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Watermarked stream-stream interval join: each lead event (an
+    * impression, say) matches follow events (clicks) of the same user
+    * arriving within [0, maxLagMs] of the lead's event time. Both sides
+    * carry watermarks AND the join condition bounds event time in both
+    * directions, so the state store evicts buffered rows once the
+    * watermark passes the interval — the only configuration whose state
+    * stays finite on an unbounded stream. Scale-wise this is one
+    * co-partitioned shuffle on user_id for each side.
+    */
+  def intervalJoin(lead: Dataset[Evt], follow: Dataset[Evt],
+                   leadWatermark: String, followWatermark: String,
+                   maxLagMs: Long): DataFrame = {
+    val l = lead.toDF("l_event_id", "l_user_id", "l_event_type", "l_ts")
+      .withWatermark("l_ts", leadWatermark)
+    val f = follow.toDF("f_event_id", "f_user_id", "f_event_type", "f_ts")
+      .withWatermark("f_ts", followWatermark)
+    l.join(f, expr(
+      s"""l_user_id = f_user_id AND
+         |f_ts >= l_ts AND
+         |f_ts <= l_ts + interval ${maxLagMs / 1000} second""".stripMargin))
+  }
+
   /** Output-mode helper kept with the operators so call sites stay
     * declarative in specs and pipelines.
     */

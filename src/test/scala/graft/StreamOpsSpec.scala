@@ -97,6 +97,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(sessions(1).start_ms == t0 + 5 * 3600000L)
   }
 
+  test("stream-stream interval join matches follows within the lag window only") {
+    val root = tmpDir("streamops5")
+    val t0 = 1700000000000L
+    // impressions: user 1 and user 2 at t0
+    Seq((10L, 1L, "imp", new java.sql.Timestamp(t0)),
+        (11L, 2L, "imp", new java.sql.Timestamp(t0)))
+      .toDF("event_id", "user_id", "event_type", "ts").write.parquet(s"$root/lead")
+    // clicks: u1 +5min (in window), u1 +30min (outside 10-min lag),
+    // u2 +8min (in window), u3 +1min (no matching impression)
+    Seq((20L, 1L, "click", new java.sql.Timestamp(t0 + 5 * 60000L)),
+        (21L, 1L, "click", new java.sql.Timestamp(t0 + 30 * 60000L)),
+        (22L, 2L, "click", new java.sql.Timestamp(t0 + 8 * 60000L)),
+        (23L, 3L, "click", new java.sql.Timestamp(t0 + 60000L)))
+      .toDF("event_id", "user_id", "event_type", "ts").write.parquet(s"$root/follow")
+
+    val lead = spark.readStream.schema(evtSchema).parquet(s"$root/lead").as[Evt]
+    val follow = spark.readStream.schema(evtSchema).parquet(s"$root/follow").as[Evt]
+    val q = StreamOps.intervalJoin(lead, follow, "10 minutes", "10 minutes", 10 * 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("ij")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("ij")
+      .select("l_event_id", "f_event_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 20L), (11L, 22L)))
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     val root = tmpDir("streamops3")
     writeEvents(s"$root/in", 0 until 50, _ => "click")
