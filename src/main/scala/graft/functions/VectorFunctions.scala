@@ -56,8 +56,14 @@ case class DotI64(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 object VectorFunctions {
-  /** Register `dot_i64` for SQL use on this session (idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_i64", exprs => DotI64(exprs.head, exprs(1)), "scala_udf")
+  /** Register `dot_i64` for SQL use on this session. Idempotent: a no-op
+    * when the function already exists — via [[graft.GraftExtensions]] or a
+    * prior call — so per-query registration doesn't churn the registry.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("dot_i64")))
+      reg.createOrReplaceTempFunction(
+        "dot_i64", exprs => DotI64(exprs.head, exprs(1)), "scala_udf")
+  }
 }
