@@ -186,7 +186,29 @@ object AnalyticsQueries extends QueryPack {
       t(s, dir, "events")
         .orderBy(col("ts").desc, col("event_id"))
         .limit(100)
-        .select("event_id", "ts", "user_id", "event_type"))
+        .select("event_id", "ts", "user_id", "event_type")),
+
+    // PIVOT via the RelationalGroupedDataset API with explicit pivot
+    // values — explicit values keep the plan a single pass (no extra
+    // distinct-scan to discover columns, which is what the values-less
+    // overload costs at scale). One shuffle on the group key.
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot(expr("CAST(year(o_orderdate) AS BIGINT)"), Seq(1995L, 1996L, 1997L, 1998L))
+        .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)"))),
+
+    // UNPIVOT (wide -> long) via the Dataset API: per-row transpose of
+    // measure columns into (metric, value) — no shuffle beyond the
+    // feeding aggregate.
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("sum_qty"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -283,6 +305,24 @@ object AnalyticsQueries extends QueryPack {
         |  count(DISTINCT l_orderkey) AS exact_orders,
         |  count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS orders_ok, TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p95_ok
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "1995",
+        |  CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "1996",
+        |  CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "1997",
+        |  CAST(SUM(CASE WHEN year(o_orderdate) = 1998 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS "1998"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide""".stripMargin
   )
 }

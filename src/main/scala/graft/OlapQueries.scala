@@ -360,6 +360,22 @@ object OlapQueries extends QueryPack {
         |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
         |GROUP BY s_name""".stripMargin)),
 
+    // Full analytic-window surface in one pass over a named WINDOW:
+    // dense_rank / percent_rank / cume_dist / lead / lag / first_value /
+    // nth_value share a single sort within one Window operator — the
+    // plan has exactly one shuffle on the partition key.
+    "q_window_breadth" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  lag(o_totalprice, 2) OVER w AS prev2_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  nth_value(o_totalprice, 3) OVER w AS third_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
     // TPC-H Q22 shape: dormant high-balance customers — deterministic
     // average threshold (decimal sum / count), NOT EXISTS anti join on
     // orders, grouped by a derived code column.
@@ -626,6 +642,18 @@ object OlapQueries extends QueryPack {
         |      AND l3.l_shipdate > l1.l_shipdate)
         |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
         |GROUP BY s_name""".stripMargin,
+
+    "q_window_breadth" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  lag(o_totalprice, 2) OVER w AS prev2_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  nth_value(o_totalprice, 3) OVER w AS third_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     "q22_dormant_customers" ->
       """SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
