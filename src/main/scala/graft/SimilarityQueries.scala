@@ -441,6 +441,44 @@ object SimilarityQueries extends QueryPack {
          |SELECT CAST(count(*) AS BIGINT) AS n_queries,
          |  CAST(sum(hit) AS BIGINT) AS n_hits,
          |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5
+         |FROM hits""".stripMargin)),
+
+    // IVF twin of the recall harness: recall@5 when probing only the
+    // query's own coarse list (nprobe=1). Quantifies what the
+    // partition-bounded probe gives up vs the banded LSH — together the
+    // two recall rows are the operating-point dashboard for the ANN paths.
+    "x_ann_recall_ivf" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuant,
+         |ivf_scored AS (
+         |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    CAST(dot_i64(qs.qe, v.qe) AS DOUBLE)
+         |      / (sqrt(CAST(qs.nrm AS DOUBLE)) * sqrt(CAST(v.nrm AS DOUBLE))) AS cos
+         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) qs
+         |  JOIN v ON qs.label = v.label AND qs.vec_id != v.vec_id),
+         |ivf_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM ivf_scored) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
+         |    CAST(dot_i64(q2.qe, v2.qe) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
+         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  JOIN v v2 ON q2.vec_id != v2.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN ivf_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5
          |FROM hits""".stripMargin))
   )
 
@@ -611,6 +649,40 @@ object SimilarityQueries extends QueryPack {
          |hits AS (
          |  SELECT b.query_id, count(l.neighbor_id) AS hit
          |  FROM brute_top b LEFT JOIN lsh_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5
+         |FROM hits""".stripMargin,
+
+    "x_ann_recall_ivf" ->
+      s"""WITH $duckQuant,
+         |ivf_scored AS (
+         |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(qs.qe::DOUBLE[], v.qe::DOUBLE[]) AS DOUBLE)
+         |      / (sqrt(CAST(qs.nrm AS DOUBLE)) * sqrt(CAST(v.nrm AS DOUBLE))) AS cos
+         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) qs
+         |  JOIN v ON qs.label = v.label AND qs.vec_id != v.vec_id),
+         |ivf_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM ivf_scored) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(q2.qe::DOUBLE[], v2.qe::DOUBLE[]) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
+         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  JOIN v v2 ON q2.vec_id != v2.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN ivf_top l
          |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
          |  GROUP BY b.query_id)
          |SELECT CAST(count(*) AS BIGINT) AS n_queries,

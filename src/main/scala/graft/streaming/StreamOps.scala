@@ -103,6 +103,17 @@ object StreamOps {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Stream-static enrichment join: each streaming event picks up its
+    * dimension row from a static (batch) table by key. The static side
+    * broadcasts — no streaming state at all — and Spark re-resolves the
+    * static relation every micro-batch, so a dimension refresh between
+    * batches is visible to the next one. The standard
+    * dimension-enrichment topology at any scale: ship the small table to
+    * the stream, never shuffle the stream to the table.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Watermarked stream-stream interval join: each lead event (an
     * impression, say) matches follow events (clicks) of the same user
     * arriving within [0, maxLagMs] of the lead's event time. Both sides

@@ -124,6 +124,23 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set((10L, 20L), (11L, 22L)))
   }
 
+  test("stream-static enrichment join broadcasts the dimension to the stream") {
+    val root = tmpDir("streamops6")
+    writeEvents(s"$root/in", 0 until 20, _ => "click")
+    val dim = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold"))
+      .toDF("user_id", "tier") // users 3 and 4 have no dimension row
+    val stream = spark.readStream.schema(evtSchema).parquet(s"$root/in")
+    val q = StreamOps.enrich(stream, dim, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("enriched")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("enriched")
+    assert(got.count() == 20) // left join: unmatched users kept
+    assert(got.filter(col("user_id") === 1L).select("tier")
+      .distinct().as[String].collect().toSeq == Seq("silver"))
+    assert(got.filter(col("user_id") === 4L).filter(col("tier").isNull).count() == 4)
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     val root = tmpDir("streamops3")
     writeEvents(s"$root/in", 0 until 50, _ => "click")
