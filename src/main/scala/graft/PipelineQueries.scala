@@ -1,0 +1,290 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data pipeline operators beyond the similarity/dedup family:
+  * benchmark decontamination, PII redaction, repetition-based quality
+  * filtering, deterministic train/valid/test splitting, incremental
+  * (merge-of-partials) aggregate maintenance, and event-funnel /
+  * retention-cohort analytics.
+  *
+  * Scale design notes per query live on the entries; the common thread is
+  * that every operator is one scan plus hash-partition shuffles on an
+  * explicit key — no global sorts, no all-pairs joins, and the only
+  * broadcast is the (tiny) benchmark n-gram set in decontamination.
+  *
+  * Determinism (see the oracle conventions in AnalyticsQueries /
+  * TextQueries): counts are BIGINT in both engines, money/value sums
+  * aggregate as DECIMAL and cast to DOUBLE at the end, ratios are single
+  * IEEE divisions of exact integers, and the shared 60-bit md5 hash
+  * drives every pseudo-random assignment.
+  */
+object PipelineQueries extends QueryPack {
+  import TextQueries.{h64, duckH64}
+
+  private def docs(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(sql)
+  }
+
+  private def events(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(sql)
+  }
+
+  // Deterministic synthetic PII suffix appended to each document — the
+  // corpus text itself is clean, so redaction is exercised against known,
+  // reproducible targets (one email, one IPv4, one phone per doc).
+  private val sparkEnriched =
+    """enriched AS (
+      |  SELECT doc_id,
+      |    concat(text, ' contact user', CAST(doc_id AS STRING), '@mail.example.com or ',
+      |           '192.168.', CAST(pmod(doc_id, 256) AS STRING), '.', CAST(pmod(doc_id * 7, 256) AS STRING),
+      |           ' phone 555-', lpad(CAST(pmod(doc_id, 10000) AS STRING), 4, '0')) AS text
+      |  FROM documents)""".stripMargin
+
+  private val duckEnriched =
+    """enriched AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id::VARCHAR || '@mail.example.com or ' ||
+      |    '192.168.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR ||
+      |    ' phone 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+      |  FROM enriched_src)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Benchmark decontamination: flag corpus documents whose 8-gram
+    // content overlaps a held-out eval set (doc_id % 97 = 0 stands in for
+    // the benchmark). The eval n-gram table is tiny relative to the
+    // corpus, so at 100 TB it broadcasts and the contamination check is a
+    // map-side hash probe per corpus gram — one scan of the corpus, no
+    // shuffle of the big side beyond the per-doc count.
+    "x_decontamination" -> ((s, dir) => docs(s, dir,
+      s"""WITH w AS (SELECT doc_id, split(text, '\\\\s+') AS words FROM documents
+         |           WHERE size(split(text, '\\\\s+')) >= 8),
+         |g AS (SELECT DISTINCT doc_id, gram_h FROM (
+         |  SELECT doc_id, explode(transform(sequence(1, size(words) - 7),
+         |    i -> ${h64("concat_ws(' ', slice(words, i, 8))")})) AS gram_h FROM w)),
+         |eval_g AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, gram_h FROM g WHERE doc_id % 97 != 0)
+         |SELECT c.doc_id, count(*) AS n_grams, count(e.gram_h) AS n_contaminated,
+         |  CAST(count(e.gram_h) AS DOUBLE) / count(*) AS contamination,
+         |  CAST(count(e.gram_h) AS DOUBLE) / count(*) >= 0.25 AS flagged
+         |FROM corpus c LEFT JOIN eval_g e ON e.gram_h = c.gram_h
+         |GROUP BY c.doc_id""".stripMargin)),
+
+    // PII redaction: regex scrub of emails, IPv4s, and phone numbers with
+    // per-class match counts and a hash of the redacted text (value-checked
+    // against the oracle's identical redaction). Pure per-row map — no
+    // shuffle at all; at 100 TB this is the classic pre-training scrub
+    // pass that rides along with the first scan.
+    "x_pii_redaction" -> ((s, dir) => docs(s, dir,
+      s"""WITH $sparkEnriched,
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(size(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+\\\\.[a-z]+', 0)) AS BIGINT) AS n_emails,
+         |    CAST(size(regexp_extract_all(text, '[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}', 0)) AS BIGINT) AS n_ips,
+         |    CAST(size(regexp_extract_all(text, '555-[0-9]{4}', 0)) AS BIGINT) AS n_phones,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[a-z0-9._]+@[a-z0-9.]+\\\\.[a-z]+', '<EMAIL>'),
+         |      '[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}', '<IP>'),
+         |      '555-[0-9]{4}', '<PHONE>') AS redacted
+         |  FROM enriched)
+         |SELECT doc_id, n_emails, n_ips, n_phones,
+         |  md5(redacted) AS redacted_hash,
+         |  (NOT redacted RLIKE '@') AS clean
+         |FROM r""".stripMargin)),
+
+    // Repetition-based quality filter: within-document duplicate 5-gram
+    // ratio plus most-frequent-word share — the boilerplate/repetition
+    // signals of a corpus quality pass. Shuffle keys are (doc_id) and
+    // (doc_id, word); both aggregations combine map-side, so the explode
+    // fan-out collapses before it moves.
+    "x_repetition_filter" -> ((s, dir) => docs(s, dir,
+      s"""WITH w AS (SELECT doc_id, split(text, '\\\\s+') AS words FROM documents
+         |           WHERE size(split(text, '\\\\s+')) >= 5),
+         |g AS (SELECT doc_id, explode(transform(sequence(1, size(words) - 4),
+         |        i -> ${h64("concat_ws(' ', slice(words, i, 5))")})) AS gh FROM w),
+         |gs AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT gh) AS n_distinct
+         |       FROM g GROUP BY doc_id),
+         |wf AS (SELECT doc_id, word, count(*) AS c
+         |       FROM (SELECT doc_id, explode(words) AS word FROM w)
+         |       GROUP BY doc_id, word),
+         |tw AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_c, CAST(sum(c) AS BIGINT) AS n_words
+         |       FROM wf GROUP BY doc_id)
+         |SELECT g.doc_id, g.n_grams, g.n_distinct,
+         |  1.0 - CAST(g.n_distinct AS DOUBLE) / g.n_grams AS dup_ratio,
+         |  CAST(t.max_c AS DOUBLE) / t.n_words AS top_word_share,
+         |  (1.0 - CAST(g.n_distinct AS DOUBLE) / g.n_grams) <= 0.5
+         |    AND CAST(t.max_c AS DOUBLE) / t.n_words <= 0.2 AS keep
+         |FROM gs g JOIN tw t ON t.doc_id = g.doc_id""".stripMargin)),
+
+    // Deterministic train/valid/test split (90/5/5) keyed on the shared
+    // 60-bit doc hash — reproducible on any engine and any run, no RNG.
+    // Pure filter + one aggregation; the split column is also the natural
+    // write-partition key at scale.
+    "x_train_test_split" -> ((s, dir) => docs(s, dir,
+      s"""WITH a AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CASE WHEN pmod(${h64("CAST(doc_id AS STRING)")}, 100) < 90 THEN 'train'
+         |         WHEN pmod(${h64("CAST(doc_id AS STRING)")}, 100) < 95 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM a GROUP BY split, lang""".stripMargin)),
+
+    // Incremental aggregate maintenance: the corpus-stats table is kept
+    // up to date by merging per-partition PARTIAL aggregates (counts,
+    // decimal sums, min/max — all algebraic) instead of rescanning
+    // history. Here the "stored" partial covers event_id % 10 < 7 and the
+    // "delta" the rest; merging the two partial tables reproduces the
+    // full recompute exactly (the oracle computes it flat). At 100 TB the
+    // stored side is a tiny aggregate table and only the delta is
+    // scanned.
+    "x_incremental_agg" -> ((s, dir) => events(s, dir,
+      """WITH part_old AS (
+        |  SELECT event_type, count(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS sv,
+        |         min(value) AS mn, max(value) AS mx
+        |  FROM events WHERE event_id % 10 < 7 GROUP BY event_type),
+        |part_new AS (
+        |  SELECT event_type, count(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS sv,
+        |         min(value) AS mn, max(value) AS mx
+        |  FROM events WHERE event_id % 10 >= 7 GROUP BY event_type),
+        |merged AS (
+        |  SELECT event_type, n, sv, mn, mx FROM part_old
+        |  UNION ALL SELECT event_type, n, sv, mn, mx FROM part_new)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(sv) AS DOUBLE) AS total_value,
+        |  min(mn) AS min_value, max(mx) AS max_value
+        |FROM merged GROUP BY event_type""".stripMargin)),
+
+    // Conversion funnel: strictly-ordered signup -> view -> click ->
+    // purchase per user (each stage's timestamp must follow the prior
+    // stage's). Four aggregations co-partitioned on user_id — the reused
+    // hash partitioning means one physical shuffle's worth of movement,
+    // and each stage table shrinks monotonically.
+    "x_funnel_analysis" -> ((s, dir) => events(s, dir,
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |       JOIN s3 ON s3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id)
+        |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_view', count(*) FROM s2
+        |UNION ALL SELECT '3_click', count(*) FROM s3
+        |UNION ALL SELECT '4_purchase', count(*) FROM s4""".stripMargin)),
+
+    // Weekly retention cohorts: users grouped by first-seen week, counted
+    // in each later week they return. Two aggregations on user_id plus
+    // one on the (tiny) cohort grid; week arithmetic is integer day
+    // difference DIV 7 so both engines agree exactly.
+    "x_retention_cohorts" -> ((s, dir) => events(s, dir,
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events)
+        |SELECT f.cohort, CAST(datediff(a.wk, f.cohort) DIV 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN f ON f.user_id = a.user_id
+        |GROUP BY f.cohort, datediff(a.wk, f.cohort) DIV 7""".stripMargin))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "x_decontamination" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+         |           WHERE len(string_split_regex(text, '\\s+')) >= 8),
+         |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 7)) AS i FROM w),
+         |g AS (SELECT DISTINCT doc_id,
+         |  ${duckH64("array_to_string(list_slice(words, i, i + 7), ' ')")} AS gram_h FROM idx),
+         |eval_g AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, gram_h FROM g WHERE doc_id % 97 != 0)
+         |SELECT c.doc_id, count(*) AS n_grams, count(e.gram_h) AS n_contaminated,
+         |  CAST(count(e.gram_h) AS DOUBLE) / count(*) AS contamination,
+         |  CAST(count(e.gram_h) AS DOUBLE) / count(*) >= 0.25 AS flagged
+         |FROM corpus c LEFT JOIN eval_g e ON e.gram_h = c.gram_h
+         |GROUP BY c.doc_id""".stripMargin,
+
+    "x_pii_redaction" ->
+      s"""WITH enriched_src AS (SELECT doc_id, text FROM documents),
+         |$duckEnriched,
+         |r AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+')) AS n_emails,
+         |    len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ips,
+         |    len(regexp_extract_all(text, '555-[0-9]{4}')) AS n_phones,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+', '<EMAIL>', 'g'),
+         |      '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+         |      '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+         |  FROM enriched)
+         |SELECT doc_id, n_emails, n_ips, n_phones,
+         |  md5(redacted) AS redacted_hash,
+         |  NOT regexp_matches(redacted, '@') AS clean
+         |FROM r""".stripMargin,
+
+    "x_repetition_filter" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
+         |           WHERE len(string_split_regex(text, '\\s+')) >= 5),
+         |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i FROM w),
+         |g AS (SELECT doc_id, ${duckH64("array_to_string(list_slice(words, i, i + 4), ' ')")} AS gh FROM idx),
+         |gs AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT gh) AS n_distinct
+         |       FROM g GROUP BY doc_id),
+         |wf AS (SELECT doc_id, unnest(words) AS word FROM w),
+         |wc AS (SELECT doc_id, word, count(*) AS c FROM wf GROUP BY doc_id, word),
+         |tw AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_c, CAST(sum(c) AS BIGINT) AS n_words
+         |       FROM wc GROUP BY doc_id)
+         |SELECT g.doc_id, g.n_grams, g.n_distinct,
+         |  1.0 - CAST(g.n_distinct AS DOUBLE) / g.n_grams AS dup_ratio,
+         |  CAST(t.max_c AS DOUBLE) / t.n_words AS top_word_share,
+         |  (1.0 - CAST(g.n_distinct AS DOUBLE) / g.n_grams) <= 0.5
+         |    AND CAST(t.max_c AS DOUBLE) / t.n_words <= 0.2 AS keep
+         |FROM gs g JOIN tw t ON t.doc_id = g.doc_id""".stripMargin,
+
+    "x_train_test_split" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CASE WHEN ${duckH64("doc_id::VARCHAR")} % 100 < 90 THEN 'train'
+         |         WHEN ${duckH64("doc_id::VARCHAR")} % 100 < 95 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM a GROUP BY split, lang""".stripMargin,
+
+    "x_incremental_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "x_funnel_analysis" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |       JOIN s3 ON s3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id)
+        |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_view', count(*) FROM s2
+        |UNION ALL SELECT '3_click', count(*) FROM s3
+        |UNION ALL SELECT '4_purchase', count(*) FROM s4""".stripMargin,
+
+    "x_retention_cohorts" ->
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events)
+        |SELECT f.cohort, date_diff('day', f.cohort, a.wk) // 7 AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN f ON f.user_id = a.user_id
+        |GROUP BY f.cohort, date_diff('day', f.cohort, a.wk) // 7""".stripMargin
+  )
+}

@@ -16,7 +16,8 @@ object SparkEntry {
     AnalyticsQueries,
     OlapQueries,
     TextQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    PipelineQueries
   )
 
   /** Flagship: the full CDC slice on sf0.001 — synthesize the Debezium
