@@ -3,6 +3,8 @@ package graft.ops
 import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,30 +12,34 @@ import org.apache.spark.sql.functions._
   * reference's Iceberg v2 copy-on-write tables
   * (incremental_kafka_s3_cdc.py:126-148, write.delete.mode=copy-on-write).
   *
-  * Two layouts:
+  * Both layouts commit through the same versioned protocol: data
+  * materializes fully in immutable locations first, then a version
+  * directory `vNNNNNNNN` is finalized, then the `_current` pointer file is
+  * repointed with one atomic POSIX rename. A crash at ANY step leaves the
+  * previous version live and readable; leftovers the pointer never reached
+  * are garbage-collected by [[expire]] on the next successful commit. The
+  * pointer also yields time travel ([[readVersion]]) and snapshot expiry
+  * (`retainVersions`) — the reference's Iceberg snapshot/maintenance
+  * surface (incremental_kafka_s3_cdc.py:405-423) on plain parquet.
   *
-  *   - '''Unpartitioned: versioned commits.''' Each merge/compact writes a
-  *     new immutable `vNNNNNNNN` directory and then atomically repoints the
-  *     `_current` pointer file (single POSIX rename). Every step is
-  *     crash-recoverable: data directories are never mutated once the
-  *     pointer names them, a half-written new version is invisible until
-  *     the pointer moves, and the pointer move itself is atomic. This also
-  *     yields time travel ([[readVersion]]) and snapshot expiry
-  *     ([[expire]], automatic per commit with `retainVersions`) — the
-  *     reference's Iceberg snapshot/maintenance surface
-  *     (incremental_kafka_s3_cdc.py:405-423) re-expressed on plain parquet.
+  *   - '''Unpartitioned.''' Each version directory holds the full table;
+  *     merge/compact write the next `vNNNNNNNN` and repoint.
   *
-  *   - '''Partitioned: hive-layout copy-on-write.''' Optionally
-  *     hive-partitioned by a derived month column `__part_month` (the
-  *     reference's hidden `MONTHS(created_col)` partition transform, chosen
-  *     by the same heuristic: a timestamp column whose name contains
-  *     "create" — SURVEY.md K6). Merge only rewrites the partitions the
-  *     batch (or a moved stored row) touches — static partition pruning on
-  *     a pushed-down filter plus `partitionOverwriteMode=dynamic`. This is
-  *     the reference's `months(t.pc)=months(s.pc)` merge conjunct
-  *     (incremental_kafka_s3_cdc.py:262-264) re-expressed Spark-natively.
-  *     Untouched partitions are never read or written; the per-partition
-  *     replace goes through Spark's staged committer.
+  *   - '''Partitioned (hive-layout by derived month `__part_month`,''' the
+  *     reference's hidden `MONTHS(created_col)` transform, chosen by its
+  *     heuristic: a timestamp column whose name contains "create" —
+  *     SURVEY.md K6'''.)''' Copying the whole table per version would
+  *     defeat partition-pruned copy-on-write, so versions are MANIFESTS:
+  *     each merge writes only the touched months' data into an immutable
+  *     commit directory `cNNNNNNNN/__part_month=M/`, and the version's
+  *     `manifest.tsv` maps every live month to the commit directory that
+  *     holds its current rows — untouched months keep pointing at their
+  *     old files (never read, never rewritten, byte-identical across
+  *     versions). This is the Iceberg/Delta metadata-layer idea
+  *     (snapshot = manifest of immutable files) at month granularity; the
+  *     merge itself keeps the reference's `months(t.pc)=months(s.pc)`
+  *     pruning conjunct (incremental_kafka_s3_cdc.py:262-264) plus the
+  *     moved-key guard.
   *
   * Plain parquet has no optimistic concurrency (SURVEY.md §7 risk e):
   * single-writer per table is assumed, as documented.
@@ -49,11 +55,12 @@ final class CdcTable(
 
   // ---------------------------------------------------------------- layout
 
-  private def versioned: Boolean = partitionSource.isEmpty
   private def pointer = new File(path, CurrentPointer)
   private def versionDir(v: Long) = new File(path, f"v$v%08d")
+  private def commitDir(v: Long) = new File(path, f"c$v%08d")
+  private def manifestFile(v: Long) = new File(versionDir(v), ManifestName)
 
-  /** Latest committed version (unpartitioned layout), if any. */
+  /** Latest committed version, if any. */
   def currentVersion: Option[Long] =
     if (!pointer.exists()) None
     else Some(Files.readString(pointer.toPath).trim.stripPrefix("v").toLong)
@@ -64,46 +71,79 @@ final class CdcTable(
       .filter(f => f.isDirectory && f.getName.matches("v\\d{8}"))
       .map(_.getName.stripPrefix("v").toLong).sorted.toSeq
 
-  private def exists: Boolean =
-    if (versioned) pointer.exists()
-    else {
-      val f = new File(path)
-      f.exists() && f.listFiles() != null && f.listFiles().nonEmpty
-    }
+  private def exists: Boolean = pointer.exists()
 
-  private def dataDir: String =
-    if (versioned)
-      currentVersion.map(versionDir(_).getPath)
-        .getOrElse(throw new java.io.FileNotFoundException(s"no committed version at $path"))
-    else path
+  private def currentOrThrow: Long =
+    currentVersion.getOrElse(
+      throw new java.io.FileNotFoundException(s"no committed version at $path"))
+
+  // ------------------------------------------------- manifests (partitioned)
+
+  /** Version manifest: `(month, commit-relative data dir)` lines. A month
+    * may map to several directories (keyless appends add one per batch).
+    */
+  def manifest(v: Long): Seq[(String, String)] = {
+    val f = manifestFile(v)
+    if (!f.exists())
+      throw new java.io.FileNotFoundException(s"version $v of $path is expired or never existed")
+    Files.readAllLines(f.toPath).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('\t')
+      (l.substring(0, i), l.substring(i + 1))
+    }
+  }
+
+  private def writeManifest(v: Long, entries: Seq[(String, String)]): Unit = {
+    versionDir(v).mkdirs()
+    Files.writeString(manifestFile(v).toPath,
+      entries.map { case (m, d) => s"$m\t$d" }.mkString("\n")): Unit
+  }
+
+  private def relDir(v: Long, month: String): String = f"c$v%08d/$PartCol=$month"
+
+  /** Union the manifest's data directories (optionally only `months`),
+    * re-attaching the month as `__part_month`. Per-directory reads union
+    * by name so additive schema evolution across commits just works; the
+    * directory list is metadata-scale (months x commits), never data-scale.
+    */
+  private def readParts(entries: Seq[(String, String)], months: Option[Set[String]]): DataFrame = {
+    val picked = months.fold(entries)(ms => entries.filter(e => ms.contains(e._1)))
+    val parts = picked.map { case (m, rel) =>
+      spark.read.option("mergeSchema", "true").parquet(new File(path, rel).getPath)
+        .withColumn(PartCol, lit(m))
+    }
+    if (parts.isEmpty)
+      throw new java.io.FileNotFoundException(s"no live partitions at $path for $months")
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   // ----------------------------------------------------------------- reads
 
   /** Current table content (user columns only). */
-  def read: DataFrame = {
-    val df = spark.read.option("mergeSchema", "true").parquet(dataDir)
-    if (df.columns.contains(PartCol)) df.drop(PartCol) else df
+  def read: DataFrame = readAt(currentOrThrow)
+
+  /** Time travel: read a specific retained version. */
+  def readVersion(v: Long): DataFrame = partitionSource match {
+    case Some(_) => readParts(manifest(v), None).drop(PartCol)
+    case None =>
+      val d = versionDir(v)
+      if (!d.exists())
+        throw new java.io.FileNotFoundException(s"version $v of $path is expired or never existed")
+      spark.read.option("mergeSchema", "true").parquet(d.getPath)
   }
 
-  /** Time travel (unpartitioned layout): read a specific retained version. */
-  def readVersion(v: Long): DataFrame = {
-    val d = versionDir(v)
-    if (!d.exists())
-      throw new java.io.FileNotFoundException(s"version $v of $path is expired or never existed")
-    spark.read.option("mergeSchema", "true").parquet(d.getPath)
+  private def readAt(v: Long): DataFrame = {
+    val df = readVersion(v)
+    if (df.columns.contains(PartCol)) df.drop(PartCol) else df
   }
 
   // --------------------------------------------------------------- commits
 
-  /** Write `df` as the next version and atomically repoint `_current`:
-    * write the new pointer beside the old one, then rename over it (POSIX
-    * rename replaces atomically). A crash before the rename leaves the old
-    * version live; after it, the new one. Old versions beyond
-    * `retainVersions` are expired after the pointer moves.
+  /** Atomically repoint `_current` at `next`: write the new pointer beside
+    * the old one, rename over it (POSIX rename replaces atomically), then
+    * expire history. A crash before the rename leaves the old version
+    * live; after it, the new one.
     */
-  private def commit(df: DataFrame): Unit = {
-    val next = currentVersion.getOrElse(0L) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(versionDir(next).getPath)
+  private def commitPointer(next: Long): Unit = {
     val tmp = Paths.get(path, s"$CurrentPointer.tmp")
     Files.writeString(tmp, f"v$next%08d")
     Files.move(tmp, pointer.toPath, StandardCopyOption.ATOMIC_MOVE,
@@ -111,35 +151,78 @@ final class CdcTable(
     expire()
   }
 
-  /** Drop pointer-unreachable version directories: history older than the
+  /** Unpartitioned commit: write `df` as the next full version. */
+  private def commitFull(df: DataFrame): Unit = {
+    val next = currentVersion.getOrElse(0L) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(versionDir(next).getPath)
+    commitPointer(next)
+  }
+
+  /** Partitioned commit: `df` (already carrying `__part_month`) holds the
+    * new content of exactly the `replaced` months; every other month is
+    * carried over from the previous manifest untouched. Months in
+    * `replaced` that `df` no longer contains vanish from the manifest
+    * (their old files stay until their last referencing version expires —
+    * that's what keeps time travel consistent).
+    */
+  private def commitPartitioned(df: DataFrame, replaced: Set[String]): Unit = {
+    val cur = currentVersion
+    val next = cur.getOrElse(0L) + 1
+    df.write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(commitDir(next).getPath)
+    // the hive directory names ARE the months actually written — no
+    // second evaluation of df's plan needed
+    val outMonths = Option(commitDir(next).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
+      .map(_.getName.stripPrefix(s"$PartCol=")).toSeq.sorted
+    val carried = cur.map(manifest).getOrElse(Nil)
+      .filterNot { case (m, _) => replaced.contains(m) }
+    writeManifest(next, carried ++ outMonths.map(m => m -> relDir(next, m)))
+    commitPointer(next)
+  }
+
+  /** Drop pointer-unreachable state: version directories older than the
     * newest `retainVersions` plus any orphan newer than the pointer (a
-    * commit that crashed between data write and pointer move). Never
-    * touches the current version; safe to re-run at any time — expiry is
-    * the only step that deletes, and only what the pointer cannot reach.
+    * commit that crashed between data/manifest write and pointer move),
+    * then — partitioned layout — any commit directory no retained
+    * manifest references. Never touches anything the pointer can reach;
+    * safe to re-run at any time.
     */
   def expire(): Unit = currentVersion.foreach { cur =>
-    val live = versions.filter(_ <= cur).takeRight(retainVersions).toSet
-    versions.filterNot(v => live.contains(v) || v == cur)
-      .foreach(v => rm(versionDir(v)))
+    val live = versions.filter(_ <= cur).takeRight(retainVersions).toSet + cur
+    versions.filterNot(live.contains).foreach(v => rm(versionDir(v)))
+    if (partitionSource.isDefined) {
+      val referenced = live.filter(v => manifestFile(v).exists())
+        .flatMap(v => manifest(v).map(_._2.takeWhile(_ != '/')))
+      Option(new File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("c\\d{8}"))
+        .filterNot(f => referenced.contains(f.getName))
+        .foreach(rm)
+    }
   }
 
-  /** Initialize (overwrite) the table with `df`. */
+  /** Initialize (overwrite) the table with `df` as a new version. */
   def init(df: DataFrame): Unit = partitionSource match {
     case Some(_) =>
-      withPart(df).write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(path)
-    case None => commit(df)
+      val wp = withPart(df)
+      commitPartitioned(wp, replaced = allMonths)
+    case None => commitFull(df)
   }
 
-  /** Keyless append (reference K3/K4): new part-files into the live
-    * location (each parquet file lands atomically via Spark's staged
-    * committer; no table rewrite, so no version bump).
+  private def allMonths: Set[String] =
+    currentVersion.map(manifest(_).map(_._1).toSet).getOrElse(Set.empty)
+
+  /** Keyless append (reference K3/K4). Partitioned: a new commit dir per
+    * batch whose months ADD manifest entries (no month is replaced — a
+    * month can span many commit dirs until compaction folds them).
+    * Unpartitioned: new part-files land in the live version directory via
+    * Spark's staged committer (each file atomic; no table rewrite).
     */
   def append(df: DataFrame): Unit = partitionSource match {
     case Some(_) =>
-      withPart(df).write.mode(SaveMode.Append).partitionBy(PartCol).parquet(path)
+      commitPartitioned(withPart(df), replaced = Set.empty)
     case None =>
       if (!exists) init(df)
-      else df.write.mode(SaveMode.Append).parquet(dataDir)
+      else df.write.mode(SaveMode.Append).parquet(versionDir(currentOrThrow).getPath)
   }
 
   private def withPart(df: DataFrame): DataFrame = partitionSource match {
@@ -151,8 +234,8 @@ final class CdcTable(
 
   /** MERGE a raw CDC batch: latest-wins dedup on (keys, tsCol), then
     * join-based upsert/delete, rewriting only touched partitions (or
-    * committing one new version). Idempotent: re-applying the same batch
-    * is a no-op.
+    * committing one new full version). Idempotent: re-applying the same
+    * batch is a no-op.
     */
   def merge(batch: DataFrame, tsCol: String, tieBreakers: Seq[String] = Nil): Unit = {
     if (!exists) {
@@ -168,63 +251,46 @@ final class CdcTable(
     partitionSource match {
       case Some(src) =>
         // Partition-pruned copy-on-write: months present in the batch are
-        // read, merged, and dynamically overwritten.
+        // read, merged, and re-manifested; everything else carries over.
+        val entries = manifest(currentOrThrow)
         val batchMonths = deduped
           .select(date_format(col(src), "yyyy-MM").as(PartCol))
           .distinct().as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
-        val all = spark.read.option("mergeSchema", "true").parquet(path)
         // Moved-key guard: a stored row whose key appears in the batch may
         // live in a different month (the partition-source column was
         // updated, or a delete arrived carrying a new/null month). Probe
         // the stored (keys, month) pairs — column pruning keeps this scan
-        // to the key columns plus the hive partition value — with the
+        // to the key columns plus the attached month literal — with the
         // small batch-key set broadcast, and union those months into the
         // touched set so the old copy is read and rewritten too.
-        val keyMonths = all
+        val keyMonths = readParts(entries, None)
           .select((keys.map(col) :+ col(PartCol)): _*)
           .join(broadcast(deduped.select(keys.map(col): _*).distinct()), keys, "left_semi")
           .select(col(PartCol))
           .distinct().as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
-        val touched = (batchMonths ++ keyMonths).distinct.filter(_ != null)
-        val existing = all.filter(col(PartCol).isin(touched: _*)).drop(PartCol)
-        val merged = withPart(CdcMerge.merge(existing, deduped, keys)).cache()
-        // Dynamic overwrite only replaces partitions present in the output:
-        // a touched month whose rows all moved away must be dropped
-        // explicitly after the write.
-        val outMonths = merged.select(col(PartCol))
-          .distinct().as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
-        val prev = spark.conf.getOption(OverwriteModeKey)
-        spark.conf.set(OverwriteModeKey, "dynamic")
-        try {
-          merged.write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(path)
-        } finally prev match {
-          case Some(v) => spark.conf.set(OverwriteModeKey, v)
-          case None    => spark.conf.unset(OverwriteModeKey)
-        }
-        merged.unpersist()
-        touched.filterNot(outMonths.contains)
-          .foreach(m => rm(new File(path, s"$PartCol=$m")))
+        val touched = (batchMonths ++ keyMonths).distinct.filter(_ != null).toSet
+        val existing =
+          if (entries.exists(e => touched.contains(e._1)))
+            readParts(entries, Some(touched)).drop(PartCol)
+          else deduped.drop(CdcMerge.OpColumn).filter(lit(false))
+        val merged = withPart(CdcMerge.merge(existing, deduped, keys))
+        commitPartitioned(merged, replaced = touched)
       case None =>
-        val merged = CdcMerge.merge(read, deduped, keys)
         // versioned commit: the new version materializes fully before the
         // pointer moves, so no read-our-input hazard and no crash window
-        commit(merged)
+        commitFull(CdcMerge.merge(read, deduped, keys))
     }
   }
 
-  /** Compaction (reference K10): rewrite to `target` files per partition. */
+  /** Compaction (reference K10): rewrite to `target` files per partition,
+    * folding a partitioned table's multi-commit months back to one
+    * directory each (a new version; content unchanged).
+    */
   def compact(target: Int = 1): Unit = partitionSource match {
     case Some(_) =>
-      val df = spark.read.option("mergeSchema", "true").parquet(path)
-      val prev = spark.conf.getOption(OverwriteModeKey)
-      spark.conf.set(OverwriteModeKey, "dynamic")
-      try df.repartition(target, col(PartCol))
-        .write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(path)
-      finally prev match {
-        case Some(v) => spark.conf.set(OverwriteModeKey, v)
-        case None    => spark.conf.unset(OverwriteModeKey)
-      }
-    case None => commit(read.repartition(target))
+      val all = readParts(manifest(currentOrThrow), None)
+      commitPartitioned(all.repartition(target, col(PartCol)), replaced = allMonths)
+    case None => commitFull(read.repartition(target))
   }
 
   private def rm(f: File): Unit = {
@@ -237,10 +303,11 @@ object CdcTable {
   /** Derived hive partition column (month bucket of the source ts col). */
   val PartCol = "__part_month"
 
-  /** Pointer file naming the live version (unpartitioned layout). */
+  /** Pointer file naming the live version. */
   val CurrentPointer = "_current"
 
-  private val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+  /** Per-version month -> data-directory map (partitioned layout). */
+  val ManifestName = "manifest.tsv"
 
   /** The reference's partition-column heuristic
     * (incremental_kafka_s3_cdc.py:212-213): a non-nullable date/timestamp

@@ -88,8 +88,8 @@ class CdcTableSpec extends SparkSpec {
       (3L, "mar", ts("2024-03-10 00:00:00"), 1L)
     ).toDF("id", "v", "created_at", "ts"))
 
-    val febFilesBefore = partFiles(path, "2024-02")
-    val marFilesBefore = partFiles(path, "2024-03")
+    val febFilesBefore = partFiles(t, "2024-02")
+    val marFilesBefore = partFiles(t, "2024-03")
 
     // batch touches only January
     t.merge(
@@ -99,8 +99,8 @@ class CdcTableSpec extends SparkSpec {
       "ts")
 
     // untouched partitions: same physical files (copy-on-write pruning)
-    assert(partFiles(path, "2024-02") == febFilesBefore)
-    assert(partFiles(path, "2024-03") == marFilesBefore)
+    assert(partFiles(t, "2024-02") == febFilesBefore)
+    assert(partFiles(t, "2024-03") == marFilesBefore)
     val got = t.read.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
     assert(got == Seq((1L, "jan2"), (2L, "feb"), (3L, "mar"), (4L, "jan-new")))
   }
@@ -123,7 +123,7 @@ class CdcTableSpec extends SparkSpec {
     assert(t.read.filter(col("id") === 1L).count() == 1)
   }
 
-  test("moved partition key: sole row of a partition moving away removes the stale partition dir") {
+  test("moved partition key: sole row of a partition moving away drops the month from the manifest") {
     val path = tmpDir("cdcmove2") + "/t"
     val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"))
     t.init(Seq((1L, "jan", ts("2024-01-10 00:00:00"), 1L))
@@ -134,7 +134,63 @@ class CdcTableSpec extends SparkSpec {
       "ts")
     assert(t.read.count() == 1)
     assert(t.read.select("v").as[String].head() == "feb")
-    assert(!new java.io.File(s"$path/${CdcTable.PartCol}=2024-01").exists())
+    // the live manifest no longer references January at all
+    assert(t.manifest(t.currentVersion.get).map(_._1) == Seq("2024-02"))
+  }
+
+  test("partitioned time travel: old manifests still resolve pre-merge content") {
+    val path = tmpDir("cdcpttt") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"))
+    t.init(Seq(
+      (1L, "jan", ts("2024-01-10 00:00:00"), 1L),
+      (2L, "feb", ts("2024-02-10 00:00:00"), 1L)
+    ).toDF("id", "v", "created_at", "ts"))
+    t.merge(Seq((1L, "jan2", ts("2024-01-10 00:00:00"), 2L, "u"))
+      .toDF("id", "v", "created_at", "ts", "__op"), "ts")
+    assert(t.currentVersion.contains(2L))
+    // v1 still reads the original January row; v2 the merged one; the
+    // untouched February files serve both versions from the same commit dir
+    assert(t.readVersion(1L).filter($"id" === 1L).select("v").as[String].head() == "jan")
+    assert(t.read.filter($"id" === 1L).select("v").as[String].head() == "jan2")
+    assert(t.manifest(1L).toMap.apply("2024-02") == t.manifest(2L).toMap.apply("2024-02"))
+  }
+
+  test("partitioned crash recovery: orphan commit dir + manifest (no pointer move) are invisible and GC'd") {
+    val path = tmpDir("cdcptcrash") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"))
+    t.init(Seq((1L, "jan", ts("2024-01-10 00:00:00"), 1L))
+      .toDF("id", "v", "created_at", "ts"))
+    // simulate a commit that wrote data + manifest but crashed before the
+    // pointer rename: a future-numbered commit dir and version dir
+    Seq((9L, "junk", ts("2024-09-01 00:00:00"), 9L)).toDF("id", "v", "created_at", "ts")
+      .write.parquet(s"$path/c00000099/${CdcTable.PartCol}=2024-09")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$path/v00000099"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/v00000099/${CdcTable.ManifestName}"),
+      s"2024-09\tc00000099/${CdcTable.PartCol}=2024-09")
+    // reads ignore the orphan entirely (pointer-driven resolution)
+    assert(t.read.select("id").as[Long].collect().toSeq == Seq(1L))
+    // the next successful commit proceeds from the pointer; expiry removes
+    // the unreachable orphan version AND its unreferenced commit dir
+    t.merge(Seq((2L, "b", ts("2024-01-20 00:00:00"), 2L, "c"))
+      .toDF("id", "v", "created_at", "ts", "__op"), "ts")
+    assert(t.currentVersion.contains(2L))
+    assert(!new java.io.File(s"$path/v00000099").exists())
+    assert(!new java.io.File(s"$path/c00000099").exists())
+    assert(t.read.orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L))
+  }
+
+  test("partitioned append adds manifest entries without rewriting; compact folds them back") {
+    val path = tmpDir("cdcptappend") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"))
+    t.init(Seq((1L, "a", ts("2024-01-10 00:00:00"), 1L)).toDF("id", "v", "created_at", "ts"))
+    t.append(Seq((2L, "b", ts("2024-01-11 00:00:00"), 1L)).toDF("id", "v", "created_at", "ts"))
+    // January now spans two commit dirs (no rewrite of the first batch)
+    assert(t.manifest(t.currentVersion.get).count(_._1 == "2024-01") == 2)
+    assert(t.read.orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L))
+    t.compact(1)
+    assert(t.manifest(t.currentVersion.get).count(_._1 == "2024-01") == 1)
+    assert(t.read.orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L))
   }
 
   test("delete arriving with a different month than the stored row still deletes") {
@@ -164,8 +220,14 @@ class CdcTableSpec extends SparkSpec {
     assert(t.read.orderBy("id").collect().toSeq == before)
   }
 
-  private def partFiles(path: String, month: String): Set[String] = {
-    val d = new java.io.File(s"$path/${CdcTable.PartCol}=$month")
-    Option(d.listFiles()).map(_.map(f => f.getName + ":" + f.lastModified()).toSet).getOrElse(Set.empty)
+  /** Physical files currently serving `month`, resolved via the live
+    * manifest (the commit-dir paths change per version; identity of the
+    * untouched files should not).
+    */
+  private def partFiles(t: CdcTable, month: String): Set[String] = {
+    t.manifest(t.currentVersion.get).filter(_._1 == month).flatMap { case (_, rel) =>
+      val d = new java.io.File(t.path, rel)
+      Option(d.listFiles()).toSeq.flatten.map(f => f.getPath + ":" + f.lastModified())
+    }.toSet
   }
 }

@@ -69,8 +69,10 @@ class MergeIntoSpec extends SparkSpec {
     val table = MergeInto.execute(spark, sql, src, _ => s"$root/t")
     assert(table.read.orderBy("id").select("v").as[String].collect().toSeq ==
       Seq("jan", "feb"))
-    // hive month layout proves the conjunct routed to the partitioned table
-    assert(new java.io.File(s"$root/t/${CdcTable.PartCol}=2024-02").exists())
+    // the manifest gaining a February month proves the conjunct routed to
+    // the partitioned (month-manifested) table layout
+    assert(table.manifest(table.currentVersion.get).map(_._1).sorted ==
+      Seq("2024-01", "2024-02"))
   }
 
   test("keyless fallback: INSERT INTO appends, duplicates kept, __op not consumed") {
