@@ -390,7 +390,55 @@ object OlapQueries extends QueryPack {
         |  AND NOT EXISTS (
         |    SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
-        |GROUP BY CAST(c_nationkey % 5 AS BIGINT)""".stripMargin))
+        |GROUP BY CAST(c_nationkey % 5 AS BIGINT)""".stripMargin)),
+
+    // TPC-H Q11 shape: important-stock identification — per-part value
+    // held by one nation's suppliers, kept only when it exceeds a fixed
+    // fraction of the grand total (lineitem revenue stands in for the
+    // missing partsupp cost*qty). The uncorrelated total is one scalar
+    // subquery (a broadcast single row) computing 2x the average
+    // per-part share, so the selectivity survives any scale factor (the
+    // official query scales its fraction by 1/SF for the same reason);
+    // all aggregates are exact decimal sums cast to double, so the
+    // strict threshold compare is bit-identical across engines.
+    "q11_important_stock" -> ((s, dir) => sql(s, dir,
+      """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY l_partkey
+        |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) >
+        |  (SELECT 2.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(DISTINCT l_partkey)
+        |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey WHERE s_nationkey = 3)""".stripMargin)),
+
+    // TPC-H Q16 shape: parts/supplier relationship count — distinct
+    // suppliers per part attribute group with a NOT-IN supplier
+    // exclusion (negative balance stands in for the complaints LIKE; no
+    // s_comment column). NOT IN over a non-null key column becomes a
+    // broadcast anti join; the distinct count is two-phase at scale.
+    "q16_parts_supplier" -> ((s, dir) => sql(s, dir,
+      """SELECT p_type, CAST(p_size AS BIGINT) AS p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_type, CAST(p_size AS BIGINT)""".stripMargin)),
+
+    // TPC-H Q20 shape: potential part promotion — nation-filtered
+    // suppliers who moved more than a threshold quantity of a
+    // name-matched part family in one year (the grouped-HAVING IN stands
+    // in for the partsupp availability correlate). Chain: dimension
+    // filters push into both scans, the IN becomes a semi join against
+    // the grouped fact.
+    "q20_excess_suppliers" -> ((s, dir) => sql(s, dir,
+      """SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey
+        |    FROM lineitem JOIN part ON p_partkey = l_partkey
+        |    WHERE p_name LIKE 'small%'
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_suppkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(50 AS DECIMAL(12,2)))""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -679,6 +727,34 @@ object OlapQueries extends QueryPack {
         |    FROM orders) WHERE rn = 1)
         |SELECT e.event_id, e.user_id, e.ts2, od.o_orderkey, od.o_totalprice
         |FROM e ASOF LEFT JOIN od
-        |  ON e.user_id = od.user_id AND e.ts2 >= od.o_orderdate""".stripMargin
+        |  ON e.user_id = od.user_id AND e.ts2 >= od.o_orderdate""".stripMargin,
+
+    "q11_important_stock" ->
+      """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY l_partkey
+        |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) >
+        |  (SELECT 2.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(DISTINCT l_partkey)
+        |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey WHERE s_nationkey = 3)""".stripMargin,
+
+    "q16_parts_supplier" ->
+      """SELECT p_type, CAST(p_size AS BIGINT) AS p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_type, CAST(p_size AS BIGINT)""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey
+        |    FROM lineitem JOIN part ON p_partkey = l_partkey
+        |    WHERE p_name LIKE 'small%'
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_suppkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(50 AS DECIMAL(12,2)))""".stripMargin
   )
 }
