@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape guards: the properties that make the query surface hold at
+  * 100 TB are asserted here against the actual physical plans, so a
+  * refactor that silently de-broadcasts a dimension, un-pushes a filter,
+  * reintroduces a global sort, or degrades a banded join to all-pairs
+  * fails the suite — not just the benchmark.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("star-join dimensions broadcast (q5 shape)") {
+    assert(plan("q5_local_supplier").contains("BroadcastHashJoin"))
+  }
+
+  test("scan predicates reach the parquet reader as pushed filters (q6 shape)") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("l_shipdate"), "date range must be pushed into the lineitem scan")
+  }
+
+  test("projection prunes the scan schema to referenced columns") {
+    val p = plan("q6_forecast_revenue")
+    // ReadSchema carries only the four referenced lineitem columns — a
+    // scan reading the full row width for a narrow aggregate is wrong
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_shipdate") && read.contains("l_discount"))
+    assert(!read.contains("l_comment") && !read.contains("l_orderkey"))
+  }
+
+  test("scale-safe bucketing has no global sort; the ntile baseline funnels one partition") {
+    // the sketch-based form assigns buckets with no Window operator and
+    // no global-sort exchange anywhere in the plan; the exact-ntile
+    // baseline shows the anti-pattern it replaces: an unpartitioned
+    // Window fed through Exchange SinglePartition
+    val sketch = plan("x_bucket_boundaries").toLowerCase
+    assert(!sketch.contains("rangepartitioning"))
+    assert(!sketch.contains(" window"))
+    val ntile = plan("x_ntile_bucketing").toLowerCase
+    assert(ntile.contains(" window") && ntile.contains("singlepartition"))
+  }
+
+  test("banded similarity paths never degrade to a cartesian join") {
+    Seq("x_dedup_embedding", "x_ann_lsh", "x_ann_multiprobe", "x_dedup_minhash_lsh")
+      .foreach { n =>
+        assert(!plan(n).contains("CartesianProduct"),
+          s"$n must generate candidates via the band equi-join, not all-pairs")
+      }
+  }
+
+  test("decontamination probes the eval set through a broadcast, not a shuffle of the corpus side") {
+    val p = plan("x_decontamination")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+}
