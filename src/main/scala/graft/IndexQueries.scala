@@ -1,0 +1,391 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Index-accelerated scale operators: a k-means-trained IVF coarse
+  * quantizer for ANN (replacing the data's given `label` column with
+  * learned lists + multi-list probing), corpus-level line/segment
+  * deduplication (the CCNet/Gopher-style boilerplate pass), and a
+  * Bloom-filter semi-join pruning harness.
+  *
+  * Scale design:
+  *  - k-means runs as unrolled Lloyd rounds — each round is one
+  *    vectors-x-centroids broadcast join (k rows broadcast, never a
+  *    shuffle of the corpus) plus one per-dimension aggregation that
+  *    combines map-side. At 100 TB the centroid table stays tiny (k x
+  *    dims), so training cost is O(rounds) corpus scans and search cost
+  *    is bounded by the probed lists, never the corpus.
+  *  - line dedup is one hash groupBy on an 8-byte segment hash (map-side
+  *    combinable) plus one equi-join back — the standard corpus
+  *    boilerplate pass shape.
+  *  - the Bloom harness builds a fixed 65536-bit filter (2048 x 32-bit
+  *    words) from the small side and probes the big side through it; at
+  *    100 TB the filter broadcasts and the probe is map-side, replacing
+  *    a full shuffle semi-join with a scan-local filter. The query
+  *    value-checks the filter's soundness (zero false negatives) and
+  *    reports the measured false-positive rate.
+  *
+  * Determinism across engines (see graft-determinism conventions):
+  * integer-quantized embeddings, integer dot products, centroid means
+  * re-quantized to BIGINT through a single IEEE division + floor, 60-bit
+  * md5 hashes for segments and Bloom positions, total-ordered windows.
+  */
+object IndexQueries extends QueryPack {
+  import TextQueries.{h64, duckH64}
+
+  private def docs(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(sql)
+  }
+
+  private def embs(s: SparkSession, dir: String, sql: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql(sql)
+  }
+
+  private def ordersLineitem(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(sql)
+  }
+
+  // ---------------------------------------------------------------------
+  // k-means IVF: quantized vectors -> 16 deterministic seeds -> two
+  // unrolled Lloyd rounds -> final assignment `af` + trained centroids
+  // `c2`. Seeds are every ceil(n/16)-th vector in vec_id order, so the
+  // same 16 rows seed both engines at any scale factor. Assignment
+  // minimizes ||x-c||^2 = x.x - 2 x.c + c.c (x.x constant per x, so the
+  // argmin needs only the last two integer terms); ties break on cid.
+  // Updated centroids re-quantize to integers via one IEEE division and
+  // floor(+0.5), keeping every later dot product exact.
+  // ---------------------------------------------------------------------
+  private val sparkQuantV =
+    """q AS (SELECT vec_id, label, transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
+      |v AS (SELECT vec_id, label, qe, dot_i64(qe, qe) AS nrm FROM q)""".stripMargin
+
+  private val duckQuantV =
+    """q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM embeddings),
+      |v AS (SELECT vec_id, label, qe, CAST(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) AS BIGINT) AS nrm FROM q)""".stripMargin
+
+  /** One Spark Lloyd assignment CTE: nearest centroid in `cent` for every
+    * row of `v` (broadcastable k-row side; integer distance terms).
+    */
+  private def sparkAssign(name: String, cent: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, qe, cid FROM (
+       |    SELECT v.vec_id, v.qe, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY dot_i64(c.ce, c.ce) - 2 * dot_i64(v.qe, c.ce), c.cid) AS rnk
+       |    FROM v CROSS JOIN $cent c) WHERE rnk = 1)""".stripMargin
+
+  private def duckAssign(name: String, cent: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, qe, cid FROM (
+       |    SELECT v.vec_id, v.qe, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY CAST(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT)
+       |          - 2 * CAST(list_dot_product(v.qe::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT), c.cid) AS rnk
+       |    FROM v CROSS JOIN $cent c) WHERE rnk = 1)""".stripMargin
+
+  /** One Spark centroid-update CTE pair: per-dimension integer means of
+    * the members assigned in `asg`, folded back into a k-row array table.
+    */
+  private def sparkUpdate(exp: String, mean: String, out: String, asg: String): String =
+    s"""$exp AS (SELECT cid, d, x FROM $asg LATERAL VIEW posexplode(qe) t AS d, x),
+       |$mean AS (SELECT cid, d, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m
+       |  FROM $exp GROUP BY cid, d),
+       |$out AS (SELECT cid, transform(array_sort(collect_list(struct(d, m))), s -> s.m) AS ce
+       |  FROM $mean GROUP BY cid)""".stripMargin
+
+  private def duckUpdate(exp: String, mean: String, out: String, asg: String): String =
+    s"""$exp AS (SELECT cid, qe, unnest(generate_series(1, 64)) AS i FROM $asg),
+       |$mean AS (SELECT cid, i - 1 AS d, CAST(floor(CAST(sum(qe[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m
+       |  FROM $exp GROUP BY cid, i),
+       |$out AS (SELECT cid, array_agg(m ORDER BY d) AS ce FROM $mean GROUP BY cid)""".stripMargin
+
+  /** Full Spark training chain: seeds -> (assign, update) x2 -> final
+    * assignment `af` over trained centroids `c2`. Seeds are the 16
+    * vectors with the smallest salted hash — a deterministic
+    * pseudo-random pick that plans as a map-side-combinable top-k
+    * (TakeOrdered), never a global sort; the tiny 16-row window that
+    * numbers them is the only window in the chain.
+    */
+  private val sparkKmeans =
+    s"""sd AS (SELECT vec_id, qe, ${h64("concat('seed_', vec_id)")} AS hv
+       |  FROM v ORDER BY hv, vec_id LIMIT 16),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) - 1 AS BIGINT) AS cid, qe AS ce FROM sd),
+       |${sparkAssign("a1", "c0")},
+       |${sparkUpdate("e1", "m1", "c1", "a1")},
+       |${sparkAssign("a2", "c1")},
+       |${sparkUpdate("e2", "m2", "c2", "a2")},
+       |${sparkAssign("af", "c2")}""".stripMargin
+
+  private val duckKmeans =
+    s"""sd AS (SELECT vec_id, qe, ${duckH64("'seed_' || vec_id::VARCHAR")} AS hv
+       |  FROM v ORDER BY hv, vec_id LIMIT 16),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) - 1 AS BIGINT) AS cid, qe AS ce FROM sd),
+       |${duckAssign("a1", "c0")},
+       |${duckUpdate("e1", "m1", "c1", "a1")},
+       |${duckAssign("a2", "c1")},
+       |${duckUpdate("e2", "m2", "c2", "a2")},
+       |${duckAssign("af", "c2")}""".stripMargin
+
+  // Query-side probing: each query (every-50th vector) probes its
+  // nprobe=3 nearest trained centroids; candidates are the probed lists'
+  // members, reranked by exact cosine.
+  private val sparkKmeansScored =
+    s"""$sparkKmeans,
+       |probes AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT qv.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY qv.vec_id
+       |        ORDER BY dot_i64(c.ce, c.ce) - 2 * dot_i64(qv.qe, c.ce), c.cid) AS rnk
+       |    FROM (SELECT * FROM v WHERE vec_id % 50 = 0) qv CROSS JOIN c2 c) WHERE rnk <= 3),
+       |cand AS (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN af a ON a.cid = p.cid AND a.vec_id != p.vec_id),
+       |pairs AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    dot_i64(qv.qe, nv.qe) AS dot, qv.nrm AS n1, nv.nrm AS n2
+       |  FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+       |              JOIN v nv ON nv.vec_id = c.neighbor_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+       |  FROM pairs)""".stripMargin
+
+  private val duckKmeansScored =
+    s"""$duckKmeans,
+       |probes AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT qv.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY qv.vec_id
+       |        ORDER BY CAST(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT)
+       |          - 2 * CAST(list_dot_product(qv.qe::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT), c.cid) AS rnk
+       |    FROM (SELECT * FROM v WHERE vec_id % 50 = 0) qv CROSS JOIN c2 c) WHERE rnk <= 3),
+       |cand AS (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN af a ON a.cid = p.cid AND a.vec_id != p.vec_id),
+       |pairs AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(list_dot_product(qv.qe::DOUBLE[], nv.qe::DOUBLE[]) AS BIGINT) AS dot,
+       |    qv.nrm AS n1, nv.nrm AS n2
+       |  FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+       |              JOIN v nv ON nv.vec_id = c.neighbor_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+       |  FROM pairs)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // k-means-trained IVF ANN: top-5 by exact cosine within the nprobe=3
+    // probed lists. The trained-quantizer upgrade of x_ann_ivf (whose
+    // given-label lists have no geometric meaning — recall 0.08): same
+    // partition-bounded probe cost shape, learned lists.
+    "x_ann_ivf_kmeans" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuantV,
+         |$sparkKmeansScored
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin)),
+
+    // Recall + scan-cost row for the k-means IVF: recall@5 vs brute force
+    // and the fraction of the corpus scanned — the fourth point on the
+    // ANN operating-point dashboard (vs single-probe LSH 0.62/0.24,
+    // multi-probe LSH 0.84/0.43, label-IVF 0.08/~0.1).
+    "x_ann_recall_kmeans" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuantV,
+         |$sparkKmeansScored,
+         |ivf_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM scored) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
+         |    CAST(dot_i64(q2.qe, v2.qe) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
+         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  JOIN v v2 ON q2.vec_id != v2.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN ivf_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id),
+         |scan AS (SELECT count(*) AS n_cand FROM cand),
+         |corpus AS (SELECT count(*) AS n FROM v)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5,
+         |  CAST(max(s.n_cand) AS BIGINT) AS n_candidates,
+         |  CAST(max(s.n_cand) AS DOUBLE) / (count(*) * (max(c.n) - 1)) AS scanned_frac
+         |FROM hits CROSS JOIN scan s CROSS JOIN corpus c""".stripMargin)),
+
+    // Corpus line-level exact dedup (the CCNet/Gopher boilerplate pass):
+    // documents split into non-overlapping 8-word segments, each hashed
+    // to 60 bits; a segment is boilerplate when its hash occurs >= 2
+    // times corpus-wide. Per doc: segment count, duplicated-segment
+    // count/fraction, and the keep verdict. One map-side-combinable
+    // groupBy on the hash + one equi-join back — no shuffle of text.
+    "x_line_dedup" -> ((s, dir) => docs(s, dir,
+      s"""WITH w AS (
+         |  SELECT doc_id, split(text, '\\\\s+') AS words
+         |  FROM documents WHERE size(split(text, '\\\\s+')) >= 8),
+         |l AS (
+         |  SELECT doc_id, explode(transform(sequence(0, size(words) DIV 8 - 1),
+         |    k -> ${h64("concat_ws(' ', slice(words, k * 8 + 1, 8))")})) AS lh
+         |  FROM w),
+         |g AS (SELECT lh, count(*) AS c FROM l GROUP BY lh)
+         |SELECT l.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+         |  CAST(sum(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac,
+         |  CAST(sum(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.3 AS keep
+         |FROM l JOIN g ON g.lh = l.lh
+         |GROUP BY l.doc_id""".stripMargin)),
+
+    // Bloom-filter semi-join pruning: the filter (65536 bits as 2048
+    // 32-bit words, 2 salted hash probes per key) is built from the
+    // selective side (orders placed since 1998-06-01) and probes distinct
+    // lineitem order keys. Emits the soundness row: every true member
+    // passes (n_missed = 0 — Bloom filters have no false negatives), plus
+    // the measured false-positive count/rate against the exact semi-join.
+    "x_bloom_prune" -> ((s, dir) => ordersLineitem(s, dir,
+      s"""WITH sel AS (
+         |  SELECT o_orderkey FROM orders WHERE o_orderdate >= DATE '1998-06-01'),
+         |build AS (
+         |  SELECT pmod(${h64("concat('b1_', o_orderkey)")}, 65536) AS pos FROM sel
+         |  UNION ALL
+         |  SELECT pmod(${h64("concat('b2_', o_orderkey)")}, 65536) AS pos FROM sel),
+         |bloom AS (
+         |  SELECT CAST(pos DIV 32 AS BIGINT) AS w,
+         |    CAST(bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))) AS BIGINT) AS word
+         |  FROM build GROUP BY pos DIV 32),
+         |keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+         |probe AS (
+         |  SELECT l_orderkey, pmod(${h64("concat('b1_', l_orderkey)")}, 65536) AS pos FROM keys
+         |  UNION ALL
+         |  SELECT l_orderkey, pmod(${h64("concat('b2_', l_orderkey)")}, 65536) AS pos FROM keys),
+         |checked AS (
+         |  SELECT p.l_orderkey,
+         |    min(CASE WHEN b.word IS NOT NULL
+         |             AND (b.word & shiftleft(CAST(1 AS BIGINT), CAST(p.pos % 32 AS INT))) != 0
+         |        THEN 1 ELSE 0 END) AS pass
+         |  FROM probe p LEFT JOIN bloom b ON b.w = p.pos DIV 32
+         |  GROUP BY p.l_orderkey),
+         |truth AS (
+         |  SELECT k.l_orderkey, CASE WHEN s.o_orderkey IS NULL THEN 0 ELSE 1 END AS member
+         |  FROM keys k LEFT JOIN sel s ON s.o_orderkey = k.l_orderkey)
+         |SELECT
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(t.member) AS BIGINT) AS n_members,
+         |  CAST(sum(c.pass) AS BIGINT) AS n_bloom_pass,
+         |  CAST(sum(CASE WHEN t.member = 1 AND c.pass = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+         |  CAST(sum(CASE WHEN t.member = 0 AND c.pass = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         |  CAST(sum(CASE WHEN t.member = 0 AND c.pass = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / sum(CASE WHEN t.member = 0 THEN 1 ELSE 0 END) AS false_pos_rate
+         |FROM checked c JOIN truth t ON t.l_orderkey = c.l_orderkey""".stripMargin))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "x_ann_ivf_kmeans" ->
+      s"""WITH $duckQuantV,
+         |$duckKmeansScored
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "x_ann_recall_kmeans" ->
+      s"""WITH $duckQuantV,
+         |$duckKmeansScored,
+         |ivf_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM scored) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(q2.qe::DOUBLE[], v2.qe::DOUBLE[]) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
+         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  JOIN v v2 ON q2.vec_id != v2.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN ivf_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id),
+         |scan AS (SELECT count(*) AS n_cand FROM cand),
+         |corpus AS (SELECT count(*) AS n FROM v)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5,
+         |  CAST(max(s.n_cand) AS BIGINT) AS n_candidates,
+         |  CAST(max(s.n_cand) AS DOUBLE) / (count(*) * (max(c.n) - 1)) AS scanned_frac
+         |FROM hits CROSS JOIN scan s CROSS JOIN corpus c""".stripMargin,
+
+    "x_line_dedup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS words
+         |  FROM documents WHERE len(string_split_regex(text, '\\s+')) >= 8),
+         |idx AS (SELECT doc_id, words, unnest(generate_series(0, len(words) // 8 - 1)) AS k FROM w),
+         |l AS (SELECT doc_id,
+         |  ${duckH64("array_to_string(list_slice(words, k * 8 + 1, k * 8 + 8), ' ')")} AS lh
+         |  FROM idx),
+         |g AS (SELECT lh, count(*) AS c FROM l GROUP BY lh)
+         |SELECT l.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+         |  CAST(sum(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac,
+         |  CAST(sum(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.3 AS keep
+         |FROM l JOIN g ON g.lh = l.lh
+         |GROUP BY l.doc_id""".stripMargin,
+
+    "x_bloom_prune" ->
+      s"""WITH sel AS (
+         |  SELECT o_orderkey FROM orders WHERE o_orderdate >= DATE '1998-06-01'),
+         |build AS (
+         |  SELECT ${duckH64("'b1_' || o_orderkey::VARCHAR")} % 65536 AS pos FROM sel
+         |  UNION ALL
+         |  SELECT ${duckH64("'b2_' || o_orderkey::VARCHAR")} % 65536 AS pos FROM sel),
+         |bloom AS (
+         |  SELECT CAST(pos // 32 AS BIGINT) AS w,
+         |    CAST(bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS BIGINT) AS word
+         |  FROM build GROUP BY pos // 32),
+         |keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+         |probe AS (
+         |  SELECT l_orderkey, ${duckH64("'b1_' || l_orderkey::VARCHAR")} % 65536 AS pos FROM keys
+         |  UNION ALL
+         |  SELECT l_orderkey, ${duckH64("'b2_' || l_orderkey::VARCHAR")} % 65536 AS pos FROM keys),
+         |checked AS (
+         |  SELECT p.l_orderkey,
+         |    min(CASE WHEN b.word IS NOT NULL
+         |             AND (b.word & (1::BIGINT << CAST(p.pos % 32 AS INT))) != 0
+         |        THEN 1 ELSE 0 END) AS pass
+         |  FROM probe p LEFT JOIN bloom b ON b.w = p.pos // 32
+         |  GROUP BY p.l_orderkey),
+         |truth AS (
+         |  SELECT k.l_orderkey, CASE WHEN s.o_orderkey IS NULL THEN 0 ELSE 1 END AS member
+         |  FROM keys k LEFT JOIN sel s ON s.o_orderkey = k.l_orderkey)
+         |SELECT
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(t.member) AS BIGINT) AS n_members,
+         |  CAST(sum(c.pass) AS BIGINT) AS n_bloom_pass,
+         |  CAST(sum(CASE WHEN t.member = 1 AND c.pass = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+         |  CAST(sum(CASE WHEN t.member = 0 AND c.pass = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         |  CAST(sum(CASE WHEN t.member = 0 AND c.pass = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / sum(CASE WHEN t.member = 0 THEN 1 ELSE 0 END) AS false_pos_rate
+         |FROM checked c JOIN truth t ON t.l_orderkey = c.l_orderkey""".stripMargin
+  )
+}

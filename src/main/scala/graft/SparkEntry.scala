@@ -17,7 +17,8 @@ object SparkEntry {
     OlapQueries,
     TextQueries,
     SimilarityQueries,
-    PipelineQueries
+    PipelineQueries,
+    IndexQueries
   )
 
   /** Flagship: the full CDC slice on sf0.001 — synthesize the Debezium
