@@ -53,8 +53,9 @@ object IndexQueries extends QueryPack {
   // ---------------------------------------------------------------------
   // k-means IVF: quantized vectors -> 16 deterministic seeds -> two
   // unrolled Lloyd rounds -> final assignment `af` + trained centroids
-  // `c2`. Seeds are every ceil(n/16)-th vector in vec_id order, so the
-  // same 16 rows seed both engines at any scale factor. Assignment
+  // `c2`. Seeds are the 16 vectors with the smallest salted hash
+  // (`sd` CTE; see sparkKmeans), so the same pseudo-random 16 rows seed
+  // both engines at any scale factor. Assignment
   // minimizes ||x-c||^2 = x.x - 2 x.c + c.c (x.x constant per x, so the
   // argmin needs only the last two integer terms); ties break on cid.
   // Updated centroids re-quantize to integers via one IEEE division and
@@ -99,7 +100,7 @@ object IndexQueries extends QueryPack {
        |  FROM $mean GROUP BY cid)""".stripMargin
 
   private def duckUpdate(exp: String, mean: String, out: String, asg: String): String =
-    s"""$exp AS (SELECT cid, qe, unnest(generate_series(1, 64)) AS i FROM $asg),
+    s"""$exp AS (SELECT cid, qe, unnest(generate_series(1, len(qe))) AS i FROM $asg),
        |$mean AS (SELECT cid, i - 1 AS d, CAST(floor(CAST(sum(qe[i]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS m
        |  FROM $exp GROUP BY cid, i),
        |$out AS (SELECT cid, array_agg(m ORDER BY d) AS ce FROM $mean GROUP BY cid)""".stripMargin

@@ -71,7 +71,24 @@ final class CdcTable(
       .filter(f => f.isDirectory && f.getName.matches("v\\d{8}"))
       .map(_.getName.stripPrefix("v").toLong).sorted.toSeq
 
-  private def exists: Boolean = pointer.exists()
+  /** Pointer-based existence, with a loud failure for pre-versioning
+    * layouts: a directory holding hive partition dirs or bare parquet at
+    * the root (no `_current`) is data this protocol cannot see — silently
+    * bootstrapping a fresh table beside it would orphan the old rows.
+    */
+  private def exists: Boolean =
+    if (pointer.exists()) true
+    else {
+      val legacy = Option(new File(path).listFiles()).getOrElse(Array.empty)
+        .exists(f => (f.isDirectory && f.getName.contains("=")) ||
+          (f.isFile && f.getName.endsWith(".parquet")))
+      if (legacy)
+        throw new IllegalStateException(
+          s"$path holds a pre-versioning (hive-at-root) table: no $CurrentPointer " +
+            "pointer but data files at the root. Migrate it (read the old layout, " +
+            "init() a fresh CdcTable elsewhere) instead of writing through this one.")
+      false
+    }
 
   private def currentOrThrow: Long =
     currentVersion.getOrElse(
@@ -214,15 +231,29 @@ final class CdcTable(
   /** Keyless append (reference K3/K4). Partitioned: a new commit dir per
     * batch whose months ADD manifest entries (no month is replaced — a
     * month can span many commit dirs until compaction folds them).
-    * Unpartitioned: new part-files land in the live version directory via
-    * Spark's staged committer (each file atomic; no table rewrite).
+    * Unpartitioned: a new version directory that hard-links the previous
+    * version's data files (metadata-only, no data copy) and appends the
+    * batch's part-files beside them — so the batch commits through the
+    * same atomic-pointer protocol, prior versions stay byte-immutable for
+    * time travel, and a crashed append leaves only a pointer-unreachable
+    * orphan that [[expire]] collects.
     */
   def append(df: DataFrame): Unit = partitionSource match {
     case Some(_) =>
       commitPartitioned(withPart(df), replaced = Set.empty)
     case None =>
       if (!exists) init(df)
-      else df.write.mode(SaveMode.Append).parquet(versionDir(currentOrThrow).getPath)
+      else {
+        val next = currentOrThrow + 1
+        val nd = versionDir(next)
+        rm(nd) // clear any orphan a crashed earlier append left behind
+        nd.mkdirs()
+        Option(versionDir(currentOrThrow).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .foreach(f => Files.createLink(nd.toPath.resolve(f.getName), f.toPath): Unit)
+        df.write.mode(SaveMode.Append).parquet(nd.getPath)
+        commitPointer(next)
+      }
   }
 
   private def withPart(df: DataFrame): DataFrame = partitionSource match {

@@ -209,6 +209,36 @@ class CdcTableSpec extends SparkSpec {
     assert(t.read.select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("unpartitioned append commits a new version; prior snapshots stay immutable") {
+    val path = tmpDir("cdcappendver") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"))
+    t.init(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+    val v1 = t.currentVersion.get
+    val snapshotBefore = t.readVersion(v1).orderBy("id").collect().toSeq
+    t.append(Seq((2L, "b", 2L)).toDF("id", "v", "ts"))
+    // the append is a NEW version; v1 (and any reader holding it) is untouched
+    assert(t.currentVersion.contains(v1 + 1))
+    assert(t.readVersion(v1).orderBy("id").collect().toSeq == snapshotBefore)
+    assert(t.read.orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L))
+    // hard links, not copies: the carried-over data file is the same inode
+    val f1 = new java.io.File(path, "v%08d".format(v1)).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val f2 = new java.io.File(path, "v%08d".format(v1 + 1)).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(f1.subsetOf(f2) && f2.size > f1.size)
+  }
+
+  test("pre-versioning hive-at-root layout fails loudly instead of bootstrapping beside it") {
+    val path = tmpDir("cdclegacy") + "/t"
+    // a legacy table: bare parquet at the root, no _current pointer
+    Seq((1L, "old", 1L)).toDF("id", "v", "ts").write.parquet(path)
+    val t = new CdcTable(spark, path, Seq("id"))
+    val e = intercept[IllegalStateException] {
+      t.merge(Seq((2L, "new", 2L, "c")).toDF("id", "v", "ts", "__op"), "ts")
+    }
+    assert(e.getMessage.contains("pre-versioning"))
+  }
+
   test("compaction rewrites to target file count, content unchanged") {
     val path = tmpDir("cdctable") + "/t"
     val t = new CdcTable(spark, path, Seq("id"))
