@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Retrieval-style document scoring over the `documents` table: TF-IDF
+  * term ranking, BM25 query scoring, character-level Shannon entropy, and
+  * a corpus-trained character-bigram language-model quality score (the
+  * perplexity-proxy filter of a training-data pipeline).
+  *
+  * Scale design: every query is one tokenize/explode scan plus hash
+  * aggregations that combine map-side. The model tables these queries
+  * train (document frequencies over a vocabulary, a char-bigram LM over
+  * <= |alphabet|^2 rows, corpus length stats) are tiny and broadcast back
+  * to the corpus-sized side — at 100 TB the corpus is never shuffled, only
+  * its aggregates are.
+  *
+  * Determinism across engines: the only non-exact primitive is `ln`,
+  * which may differ between Spark (Java) and DuckDB (C++) in the last
+  * ulp. Every `ln` is therefore quantized to integer micro-nats AT ITS
+  * SMALLEST CARDINALITY POINT — per vocabulary word (idf), per distinct
+  * count value (entropy), per bigram (LM) — where a last-ulp difference
+  * only matters if ln(x)*1e6 lands within ~1e-9 of a rounding boundary
+  * across a few hundred distinct values. All downstream arithmetic on the
+  * quantized values is integer (exact), or a single correctly-rounded
+  * IEEE division of exact integers (bit-identical in both engines).
+  */
+object RetrievalQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(sql)
+  }
+
+  // Whitespace tokenization, shared by tf-idf and BM25.
+  private val sparkTok =
+    """tok AS (
+      |  SELECT doc_id, word
+      |  FROM documents LATERAL VIEW explode(split(text, '\\s+')) t AS word
+      |  WHERE word != '')""".stripMargin
+
+  private val duckTok =
+    """tok AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+      |  WHERE word != '')""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TF-IDF: top-3 terms per document. df is one tiny vocabulary-sized
+    // aggregate joined back (broadcast at scale); idf quantized to
+    // micro-nats per word, scores are exact integer products.
+    "x_tfidf" -> ((s, dir) => docs(s, dir,
+      s"""WITH $sparkTok,
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+         |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |idf AS (SELECT word, df,
+         |  CAST(floor(ln((n + 1.0) / (df + 1.0)) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+         |  FROM df CROSS JOIN nd),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.word, tf.tf, i.df, tf.tf * i.idf_micro AS score_micro
+         |  FROM tf JOIN idf i ON i.word = tf.word)
+         |SELECT doc_id, word, tf, df, score_micro, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_micro DESC, word) AS BIGINT) AS rank
+         |  FROM scored) WHERE rank <= 3""".stripMargin)),
+
+    // BM25 (k1=1.2, b=0.75) of the fixed query {spark, merge, window}:
+    // top-20 documents. Doc-length normalization is a single
+    // correctly-rounded double expression over exact integers (identical
+    // in both engines); idf is per-term quantized.
+    "x_bm25" -> ((s, dir) => docs(s, dir,
+      s"""WITH $sparkTok,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS nd FROM dl),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+         |  WHERE word IN ('spark', 'merge', 'window') GROUP BY doc_id, word),
+         |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+         |idf AS (SELECT word,
+         |  CAST(floor(ln(1.0 + (s.nd - df + 0.5) / (df + 0.5)) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+         |  FROM df CROSS JOIN st s),
+         |parts AS (
+         |  SELECT tf.doc_id,
+         |    CAST(i.idf_micro AS DOUBLE) * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS part
+         |  FROM tf JOIN idf i ON i.word = tf.word
+         |          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st s),
+         |sc AS (SELECT doc_id, CAST(floor(sum(part) + 0.5) AS BIGINT) AS score_micro
+         |  FROM parts GROUP BY doc_id)
+         |SELECT doc_id, score_micro, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+         |  FROM sc) WHERE rank <= 20""".stripMargin)),
+
+    // Character-level Shannon entropy per document (micro-nats):
+    // H = ln(n) - sum(c*ln c)/n over exact integer counts, with ln
+    // quantized per distinct count value.
+    "x_char_entropy" -> ((s, dir) => docs(s, dir,
+      """WITH pos AS (
+        |  SELECT doc_id, substring(text, i, 1) AS ch
+        |  FROM documents LATERAL VIEW explode(sequence(1, length(text))) t AS i),
+        |cc AS (SELECT doc_id, ch, count(*) AS c FROM pos GROUP BY doc_id, ch),
+        |lnc AS (SELECT doc_id, c,
+        |  CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lnc_micro FROM cc),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(c * lnc_micro) AS BIGINT) AS s, count(*) AS n_distinct
+        |  FROM lnc GROUP BY doc_id)
+        |SELECT doc_id, n AS n_chars, CAST(n_distinct AS BIGINT) AS n_distinct_chars,
+        |  CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |    - CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS entropy_micro
+        |FROM agg""".stripMargin)),
+
+    // Corpus-trained character-bigram LM quality score: per-doc average
+    // negative log-probability (micro-nats) under P(c2|c1) =
+    // count(c1c2)/count(c1 .), plus a keep verdict. The LM table is
+    // <= |alphabet|^2 rows — a broadcast model at any corpus size.
+    "x_bigram_lm" -> ((s, dir) => docs(s, dir,
+      """WITH b AS (
+        |  SELECT doc_id, substring(text, i, 2) AS bg, substring(text, i, 1) AS c1
+        |  FROM documents LATERAL VIEW explode(sequence(1, length(text) - 1)) t AS i),
+        |cnt2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+        |cnt1 AS (SELECT c1, count(*) AS c1n FROM b GROUP BY c1),
+        |lm AS (
+        |  SELECT t2.bg,
+        |    CAST(floor(ln(CAST(t2.c2 AS DOUBLE) / t1.c1n) * 1000000 + 0.5) AS BIGINT) AS lp_micro
+        |  FROM cnt2 t2 JOIN cnt1 t1 ON t1.c1 = substring(t2.bg, 1, 1)),
+        |perdoc AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams, CAST(sum(lm.lp_micro) AS BIGINT) AS slp
+        |  FROM b JOIN lm ON lm.bg = b.bg
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(floor(CAST(0 - slp AS DOUBLE) / n_bigrams + 0.5) AS BIGINT) AS nll_micro,
+        |  CAST(floor(CAST(0 - slp AS DOUBLE) / n_bigrams + 0.5) AS BIGINT) <= 3500000 AS keep
+        |FROM perdoc""".stripMargin))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "x_tfidf" ->
+      s"""WITH $duckTok,
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+         |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |idf AS (SELECT word, df,
+         |  CAST(floor(ln((n + 1.0) / (df + 1.0)) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+         |  FROM df CROSS JOIN nd),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.word, tf.tf, i.df, tf.tf * i.idf_micro AS score_micro
+         |  FROM tf JOIN idf i ON i.word = tf.word)
+         |SELECT doc_id, word, tf, df, score_micro, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_micro DESC, word) AS rank
+         |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    "x_bm25" ->
+      s"""WITH $duckTok,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS nd FROM dl),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+         |  WHERE word IN ('spark', 'merge', 'window') GROUP BY doc_id, word),
+         |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+         |idf AS (SELECT word,
+         |  CAST(floor(ln(1.0 + (s.nd - df + 0.5) / (df + 0.5)) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+         |  FROM df CROSS JOIN st s),
+         |parts AS (
+         |  SELECT tf.doc_id,
+         |    CAST(i.idf_micro AS DOUBLE) * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS part
+         |  FROM tf JOIN idf i ON i.word = tf.word
+         |          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st s),
+         |sc AS (SELECT doc_id, CAST(floor(sum(part) + 0.5) AS BIGINT) AS score_micro
+         |  FROM parts GROUP BY doc_id)
+         |SELECT doc_id, score_micro, rank FROM (
+         |  SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+         |  FROM sc) WHERE rank <= 20""".stripMargin,
+
+    "x_char_entropy" ->
+      """WITH pos AS (
+        |  SELECT doc_id, substring(text, i, 1) AS ch FROM (
+        |    SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i FROM documents)),
+        |cc AS (SELECT doc_id, ch, count(*) AS c FROM pos GROUP BY doc_id, ch),
+        |lnc AS (SELECT doc_id, c,
+        |  CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lnc_micro FROM cc),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(c * lnc_micro) AS BIGINT) AS s, count(*) AS n_distinct
+        |  FROM lnc GROUP BY doc_id)
+        |SELECT doc_id, n AS n_chars, CAST(n_distinct AS BIGINT) AS n_distinct_chars,
+        |  CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |    - CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS entropy_micro
+        |FROM agg""".stripMargin,
+
+    "x_bigram_lm" ->
+      """WITH b AS (
+        |  SELECT doc_id, substring(text, i, 2) AS bg, substring(text, i, 1) AS c1 FROM (
+        |    SELECT doc_id, text, unnest(generate_series(1, len(text) - 1)) AS i FROM documents)),
+        |cnt2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+        |cnt1 AS (SELECT c1, count(*) AS c1n FROM b GROUP BY c1),
+        |lm AS (
+        |  SELECT t2.bg,
+        |    CAST(floor(ln(CAST(t2.c2 AS DOUBLE) / t1.c1n) * 1000000 + 0.5) AS BIGINT) AS lp_micro
+        |  FROM cnt2 t2 JOIN cnt1 t1 ON t1.c1 = substring(t2.bg, 1, 1)),
+        |perdoc AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams, CAST(sum(lm.lp_micro) AS BIGINT) AS slp
+        |  FROM b JOIN lm ON lm.bg = b.bg
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(floor(CAST(0 - slp AS DOUBLE) / n_bigrams + 0.5) AS BIGINT) AS nll_micro,
+        |  CAST(floor(CAST(0 - slp AS DOUBLE) / n_bigrams + 0.5) AS BIGINT) <= 3500000 AS keep
+        |FROM perdoc""".stripMargin
+  )
+}

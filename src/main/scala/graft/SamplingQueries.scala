@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sampling, skew-mitigation, semi-structured extraction, and iterative
+  * graph computation — the remaining data-pipeline shapes:
+  *
+  *  - deterministic weighted sampling (hash-priority, the exact-integer
+  *    stand-in for exponential/A-ES sampling) and per-stratum reservoir
+  *    sampling — both plan as top-k (TakeOrdered / windowed rank), never
+  *    a global sort of the corpus;
+  *  - salted two-phase aggregation: the skew-mitigation rewrite
+  *    (pre-aggregate on (key, salt), then re-aggregate on key) proven
+  *    equal to the direct groupBy by the oracle;
+  *  - JSON property extraction from a string column (events.props) into
+  *    typed aggregates — the semi-structured scan of a log pipeline;
+  *  - two unrolled power-iteration rounds of PageRank over the
+  *    supplier<->customer bipartite graph in exact integer arithmetic
+  *    (rank DIV out-degree, damping 85/100) — the iterative-computation
+  *    shape (like the unrolled k-means) with zero floating point.
+  *
+  * Scale notes: the samplers shuffle only (group, hash-rank) pairs; the
+  * salted agg bounds the biggest reduce task to 1/16 of the hottest key;
+  * PageRank's per-round cost is one edge-table join against a node-rank
+  * table (both hash-partitioned on the join key — co-partitioned across
+  * rounds), never a cross join.
+  */
+object SamplingQueries extends QueryPack {
+  import TextQueries.{h64, duckH64}
+
+  private def docs(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(sql)
+  }
+
+  private def events(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(sql)
+  }
+
+  private def ordersLineitem(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(sql)
+  }
+
+  // One unrolled PageRank round: rank flows from `prev` across directed
+  // edge table `e` (u -> v), each source contributing rank DIV out-degree,
+  // damped by 85/100 over a base of 0.15 (micro-scaled integers).
+  private def sparkPrRound(out: String, prev: String): String =
+    s"""$out AS (
+       |  SELECT e.v AS node,
+       |    150000 + (85 * CAST(sum($prev.r DIV deg.d) AS BIGINT)) DIV 100 AS r
+       |  FROM e JOIN deg ON deg.u = e.u JOIN $prev ON $prev.node = e.u
+       |  GROUP BY e.v)""".stripMargin
+
+  private def duckPrRound(out: String, prev: String): String =
+    s"""$out AS (
+       |  SELECT e.v AS node,
+       |    150000 + (85 * CAST(sum($prev.r // deg.d) AS BIGINT)) // 100 AS r
+       |  FROM e JOIN deg ON deg.u = e.u JOIN $prev ON $prev.node = e.u
+       |  GROUP BY e.v)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic weighted sample: priority = salted_hash DIV weight,
+    // keep the 100 smallest priorities — longer documents are
+    // proportionally more likely to be picked, and both engines pick the
+    // identical set. Plans as a map-side top-k, no global sort.
+    "x_weighted_sample" -> ((s, dir) => docs(s, dir,
+      s"""WITH pri AS (
+         |  SELECT doc_id, n_chars,
+         |    ${h64("concat('ws_', CAST(doc_id AS STRING))")} DIV n_chars AS pri
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, n_chars, pri, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY pri, doc_id) AS BIGINT) AS rank
+         |  FROM pri) WHERE rank <= 100""".stripMargin)),
+
+    // Per-stratum deterministic reservoir: 5 docs per (lang, source),
+    // ranked by a salted hash — the stratified "take a fixed random
+    // sample of every slice" pipeline stage.
+    "x_reservoir_sample" -> ((s, dir) => docs(s, dir,
+      s"""SELECT lang, source, doc_id, rk FROM (
+         |  SELECT lang, source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY ${h64("concat('rs_', CAST(doc_id AS STRING))")}, doc_id) AS BIGINT) AS rk
+         |  FROM documents) WHERE rk <= 5""".stripMargin)),
+
+    // Skew-salted two-phase aggregation: pre-aggregate on (key, salt 0-15)
+    // so no reduce task sees more than ~1/16 of a hot key, then combine
+    // the partials. The oracle is the DIRECT single-phase groupBy —
+    // proving the rewrite exact (decimal sums commute).
+    "x_salted_agg" -> ((s, dir) => ordersLineitem(s, dir,
+      """WITH p1 AS (
+        |  SELECT l_returnflag, pmod(l_orderkey, 16) AS salt,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS price,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag, pmod(l_orderkey, 16))
+        |SELECT l_returnflag,
+        |  CAST(sum(qty) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(price) AS DOUBLE) AS sum_price,
+        |  CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM p1 GROUP BY l_returnflag""".stripMargin)),
+
+    // JSON property extraction from the string props column into typed
+    // per-event-type aggregates.
+    "x_json_extract" -> ((s, dir) => events(s, dir,
+      """WITH j AS (
+        |  SELECT event_type, CAST(get_json_object(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(count(k) AS BIGINT) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM j GROUP BY event_type""".stripMargin)),
+
+    // PageRank, two unrolled power-iteration rounds in exact integer
+    // arithmetic over the supplier<->customer graph (an edge per distinct
+    // supplier-customer trade relation, both directions): top-20 nodes.
+    "x_pagerank" -> ((s, dir) => ordersLineitem(s, dir,
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+         |e AS (
+         |  SELECT concat('s', CAST(s AS STRING)) AS u, concat('c', CAST(c AS STRING)) AS v FROM e0
+         |  UNION ALL
+         |  SELECT concat('c', CAST(c AS STRING)) AS u, concat('s', CAST(s AS STRING)) AS v FROM e0),
+         |deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+         |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |${sparkPrRound("r1", "r0")},
+         |${sparkPrRound("r2", "r1")}
+         |SELECT node, r AS rank_micro, pos FROM (
+         |  SELECT node, r, CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS pos
+         |  FROM r2) WHERE pos <= 20""".stripMargin))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "x_weighted_sample" ->
+      s"""WITH pri AS (
+         |  SELECT doc_id, n_chars,
+         |    ${duckH64("'ws_' || doc_id::VARCHAR")} // n_chars AS pri
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, n_chars, pri, rank FROM (
+         |  SELECT *, row_number() OVER (ORDER BY pri, doc_id) AS rank
+         |  FROM pri) WHERE rank <= 100""".stripMargin,
+
+    "x_reservoir_sample" ->
+      s"""SELECT lang, source, doc_id, rk FROM (
+         |  SELECT lang, source, doc_id,
+         |    row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY ${duckH64("'rs_' || doc_id::VARCHAR")}, doc_id) AS rk
+         |  FROM documents) WHERE rk <= 5""".stripMargin,
+
+    // the DIRECT aggregation — equality proves the salted rewrite exact
+    "x_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "x_json_extract" ->
+      """WITH j AS (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(count(k) AS BIGINT) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM j GROUP BY event_type""".stripMargin,
+
+    "x_pagerank" ->
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+         |e AS (
+         |  SELECT 's' || s::VARCHAR AS u, 'c' || c::VARCHAR AS v FROM e0
+         |  UNION ALL
+         |  SELECT 'c' || c::VARCHAR AS u, 's' || s::VARCHAR AS v FROM e0),
+         |deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+         |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |${duckPrRound("r1", "r0")},
+         |${duckPrRound("r2", "r1")}
+         |SELECT node, r AS rank_micro, pos FROM (
+         |  SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS pos
+         |  FROM r2) WHERE pos <= 20""".stripMargin
+  )
+}

@@ -18,7 +18,9 @@ object SparkEntry {
     TextQueries,
     SimilarityQueries,
     PipelineQueries,
-    IndexQueries
+    IndexQueries,
+    RetrievalQueries,
+    SamplingQueries
   )
 
   /** Flagship: the full CDC slice on sf0.001 — synthesize the Debezium
