@@ -109,6 +109,28 @@ object RetrievalQueries extends QueryPack {
         |    - CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS entropy_micro
         |FROM agg""".stripMargin)),
 
+    // Word co-occurrence PMI: top-20 word pairs by pointwise mutual
+    // information over document co-occurrence (min support 5). The pair
+    // space is bounded by |vocabulary|^2 regardless of corpus size —
+    // the per-doc self-join feeds one map-side-combinable count.
+    "x_cooccurrence_pmi" -> ((s, dir) => docs(s, dir,
+      s"""WITH $sparkTok,
+         |dw AS (SELECT DISTINCT doc_id, word FROM tok),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |wc AS (SELECT word, count(*) AS c FROM dw GROUP BY word),
+         |pairs AS (
+         |  SELECT a.word AS w1, b.word AS w2, count(*) AS c12
+         |  FROM dw a JOIN dw b ON b.doc_id = a.doc_id AND a.word < b.word
+         |  GROUP BY a.word, b.word),
+         |pmi AS (
+         |  SELECT p.w1, p.w2, p.c12,
+         |    CAST(floor(ln((CAST(p.c12 AS DOUBLE) * n) / (CAST(ca.c AS DOUBLE) * cb.c)) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+         |  FROM pairs p JOIN wc ca ON ca.word = p.w1 JOIN wc cb ON cb.word = p.w2 CROSS JOIN nd
+         |  WHERE p.c12 >= 5)
+         |SELECT w1, w2, c12, pmi_micro, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS BIGINT) AS rank
+         |  FROM pmi) WHERE rank <= 20""".stripMargin)),
+
     // Corpus-trained character-bigram LM quality score: per-doc average
     // negative log-probability (micro-nats) under P(c2|c1) =
     // count(c1c2)/count(c1 .), plus a keep verdict. The LM table is
@@ -186,6 +208,24 @@ object RetrievalQueries extends QueryPack {
         |  CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
         |    - CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS entropy_micro
         |FROM agg""".stripMargin,
+
+    "x_cooccurrence_pmi" ->
+      s"""WITH $duckTok,
+         |dw AS (SELECT DISTINCT doc_id, word FROM tok),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |wc AS (SELECT word, count(*) AS c FROM dw GROUP BY word),
+         |pairs AS (
+         |  SELECT a.word AS w1, b.word AS w2, count(*) AS c12
+         |  FROM dw a JOIN dw b ON b.doc_id = a.doc_id AND a.word < b.word
+         |  GROUP BY a.word, b.word),
+         |pmi AS (
+         |  SELECT p.w1, p.w2, p.c12,
+         |    CAST(floor(ln((CAST(p.c12 AS DOUBLE) * n) / (CAST(ca.c AS DOUBLE) * cb.c)) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+         |  FROM pairs p JOIN wc ca ON ca.word = p.w1 JOIN wc cb ON cb.word = p.w2 CROSS JOIN nd
+         |  WHERE p.c12 >= 5)
+         |SELECT w1, w2, c12, pmi_micro, rank FROM (
+         |  SELECT *, row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS rank
+         |  FROM pmi) WHERE rank <= 20""".stripMargin,
 
     "x_bigram_lm" ->
       """WITH b AS (

@@ -113,6 +113,31 @@ object SamplingQueries extends QueryPack {
         |  CAST(max(k) AS BIGINT) AS max_k
         |FROM j GROUP BY event_type""".stripMargin)),
 
+    // Per-group z-score anomaly detection over events.value: mean and
+    // stddev per event_type from EXACT integer sums (cents, cents^2 —
+    // both far inside BIGINT at any realistic scale), so every double op
+    // downstream is a correctly-rounded function of identical inputs —
+    // bit-identical across engines with no libm involved (sqrt is
+    // IEEE-exact). Flags |z| >= 3.
+    "x_anomaly_zscore" -> ((s, dir) => events(s, dir,
+      """WITH j AS (
+        |  SELECT event_id, event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s, CAST(sum(cents * cents) AS BIGINT) AS sq
+        |  FROM j GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, CAST(s AS DOUBLE) / n AS mean_c,
+        |    sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n) AS sd_c
+        |  FROM st)
+        |SELECT j.event_id, j.event_type, j.cents,
+        |  CAST(floor((j.cents - m.mean_c) / m.sd_c * 1000 + 0.5) AS BIGINT) AS z_milli
+        |FROM j JOIN m ON m.event_type = j.event_type
+        |WHERE m.sd_c > 0
+        |  AND (CAST(floor((j.cents - m.mean_c) / m.sd_c * 1000 + 0.5) AS BIGINT) >= 3000
+        |    OR CAST(floor((j.cents - m.mean_c) / m.sd_c * 1000 + 0.5) AS BIGINT) <= -3000)""".stripMargin)),
+
     // PageRank, two unrolled power-iteration rounds in exact integer
     // arithmetic over the supplier<->customer graph (an edge per distinct
     // supplier-customer trade relation, both directions): top-20 nodes.
@@ -165,6 +190,25 @@ object SamplingQueries extends QueryPack {
         |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k,
         |  CAST(max(k) AS BIGINT) AS max_k
         |FROM j GROUP BY event_type""".stripMargin,
+
+    "x_anomaly_zscore" ->
+      """WITH j AS (
+        |  SELECT event_id, event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s, CAST(sum(cents * cents) AS BIGINT) AS sq
+        |  FROM j GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, CAST(s AS DOUBLE) / n AS mean_c,
+        |    sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n) AS sd_c
+        |  FROM st)
+        |SELECT j.event_id, j.event_type, j.cents,
+        |  CAST(floor((j.cents - m.mean_c) / m.sd_c * 1000 + 0.5) AS BIGINT) AS z_milli
+        |FROM j JOIN m ON m.event_type = j.event_type
+        |WHERE m.sd_c > 0
+        |  AND (CAST(floor((j.cents - m.mean_c) / m.sd_c * 1000 + 0.5) AS BIGINT) >= 3000
+        |    OR CAST(floor((j.cents - m.mean_c) / m.sd_c * 1000 + 0.5) AS BIGINT) <= -3000)""".stripMargin,
 
     "x_pagerank" ->
       s"""WITH e0 AS (

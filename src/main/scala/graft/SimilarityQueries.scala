@@ -612,6 +612,23 @@ object SimilarityQueries extends QueryPack {
     // calibration harness a user consults before trusting estimate-only
     // dedup at 100 TB, where the exact column is dropped and only the
     // O(perms) sketch comparison runs.
+    // Asymmetric containment |S1 n S2| / |Si| over the band-gated
+    // candidate pairs: catches a short document swallowed by a longer one
+    // (subset duplication), which symmetric Jaccard under-scores. Same
+    // cached shingle/signature views; integer milli-containment (exact
+    // BIGINT division) on both sides of each pair.
+    "x_containment" -> ((s, dir) => docsWithBands(s, dir,
+      s"""WITH $sparkCand,
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS inter
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle_h = a.shingle_h
+         |  GROUP BY c.d1, c.d2)
+         |SELECT i.d1, i.d2, n1.n AS n1, n2.n AS n2,
+         |  (i.inter * 1000) DIV n1.n AS c12_milli,
+         |  (i.inter * 1000) DIV n2.n AS c21_milli
+         |FROM inter i JOIN n n1 ON n1.doc_id = i.d1 JOIN n n2 ON n2.doc_id = i.d2
+         |WHERE (i.inter * 1000) DIV n1.n >= 500 OR (i.inter * 1000) DIV n2.n >= 500""".stripMargin)),
+
     "x_jaccard_estimate" -> ((s, dir) => docsWithBands(s, dir,
       s"""WITH $sparkCand,
          |$sparkPermsMh,
@@ -646,6 +663,19 @@ object SimilarityQueries extends QueryPack {
          |  CAST(i.inter AS DOUBLE) / least(n1.n, n2.n) AS overlap
          |FROM inter i JOIN n n1 ON n1.doc_id = i.d1 JOIN n n2 ON n2.doc_id = i.d2
          |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.8""".stripMargin,
+
+    "x_containment" ->
+      s"""WITH $duckShingles,
+         |$duckBandCand,
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS inter
+         |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle_h = a.shingle_h
+         |  GROUP BY c.d1, c.d2)
+         |SELECT i.d1, i.d2, n1.n AS n1, n2.n AS n2,
+         |  (i.inter * 1000) // n1.n AS c12_milli,
+         |  (i.inter * 1000) // n2.n AS c21_milli
+         |FROM inter i JOIN n n1 ON n1.doc_id = i.d1 JOIN n n2 ON n2.doc_id = i.d2
+         |WHERE (i.inter * 1000) // n1.n >= 500 OR (i.inter * 1000) // n2.n >= 500""".stripMargin,
 
     "x_dedup_minhash_lsh" ->
       s"""WITH $duckShingles,
