@@ -86,10 +86,11 @@ object RetrievalQueries extends QueryPack {
          |  FROM tf JOIN idf i ON i.word = tf.word
          |          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st s),
          |sc AS (SELECT doc_id, CAST(floor(sum(part) + 0.5) AS BIGINT) AS score_micro
-         |  FROM parts GROUP BY doc_id)
-         |SELECT doc_id, score_micro, rank FROM (
-         |  SELECT *, CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
-         |  FROM sc) WHERE rank <= 20""".stripMargin)),
+         |  FROM parts GROUP BY doc_id),
+         |top AS (SELECT doc_id, score_micro FROM sc ORDER BY score_micro DESC, doc_id LIMIT 20)
+         |SELECT doc_id, score_micro,
+         |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+         |FROM top""".stripMargin)),
 
     // Character-level Shannon entropy per document (micro-nats):
     // H = ln(n) - sum(c*ln c)/n over exact integer counts, with ln
@@ -126,10 +127,11 @@ object RetrievalQueries extends QueryPack {
          |  SELECT p.w1, p.w2, p.c12,
          |    CAST(floor(ln((CAST(p.c12 AS DOUBLE) * n) / (CAST(ca.c AS DOUBLE) * cb.c)) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
          |  FROM pairs p JOIN wc ca ON ca.word = p.w1 JOIN wc cb ON cb.word = p.w2 CROSS JOIN nd
-         |  WHERE p.c12 >= 5)
-         |SELECT w1, w2, c12, pmi_micro, rank FROM (
-         |  SELECT *, CAST(row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS BIGINT) AS rank
-         |  FROM pmi) WHERE rank <= 20""".stripMargin)),
+         |  WHERE p.c12 >= 5),
+         |top AS (SELECT w1, w2, c12, pmi_micro FROM pmi ORDER BY pmi_micro DESC, w1, w2 LIMIT 20)
+         |SELECT w1, w2, c12, pmi_micro,
+         |  CAST(row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS BIGINT) AS rank
+         |FROM top""".stripMargin)),
 
     // Corpus-trained character-bigram LM quality score: per-doc average
     // negative log-probability (micro-nats) under P(c2|c1) =
@@ -189,10 +191,11 @@ object RetrievalQueries extends QueryPack {
          |  FROM tf JOIN idf i ON i.word = tf.word
          |          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st s),
          |sc AS (SELECT doc_id, CAST(floor(sum(part) + 0.5) AS BIGINT) AS score_micro
-         |  FROM parts GROUP BY doc_id)
-         |SELECT doc_id, score_micro, rank FROM (
-         |  SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
-         |  FROM sc) WHERE rank <= 20""".stripMargin,
+         |  FROM parts GROUP BY doc_id),
+         |top AS (SELECT doc_id, score_micro FROM sc ORDER BY score_micro DESC, doc_id LIMIT 20)
+         |SELECT doc_id, score_micro,
+         |  row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+         |FROM top""".stripMargin,
 
     "x_char_entropy" ->
       """WITH pos AS (
@@ -222,10 +225,11 @@ object RetrievalQueries extends QueryPack {
          |  SELECT p.w1, p.w2, p.c12,
          |    CAST(floor(ln((CAST(p.c12 AS DOUBLE) * n) / (CAST(ca.c AS DOUBLE) * cb.c)) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
          |  FROM pairs p JOIN wc ca ON ca.word = p.w1 JOIN wc cb ON cb.word = p.w2 CROSS JOIN nd
-         |  WHERE p.c12 >= 5)
-         |SELECT w1, w2, c12, pmi_micro, rank FROM (
-         |  SELECT *, row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS rank
-         |  FROM pmi) WHERE rank <= 20""".stripMargin,
+         |  WHERE p.c12 >= 5),
+         |top AS (SELECT w1, w2, c12, pmi_micro FROM pmi ORDER BY pmi_micro DESC, w1, w2 LIMIT 20)
+         |SELECT w1, w2, c12, pmi_micro,
+         |  row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS rank
+         |FROM top""".stripMargin,
 
     "x_bigram_lm" ->
       """WITH b AS (

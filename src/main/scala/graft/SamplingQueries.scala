@@ -71,10 +71,11 @@ object SamplingQueries extends QueryPack {
       s"""WITH pri AS (
          |  SELECT doc_id, n_chars,
          |    ${h64("concat('ws_', CAST(doc_id AS STRING))")} DIV n_chars AS pri
-         |  FROM documents WHERE n_chars > 0)
-         |SELECT doc_id, n_chars, pri, rank FROM (
-         |  SELECT *, CAST(row_number() OVER (ORDER BY pri, doc_id) AS BIGINT) AS rank
-         |  FROM pri) WHERE rank <= 100""".stripMargin)),
+         |  FROM documents WHERE n_chars > 0),
+         |top AS (SELECT doc_id, n_chars, pri FROM pri ORDER BY pri, doc_id LIMIT 100)
+         |SELECT doc_id, n_chars, pri,
+         |  CAST(row_number() OVER (ORDER BY pri, doc_id) AS BIGINT) AS rank
+         |FROM top""".stripMargin)),
 
     // Per-stratum deterministic reservoir: 5 docs per (lang, source),
     // ranked by a salted hash — the stratified "take a fixed random
@@ -152,10 +153,11 @@ object SamplingQueries extends QueryPack {
          |deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
          |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
          |${sparkPrRound("r1", "r0")},
-         |${sparkPrRound("r2", "r1")}
-         |SELECT node, r AS rank_micro, pos FROM (
-         |  SELECT node, r, CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS pos
-         |  FROM r2) WHERE pos <= 20""".stripMargin))
+         |${sparkPrRound("r2", "r1")},
+         |top AS (SELECT node, r FROM r2 ORDER BY r DESC, node LIMIT 20)
+         |SELECT node, r AS rank_micro,
+         |  CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS pos
+         |FROM top""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -163,10 +165,11 @@ object SamplingQueries extends QueryPack {
       s"""WITH pri AS (
          |  SELECT doc_id, n_chars,
          |    ${duckH64("'ws_' || doc_id::VARCHAR")} // n_chars AS pri
-         |  FROM documents WHERE n_chars > 0)
-         |SELECT doc_id, n_chars, pri, rank FROM (
-         |  SELECT *, row_number() OVER (ORDER BY pri, doc_id) AS rank
-         |  FROM pri) WHERE rank <= 100""".stripMargin,
+         |  FROM documents WHERE n_chars > 0),
+         |top AS (SELECT doc_id, n_chars, pri FROM pri ORDER BY pri, doc_id LIMIT 100)
+         |SELECT doc_id, n_chars, pri,
+         |  row_number() OVER (ORDER BY pri, doc_id) AS rank
+         |FROM top""".stripMargin,
 
     "x_reservoir_sample" ->
       s"""SELECT lang, source, doc_id, rk FROM (
@@ -221,9 +224,10 @@ object SamplingQueries extends QueryPack {
          |deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
          |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
          |${duckPrRound("r1", "r0")},
-         |${duckPrRound("r2", "r1")}
-         |SELECT node, r AS rank_micro, pos FROM (
-         |  SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS pos
-         |  FROM r2) WHERE pos <= 20""".stripMargin
+         |${duckPrRound("r2", "r1")},
+         |top AS (SELECT node, r FROM r2 ORDER BY r DESC, node LIMIT 20)
+         |SELECT node, r AS rank_micro,
+         |  row_number() OVER (ORDER BY r DESC, node) AS pos
+         |FROM top""".stripMargin
   )
 }

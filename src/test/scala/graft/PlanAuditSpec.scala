@@ -59,4 +59,22 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("x_decontamination")
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("global top-k surfaces fold ORDER BY + LIMIT into TakeOrdered, not a full-input single-partition window") {
+    Seq("x_weighted_sample", "x_bm25", "x_pagerank", "x_cooccurrence_pmi").foreach { n =>
+      assert(plan(n).contains("TakeOrderedAndProject"),
+        s"$n must plan its top-k as a map-side TakeOrdered; the final rank window may only see the k kept rows")
+    }
+  }
+
+  test("retrieval model tables (idf, bigram LM) broadcast back to the corpus side") {
+    Seq("x_tfidf", "x_bigram_lm").foreach { n =>
+      assert(plan(n).contains("BroadcastHashJoin"),
+        s"$n joins a vocabulary-bounded model table — it must broadcast, never shuffle the corpus")
+    }
+  }
+
+  test("containment candidates come from the band equi-join, not all-pairs") {
+    assert(!plan("x_containment").contains("CartesianProduct"))
+  }
 }
