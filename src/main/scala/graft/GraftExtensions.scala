@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.DotI64
 
 /** Library entry point for `spark.sql.extensions`: installs the engine's
-  * native Catalyst functions into every session built from the
-  * configuration, the standard way a Spark library ships session-scoped
-  * extensions:
+  * native Catalyst functions and optimizer rules into every session built
+  * from the configuration, the standard way a Spark library ships
+  * session-scoped extensions:
   *
   * {{{
   *   spark.sql.extensions=graft.GraftExtensions
@@ -20,9 +20,11 @@ import graft.functions.DotI64
   * the config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_i64"),
       new ExpressionInfo(classOf[DotI64].getName, "dot_i64"),
       (exprs: Seq[Expression]) => DotI64(exprs.head, exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.TopKViaSortLimit)
+  }
 }
