@@ -41,8 +41,17 @@ import org.apache.spark.sql.functions._
   *     pruning conjunct (incremental_kafka_s3_cdc.py:262-264) plus the
   *     moved-key guard.
   *
-  * Plain parquet has no optimistic concurrency (SURVEY.md §7 risk e):
-  * single-writer per table is assumed, as documented.
+  * Concurrency (SURVEY.md §7 risk e): commits use OPTIMISTIC version
+  * reservation — a commit first claims its version number with one atomic
+  * `createDirectory` of the version dir, so two writers racing for
+  * `current+1` cannot both win; the loser sees
+  * [[CdcTable.CommitConflictException]] and [[mergeWithRetry]] re-reads
+  * the table and recomputes, the reference's merge-conflict retry loop
+  * (incremental_kafka_s3_cdc.py:281-291: 10 tries x 10 s + REFRESH).
+  * [[expire]] garbage-collects only pointer-reachable history (never a
+  * version number above the pointer), so an in-flight reservation can
+  * never be deleted out from under its writer; a CRASHED reservation at
+  * `current+1` is reclaimed by the takeover step of the retry loop.
   */
 final class CdcTable(
     spark: SparkSession,
@@ -155,12 +164,31 @@ final class CdcTable(
 
   // --------------------------------------------------------------- commits
 
+  /** Atomically claim version number `next` (one POSIX `mkdir` — at most
+    * one writer can create the directory). Returns false when another
+    * writer — live or crashed — already holds it.
+    */
+  private def reserve(next: Long): Boolean = {
+    new File(path).mkdirs()
+    try { Files.createDirectory(versionDir(next).toPath); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
+  private def reserveOrConflict(next: Long): Unit =
+    if (!reserve(next))
+      throw new CommitConflictException(
+        s"version v$next of $path is already reserved by another writer " +
+          "(live or crashed); re-read and retry — see mergeWithRetry")
+
   /** Atomically repoint `_current` at `next`: write the new pointer beside
     * the old one, rename over it (POSIX rename replaces atomically), then
     * expire history. A crash before the rename leaves the old version
     * live; after it, the new one.
     */
   private def commitPointer(next: Long): Unit = {
+    if (currentVersion.exists(_ >= next))
+      throw new CommitConflictException(
+        s"pointer of $path moved past v$next during commit")
     val tmp = Paths.get(path, s"$CurrentPointer.tmp")
     Files.writeString(tmp, f"v$next%08d")
     Files.move(tmp, pointer.toPath, StandardCopyOption.ATOMIC_MOVE,
@@ -168,10 +196,18 @@ final class CdcTable(
     expire()
   }
 
-  /** Unpartitioned commit: write `df` as the next full version. */
-  private def commitFull(df: DataFrame): Unit = {
-    val next = currentVersion.getOrElse(0L) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(versionDir(next).getPath)
+  /** Unpartitioned commit: write `df` as the version after `expected`
+    * (into the reserved — therefore fresh and exclusively owned —
+    * directory). `expected` is the version `df` was DERIVED FROM: if any
+    * other writer committed after the caller read it, `expected + 1` is
+    * already reserved and this throws instead of silently losing that
+    * writer's update (the read-version and the commit base are the same
+    * version by construction).
+    */
+  private def commitFull(df: DataFrame, expected: Option[Long]): Unit = {
+    val next = expected.getOrElse(0L) + 1
+    reserveOrConflict(next)
+    df.write.mode(SaveMode.Append).parquet(versionDir(next).getPath)
     commitPointer(next)
   }
 
@@ -182,51 +218,63 @@ final class CdcTable(
     * (their old files stay until their last referencing version expires —
     * that's what keeps time travel consistent).
     */
-  private def commitPartitioned(df: DataFrame, replaced: Set[String]): Unit = {
-    val cur = currentVersion
-    val next = cur.getOrElse(0L) + 1
+  private def commitPartitioned(
+      df: DataFrame, replaced: Set[String], expected: Option[Long]): Unit = {
+    val next = expected.getOrElse(0L) + 1
+    // claim the version BEFORE materializing data: the reservation owns
+    // the commit-dir number too, so the Overwrite below can only clobber
+    // leftovers of a crashed writer of this same (reclaimed) number.
+    // `expected` is the version df/carried were derived from — reserving
+    // expected+1 makes read-base and commit-base the same version.
+    reserveOrConflict(next)
     df.write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(commitDir(next).getPath)
     // the hive directory names ARE the months actually written — no
     // second evaluation of df's plan needed
     val outMonths = Option(commitDir(next).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
       .map(_.getName.stripPrefix(s"$PartCol=")).toSeq.sorted
-    val carried = cur.map(manifest).getOrElse(Nil)
+    val carried = expected.map(manifest).getOrElse(Nil)
       .filterNot { case (m, _) => replaced.contains(m) }
     writeManifest(next, carried ++ outMonths.map(m => m -> relDir(next, m)))
     commitPointer(next)
   }
 
-  /** Drop pointer-unreachable state: version directories older than the
-    * newest `retainVersions` plus any orphan newer than the pointer (a
-    * commit that crashed between data/manifest write and pointer move),
-    * then — partitioned layout — any commit directory no retained
-    * manifest references. Never touches anything the pointer can reach;
-    * safe to re-run at any time.
+  /** Drop expired history: version directories at or below the pointer
+    * that fall outside the newest `retainVersions`, then — partitioned
+    * layout — any commit directory at or below the pointer that no
+    * retained manifest references. NEVER touches a version number above
+    * the pointer: those are reservations of writers that are either
+    * in-flight (deleting them would corrupt a concurrent commit) or
+    * crashed (reclaimed by the takeover step of [[mergeWithRetry]] when
+    * their number comes up again). Safe to re-run at any time.
     */
   def expire(): Unit = currentVersion.foreach { cur =>
     val live = versions.filter(_ <= cur).takeRight(retainVersions).toSet + cur
-    versions.filterNot(live.contains).foreach(v => rm(versionDir(v)))
+    versions.filter(v => v <= cur && !live.contains(v)).foreach(v => rm(versionDir(v)))
     if (partitionSource.isDefined) {
       val referenced = live.filter(v => manifestFile(v).exists())
         .flatMap(v => manifest(v).map(_._2.takeWhile(_ != '/')))
       Option(new File(path).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.matches("c\\d{8}"))
+        .filter(f => f.getName.stripPrefix("c").toLong <= cur)
         .filterNot(f => referenced.contains(f.getName))
         .foreach(rm)
     }
   }
 
   /** Initialize (overwrite) the table with `df` as a new version. */
-  def init(df: DataFrame): Unit = partitionSource match {
-    case Some(_) =>
-      val wp = withPart(df)
-      commitPartitioned(wp, replaced = allMonths)
-    case None => commitFull(df)
+  def init(df: DataFrame): Unit = {
+    val expected = currentVersion
+    partitionSource match {
+      case Some(_) =>
+        val wp = withPart(df)
+        commitPartitioned(wp, replaced = allMonths(expected), expected)
+      case None => commitFull(df, expected)
+    }
   }
 
-  private def allMonths: Set[String] =
-    currentVersion.map(manifest(_).map(_._1).toSet).getOrElse(Set.empty)
+  private def allMonths(at: Option[Long]): Set[String] =
+    at.map(manifest(_).map(_._1).toSet).getOrElse(Set.empty)
 
   /** Keyless append (reference K3/K4). Partitioned: a new commit dir per
     * batch whose months ADD manifest entries (no month is replaced — a
@@ -240,15 +288,15 @@ final class CdcTable(
     */
   def append(df: DataFrame): Unit = partitionSource match {
     case Some(_) =>
-      commitPartitioned(withPart(df), replaced = Set.empty)
+      commitPartitioned(withPart(df), replaced = Set.empty, currentVersion)
     case None =>
       if (!exists) init(df)
       else {
-        val next = currentOrThrow + 1
+        val cur = currentOrThrow
+        val next = cur + 1
+        reserveOrConflict(next)
         val nd = versionDir(next)
-        rm(nd) // clear any orphan a crashed earlier append left behind
-        nd.mkdirs()
-        Option(versionDir(currentOrThrow).listFiles()).getOrElse(Array.empty)
+        Option(versionDir(cur).listFiles()).getOrElse(Array.empty)
           .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
           .foreach(f => Files.createLink(nd.toPath.resolve(f.getName), f.toPath): Unit)
         df.write.mode(SaveMode.Append).parquet(nd.getPath)
@@ -278,12 +326,16 @@ final class CdcTable(
       return
     }
     val deduped = Dedup.latestWins(batch, keys, tsCol, tieBreakers)
+    // the version this merge reads; the commit reserves expected+1, so a
+    // concurrent commit between here and the reservation surfaces as a
+    // CommitConflictException instead of a lost update
+    val expected = currentOrThrow
 
     partitionSource match {
       case Some(src) =>
         // Partition-pruned copy-on-write: months present in the batch are
         // read, merged, and re-manifested; everything else carries over.
-        val entries = manifest(currentOrThrow)
+        val entries = manifest(expected)
         val batchMonths = deduped
           .select(date_format(col(src), "yyyy-MM").as(PartCol))
           .distinct().as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
@@ -305,11 +357,37 @@ final class CdcTable(
             readParts(entries, Some(touched)).drop(PartCol)
           else deduped.drop(CdcMerge.OpColumn).filter(lit(false))
         val merged = withPart(CdcMerge.merge(existing, deduped, keys))
-        commitPartitioned(merged, replaced = touched)
+        commitPartitioned(merged, replaced = touched, Some(expected))
       case None =>
         // versioned commit: the new version materializes fully before the
         // pointer moves, so no read-our-input hazard and no crash window
-        commitFull(CdcMerge.merge(read, deduped, keys))
+        commitFull(CdcMerge.merge(readAt(expected), deduped, keys), Some(expected))
+    }
+  }
+
+  /** [[merge]] wrapped in the reference's merge-conflict retry loop
+    * (incremental_kafka_s3_cdc.py:281-291 — 10 tries x 10 s sleep +
+    * REFRESH): every attempt re-reads the CURRENT table state, so a retry
+    * after losing a race merges on top of the winner's commit, never on
+    * the stale snapshot. The penultimate attempt assumes a reservation
+    * that survived the whole backoff belongs to a crashed writer and
+    * reclaims it (removes the dir) before the final try.
+    */
+  def mergeWithRetry(
+      batch: DataFrame, tsCol: String, tieBreakers: Seq[String] = Nil,
+      maxTries: Int = 10, sleepMs: Long = 10000L): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { merge(batch, tsCol, tieBreakers); done = true }
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt >= maxTries) throw e
+          Thread.sleep(sleepMs)
+          if (attempt == maxTries - 1)
+            rm(versionDir(currentVersion.getOrElse(0L) + 1)) // crashed-writer takeover
+      }
     }
   }
 
@@ -317,11 +395,15 @@ final class CdcTable(
     * folding a partitioned table's multi-commit months back to one
     * directory each (a new version; content unchanged).
     */
-  def compact(target: Int = 1): Unit = partitionSource match {
-    case Some(_) =>
-      val all = readParts(manifest(currentOrThrow), None)
-      commitPartitioned(all.repartition(target, col(PartCol)), replaced = allMonths)
-    case None => commitFull(read.repartition(target))
+  def compact(target: Int = 1): Unit = {
+    val expected = currentOrThrow
+    partitionSource match {
+      case Some(_) =>
+        val all = readParts(manifest(expected), None)
+        commitPartitioned(all.repartition(target, col(PartCol)),
+          replaced = allMonths(Some(expected)), Some(expected))
+      case None => commitFull(readAt(expected).repartition(target), Some(expected))
+    }
   }
 
   private def rm(f: File): Unit = {
@@ -331,6 +413,11 @@ final class CdcTable(
 }
 
 object CdcTable {
+  /** Another writer holds the version this commit needs (or the pointer
+    * advanced mid-commit): re-read and retry — [[CdcTable.mergeWithRetry]].
+    */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
   /** Derived hive partition column (month bucket of the source ts col). */
   val PartCol = "__part_month"
 

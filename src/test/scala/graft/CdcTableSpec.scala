@@ -50,7 +50,7 @@ class CdcTableSpec extends SparkSpec {
     assert(t.read.select("v").as[String].head() == "a2")
   }
 
-  test("crash recovery: an orphan version dir (commit died before pointer move) is invisible and cleaned") {
+  test("crash recovery: an orphan version dir (commit died before pointer move) is invisible") {
     val path = tmpDir("cdccrash") + "/t"
     val t = new CdcTable(spark, path, Seq("id"))
     t.init(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
@@ -60,12 +60,49 @@ class CdcTableSpec extends SparkSpec {
       .write.parquet(s"$path/v00000099")
     // reads ignore the orphan entirely (pointer-driven resolution)
     assert(t.read.select("id").as[Long].collect().toSeq == Seq(1L))
-    // the next successful commit proceeds from the pointer and expiry
-    // removes the unreachable orphan
+    // the next successful commit proceeds from the pointer; the orphan
+    // stays on disk (it could be a live writer's reservation — only the
+    // takeover path may reclaim it) but is never readable
     t.merge(Seq((2L, "b", 2L, "c")).toDF("id", "v", "ts", "__op"), "ts")
     assert(t.currentVersion.contains(2L))
-    assert(!new java.io.File(s"$path/v00000099").exists())
     assert(t.read.orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L))
+    intercept[java.io.FileNotFoundException](t.readVersion(98L))
+  }
+
+  test("commit conflict: a reserved next version makes merge throw; mergeWithRetry reclaims and lands it") {
+    val path = tmpDir("cdcconflict") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"))
+    t.init(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+    // another writer (crashed mid-commit) holds v2
+    Seq((9L, "junk", 9L)).toDF("id", "v", "ts").write.parquet(s"$path/v00000002")
+    val batch = Seq((2L, "b", 2L, "c")).toDF("id", "v", "ts", "__op")
+    intercept[CdcTable.CommitConflictException](t.merge(batch, "ts"))
+    // state untouched by the failed attempt
+    assert(t.currentVersion.contains(1L))
+    assert(t.read.select("id").as[Long].collect().toSeq == Seq(1L))
+    // the retry loop backs off, reclaims the dead reservation, commits
+    t.mergeWithRetry(batch, "ts", maxTries = 3, sleepMs = 1L)
+    assert(t.currentVersion.contains(2L))
+    assert(t.read.orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L))
+    assert(t.read.filter($"v" === "junk").count() == 0)
+  }
+
+  test("two writers on one table: concurrent mergeWithRetry lands both batches") {
+    val path = tmpDir("cdcwriters") + "/t"
+    new CdcTable(spark, path, Seq("id")).init(Seq((0L, "base", 1L)).toDF("id", "v", "ts"))
+    val writers = Seq(1L, 2L).map { k =>
+      new Thread(() => {
+        val w = new CdcTable(spark, path, Seq("id"))
+        w.mergeWithRetry(
+          Seq((k, s"w$k", 2L, "c")).toDF("id", "v", "ts", "__op"), "ts",
+          maxTries = 20, sleepMs = 50L)
+      })
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join(120000))
+    val t = new CdcTable(spark, path, Seq("id"))
+    assert(t.read.orderBy("id").select("id").as[Long].collect().toSeq == Seq(0L, 1L, 2L))
+    assert(t.currentVersion.contains(3L))
   }
 
   test("snapshot expiry: history beyond retainVersions is dropped, current never touched") {
@@ -155,7 +192,7 @@ class CdcTableSpec extends SparkSpec {
     assert(t.manifest(1L).toMap.apply("2024-02") == t.manifest(2L).toMap.apply("2024-02"))
   }
 
-  test("partitioned crash recovery: orphan commit dir + manifest (no pointer move) are invisible and GC'd") {
+  test("partitioned crash recovery: orphan commit dir + manifest (no pointer move) are invisible") {
     val path = tmpDir("cdcptcrash") + "/t"
     val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"))
     t.init(Seq((1L, "jan", ts("2024-01-10 00:00:00"), 1L))
@@ -170,14 +207,14 @@ class CdcTableSpec extends SparkSpec {
       s"2024-09\tc00000099/${CdcTable.PartCol}=2024-09")
     // reads ignore the orphan entirely (pointer-driven resolution)
     assert(t.read.select("id").as[Long].collect().toSeq == Seq(1L))
-    // the next successful commit proceeds from the pointer; expiry removes
-    // the unreachable orphan version AND its unreferenced commit dir
+    // the next successful commit proceeds from the pointer; the orphan
+    // (possibly a live writer's in-flight reservation) stays but its
+    // months never reach any readable manifest
     t.merge(Seq((2L, "b", ts("2024-01-20 00:00:00"), 2L, "c"))
       .toDF("id", "v", "created_at", "ts", "__op"), "ts")
     assert(t.currentVersion.contains(2L))
-    assert(!new java.io.File(s"$path/v00000099").exists())
-    assert(!new java.io.File(s"$path/c00000099").exists())
     assert(t.read.orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L))
+    assert(t.manifest(t.currentVersion.get).forall(_._1 != "2024-09"))
   }
 
   test("partitioned append adds manifest entries without rewriting; compact folds them back") {
