@@ -137,24 +137,37 @@ object RetrievalQueries extends QueryPack {
     // negative log-probability (micro-nats) under P(c2|c1) =
     // count(c1c2)/count(c1 .), plus a keep verdict. The LM table is
     // <= |alphabet|^2 rows — a broadcast model at any corpus size.
-    "x_bigram_lm" -> ((s, dir) => docs(s, dir,
-      """WITH b AS (
-        |  SELECT doc_id, substring(text, i, 2) AS bg, substring(text, i, 1) AS c1
-        |  FROM documents LATERAL VIEW explode(sequence(1, length(text) - 1)) t AS i),
-        |cnt2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
-        |cnt1 AS (SELECT c1, count(*) AS c1n FROM b GROUP BY c1),
-        |lm AS (
-        |  SELECT t2.bg,
-        |    CAST(floor(ln(CAST(t2.c2 AS DOUBLE) / t1.c1n) * 1000000 + 0.5) AS BIGINT) AS lp_micro
-        |  FROM cnt2 t2 JOIN cnt1 t1 ON t1.c1 = substring(t2.bg, 1, 1)),
-        |perdoc AS (
-        |  SELECT b.doc_id, count(*) AS n_bigrams, CAST(sum(lm.lp_micro) AS BIGINT) AS slp
-        |  FROM b JOIN lm ON lm.bg = b.bg
-        |  GROUP BY b.doc_id)
-        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-        |  CAST(floor(CAST(0 - slp AS DOUBLE) / n_bigrams + 0.5) AS BIGINT) AS nll_micro,
-        |  CAST(floor(CAST(0 - slp AS DOUBLE) / n_bigrams + 0.5) AS BIGINT) <= 3500000 AS keep
-        |FROM perdoc""".stripMargin))
+    "x_bigram_lm" -> ((s, dir) => {
+      // The per-doc bigram COUNT table is the only corpus-sized
+      // intermediate; cache it once — the LM training side and the
+      // scoring side both read it, and as a plain CTE Spark would re-run
+      // the explode per reference. Counts aggregate the positions, so
+      // sum(c) / sum(c * lp) reproduce the per-position totals exactly.
+      Tables(s, dir, "documents").createOrReplaceTempView("documents")
+      val bc = s.sql(
+        """SELECT doc_id, bg, count(*) AS c FROM (
+          |  SELECT doc_id, substring(text, i, 2) AS bg
+          |  FROM documents LATERAL VIEW explode(sequence(1, length(text) - 1)) t AS i)
+          |GROUP BY doc_id, bg""".stripMargin).cache()
+      bc.createOrReplaceTempView("bigram_counts")
+      s.sql(
+        """WITH cnt2 AS (SELECT bg, CAST(sum(c) AS BIGINT) AS c2 FROM bigram_counts GROUP BY bg),
+          |cnt1 AS (SELECT substring(bg, 1, 1) AS c1, CAST(sum(c2) AS BIGINT) AS c1n
+          |  FROM cnt2 GROUP BY substring(bg, 1, 1)),
+          |lm AS (
+          |  SELECT t2.bg,
+          |    CAST(floor(ln(CAST(t2.c2 AS DOUBLE) / t1.c1n) * 1000000 + 0.5) AS BIGINT) AS lp_micro
+          |  FROM cnt2 t2 JOIN cnt1 t1 ON t1.c1 = substring(t2.bg, 1, 1)),
+          |perdoc AS (
+          |  SELECT bc.doc_id, CAST(sum(bc.c) AS BIGINT) AS n_bigrams,
+          |    CAST(sum(bc.c * lm.lp_micro) AS BIGINT) AS slp
+          |  FROM bigram_counts bc JOIN lm ON lm.bg = bc.bg
+          |  GROUP BY bc.doc_id)
+          |SELECT doc_id, n_bigrams,
+          |  CAST(floor(CAST(0 - slp AS DOUBLE) / n_bigrams + 0.5) AS BIGINT) AS nll_micro,
+          |  CAST(floor(CAST(0 - slp AS DOUBLE) / n_bigrams + 0.5) AS BIGINT) <= 3500000 AS keep
+          |FROM perdoc""".stripMargin)
+    })
   )
 
   def oracle: Map[String, String] = Map(

@@ -142,20 +142,25 @@ object SamplingQueries extends QueryPack {
     // PageRank, two unrolled power-iteration rounds in exact integer
     // arithmetic over the supplier<->customer graph (an edge per distinct
     // supplier-customer trade relation, both directions): top-20 nodes.
+    // Nodes are packed integers (supplier 2k, customer 2k+1) so every
+    // join/shuffle moves 8-byte keys; the display label is built only for
+    // the 20 survivors.
     "x_pagerank" -> ((s, dir) => ordersLineitem(s, dir,
       s"""WITH e0 AS (
          |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
          |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
          |e AS (
-         |  SELECT concat('s', CAST(s AS STRING)) AS u, concat('c', CAST(c AS STRING)) AS v FROM e0
+         |  SELECT s * 2 AS u, c * 2 + 1 AS v FROM e0
          |  UNION ALL
-         |  SELECT concat('c', CAST(c AS STRING)) AS u, concat('s', CAST(s AS STRING)) AS v FROM e0),
+         |  SELECT c * 2 + 1 AS u, s * 2 AS v FROM e0),
          |deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
          |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
          |${sparkPrRound("r1", "r0")},
          |${sparkPrRound("r2", "r1")},
          |top AS (SELECT node, r FROM r2 ORDER BY r DESC, node LIMIT 20)
-         |SELECT node, r AS rank_micro,
+         |SELECT CASE WHEN node % 2 = 0 THEN concat('s', CAST(node DIV 2 AS STRING))
+         |            ELSE concat('c', CAST(node DIV 2 AS STRING)) END AS node,
+         |  r AS rank_micro,
          |  CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS pos
          |FROM top""".stripMargin))
   )
@@ -218,15 +223,17 @@ object SamplingQueries extends QueryPack {
          |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
          |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
          |e AS (
-         |  SELECT 's' || s::VARCHAR AS u, 'c' || c::VARCHAR AS v FROM e0
+         |  SELECT s * 2 AS u, c * 2 + 1 AS v FROM e0
          |  UNION ALL
-         |  SELECT 'c' || c::VARCHAR AS u, 's' || s::VARCHAR AS v FROM e0),
+         |  SELECT c * 2 + 1 AS u, s * 2 AS v FROM e0),
          |deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
          |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
          |${duckPrRound("r1", "r0")},
          |${duckPrRound("r2", "r1")},
          |top AS (SELECT node, r FROM r2 ORDER BY r DESC, node LIMIT 20)
-         |SELECT node, r AS rank_micro,
+         |SELECT CASE WHEN node % 2 = 0 THEN 's' || (node // 2)::VARCHAR
+         |            ELSE 'c' || (node // 2)::VARCHAR END AS node,
+         |  r AS rank_micro,
          |  row_number() OVER (ORDER BY r DESC, node) AS pos
          |FROM top""".stripMargin
   )
