@@ -145,24 +145,35 @@ object SamplingQueries extends QueryPack {
     // Nodes are packed integers (supplier 2k, customer 2k+1) so every
     // join/shuffle moves 8-byte keys; the display label is built only for
     // the 20 survivors.
-    "x_pagerank" -> ((s, dir) => ordersLineitem(s, dir,
-      s"""WITH e0 AS (
-         |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
-         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
-         |e AS (
-         |  SELECT s * 2 AS u, c * 2 + 1 AS v FROM e0
-         |  UNION ALL
-         |  SELECT c * 2 + 1 AS u, s * 2 AS v FROM e0),
-         |deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
-         |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
-         |${sparkPrRound("r1", "r0")},
-         |${sparkPrRound("r2", "r1")},
-         |top AS (SELECT node, r FROM r2 ORDER BY r DESC, node LIMIT 20)
-         |SELECT CASE WHEN node % 2 = 0 THEN concat('s', CAST(node DIV 2 AS STRING))
-         |            ELSE concat('c', CAST(node DIV 2 AS STRING)) END AS node,
-         |  r AS rank_micro,
-         |  CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS pos
-         |FROM top""".stripMargin))
+    "x_pagerank" -> ((s, dir) => {
+      // Cache the edge and degree tables: every unrolled round references
+      // both, and as plain CTEs Spark would re-run the distinct-edges
+      // join per reference (the recomputation compounds across rounds).
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      val e = s.sql(
+        """WITH e0 AS (
+          |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+          |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+          |SELECT s * 2 AS u, c * 2 + 1 AS v FROM e0
+          |UNION ALL
+          |SELECT c * 2 + 1 AS u, s * 2 AS v FROM e0""".stripMargin).cache()
+      e.createOrReplaceTempView("pr_edges")
+      val deg = s.sql("SELECT u, count(*) AS d FROM pr_edges GROUP BY u").cache()
+      deg.createOrReplaceTempView("pr_deg")
+      s.sql(
+        s"""WITH e AS (SELECT * FROM pr_edges),
+           |deg AS (SELECT * FROM pr_deg),
+           |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+           |${sparkPrRound("r1", "r0")},
+           |${sparkPrRound("r2", "r1")},
+           |top AS (SELECT node, r FROM r2 ORDER BY r DESC, node LIMIT 20)
+           |SELECT CASE WHEN node % 2 = 0 THEN concat('s', CAST(node DIV 2 AS STRING))
+           |            ELSE concat('c', CAST(node DIV 2 AS STRING)) END AS node,
+           |  r AS rank_micro,
+           |  CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS pos
+           |FROM top""".stripMargin)
+    })
   )
 
   def oracle: Map[String, String] = Map(
