@@ -204,6 +204,25 @@ object OlapQueries extends QueryPack {
         Seq("o_orderkey", "o_totalprice"), "o_orderkey")
     }),
 
+    // Forward as-of (ops.AsOfJoin.asofJoinForward): each event picks up
+    // the user's NEXT order at-or-after event time — same single-shuffle
+    // machinery scanning descending. Oracle: DuckDB native ASOF with the
+    // inequality flipped.
+    "x_asof_forward" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        expr("timestamp'1995-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, (event_id * 97) % 200000000)").as("ts2"))
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val od = Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.ops.AsOfJoin.asofJoinForward(e, od, "user_id", "ts2", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+    }),
+
     // NOT EXISTS (anti join through a subquery, P5/J3's SQL face).
     "q_not_exists" -> ((s, dir) => sql(s, dir,
       """SELECT s_suppkey, s_name FROM supplier
@@ -728,6 +747,19 @@ object OlapQueries extends QueryPack {
         |SELECT e.event_id, e.user_id, e.ts2, od.o_orderkey, od.o_totalprice
         |FROM e ASOF LEFT JOIN od
         |  ON e.user_id = od.user_id AND e.ts2 >= od.o_orderdate""".stripMargin,
+
+    "x_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    TIMESTAMP '1995-01-01 00:00:00' + INTERVAL ((event_id * 97) % 200000000) SECOND AS ts2
+        |  FROM events),
+        |od AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts2, od.o_orderkey, od.o_totalprice
+        |FROM e ASOF LEFT JOIN od
+        |  ON e.user_id = od.user_id AND e.ts2 <= od.o_orderdate""".stripMargin,
 
     "q11_important_stock" ->
       """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_value

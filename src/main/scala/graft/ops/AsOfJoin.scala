@@ -37,7 +37,28 @@ object AsOfJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               rightCols: Seq[String], rightTieBreak: String): DataFrame = {
+               rightCols: Seq[String], rightTieBreak: String): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, rightCols, rightTieBreak,
+      forward = false)
+
+  /** Forward as-of: for every left row, attach the EARLIEST right row
+    * with the same key and right.time >= left.time (inclusive) — the
+    * "next state change after this event" lookup. Same single-shuffle
+    * union+window machinery scanning time DESCENDING: the last right row
+    * seen when the scan reaches a left row is the smallest right time at
+    * or above it. Equal-time right rows resolve to the smallest
+    * `rightTieBreak` (the first such row), mirroring backward's latest.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      rightCols: Seq[String], rightTieBreak: String): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, rightCols, rightTieBreak,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String,
+                       rightCols: Seq[String], rightTieBreak: String,
+                       forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val rStructType = org.apache.spark.sql.types.StructType(
       rightCols.map(c => right.schema(c)))
@@ -54,8 +75,16 @@ object AsOfJoin {
         lit(null).cast(rStructType).as("__r") +:
         leftCols.filterNot(_ == key).map(col)): _*)
 
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__t"), col("__side"), col("__tie"))
+    // scan ascending (backward as-of) or descending (forward as-of); in
+    // both, a right row at the same time sorts before the left row it
+    // serves (inclusive bound), and the tie order makes "last seen" the
+    // latest (backward) / first (forward) right row at equal times
+    val w = (if (forward)
+      Window.partitionBy(col(key))
+        .orderBy(col("__t").desc, col("__side"), col("__tie").desc)
+    else
+      Window.partitionBy(col(key))
+        .orderBy(col("__t"), col("__side"), col("__tie")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = taggedRight.unionByName(taggedLeft)

@@ -31,6 +31,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r.getAs[String]("rv") == "new" && r.getAs[String]("rv2") == null)
   }
 
+  test("asof forward: inclusive tie takes the FIRST right row, null after the last one") {
+    val left = Seq((1L, 5L, "l1"), (1L, 10L, "l2"), (1L, 20L, "l3"), (2L, 1L, "l4"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, "a", 1L), (1L, 5L, "b", 2L), (1L, 15L, "c", 3L), (2L, 0L, "d", 4L))
+      .toDF("k", "rt", "rv", "seq")
+    val out = AsOfJoin.asofJoinForward(left, right, "k", "t", "rt", Seq("rv"), "seq")
+      .orderBy("k", "t")
+      .select("k", "t", "lv", "rv").as[(Long, Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, "l1", "a"),   // inclusive >=; tie among rt=5 -> min seq
+      (1L, 10L, "l2", "c"),  // next right at 15
+      (1L, 20L, "l3", null), // nothing after 15
+      (2L, 1L, "l4", null))) // right row is strictly before
+  }
+
   test("salted join equals the plain join on skewed data") {
     // 90% of the big side shares one hot key
     val big = spark.range(0, 20000)
