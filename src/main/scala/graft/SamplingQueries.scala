@@ -114,6 +114,22 @@ object SamplingQueries extends QueryPack {
         |  CAST(max(k) AS BIGINT) AS max_k
         |FROM j GROUP BY event_type""".stripMargin)),
 
+    // Gap-based event debounce: within each (user, event_type) stream,
+    // an event is kept only when more than 10 s passed since the
+    // previous event (the sensor/telemetry de-noising pass; the batch
+    // face of streaming dropDuplicatesWithinWatermark). One shuffle on
+    // the group key; integer millisecond gaps.
+    "x_event_debounce" -> ((s, dir) => events(s, dir,
+      """WITH g AS (
+        |  SELECT user_id, event_type, event_id,
+        |    unix_millis(ts) - unix_millis(lag(ts) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap_ms
+        |  FROM events)
+        |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN gap_ms IS NULL OR gap_ms > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(min(gap_ms) AS BIGINT) AS min_gap_ms
+        |FROM g GROUP BY user_id, event_type""".stripMargin)),
+
     // Per-group z-score anomaly detection over events.value: mean and
     // stddev per event_type from EXACT integer sums (cents, cents^2 —
     // both far inside BIGINT at any realistic scale), so every double op
@@ -209,6 +225,17 @@ object SamplingQueries extends QueryPack {
         |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k,
         |  CAST(max(k) AS BIGINT) AS max_k
         |FROM j GROUP BY event_type""".stripMargin,
+
+    "x_event_debounce" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap_ms
+        |  FROM events)
+        |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN gap_ms IS NULL OR gap_ms > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(min(gap_ms) AS BIGINT) AS min_gap_ms
+        |FROM g GROUP BY user_id, event_type""".stripMargin,
 
     "x_anomaly_zscore" ->
       """WITH j AS (
