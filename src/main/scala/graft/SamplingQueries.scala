@@ -114,6 +114,23 @@ object SamplingQueries extends QueryPack {
         |  CAST(max(k) AS BIGINT) AS max_k
         |FROM j GROUP BY event_type""".stripMargin)),
 
+    // Training-mixture quota allocation: apportion a 10k-document budget
+    // across (lang, source) strata proportionally to their corpus counts
+    // using the largest-remainder method — quotas are integers, sum to
+    // the budget EXACTLY, and every step is integer arithmetic. The
+    // window runs over the stratum table (metadata-scale regardless of
+    // corpus size).
+    "x_mixture_quota" -> ((s, dir) => docs(s, dir,
+      """WITH g AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM g),
+        |q AS (SELECT lang, source, c, (10000 * c) DIV total AS base,
+        |  (10000 * c) % total AS rem FROM g CROSS JOIN t),
+        |d AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS deficit FROM q),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, lang, source) AS BIGINT) AS rk FROM q)
+        |SELECT lang, source, CAST(c AS BIGINT) AS n_docs,
+        |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r CROSS JOIN d""".stripMargin)),
+
     // Gap-based event debounce: within each (user, event_type) stream,
     // an event is kept only when more than 10 s passed since the
     // previous event (the sensor/telemetry de-noising pass; the batch
@@ -225,6 +242,17 @@ object SamplingQueries extends QueryPack {
         |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k,
         |  CAST(max(k) AS BIGINT) AS max_k
         |FROM j GROUP BY event_type""".stripMargin,
+
+    "x_mixture_quota" ->
+      """WITH g AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM g),
+        |q AS (SELECT lang, source, c, (10000 * c) // total AS base,
+        |  (10000 * c) % total AS rem FROM g CROSS JOIN t),
+        |d AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS deficit FROM q),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source) AS rk FROM q)
+        |SELECT lang, source, CAST(c AS BIGINT) AS n_docs,
+        |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r CROSS JOIN d""".stripMargin,
 
     "x_event_debounce" ->
       """WITH g AS (
