@@ -66,9 +66,10 @@ object RetrievalQueries extends QueryPack {
          |  FROM scored) WHERE rank <= 3""".stripMargin)),
 
     // BM25 (k1=1.2, b=0.75) of the fixed query {spark, merge, window}:
-    // top-20 documents. Doc-length normalization is a single
-    // correctly-rounded double expression over exact integers (identical
-    // in both engines); idf is per-term quantized.
+    // top-20 documents. Each per-(doc, term) score is one correctly-
+    // rounded double expression over exact integers (identical in both
+    // engines), quantized to an integer BEFORE the per-doc sum — so the
+    // sum is exact integer addition, independent of aggregation order.
     "x_bm25" -> ((s, dir) => docs(s, dir,
       s"""WITH $sparkTok,
          |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
@@ -81,11 +82,11 @@ object RetrievalQueries extends QueryPack {
          |  FROM df CROSS JOIN st s),
          |parts AS (
          |  SELECT tf.doc_id,
-         |    CAST(i.idf_micro AS DOUBLE) * (tf.tf * 2.2)
-         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS part
+         |    CAST(floor(CAST(i.idf_micro AS DOUBLE) * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) + 0.5) AS BIGINT) AS part_micro
          |  FROM tf JOIN idf i ON i.word = tf.word
          |          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st s),
-         |sc AS (SELECT doc_id, CAST(floor(sum(part) + 0.5) AS BIGINT) AS score_micro
+         |sc AS (SELECT doc_id, CAST(sum(part_micro) AS BIGINT) AS score_micro
          |  FROM parts GROUP BY doc_id),
          |top AS (SELECT doc_id, score_micro FROM sc ORDER BY score_micro DESC, doc_id LIMIT 20)
          |SELECT doc_id, score_micro,
@@ -144,12 +145,11 @@ object RetrievalQueries extends QueryPack {
       // the explode per reference. Counts aggregate the positions, so
       // sum(c) / sum(c * lp) reproduce the per-position totals exactly.
       Tables(s, dir, "documents").createOrReplaceTempView("documents")
-      val bc = s.sql(
+      Tables.cacheView("bigram_counts", s.sql(
         """SELECT doc_id, bg, count(*) AS c FROM (
           |  SELECT doc_id, substring(text, i, 2) AS bg
           |  FROM documents LATERAL VIEW explode(sequence(1, length(text) - 1)) t AS i)
-          |GROUP BY doc_id, bg""".stripMargin).cache()
-      bc.createOrReplaceTempView("bigram_counts")
+          |GROUP BY doc_id, bg""".stripMargin))
       s.sql(
         """WITH cnt2 AS (SELECT bg, CAST(sum(c) AS BIGINT) AS c2 FROM bigram_counts GROUP BY bg),
           |cnt1 AS (SELECT substring(bg, 1, 1) AS c1, CAST(sum(c2) AS BIGINT) AS c1n
@@ -199,11 +199,11 @@ object RetrievalQueries extends QueryPack {
          |  FROM df CROSS JOIN st s),
          |parts AS (
          |  SELECT tf.doc_id,
-         |    CAST(i.idf_micro AS DOUBLE) * (tf.tf * 2.2)
-         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS part
+         |    CAST(floor(CAST(i.idf_micro AS DOUBLE) * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) + 0.5) AS BIGINT) AS part_micro
          |  FROM tf JOIN idf i ON i.word = tf.word
          |          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st s),
-         |sc AS (SELECT doc_id, CAST(floor(sum(part) + 0.5) AS BIGINT) AS score_micro
+         |sc AS (SELECT doc_id, CAST(sum(part_micro) AS BIGINT) AS score_micro
          |  FROM parts GROUP BY doc_id),
          |top AS (SELECT doc_id, score_micro FROM sc ORDER BY score_micro DESC, doc_id LIMIT 20)
          |SELECT doc_id, score_micro,

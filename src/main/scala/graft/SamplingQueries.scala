@@ -184,16 +184,14 @@ object SamplingQueries extends QueryPack {
       // join per reference (the recomputation compounds across rounds).
       Tables(s, dir, "orders").createOrReplaceTempView("orders")
       Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-      val e = s.sql(
+      Tables.cacheView("pr_edges", s.sql(
         """WITH e0 AS (
           |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
           |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
           |SELECT s * 2 AS u, c * 2 + 1 AS v FROM e0
           |UNION ALL
-          |SELECT c * 2 + 1 AS u, s * 2 AS v FROM e0""".stripMargin).cache()
-      e.createOrReplaceTempView("pr_edges")
-      val deg = s.sql("SELECT u, count(*) AS d FROM pr_edges GROUP BY u").cache()
-      deg.createOrReplaceTempView("pr_deg")
+          |SELECT c * 2 + 1 AS u, s * 2 AS v FROM e0""".stripMargin))
+      Tables.cacheView("pr_deg", s.sql("SELECT u, count(*) AS d FROM pr_edges GROUP BY u"))
       s.sql(
         s"""WITH e AS (SELECT * FROM pr_edges),
            |deg AS (SELECT * FROM pr_deg),

@@ -41,12 +41,10 @@ object SimilarityQueries extends QueryPack {
     */
   private def docsWithBands(s: SparkSession, dir: String, sql: String): DataFrame = {
     Tables(s, dir, "documents").createOrReplaceTempView("documents")
-    val sh = s.sql(s"WITH $sparkShingles SELECT doc_id, shingle_h FROM sh").cache()
-    sh.createOrReplaceTempView("sh")
+    Tables.cacheView("sh", s.sql(s"WITH $sparkShingles SELECT doc_id, shingle_h FROM sh"))
     s.sql("SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id")
       .createOrReplaceTempView("n")
-    val sig = s.sql(s"WITH $sparkSigCtes SELECT doc_id, band, sig FROM sigt").cache()
-    sig.createOrReplaceTempView("mh_sig")
+    Tables.cacheView("mh_sig", s.sql(s"WITH $sparkSigCtes SELECT doc_id, band, sig FROM sigt"))
     s.sql(sql)
   }
 
@@ -352,15 +350,14 @@ object SimilarityQueries extends QueryPack {
     // exploded CTE form; results are identical.)
     "x_dedup_simhash" -> ((s, dir) => {
       Tables(s, dir, "documents").createOrReplaceTempView("documents")
-      val sig = s.sql(
+      Tables.cacheView("simhash_sig", s.sql(
         s"""WITH w AS (SELECT doc_id, explode(array_distinct(split(text, '\\\\s+'))) AS word FROM documents),
            |h AS (SELECT doc_id, ${h64("word")} AS hw FROM w),
            |tallies AS (SELECT doc_id,
            |  ${(0 to 31).map(b => s"sum(CASE WHEN (shiftright(hw, $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")}
            |  FROM h GROUP BY doc_id)
            |SELECT doc_id, CAST(${(0 to 31).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")} AS BIGINT) AS simhash
-           |FROM tallies""".stripMargin).cache()
-      sig.createOrReplaceTempView("simhash_sig")
+           |FROM tallies""".stripMargin))
       s.sql(
         """WITH bands AS (SELECT doc_id, simhash, k, (shiftright(simhash, 8*k) & 255) AS band
           |  FROM simhash_sig LATERAL VIEW explode(sequence(0, 3)) t AS k),

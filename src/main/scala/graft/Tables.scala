@@ -18,6 +18,32 @@ object Tables {
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
   }
+
+  private val cachedViews =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Cache `df` and register it as temp view `name`, reusing the live
+    * cache when the SAME computation is re-requested (cross-query sharing
+    * within one scale factor) and unpersisting the stale one when the
+    * computation changed (e.g. a different sfDir) — so repeated
+    * Verify/Bench invocations don't accumulate orphaned cached blocks in
+    * executor storage memory.
+    */
+  def cacheView(name: String, df: DataFrame): DataFrame = {
+    val reuse = cachedViews.get(name)
+      .filter(_.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+    reuse match {
+      case Some(old) =>
+        old.createOrReplaceTempView(name)
+        old
+      case None =>
+        cachedViews.remove(name).foreach(_.unpersist())
+        val c = df.cache()
+        c.createOrReplaceTempView(name)
+        cachedViews.update(name, c)
+        c
+    }
+  }
 }
 
 /** A named pack of oracle-checked queries: each entry in `queries` has

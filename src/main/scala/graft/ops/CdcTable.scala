@@ -247,6 +247,12 @@ final class CdcTable(
     * in-flight (deleting them would corrupt a concurrent commit) or
     * crashed (reclaimed by the takeover step of [[mergeWithRetry]] when
     * their number comes up again). Safe to re-run at any time.
+    *
+    * Concurrency sizing: `retainVersions` is also the read lease — a
+    * merge scanning version X survives `retainVersions - 1` competing
+    * commits before X can be expired under it. Size it above the worst
+    * concurrent-writer lag (default 3 tolerates two commits landing
+    * during one in-flight merge).
     */
   def expire(): Unit = currentVersion.foreach { cur =>
     val live = versions.filter(_ <= cur).takeRight(retainVersions).toSet + cur
@@ -288,6 +294,7 @@ final class CdcTable(
     */
   def append(df: DataFrame): Unit = partitionSource match {
     case Some(_) =>
+      exists: Unit // legacy hive-at-root guard (throws); bootstrap on a truly-empty dir is fine
       commitPartitioned(withPart(df), replaced = Set.empty, currentVersion)
     case None =>
       if (!exists) init(df)
@@ -369,14 +376,25 @@ final class CdcTable(
     * (incremental_kafka_s3_cdc.py:281-291 — 10 tries x 10 s sleep +
     * REFRESH): every attempt re-reads the CURRENT table state, so a retry
     * after losing a race merges on top of the winner's commit, never on
-    * the stale snapshot. The penultimate attempt assumes a reservation
-    * that survived the whole backoff belongs to a crashed writer and
-    * reclaims it (removes the dir) before the final try.
+    * the stale snapshot.
+    *
+    * Crashed-writer takeover: a reservation is reclaimed (dir removed)
+    * only on the penultimate attempt, and only if the SAME reservation
+    * (same version number, same directory mtime — i.e. zero progress) was
+    * what blocked this writer for at least the two preceding backoff
+    * sleeps. A live writer that merely commits slowly keeps advancing its
+    * directory mtime and is never reclaimed; a writer stalled past the
+    * whole backoff (default ~90 s) is treated as dead — the same
+    * assumption the reference's 10x10s loop makes. A reclaimed-then-
+    * revived writer's late commit is still fenced by commitPointer's
+    * version check.
     */
   def mergeWithRetry(
       batch: DataFrame, tsCol: String, tieBreakers: Seq[String] = Nil,
       maxTries: Int = 10, sleepMs: Long = 10000L): Unit = {
     var attempt = 0
+    var observed: Option[(Long, Long)] = None // blocking (version, dir mtime)
+    var observedAt = 0
     var done = false
     while (!done) {
       try { merge(batch, tsCol, tieBreakers); done = true }
@@ -384,9 +402,14 @@ final class CdcTable(
         case e: CommitConflictException =>
           attempt += 1
           if (attempt >= maxTries) throw e
+          val nxt = currentVersion.getOrElse(0L) + 1
+          val sig = (nxt, versionDir(nxt).lastModified())
+          if (!observed.contains(sig)) { observed = Some(sig); observedAt = attempt }
           Thread.sleep(sleepMs)
-          if (attempt == maxTries - 1)
-            rm(versionDir(currentVersion.getOrElse(0L) + 1)) // crashed-writer takeover
+          if (attempt == maxTries - 1 && attempt - observedAt >= 1 &&
+              currentVersion.getOrElse(0L) + 1 == nxt &&
+              versionDir(nxt).lastModified() == sig._2)
+            rm(versionDir(nxt)) // stale for the whole observed backoff: presumed dead
       }
     }
   }

@@ -45,10 +45,13 @@ object TopKViaSortLimit extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  // Non-negative in-range literals only: negative bounds never produce a
+  // useful rewrite (the filter is empty anyway), and admitting them would
+  // let `k - 1` wrap at Int.MinValue into a giant Limit.
   private object IntLit {
     def unapply(e: Expression): Option[Int] = e match {
-      case Literal(v: Int, IntegerType) => Some(v)
-      case Literal(v: Long, LongType) if v <= Int.MaxValue => Some(v.toInt)
+      case Literal(v: Int, IntegerType) if v >= 0 => Some(v)
+      case Literal(v: Long, LongType) if v >= 0 && v <= Int.MaxValue => Some(v.toInt)
       case _ => None
     }
   }
