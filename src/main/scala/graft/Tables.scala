@@ -8,15 +8,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scale-factor directory.
   */
 object Tables {
+
+  // Memoized per (session, sfDir, name): `spark.read.parquet` pays file
+  // listing + footer schema inference every call (~100ms/table), and the
+  // query packs register their views on every invocation — without this
+  // cache a bench rep spends more time re-reading footers than running
+  // the query. The testdata dirs are immutable, so reuse is safe; entries
+  // for stopped sessions are pruned to keep the map from pinning dead
+  // session state across ScalaTest suites.
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
-    // rejects; read nanos as long and floor to micros (DuckDB does the
-    // same truncation when it reads nanos into its micros timestamps).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    tableCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    tableCache.getOrElseUpdate((spark, sfDir, name), {
+      // events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
+      // rejects; read nanos as long and floor to micros (DuckDB does the
+      // same truncation when it reads nanos into its micros timestamps).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events")
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else df
+    })
   }
 
   private val cachedViews =
