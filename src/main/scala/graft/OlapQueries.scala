@@ -457,7 +457,56 @@ object OlapQueries extends QueryPack {
         |    WHERE p_name LIKE 'small%'
         |      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |    GROUP BY l_suppkey
-        |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(50 AS DECIMAL(12,2)))""".stripMargin))
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(50 AS DECIMAL(12,2)))""".stripMargin)),
+
+    // CUBE: all four grouping combinations in one pass (Spark expands to
+    // a single shuffle with grouping-id; 100 TB cost is one scan, not
+    // four). Sentinel labels keep the null grouping keys comparable.
+    "q_cube_agg" -> ((s, dir) => sql(s, dir,
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // Fixed-width histogram of order value: bucket index is an exact
+    // integer floor of a single IEEE division — identical in both
+    // engines. The shape of a 100 TB histogram job: one scan, one
+    // combine-friendly groupBy on a small integer key.
+    "q_histogram" -> ((s, dir) => sql(s, dir,
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM orders GROUP BY CAST(floor(o_totalprice / 50000) AS BIGINT)""".stripMargin)),
+
+    // Ordered set-valued aggregation: the distinct market segments per
+    // nation as one sorted CSV string. Spark materializes the per-group
+    // set and sorts it inside the row (collect_set + array_sort — bounded
+    // by segment cardinality, never by row count); DuckDB's ordered
+    // string_agg over a distinct subquery produces the identical string.
+    "x_group_concat" -> ((s, dir) => sql(s, dir,
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |  array_join(array_sort(collect_set(c_mktsegment)), ',') AS segments
+        |FROM customer GROUP BY c_nationkey""".stripMargin)),
+
+    // Per-customer order time series: previous-order delta and 3-order
+    // moving average. All arithmetic is exact integer cents inside the
+    // window frames; the single closing division is one IEEE op on
+    // identical inputs. (o_orderdate, o_orderkey) is a unique total
+    // order per customer, so frames are deterministic.
+    "x_timeseries_features" -> ((s, dir) => sql(s, dir,
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  cents - lag(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_cents,
+        |  CAST(CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |       / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3_cents
+        |FROM c""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -787,6 +836,43 @@ object OlapQueries extends QueryPack {
         |    WHERE p_name LIKE 'small%'
         |      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |    GROUP BY l_suppkey
-        |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(50 AS DECIMAL(12,2)))""".stripMargin
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(50 AS DECIMAL(12,2)))""".stripMargin,
+
+    "q_cube_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM orders GROUP BY CAST(floor(o_totalprice / 50000) AS BIGINT)""".stripMargin,
+
+    "x_group_concat" ->
+      """WITH d AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer),
+        |segs AS (SELECT c_nationkey,
+        |           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        |         FROM d GROUP BY c_nationkey),
+        |cnt AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+        |        FROM customer GROUP BY c_nationkey)
+        |SELECT cnt.c_nationkey, cnt.n_customers, segs.segments
+        |FROM cnt JOIN segs ON segs.c_nationkey = cnt.c_nationkey""".stripMargin,
+
+    "x_timeseries_features" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  cents - lag(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_cents,
+        |  CAST(CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |       / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3_cents
+        |FROM c""".stripMargin
   )
 }

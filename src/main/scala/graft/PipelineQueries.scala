@@ -191,7 +191,26 @@ object PipelineQueries extends QueryPack {
         |SELECT f.cohort, CAST(datediff(a.wk, f.cohort) DIV 7 AS BIGINT) AS week_offset,
         |  count(DISTINCT a.user_id) AS n_active
         |FROM a JOIN f ON f.user_id = a.user_id
-        |GROUP BY f.cohort, datediff(a.wk, f.cohort) DIV 7""".stripMargin))
+        |GROUP BY f.cohort, datediff(a.wk, f.cohort) DIV 7""".stripMargin)),
+
+    // Event-sequence transition matrix: count of consecutive
+    // (prev_type -> next_type) steps per user stream, aggregated
+    // corpus-wide, with the per-pair step share. The Markov-chain view of
+    // user behavior; at 100 TB it is one window shuffle on user_id (the
+    // session key) and one combine-friendly groupBy on a
+    // (type x type)-bounded key space. (ts, event_id) is a unique total
+    // order per user, so lag is deterministic.
+    "x_event_transitions" -> ((s, dir) => events(s, dir,
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS next_t,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev_t, next_t, count(*) AS n
+        |  FROM seq WHERE prev_t IS NOT NULL GROUP BY prev_t, next_t)
+        |SELECT prev_t, next_t, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_t) AS DOUBLE) AS DOUBLE) AS p_next
+        |FROM pairs""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -277,6 +296,18 @@ object PipelineQueries extends QueryPack {
         |UNION ALL SELECT '2_view', count(*) FROM s2
         |UNION ALL SELECT '3_click', count(*) FROM s3
         |UNION ALL SELECT '4_purchase', count(*) FROM s4""".stripMargin,
+
+    "x_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS next_t,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev_t, next_t, count(*) AS n
+        |  FROM seq WHERE prev_t IS NOT NULL GROUP BY prev_t, next_t)
+        |SELECT prev_t, next_t, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_t) AS DOUBLE) AS DOUBLE) AS p_next
+        |FROM pairs""".stripMargin,
 
     "x_retention_cohorts" ->
       """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort

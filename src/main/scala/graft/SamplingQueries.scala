@@ -44,6 +44,17 @@ object SamplingQueries extends QueryPack {
     s.sql(sql)
   }
 
+  // 16-bit Morton interleave of byte dims `xd`/`yd` (bit i of xd at 2i,
+  // of yd at 2i+1) — generated as a flat integer-shift sum so both
+  // engines evaluate identical exact arithmetic.
+  private val sparkMorton = (0 until 8).map(i =>
+    s"(shiftleft(shiftright(xd, $i) & 1, ${2 * i}) + shiftleft(shiftright(yd, $i) & 1, ${2 * i + 1}))")
+    .mkString("(", " + ", ")")
+
+  private val duckMorton = (0 until 8).map(i =>
+    s"(((xd >> $i) & 1) << ${2 * i}) + (((yd >> $i) & 1) << ${2 * i + 1})")
+    .mkString("(", " + ", ")")
+
   // One unrolled PageRank round: rank flows from `prev` across directed
   // edge table `e` (u -> v), each source contributing rank DIV out-degree,
   // damped by 85/100 over a base of 0.15 (micro-scaled integers).
@@ -204,10 +215,41 @@ object SamplingQueries extends QueryPack {
            |  r AS rank_micro,
            |  CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS pos
            |FROM top""".stripMargin)
-    })
+    }),
+
+    // Z-order layout audit (the SQL face of ops.ZOrder): 16-bit Morton
+    // interleave of two bucketized order dimensions (price byte, coarse
+    // date byte), bucketed by the top 4 Morton bits — exactly the ranges
+    // a z-order range-partitioner would cut. Per-bucket min/max of BOTH
+    // dims stay tight (64-wide rectangles), the property that gives
+    // multi-dim file skipping; a single-dim sort leaves one of them at
+    // full width. Pure integer shifts/masks — map-side only plus one
+    // 16-key groupBy.
+    "x_zorder" -> ((s, dir) => ordersLineitem(s, dir,
+      s"""WITH d AS (
+         |  SELECT o_orderkey,
+         |    least(255, CAST(floor(o_totalprice / 2500) AS BIGINT)) AS xd,
+         |    least(255, greatest(0, CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) DIV 10)) AS yd
+         |  FROM orders),
+         |m AS (SELECT o_orderkey, xd, yd, $sparkMorton AS zkey FROM d)
+         |SELECT zkey DIV 4096 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(xd) AS min_x, max(xd) AS max_x, min(yd) AS min_y, max(yd) AS max_y
+         |FROM m GROUP BY zkey DIV 4096""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_zorder" ->
+      s"""WITH d AS (
+         |  SELECT o_orderkey,
+         |    least(255, CAST(floor(o_totalprice / 2500) AS BIGINT)) AS xd,
+         |    CAST(least(255, greatest(0, date_diff('day', DATE '1992-01-01', o_orderdate) // 10)) AS BIGINT) AS yd
+         |  FROM orders),
+         |m AS (SELECT o_orderkey, xd, yd, $duckMorton AS zkey FROM d)
+         |SELECT zkey // 4096 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(xd) AS min_x, max(xd) AS max_x, min(yd) AS min_y, max(yd) AS max_y
+         |FROM m GROUP BY zkey // 4096""".stripMargin,
+
     "x_weighted_sample" ->
       s"""WITH pri AS (
          |  SELECT doc_id, n_chars,

@@ -644,10 +644,48 @@ object SimilarityQueries extends QueryPack {
          |  abs(CAST(g.n_agree AS DOUBLE) / 16
          |      - CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter)) <= 0.35 AS within_tol
          |FROM inter i JOIN agree g ON g.d1 = i.d1 AND g.d2 = i.d2
-         |JOIN n n1 ON n1.doc_id = i.d1 JOIN n n2 ON n2.doc_id = i.d2""".stripMargin))
+         |JOIN n n1 ON n1.doc_id = i.d1 JOIN n n2 ON n2.doc_id = i.d2""".stripMargin)),
+
+    // INCREMENTAL dedup — the steady-state ingestion shape: a new batch
+    // (doc_id % 10 = 0 stands in) checked against the already-ingested
+    // corpus rather than all-vs-all. Band signatures gate the probe, so
+    // at 100 TB the per-batch cost is |batch| band-key lookups against
+    // the corpus signature table (the shared cached view `mh_sig`; in
+    // production a bucketed table maintained across batches),
+    // independent of the corpus's internal pair count. Every new doc
+    // reports how many corpus docs it band-collides with and the
+    // resulting drop verdict.
+    "x_dedup_incremental" -> ((s, dir) => docsWithBands(s, dir,
+      """WITH newd AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT DISTINCT b.doc_id AS d_new, a.doc_id AS d_old
+        |  FROM mh_sig a JOIN mh_sig b
+        |    ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0)
+        |SELECT nd.doc_id, CAST(count(h.d_old) AS BIGINT) AS n_corpus_dups,
+        |  count(h.d_old) > 0 AS dropped
+        |FROM newd nd LEFT JOIN hits h ON h.d_new = nd.doc_id
+        |GROUP BY nd.doc_id""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_dedup_incremental" ->
+      s"""WITH $duckShingles,
+         |$duckPermsMh,
+         |sig AS (
+         |  SELECT doc_id, p // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig
+         |  FROM mh GROUP BY doc_id, p // 4),
+         |newd AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+         |hits AS (
+         |  SELECT DISTINCT b.doc_id AS d_new, a.doc_id AS d_old
+         |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+         |  WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0)
+         |SELECT nd.doc_id, CAST(count(h.d_old) AS BIGINT) AS n_corpus_dups,
+         |  count(h.d_old) > 0 AS dropped
+         |FROM newd nd LEFT JOIN hits h ON h.d_new = nd.doc_id
+         |GROUP BY nd.doc_id""".stripMargin,
+
     "x_dedup_ngram_jaccard" ->
       s"""WITH $duckShingles,
          |$duckBandCand,

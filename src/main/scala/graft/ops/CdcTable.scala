@@ -414,6 +414,97 @@ final class CdcTable(
     }
   }
 
+  // ------------------------------------------------------------- DML / CDF
+
+  /** Predicate UPDATE (copy-on-write, the reference's
+    * `write.update.mode=copy-on-write` — incremental_kafka_s3_cdc.py:129):
+    * rows matching `condition` get `set`'s assignments applied; every
+    * right-hand side sees the OLD row (SQL UPDATE semantics, so swaps
+    * like `a = b, b = a` work). Partitioned tables rewrite only the
+    * months holding matches — the same partition-pruned copy-on-write as
+    * [[merge]] — and a row whose partition-source column changes moves to
+    * its new month (old copy dropped with its rewritten month, new month
+    * gains a manifest entry). No matches -> no new version is burned.
+    */
+  def update(condition: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column]): Unit =
+    rewrite(condition) { df =>
+      val bad = set.keySet -- df.columns.toSet
+      require(bad.isEmpty, s"UPDATE assigns unknown columns: ${bad.mkString(", ")}")
+      df.select(df.columns.toIndexedSeq.map { c =>
+        set.get(c).map(e => when(condition, e).otherwise(col(c)).as(c)).getOrElse(col(c))
+      }: _*)
+    }
+
+  /** Predicate DELETE (copy-on-write twin of [[update]]): matching rows
+    * vanish; partitioned tables rewrite only the months holding matches.
+    */
+  def delete(condition: org.apache.spark.sql.Column): Unit =
+    rewrite(condition)(_.filter(!coalesce(condition, lit(false))))
+
+  /** Shared COW core: find the partitions `condition` touches, apply
+    * `transform` to just their rows, commit. `transform` must preserve
+    * non-matching rows (update keeps them as-is, delete keeps exactly
+    * them).
+    */
+  private def rewrite(condition: org.apache.spark.sql.Column)
+                     (transform: DataFrame => DataFrame): Unit = {
+    val expected = currentOrThrow
+    partitionSource match {
+      case Some(_) =>
+        val entries = manifest(expected)
+        val touched = readParts(entries, None)
+          .filter(condition).select(col(PartCol))
+          .distinct().as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+        if (touched.nonEmpty) {
+          val existing = readParts(entries, Some(touched)).drop(PartCol)
+          commitPartitioned(withPart(transform(existing)), replaced = touched, Some(expected))
+        }
+      case None =>
+        val df = readAt(expected)
+        if (!df.filter(condition).isEmpty)
+          commitFull(transform(df), Some(expected))
+    }
+  }
+
+  /** Change data feed between two retained versions: the row-level diff
+    * keyed by the merge keys, tagged `_change_type` in
+    * insert / delete / update_preimage / update_postimage — what a
+    * downstream incremental consumer replays instead of re-reading the
+    * table (Delta CDF / Iceberg changelog semantics, derived purely from
+    * the versioned snapshots). One full-outer join on the keys; at 100 TB
+    * both sides are key-partitioned parquet scans of exactly the two
+    * snapshots. Schema evolution between the versions is handled by
+    * null-padding the missing columns.
+    */
+  def changesBetween(fromV: Long, toV: Long): DataFrame = {
+    val oldDf = readAt(fromV)
+    val newDf = readAt(toV)
+    val allCols = (oldDf.columns ++ newDf.columns.filterNot(oldDf.columns.contains)).toIndexedSeq
+    val present = "__present" // survives the outer join where a key value could be null
+    def align(df: DataFrame): DataFrame =
+      df.select(allCols.map(c =>
+        if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+        .withColumn(present, lit(true))
+    val o = align(oldDf).alias("o")
+    val n = align(newDf).alias("n")
+    val joinCond = keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    val joined = o.join(n, joinCond, "full_outer")
+    val inOld = coalesce(col(s"o.$present"), lit(false))
+    val inNew = coalesce(col(s"n.$present"), lit(false))
+    val nonKey = allCols.filterNot(keys.contains)
+    val changed =
+      if (nonKey.isEmpty) lit(false)
+      else !(struct(nonKey.map(c => col(s"o.$c")): _*) <=>
+             struct(nonKey.map(c => col(s"n.$c")): _*))
+    def pick(side: String, tag: String) =
+      allCols.map(c => col(s"$side.$c").as(c)) :+ lit(tag).as(ChangeTypeCol)
+    joined.filter(!inOld && inNew).select(pick("n", "insert"): _*)
+      .unionAll(joined.filter(inOld && !inNew).select(pick("o", "delete"): _*))
+      .unionAll(joined.filter(inOld && inNew && changed).select(pick("o", "update_preimage"): _*))
+      .unionAll(joined.filter(inOld && inNew && changed).select(pick("n", "update_postimage"): _*))
+  }
+
   /** Compaction (reference K10): rewrite to `target` files per partition,
     * folding a partitioned table's multi-commit months back to one
     * directory each (a new version; content unchanged).
@@ -449,6 +540,11 @@ object CdcTable {
 
   /** Per-version month -> data-directory map (partitioned layout). */
   val ManifestName = "manifest.tsv"
+
+  /** Change-data-feed tag column emitted by [[CdcTable.changesBetween]]:
+    * insert / delete / update_preimage / update_postimage.
+    */
+  val ChangeTypeCol = "_change_type"
 
   /** The reference's partition-column heuristic
     * (incremental_kafka_s3_cdc.py:212-213): a non-nullable date/timestamp

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.CdcTable
+
+/** Predicate UPDATE/DELETE (copy-on-write DML) and the change data feed
+  * derived from versioned snapshots.
+  */
+class CdcDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("unpartitioned UPDATE applies assignments to matching rows only; RHS sees the old row") {
+    val path = tmpDir("dml") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"))
+    t.init(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "v", "amt"))
+    // swap-style assignment: both RHS must see pre-update values
+    t.update(col("amt") >= 20L, Map(
+      "v" -> concat(col("v"), lit("!")),
+      "amt" -> (col("amt") + length(col("v")))))
+    val got = t.read.orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", 10L), (2L, "b!", 21L), (3L, "c!", 31L)))
+  }
+
+  test("unpartitioned DELETE removes matching rows; null predicate keeps the row") {
+    val path = tmpDir("dml") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"))
+    t.init(Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "x")).toDF("id", "v"))
+    t.delete(col("v") === "x") // null === 'x' is null -> row 2 must survive
+    assert(t.read.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("no-match UPDATE/DELETE burns no version") {
+    val path = tmpDir("dml") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"))
+    t.init(Seq((1L, "a")).toDF("id", "v"))
+    val v = t.currentVersion
+    t.update(col("v") === "zzz", Map("v" -> lit("w")))
+    t.delete(col("v") === "zzz")
+    assert(t.currentVersion == v)
+  }
+
+  test("partitioned UPDATE rewrites only touched months; moved partition key lands in its new month") {
+    val path = tmpDir("dml") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"))
+    t.init(Seq(
+      (1L, "a", ts("2024-01-05 00:00:00")),
+      (2L, "b", ts("2024-01-20 00:00:00")),
+      (3L, "c", ts("2024-02-10 00:00:00"))).toDF("id", "v", "created_at"))
+    val febBefore = t.manifest(t.currentVersion.get).filter(_._1 == "2024-02")
+
+    // moves id=2 from 2024-01 into 2024-03; 2024-02 has no match
+    t.update(col("id") === 2L, Map("created_at" -> lit(ts("2024-03-15 00:00:00"))))
+
+    val got = t.read.orderBy("id")
+      .select(col("id"), date_format(col("created_at"), "yyyy-MM").as("m"))
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "2024-01"), (2L, "2024-03"), (3L, "2024-02")))
+    // untouched month 2024-02 still points at its original commit dir
+    val febAfter = t.manifest(t.currentVersion.get).filter(_._1 == "2024-02")
+    assert(febAfter == febBefore)
+    // old january copy of id=2 is gone (exactly one row per id)
+    assert(t.read.groupBy("id").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("partitioned DELETE prunes to matching months") {
+    val path = tmpDir("dml") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"))
+    t.init(Seq(
+      (1L, "a", ts("2024-01-05 00:00:00")),
+      (2L, "b", ts("2024-02-20 00:00:00"))).toDF("id", "v", "created_at"))
+    val febBefore = t.manifest(t.currentVersion.get).filter(_._1 == "2024-02")
+    t.delete(col("id") === 1L)
+    assert(t.read.select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(t.manifest(t.currentVersion.get).filter(_._1 == "2024-02") == febBefore)
+  }
+
+  test("changesBetween tags insert, delete, and update pre/post images") {
+    val path = tmpDir("cdf") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"))
+    t.init(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val v1 = t.currentVersion.get
+    t.merge(Seq((2L, "b2", 1L, "u"), (4L, "d", 1L, "c"), (3L, null.asInstanceOf[String], 1L, "d"))
+      .toDF("id", "v", "ts", "__op"), "ts")
+    val v2 = t.currentVersion.get
+
+    val cdf = t.changesBetween(v1, v2)
+      .select(col("id"), col("v"), col(CdcTable.ChangeTypeCol).as("ct"))
+      .as[(Long, String, String)].collect().toSet
+    assert(cdf == Set(
+      (4L, "d", "insert"),
+      (3L, "c", "delete"),
+      (2L, "b", "update_preimage"),
+      (2L, "b2", "update_postimage")))
+    // unchanged rows (id=1) produce no feed entries
+    assert(!cdf.exists(_._1 == 1L))
+  }
+
+  test("changesBetween null-pads across schema evolution") {
+    val path = tmpDir("cdf") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"))
+    t.init(Seq((1L, "a")).toDF("id", "v"))
+    val v1 = t.currentVersion.get
+    // next version adds a column
+    t.init(t.read.withColumn("extra", lit(7L)).withColumn("v", lit("a2")))
+    val v2 = t.currentVersion.get
+    val cdf = t.changesBetween(v1, v2)
+      .select(col("id"), col("v"), col("extra"), col(CdcTable.ChangeTypeCol).as("ct"))
+      .collect().map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3)))
+      .toSet
+    assert(cdf == Set((1L, "a", -1L, "update_preimage"), (1L, "a2", 7L, "update_postimage")))
+  }
+}
