@@ -252,6 +252,32 @@ object IndexQueries extends QueryPack {
          |FROM l JOIN g ON g.lh = l.lh
          |GROUP BY l.doc_id""".stripMargin)),
 
+    // Span-level near-boilerplate dedup (the substring face of the
+    // RefinedWeb/Gopher passes): OVERLAPPING 32-word spans at stride 16 —
+    // duplication that crosses x_line_dedup's fixed 8-word segment
+    // boundaries still collides on some shared span. Cross-doc sharing is
+    // counted over DISTINCT (doc, span) so within-doc repetition (already
+    // x_repetition_filter's job) doesn't inflate it. Same scale shape as
+    // line dedup: one combine-friendly groupBy on the span hash + one
+    // equi-join back; only 60-bit hashes shuffle, never text.
+    "x_span_dedup" -> ((s, dir) => docs(s, dir,
+      s"""WITH w AS (
+         |  SELECT doc_id, split(text, '\\\\s+') AS words
+         |  FROM documents WHERE size(split(text, '\\\\s+')) >= 32),
+         |ds AS (
+         |  SELECT DISTINCT doc_id, span_h FROM (
+         |    SELECT doc_id, explode(transform(sequence(0, (size(words) - 32) DIV 16),
+         |      k -> ${h64("concat_ws(' ', slice(words, k * 16 + 1, 32))")})) AS span_h
+         |    FROM w)),
+         |g AS (SELECT span_h, count(*) AS n_docs FROM ds GROUP BY span_h)
+         |SELECT ds.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN g.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(max(g.n_docs) AS BIGINT) AS hottest_span_docs,
+         |  CAST(sum(CASE WHEN g.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.5 AS keep
+         |FROM ds JOIN g ON g.span_h = ds.span_h
+         |GROUP BY ds.doc_id""".stripMargin)),
+
     // Bloom-filter semi-join pruning: the filter (65536 bits as 2048
     // 32-bit words, 2 salted hash probes per key) is built from the
     // selective side (orders placed since 1998-06-01) and probes distinct
@@ -352,6 +378,23 @@ object IndexQueries extends QueryPack {
          |  CAST(sum(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.3 AS keep
          |FROM l JOIN g ON g.lh = l.lh
          |GROUP BY l.doc_id""".stripMargin,
+
+    "x_span_dedup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS words
+         |  FROM documents WHERE len(string_split_regex(text, '\\s+')) >= 32),
+         |idx AS (SELECT doc_id, words, unnest(generate_series(0, (len(words) - 32) // 16)) AS k FROM w),
+         |ds AS (SELECT DISTINCT doc_id,
+         |  ${duckH64("array_to_string(list_slice(words, k * 16 + 1, k * 16 + 32), ' ')")} AS span_h
+         |  FROM idx),
+         |g AS (SELECT span_h, count(*) AS n_docs FROM ds GROUP BY span_h)
+         |SELECT ds.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN g.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(max(g.n_docs) AS BIGINT) AS hottest_span_docs,
+         |  CAST(sum(CASE WHEN g.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) <= 0.5 AS keep
+         |FROM ds JOIN g ON g.span_h = ds.span_h
+         |GROUP BY ds.doc_id""".stripMargin,
 
     "x_bloom_prune" ->
       s"""WITH sel AS (

@@ -103,6 +103,22 @@ object StreamOps {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Streaming debounce: drop a record whose KEY was already seen within
+    * the watermark horizon, regardless of its event-time value —
+    * `dropDuplicatesWithinWatermark`. Unlike [[dedupStream]] (which keys
+    * state by (keys, ts) and only collapses exact-timestamp duplicates),
+    * this keeps one state row per key and expires it once the watermark
+    * passes, so re-deliveries with slightly different timestamps — the
+    * at-least-once shape Kafka redelivery actually produces
+    * (incremental_kafka_s3_cdc.py's source semantics) — still collapse.
+    * State is bounded by keys-per-horizon; the batch face is the
+    * `x_event_debounce` gap query.
+    */
+  def debounceStream(events: DataFrame, tsCol: String, watermarkDelay: String,
+                     keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-static enrichment join: each streaming event picks up its
     * dimension row from a static (batch) table by key. The static side
     * broadcasts — no streaming state at all — and Spark re-resolves the

@@ -153,4 +153,30 @@ class StreamOpsSpec extends SparkSpec {
     q.awaitTermination()
     assert(spark.table("deduped").count() == 50)
   }
+
+  test("debounceStream collapses redeliveries with shifted timestamps; dedupStream does not") {
+    val root = tmpDir("streamops4")
+    // each event_id delivered twice, the redelivery 1s later — the
+    // at-least-once shape where (key, ts) dedup keeps both copies
+    (0 until 40).flatMap(i => Seq(
+        (i.toLong, i.toLong % 5, "click", new java.sql.Timestamp(1700000000000L + i * 60000L)),
+        (i.toLong, i.toLong % 5, "click", new java.sql.Timestamp(1700000000000L + i * 60000L + 1000L))))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("append").parquet(s"$root/in")
+
+    val byKey = StreamOps.debounceStream(
+      spark.readStream.schema(evtSchema).parquet(s"$root/in"), "ts", "1 hour", Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("debounced")
+      .trigger(Trigger.AvailableNow()).start()
+    byKey.awaitTermination()
+    assert(spark.table("debounced").count() == 40)
+    assert(spark.table("debounced").select("event_id").distinct().count() == 40)
+
+    val byKeyTs = StreamOps.dedupStream(
+      spark.readStream.schema(evtSchema).parquet(s"$root/in"), "ts", "1 hour", Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("deduped_ts")
+      .trigger(Trigger.AvailableNow()).start()
+    byKeyTs.awaitTermination()
+    assert(spark.table("deduped_ts").count() == 80)
+  }
 }
