@@ -97,6 +97,29 @@ class CdcDmlSpec extends SparkSpec {
     assert(!cdf.exists(_._1 == 1L))
   }
 
+  test("statement-level UPDATE/DELETE parse and execute; commas in RHS survive") {
+    val root = tmpDir("dmlsql")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"))
+    t.init(Seq((1L, "a", 10L), (2L, "b", 25L), (3L, "c", 30L)).toDF("id", "v", "amt"))
+
+    graft.ops.Dml.execute(spark,
+      "UPDATE t SET v = concat(v, '!', 'x'), amt = amt + length(v) WHERE amt >= 20",
+      n => s"$root/$n", Seq("id"))
+    assert(t.read.orderBy("id").as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 10L), (2L, "b!x", 26L), (3L, "c!x", 31L)))
+
+    graft.ops.Dml.execute(spark, "DELETE FROM t WHERE amt > 30",
+      n => s"$root/$n", Seq("id"))
+    assert(t.read.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // WHERE-less UPDATE touches every row
+    graft.ops.Dml.execute(spark, "UPDATE t SET amt = 0", n => s"$root/$n", Seq("id"))
+    assert(t.read.select("amt").as[Long].collect().toSeq.forall(_ == 0L))
+
+    intercept[IllegalArgumentException](graft.ops.Dml.parse("TRUNCATE TABLE t"))
+    intercept[IllegalArgumentException](graft.ops.Dml.parse("UPDATE t SET WHERE x = 1"))
+  }
+
   test("changesBetween null-pads across schema evolution") {
     val path = tmpDir("cdf") + "/t"
     val t = new CdcTable(spark, path, Seq("id"))
