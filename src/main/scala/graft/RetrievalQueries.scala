@@ -25,6 +25,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * IEEE division of exact integers (bit-identical in both engines).
   */
 object RetrievalQueries extends QueryPack {
+  import TextQueries.{h64, duckH64}
 
   private def docs(s: SparkSession, dir: String, sql: String): DataFrame = {
     Tables(s, dir, "documents").createOrReplaceTempView("documents")
@@ -167,7 +168,35 @@ object RetrievalQueries extends QueryPack {
           |  CAST(floor(CAST(0 - slp AS DOUBLE) / n_bigrams + 0.5) AS BIGINT) AS nll_micro,
           |  CAST(floor(CAST(0 - slp AS DOUBLE) / n_bigrams + 0.5) AS BIGINT) <= 3500000 AS keep
           |FROM perdoc""".stripMargin)
-    })
+    }),
+
+    // Count-min sketch heavy hitters: frequencies folded into a fixed
+    // 2x1024-cell sketch (two salted 60-bit hash rows), estimate =
+    // min over rows — the bounded-memory frequency structure for
+    // streams/shards whose exact key space doesn't fit. Emitted for the
+    // exact top-20: exact count, sketch estimate, the CMS soundness
+    // invariant (estimate never undercounts), and the overestimate in
+    // parts-per-million of corpus mass. Everything is exact integer
+    // arithmetic on fixed hashes — both engines compute identical cells.
+    // At 100 TB the sketch is 2 KB per shard and merges by cell-wise sum;
+    // here the cells build from the same combine-friendly word counts the
+    // exact path uses, so one query audits the sketch against truth.
+    "x_heavy_hitters" -> ((s, dir) => docs(s, dir,
+      s"""WITH $sparkTok,
+         |cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+         |r1 AS (SELECT pos, CAST(sum(c) AS BIGINT) AS v FROM (
+         |  SELECT ${h64("concat('cms1_', word)")} % 1024 AS pos, c FROM cnt) GROUP BY pos),
+         |r2 AS (SELECT pos, CAST(sum(c) AS BIGINT) AS v FROM (
+         |  SELECT ${h64("concat('cms2_', word)")} % 1024 AS pos, c FROM cnt) GROUP BY pos),
+         |top AS (SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT 20)
+         |SELECT t.word, t.c AS exact_count,
+         |  least(a.v, b.v) AS cms_estimate,
+         |  least(a.v, b.v) >= t.c AS sound,
+         |  CAST((least(a.v, b.v) - t.c) * 1000000 DIV tot.n AS BIGINT) AS overestimate_ppm
+         |FROM top t CROSS JOIN tot
+         |JOIN r1 a ON a.pos = ${h64("concat('cms1_', t.word)")} % 1024
+         |JOIN r2 b ON b.pos = ${h64("concat('cms2_', t.word)")} % 1024""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -261,6 +290,23 @@ object RetrievalQueries extends QueryPack {
         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
         |  CAST(floor(CAST(0 - slp AS DOUBLE) / n_bigrams + 0.5) AS BIGINT) AS nll_micro,
         |  CAST(floor(CAST(0 - slp AS DOUBLE) / n_bigrams + 0.5) AS BIGINT) <= 3500000 AS keep
-        |FROM perdoc""".stripMargin
+        |FROM perdoc""".stripMargin,
+
+    "x_heavy_hitters" ->
+      s"""WITH $duckTok,
+         |cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+         |r1 AS (SELECT pos, CAST(sum(c) AS BIGINT) AS v FROM (
+         |  SELECT ${duckH64("'cms1_' || word")} % 1024 AS pos, c FROM cnt) GROUP BY pos),
+         |r2 AS (SELECT pos, CAST(sum(c) AS BIGINT) AS v FROM (
+         |  SELECT ${duckH64("'cms2_' || word")} % 1024 AS pos, c FROM cnt) GROUP BY pos),
+         |top AS (SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT 20)
+         |SELECT t.word, t.c AS exact_count,
+         |  least(a.v, b.v) AS cms_estimate,
+         |  least(a.v, b.v) >= t.c AS sound,
+         |  CAST((least(a.v, b.v) - t.c) * 1000000 // tot.n AS BIGINT) AS overestimate_ppm
+         |FROM top t CROSS JOIN tot
+         |JOIN r1 a ON a.pos = ${duckH64("'cms1_' || t.word")} % 1024
+         |JOIN r2 b ON b.pos = ${duckH64("'cms2_' || t.word")} % 1024""".stripMargin
   )
 }
