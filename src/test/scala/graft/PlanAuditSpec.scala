@@ -77,4 +77,34 @@ class PlanAuditSpec extends SparkSpec {
   test("containment candidates come from the band equi-join, not all-pairs") {
     assert(!plan("x_containment").contains("CartesianProduct"))
   }
+
+  test("z-order audit is map-side: no sort, no window, one small-key aggregation") {
+    val p = plan("x_zorder").toLowerCase
+    assert(!p.contains("rangepartitioning"), "morton bucketing must not global-sort")
+    assert(!p.contains(" window"))
+  }
+
+  test("heavy-hitters top-20 plans as TakeOrdered; sketch rows never join all-pairs") {
+    val p = plan("x_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("cube expands grouping sets in one aggregation pass (single Expand, no plan-level union of scans)") {
+    val p = plan("q_cube_agg")
+    assert(p.contains("Expand"), "CUBE must plan as Expand + single aggregate")
+    assert(!p.contains("Union"), "CUBE must not execute one scan per grouping set")
+  }
+
+  test("incremental dedup probes the corpus signatures with an equi-join, not all-pairs") {
+    assert(!plan("x_dedup_incremental").contains("CartesianProduct"))
+  }
+
+  test("span dedup shuffles only span hashes (ReadSchema stays at doc_id + text)") {
+    val read = plan("x_span_dedup").linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text"))
+    assert(!read.contains("lang") && !read.contains("source"),
+      "span dedup must prune unreferenced document columns from the scan")
+  }
 }
