@@ -70,24 +70,24 @@ object IndexQueries extends QueryPack {
       |v AS (SELECT vec_id, label, qe, CAST(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) AS BIGINT) AS nrm FROM q)""".stripMargin
 
   /** One Spark Lloyd assignment CTE: nearest centroid in `cent` for every
-    * row of `v` (broadcastable k-row side; integer distance terms).
+    * row of `vtab` (broadcastable k-row side; integer distance terms).
     */
-  private def sparkAssign(name: String, cent: String): String =
+  private def sparkAssign(name: String, cent: String, vtab: String = "v"): String =
     s"""$name AS (
        |  SELECT vec_id, qe, cid FROM (
        |    SELECT v.vec_id, v.qe, c.cid,
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY dot_i64(c.ce, c.ce) - 2 * dot_i64(v.qe, c.ce), c.cid) AS rnk
-       |    FROM v CROSS JOIN $cent c) WHERE rnk = 1)""".stripMargin
+       |    FROM $vtab v CROSS JOIN $cent c) WHERE rnk = 1)""".stripMargin
 
-  private def duckAssign(name: String, cent: String): String =
+  private def duckAssign(name: String, cent: String, vtab: String = "v"): String =
     s"""$name AS (
        |  SELECT vec_id, qe, cid FROM (
        |    SELECT v.vec_id, v.qe, c.cid,
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY CAST(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT)
        |          - 2 * CAST(list_dot_product(v.qe::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT), c.cid) AS rnk
-       |    FROM v CROSS JOIN $cent c) WHERE rnk = 1)""".stripMargin
+       |    FROM $vtab v CROSS JOIN $cent c) WHERE rnk = 1)""".stripMargin
 
   /** One Spark centroid-update CTE pair: per-dimension integer means of
     * the members assigned in `asg`, folded back into a k-row array table.
@@ -131,6 +131,31 @@ object IndexQueries extends QueryPack {
        |${duckAssign("a2", "c1")},
        |${duckUpdate("e2", "m2", "c2", "a2")},
        |${duckAssign("af", "c2")}""".stripMargin
+
+  /** Parametric training chain over any (vec_id, qe) table: the same
+    * seeds -> (assign, update) x2 -> final-assignment recipe with CTE
+    * names prefixed, so several codebooks coexist in one statement —
+    * product quantization trains one per subspace.
+    */
+  private def sparkKmeansFor(p: String, vtab: String, k: Int = 16): String =
+    s"""${p}sd AS (SELECT vec_id, qe, ${h64("concat('seed_', vec_id)")} AS hv
+       |  FROM $vtab ORDER BY hv, vec_id LIMIT $k),
+       |${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) - 1 AS BIGINT) AS cid, qe AS ce FROM ${p}sd),
+       |${sparkAssign(s"${p}a1", s"${p}c0", vtab)},
+       |${sparkUpdate(s"${p}e1", s"${p}m1", s"${p}c1", s"${p}a1")},
+       |${sparkAssign(s"${p}a2", s"${p}c1", vtab)},
+       |${sparkUpdate(s"${p}e2", s"${p}m2", s"${p}c2", s"${p}a2")},
+       |${sparkAssign(s"${p}af", s"${p}c2", vtab)}""".stripMargin
+
+  private def duckKmeansFor(p: String, vtab: String, k: Int = 16): String =
+    s"""${p}sd AS (SELECT vec_id, qe, ${duckH64("'seed_' || vec_id::VARCHAR")} AS hv
+       |  FROM $vtab ORDER BY hv, vec_id LIMIT $k),
+       |${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) - 1 AS BIGINT) AS cid, qe AS ce FROM ${p}sd),
+       |${duckAssign(s"${p}a1", s"${p}c0", vtab)},
+       |${duckUpdate(s"${p}e1", s"${p}m1", s"${p}c1", s"${p}a1")},
+       |${duckAssign(s"${p}a2", s"${p}c1", vtab)},
+       |${duckUpdate(s"${p}e2", s"${p}m2", s"${p}c2", s"${p}a2")},
+       |${duckAssign(s"${p}af", s"${p}c2", vtab)}""".stripMargin
 
   // Query-side probing: each query (every-50th vector) probes its
   // nprobe=3 nearest trained centroids; candidates are the probed lists'
@@ -228,6 +253,79 @@ object IndexQueries extends QueryPack {
          |  CAST(max(s.n_cand) AS BIGINT) AS n_candidates,
          |  CAST(max(s.n_cand) AS DOUBLE) / (count(*) * (max(c.n) - 1)) AS scanned_frac
          |FROM hits CROSS JOIN scan s CROSS JOIN corpus c""".stripMargin)),
+
+    // Product quantization ANN with exact re-rank: each vector
+    // compresses to a 2-subspace code (64 centroids per half via the
+    // shared k-means recipe — 12 bits total); queries score the corpus
+    // by asymmetric distance (ADC: dot(query_half, centroid) looked up
+    // from a 64-row table per subspace and summed — no full-width vector
+    // arithmetic per candidate), keep an ADC top-50 shortlist, and only
+    // the shortlist is re-ranked with exact cosine — the standard
+    // PQ + refine topology. The memory story at 100 TB: the scanned
+    // index holds ~1.5 bytes per vector plus two 64-row codebooks; full
+    // vectors are touched only to (re)train, encode, and re-rank 50
+    // rows per query. Emits recall@5 vs exact brute force and the
+    // number of distinct codes in use. All ranking terms are exact
+    // integer dots; ties break on neighbor_id.
+    "x_ann_pq" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuantV,
+         |v1 AS (SELECT vec_id, slice(qe, 1, CAST(size(qe) DIV 2 AS INT)) AS qe FROM v),
+         |v2 AS (SELECT vec_id, slice(qe, CAST(size(qe) DIV 2 + 1 AS INT), CAST(size(qe) - size(qe) DIV 2 AS INT)) AS qe FROM v),
+         |${sparkKmeansFor("p1", "v1", 64)},
+         |${sparkKmeansFor("p2", "v2", 64)},
+         |qs AS (SELECT vec_id FROM v WHERE vec_id % 50 = 0),
+         |d1 AS (SELECT q.vec_id AS query_id, c.cid, dot_i64(s1.qe, c.ce) AS qdot, dot_i64(c.ce, c.ce) AS cnrm
+         |  FROM qs q JOIN v1 s1 ON s1.vec_id = q.vec_id CROSS JOIN p1c2 c),
+         |d2 AS (SELECT q.vec_id AS query_id, c.cid, dot_i64(s2.qe, c.ce) AS qdot, dot_i64(c.ce, c.ce) AS cnrm
+         |  FROM qs q JOIN v2 s2 ON s2.vec_id = q.vec_id CROSS JOIN p2c2 c),
+         |adc AS (
+         |  SELECT d1.query_id, a1.vec_id AS neighbor_id,
+         |    d1.qdot + d2.qdot AS adot, d1.cnrm + d2.cnrm AS rnrm
+         |  FROM p1af a1 JOIN p2af a2 ON a2.vec_id = a1.vec_id
+         |  JOIN d1 ON d1.cid = a1.cid
+         |  JOIN d2 ON d2.query_id = d1.query_id AND d2.cid = a2.cid
+         |  WHERE a1.vec_id != d1.query_id),
+         |pq_short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(rnrm AS DOUBLE)) DESC, neighbor_id) AS rank
+         |    FROM adc) t WHERE rank <= 50),
+         |rer AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    CAST(dot_i64(qv.qe, nv.qe) AS DOUBLE)
+         |      / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(nv.nrm AS DOUBLE))) AS cos
+         |  FROM pq_short sh JOIN v qv ON qv.vec_id = sh.query_id
+         |                   JOIN v nv ON nv.vec_id = sh.neighbor_id),
+         |pq_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM rer) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2b.vec_id AS neighbor_id,
+         |    CAST(dot_i64(q2.qe, v2b.qe) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2b.nrm AS DOUBLE))) AS cos
+         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  JOIN v v2b ON q2.vec_id != v2b.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN pq_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id),
+         |codes AS (SELECT CAST(count(*) AS BIGINT) AS n_codes FROM (
+         |  SELECT DISTINCT a1.cid AS cx, a2.cid AS cy
+         |  FROM p1af a1 JOIN p2af a2 ON a2.vec_id = a1.vec_id) t)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5,
+         |  CAST(max(c.n_codes) AS BIGINT) AS n_codes_used
+         |FROM hits CROSS JOIN codes c""".stripMargin)),
 
     // Corpus line-level exact dedup (the CCNet/Gopher boilerplate pass):
     // documents split into non-overlapping 8-word segments, each hashed
@@ -361,6 +459,70 @@ object IndexQueries extends QueryPack {
          |  CAST(max(s.n_cand) AS BIGINT) AS n_candidates,
          |  CAST(max(s.n_cand) AS DOUBLE) / (count(*) * (max(c.n) - 1)) AS scanned_frac
          |FROM hits CROSS JOIN scan s CROSS JOIN corpus c""".stripMargin,
+
+    "x_ann_pq" ->
+      s"""WITH $duckQuantV,
+         |v1 AS (SELECT vec_id, list_slice(qe, 1, len(qe) // 2) AS qe FROM v),
+         |v2 AS (SELECT vec_id, list_slice(qe, len(qe) // 2 + 1, len(qe)) AS qe FROM v),
+         |${duckKmeansFor("p1", "v1", 64)},
+         |${duckKmeansFor("p2", "v2", 64)},
+         |qs AS (SELECT vec_id FROM v WHERE vec_id % 50 = 0),
+         |d1 AS (SELECT q.vec_id AS query_id, c.cid,
+         |    CAST(list_dot_product(s1.qe::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT) AS qdot,
+         |    CAST(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT) AS cnrm
+         |  FROM qs q JOIN v1 s1 ON s1.vec_id = q.vec_id CROSS JOIN p1c2 c),
+         |d2 AS (SELECT q.vec_id AS query_id, c.cid,
+         |    CAST(list_dot_product(s2.qe::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT) AS qdot,
+         |    CAST(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT) AS cnrm
+         |  FROM qs q JOIN v2 s2 ON s2.vec_id = q.vec_id CROSS JOIN p2c2 c),
+         |adc AS (
+         |  SELECT d1.query_id, a1.vec_id AS neighbor_id,
+         |    d1.qdot + d2.qdot AS adot, d1.cnrm + d2.cnrm AS rnrm
+         |  FROM p1af a1 JOIN p2af a2 ON a2.vec_id = a1.vec_id
+         |  JOIN d1 ON d1.cid = a1.cid
+         |  JOIN d2 ON d2.query_id = d1.query_id AND d2.cid = a2.cid
+         |  WHERE a1.vec_id != d1.query_id),
+         |pq_short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(rnrm AS DOUBLE)) DESC, neighbor_id) AS rank
+         |    FROM adc) t WHERE rank <= 50),
+         |rer AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    CAST(list_dot_product(qv.qe::DOUBLE[], nv.qe::DOUBLE[]) AS DOUBLE)
+         |      / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(nv.nrm AS DOUBLE))) AS cos
+         |  FROM pq_short sh JOIN v qv ON qv.vec_id = sh.query_id
+         |                   JOIN v nv ON nv.vec_id = sh.neighbor_id),
+         |pq_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM rer) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2b.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(q2.qe::DOUBLE[], v2b.qe::DOUBLE[]) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2b.nrm AS DOUBLE))) AS cos
+         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  JOIN v v2b ON q2.vec_id != v2b.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN pq_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id),
+         |codes AS (SELECT CAST(count(*) AS BIGINT) AS n_codes FROM (
+         |  SELECT DISTINCT a1.cid AS cx, a2.cid AS cy
+         |  FROM p1af a1 JOIN p2af a2 ON a2.vec_id = a1.vec_id) t)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5,
+         |  CAST(max(c.n_codes) AS BIGINT) AS n_codes_used
+         |FROM hits CROSS JOIN codes c""".stripMargin,
 
     "x_line_dedup" ->
       s"""WITH w AS (
