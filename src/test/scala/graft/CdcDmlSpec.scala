@@ -120,6 +120,20 @@ class CdcDmlSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.ops.Dml.parse("UPDATE t SET WHERE x = 1"))
   }
 
+  test("DML commits race safely: a concurrent reservation surfaces as CommitConflictException") {
+    val path = tmpDir("dmlrace") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"))
+    t.init(Seq((1L, "a")).toDF("id", "v"))
+    // another writer holds the next version number
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(path, "v00000002"))
+    intercept[CdcTable.CommitConflictException] {
+      t.update(col("id") === 1L, Map("v" -> lit("b")))
+    }
+    // the table is untouched and still readable at its committed version
+    assert(t.read.select("v").as[String].head() == "a")
+    assert(t.currentVersion.contains(1L))
+  }
+
   test("changesBetween null-pads across schema evolution") {
     val path = tmpDir("cdf") + "/t"
     val t = new CdcTable(spark, path, Seq("id"))
