@@ -86,6 +86,56 @@ object CdcMerge {
   private def resolveType(c: String, e: Map[String, DataType], u: Map[String, DataType]): DataType =
     u.getOrElse(c, e.getOrElse(c, org.apache.spark.sql.types.NullType))
 
+  /** [[merge]] with the cross-batch late-data guard SURVEY §2.9 calls
+    * out (`WHEN MATCHED AND s.__ts_ms >= t.__ts_ms`): within one batch
+    * latest-wins dedup already orders events, but across batches the
+    * plain merge lets a LATE batch (replayed, delayed, or out-of-order
+    * delivery) overwrite newer state with older row images. Here a
+    * matched update or delete applies only when the incoming event time
+    * is at or after the stored one; older events are ignored row-wise.
+    * A null stored timestamp yields to the update; a null incoming
+    * timestamp yields to the stored row. Same full-outer
+    * copy-on-write shape — the guard is one more per-row predicate, no
+    * extra shuffle.
+    */
+  def mergeGuarded(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+                   tsCol: String): DataFrame = {
+    require(keys.nonEmpty, "keyless tables append instead of merging (reference K3)")
+    require(existing.columns.contains(tsCol) && updates.columns.contains(tsCol),
+      s"both sides must carry the guard timestamp column $tsCol")
+    val eCols = existing.columns.filterNot(keys.contains).toSeq
+    val uCols = updates.columns.filterNot(c => keys.contains(c) || c == OpColumn).toSeq
+    val outCols = (eCols ++ uCols.filterNot(eCols.contains)).toSeq
+    val eTypes = existing.schema.map(f => f.name -> f.dataType).toMap
+    val uTypes = updates.schema.map(f => f.name -> f.dataType).toMap
+
+    val e = existing.select(
+      (keys.map(col) :+ struct(eCols.map(col): _*).as("__e")): _*)
+    val u = updates.select(
+      (keys.map(col) ++ Seq(struct(uCols.map(col): _*).as("__u"), col(OpColumn))): _*)
+    val joined = e.join(u, keys, "full_outer")
+
+    val uTs = col("__u").getField(tsCol)
+    val eTs = col("__e").getField(tsCol)
+    val uWins = col("__e").isNull || eTs.isNull || (uTs.isNotNull && uTs >= eTs)
+
+    val kept = joined.filter(
+      // a WINNING matched delete drops the row; a losing one is ignored
+      !(col(OpColumn) === "d" && col("__e").isNotNull && uWins) &&
+        // an unmatched delete never inserts
+        !(col(OpColumn) === "d" && col("__e").isNull))
+
+    def sideField(side: String, c: String, types: Map[String, DataType]): Column =
+      if (types.contains(c)) col(side).getField(c) else lit(null).cast(resolveType(c, eTypes, uTypes))
+
+    kept.select(
+      (keys.map(col) ++ outCols.map { c =>
+        when(col(OpColumn).isNotNull && uWins, sideField("__u", c, uTypes))
+          .otherwise(sideField("__e", c, eTypes))
+          .as(c)
+      }): _*)
+  }
+
   /** One-shot "apply a CDC event stream to a base table": dedup the raw
     * events latest-wins per key, then merge. This is the reference's whole
     * per-table batch flow (process_for_table -> merge_to_table) as a single

@@ -95,4 +95,27 @@ class CdcMergeSpec extends SparkSpec {
     assert(out.select("id", "name").as[(Long, String)].collect().toSeq ==
       Seq((1L, "alice"), (2L, "v2"), (5L, "new")))
   }
+
+  test("mergeGuarded ignores late cross-batch events; current ones apply") {
+    val stored = Seq(
+      (1L, "a5", 5L), (2L, "b5", 5L), (3L, "c5", 5L), (4L, "d5", 5L))
+      .toDF("id", "name", "ts")
+    val lateBatch = Seq(
+      (1L, "a3", 3L, "u"),  // late update -> ignored
+      (2L, "x", 3L, "d"),   // late delete -> ignored
+      (3L, "c7", 7L, "u"),  // current update -> applied
+      (4L, "y", 7L, "d"),   // current delete -> removed
+      (5L, "e7", 7L, "c"),  // insert -> applied
+      (6L, "z", 7L, "d")    // unmatched delete -> never inserts
+    ).toDF("id", "name", "ts", "__op")
+
+    val out = CdcMerge.mergeGuarded(stored, lateBatch, Seq("id"), "ts")
+      .orderBy("id").select("id", "name", "ts").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a5", 5L), (2L, "b5", 5L), (3L, "c7", 7L), (5L, "e7", 7L)))
+
+    // plain merge (no guard) would have let the late rows win
+    val unguarded = CdcMerge.merge(stored, lateBatch, Seq("id"))
+      .orderBy("id").select("id", "name").as[(Long, String)].collect().toSeq
+    assert(unguarded == Seq((1L, "a3"), (3L, "c7"), (5L, "e7")))
+  }
 }
