@@ -327,6 +327,85 @@ object IndexQueries extends QueryPack {
          |  CAST(max(c.n_codes) AS BIGINT) AS n_codes_used
          |FROM hits CROSS JOIN codes c""".stripMargin)),
 
+    // IVF + PQ + refine — the complete composed ANN topology: a coarse
+    // 16-list quantizer prunes WHICH vectors are considered (nprobe=3),
+    // PQ codes bound the MEMORY touched per considered vector (two 64-row
+    // ADC lookup tables), and an exact re-rank of the ADC top-50 restores
+    // precision. At 100 TB: probe cost = nprobe/16 of the corpus codes
+    // (~1.5 bytes/vector), full vectors read for 50 rows per query.
+    // Emits recall@5 vs brute force plus the candidate scan fraction.
+    "x_ann_ivfpq" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuantV,
+         |${sparkKmeansFor("g", "v")},
+         |v1 AS (SELECT vec_id, slice(qe, 1, CAST(size(qe) DIV 2 AS INT)) AS qe FROM v),
+         |v2 AS (SELECT vec_id, slice(qe, CAST(size(qe) DIV 2 + 1 AS INT), CAST(size(qe) - size(qe) DIV 2 AS INT)) AS qe FROM v),
+         |${sparkKmeansFor("p1", "v1", 64)},
+         |${sparkKmeansFor("p2", "v2", 64)},
+         |qs AS (SELECT vec_id FROM v WHERE vec_id % 50 = 0),
+         |probes AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT qv.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY qv.vec_id
+         |        ORDER BY dot_i64(c.ce, c.ce) - 2 * dot_i64(qv.qe, c.ce), c.cid) AS rnk
+         |    FROM (SELECT v.* FROM v JOIN qs ON qs.vec_id = v.vec_id) qv
+         |    CROSS JOIN gc2 c) WHERE rnk <= 3),
+         |cand AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN gaf a ON a.cid = p.cid AND a.vec_id != p.vec_id),
+         |d1 AS (SELECT q.vec_id AS query_id, c.cid, dot_i64(s1.qe, c.ce) AS qdot, dot_i64(c.ce, c.ce) AS cnrm
+         |  FROM qs q JOIN v1 s1 ON s1.vec_id = q.vec_id CROSS JOIN p1c2 c),
+         |d2 AS (SELECT q.vec_id AS query_id, c.cid, dot_i64(s2.qe, c.ce) AS qdot, dot_i64(c.ce, c.ce) AS cnrm
+         |  FROM qs q JOIN v2 s2 ON s2.vec_id = q.vec_id CROSS JOIN p2c2 c),
+         |adc AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    d1.qdot + d2.qdot AS adot, d1.cnrm + d2.cnrm AS rnrm
+         |  FROM cand c
+         |  JOIN p1af a1 ON a1.vec_id = c.neighbor_id
+         |  JOIN p2af a2 ON a2.vec_id = c.neighbor_id
+         |  JOIN d1 ON d1.query_id = c.query_id AND d1.cid = a1.cid
+         |  JOIN d2 ON d2.query_id = c.query_id AND d2.cid = a2.cid),
+         |pq_short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(rnrm AS DOUBLE)) DESC, neighbor_id) AS rank
+         |    FROM adc) t WHERE rank <= 50),
+         |rer AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    CAST(dot_i64(qv.qe, nv.qe) AS DOUBLE)
+         |      / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(nv.nrm AS DOUBLE))) AS cos
+         |  FROM pq_short sh JOIN v qv ON qv.vec_id = sh.query_id
+         |                   JOIN v nv ON nv.vec_id = sh.neighbor_id),
+         |pq_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM rer) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2b.vec_id AS neighbor_id,
+         |    CAST(dot_i64(q2.qe, v2b.qe) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2b.nrm AS DOUBLE))) AS cos
+         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  JOIN v v2b ON q2.vec_id != v2b.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN pq_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id),
+         |scan AS (SELECT count(*) AS n_cand FROM cand),
+         |corpus AS (SELECT count(*) AS n FROM v)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5,
+         |  CAST(max(s.n_cand) AS BIGINT) AS n_candidates,
+         |  CAST(max(s.n_cand) AS DOUBLE) / (count(*) * (max(c.n) - 1)) AS scanned_frac
+         |FROM hits CROSS JOIN scan s CROSS JOIN corpus c""".stripMargin)),
+
     // Corpus line-level exact dedup (the CCNet/Gopher boilerplate pass):
     // documents split into non-overlapping 8-word segments, each hashed
     // to 60 bits; a segment is boilerplate when its hash occurs >= 2
@@ -523,6 +602,83 @@ object IndexQueries extends QueryPack {
          |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5,
          |  CAST(max(c.n_codes) AS BIGINT) AS n_codes_used
          |FROM hits CROSS JOIN codes c""".stripMargin,
+
+    "x_ann_ivfpq" ->
+      s"""WITH $duckQuantV,
+         |${duckKmeansFor("g", "v")},
+         |v1 AS (SELECT vec_id, list_slice(qe, 1, len(qe) // 2) AS qe FROM v),
+         |v2 AS (SELECT vec_id, list_slice(qe, len(qe) // 2 + 1, len(qe)) AS qe FROM v),
+         |${duckKmeansFor("p1", "v1", 64)},
+         |${duckKmeansFor("p2", "v2", 64)},
+         |qs AS (SELECT vec_id FROM v WHERE vec_id % 50 = 0),
+         |probes AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT qv.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY qv.vec_id
+         |        ORDER BY CAST(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT)
+         |          - 2 * CAST(list_dot_product(qv.qe::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT), c.cid) AS rnk
+         |    FROM (SELECT v.* FROM v JOIN qs ON qs.vec_id = v.vec_id) qv
+         |    CROSS JOIN gc2 c) WHERE rnk <= 3),
+         |cand AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN gaf a ON a.cid = p.cid AND a.vec_id != p.vec_id),
+         |d1 AS (SELECT q.vec_id AS query_id, c.cid,
+         |    CAST(list_dot_product(s1.qe::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT) AS qdot,
+         |    CAST(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT) AS cnrm
+         |  FROM qs q JOIN v1 s1 ON s1.vec_id = q.vec_id CROSS JOIN p1c2 c),
+         |d2 AS (SELECT q.vec_id AS query_id, c.cid,
+         |    CAST(list_dot_product(s2.qe::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT) AS qdot,
+         |    CAST(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT) AS cnrm
+         |  FROM qs q JOIN v2 s2 ON s2.vec_id = q.vec_id CROSS JOIN p2c2 c),
+         |adc AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    d1.qdot + d2.qdot AS adot, d1.cnrm + d2.cnrm AS rnrm
+         |  FROM cand c
+         |  JOIN p1af a1 ON a1.vec_id = c.neighbor_id
+         |  JOIN p2af a2 ON a2.vec_id = c.neighbor_id
+         |  JOIN d1 ON d1.query_id = c.query_id AND d1.cid = a1.cid
+         |  JOIN d2 ON d2.query_id = c.query_id AND d2.cid = a2.cid),
+         |pq_short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(rnrm AS DOUBLE)) DESC, neighbor_id) AS rank
+         |    FROM adc) t WHERE rank <= 50),
+         |rer AS (
+         |  SELECT sh.query_id, sh.neighbor_id,
+         |    CAST(list_dot_product(qv.qe::DOUBLE[], nv.qe::DOUBLE[]) AS DOUBLE)
+         |      / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(nv.nrm AS DOUBLE))) AS cos
+         |  FROM pq_short sh JOIN v qv ON qv.vec_id = sh.query_id
+         |                   JOIN v nv ON nv.vec_id = sh.neighbor_id),
+         |pq_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM rer) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2b.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(q2.qe::DOUBLE[], v2b.qe::DOUBLE[]) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2b.nrm AS DOUBLE))) AS cos
+         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  JOIN v v2b ON q2.vec_id != v2b.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN pq_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id),
+         |scan AS (SELECT count(*) AS n_cand FROM cand),
+         |corpus AS (SELECT count(*) AS n FROM v)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5,
+         |  CAST(max(s.n_cand) AS BIGINT) AS n_candidates,
+         |  CAST(max(s.n_cand) AS DOUBLE) / (count(*) * (max(c.n) - 1)) AS scanned_frac
+         |FROM hits CROSS JOIN scan s CROSS JOIN corpus c""".stripMargin,
 
     "x_line_dedup" ->
       s"""WITH w AS (
