@@ -157,6 +157,80 @@ object IndexQueries extends QueryPack {
        |${duckUpdate(s"${p}e2", s"${p}m2", s"${p}c2", s"${p}a2")},
        |${duckAssign(s"${p}af", s"${p}c2", vtab)}""".stripMargin
 
+  // ADC-shortlist -> exact-re-rank -> recall-vs-brute CTE chain shared by
+  // the PQ queries: consumes an `adc(query_id, neighbor_id, adot, rnrm)`
+  // CTE and yields `hits(query_id, hit)` (plus pq_top/brute_top). One
+  // definition, referenced by x_ann_pq and x_ann_ivfpq in both engines.
+  private val sparkPqRecall =
+    """pq_short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(rnrm AS DOUBLE)) DESC, neighbor_id) AS rank
+      |    FROM adc) t WHERE rank <= 50),
+      |rer AS (
+      |  SELECT sh.query_id, sh.neighbor_id,
+      |    CAST(dot_i64(qv.qe, nv.qe) AS DOUBLE)
+      |      / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(nv.nrm AS DOUBLE))) AS cos
+      |  FROM pq_short sh JOIN v qv ON qv.vec_id = sh.query_id
+      |                   JOIN v nv ON nv.vec_id = sh.neighbor_id),
+      |pq_top AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |    FROM rer) t WHERE rank <= 5),
+      |brute AS (
+      |  SELECT q2.vec_id AS query_id, v2b.vec_id AS neighbor_id,
+      |    CAST(dot_i64(q2.qe, v2b.qe) AS DOUBLE)
+      |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2b.nrm AS DOUBLE))) AS cos
+      |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+      |  JOIN v v2b ON q2.vec_id != v2b.vec_id),
+      |brute_top AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |    FROM brute) t WHERE rank <= 5),
+      |hits AS (
+      |  SELECT b.query_id, count(l.neighbor_id) AS hit
+      |  FROM brute_top b LEFT JOIN pq_top l
+      |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+      |  GROUP BY b.query_id)""".stripMargin
+
+  private val duckPqRecall =
+    """pq_short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(rnrm AS DOUBLE)) DESC, neighbor_id) AS rank
+      |    FROM adc) t WHERE rank <= 50),
+      |rer AS (
+      |  SELECT sh.query_id, sh.neighbor_id,
+      |    CAST(list_dot_product(qv.qe::DOUBLE[], nv.qe::DOUBLE[]) AS DOUBLE)
+      |      / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(nv.nrm AS DOUBLE))) AS cos
+      |  FROM pq_short sh JOIN v qv ON qv.vec_id = sh.query_id
+      |                   JOIN v nv ON nv.vec_id = sh.neighbor_id),
+      |pq_top AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |    FROM rer) t WHERE rank <= 5),
+      |brute AS (
+      |  SELECT q2.vec_id AS query_id, v2b.vec_id AS neighbor_id,
+      |    CAST(list_dot_product(q2.qe::DOUBLE[], v2b.qe::DOUBLE[]) AS DOUBLE)
+      |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2b.nrm AS DOUBLE))) AS cos
+      |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+      |  JOIN v v2b ON q2.vec_id != v2b.vec_id),
+      |brute_top AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |    FROM brute) t WHERE rank <= 5),
+      |hits AS (
+      |  SELECT b.query_id, count(l.neighbor_id) AS hit
+      |  FROM brute_top b LEFT JOIN pq_top l
+      |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+      |  GROUP BY b.query_id)""".stripMargin
+
   // Query-side probing: each query (every-50th vector) probes its
   // nprobe=3 nearest trained centroids; candidates are the probed lists'
   // members, reranked by exact cosine.
@@ -285,39 +359,7 @@ object IndexQueries extends QueryPack {
          |  JOIN d1 ON d1.cid = a1.cid
          |  JOIN d2 ON d2.query_id = d1.query_id AND d2.cid = a2.cid
          |  WHERE a1.vec_id != d1.query_id),
-         |pq_short AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(rnrm AS DOUBLE)) DESC, neighbor_id) AS rank
-         |    FROM adc) t WHERE rank <= 50),
-         |rer AS (
-         |  SELECT sh.query_id, sh.neighbor_id,
-         |    CAST(dot_i64(qv.qe, nv.qe) AS DOUBLE)
-         |      / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(nv.nrm AS DOUBLE))) AS cos
-         |  FROM pq_short sh JOIN v qv ON qv.vec_id = sh.query_id
-         |                   JOIN v nv ON nv.vec_id = sh.neighbor_id),
-         |pq_top AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |    FROM rer) t WHERE rank <= 5),
-         |brute AS (
-         |  SELECT q2.vec_id AS query_id, v2b.vec_id AS neighbor_id,
-         |    CAST(dot_i64(q2.qe, v2b.qe) AS DOUBLE)
-         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2b.nrm AS DOUBLE))) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
-         |  JOIN v v2b ON q2.vec_id != v2b.vec_id),
-         |brute_top AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |    FROM brute) t WHERE rank <= 5),
-         |hits AS (
-         |  SELECT b.query_id, count(l.neighbor_id) AS hit
-         |  FROM brute_top b LEFT JOIN pq_top l
-         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
-         |  GROUP BY b.query_id),
+         |$sparkPqRecall,
          |codes AS (SELECT CAST(count(*) AS BIGINT) AS n_codes FROM (
          |  SELECT DISTINCT a1.cid AS cx, a2.cid AS cy
          |  FROM p1af a1 JOIN p2af a2 ON a2.vec_id = a1.vec_id) t)
@@ -364,39 +406,7 @@ object IndexQueries extends QueryPack {
          |  JOIN p2af a2 ON a2.vec_id = c.neighbor_id
          |  JOIN d1 ON d1.query_id = c.query_id AND d1.cid = a1.cid
          |  JOIN d2 ON d2.query_id = c.query_id AND d2.cid = a2.cid),
-         |pq_short AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(rnrm AS DOUBLE)) DESC, neighbor_id) AS rank
-         |    FROM adc) t WHERE rank <= 50),
-         |rer AS (
-         |  SELECT sh.query_id, sh.neighbor_id,
-         |    CAST(dot_i64(qv.qe, nv.qe) AS DOUBLE)
-         |      / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(nv.nrm AS DOUBLE))) AS cos
-         |  FROM pq_short sh JOIN v qv ON qv.vec_id = sh.query_id
-         |                   JOIN v nv ON nv.vec_id = sh.neighbor_id),
-         |pq_top AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |    FROM rer) t WHERE rank <= 5),
-         |brute AS (
-         |  SELECT q2.vec_id AS query_id, v2b.vec_id AS neighbor_id,
-         |    CAST(dot_i64(q2.qe, v2b.qe) AS DOUBLE)
-         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2b.nrm AS DOUBLE))) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
-         |  JOIN v v2b ON q2.vec_id != v2b.vec_id),
-         |brute_top AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |    FROM brute) t WHERE rank <= 5),
-         |hits AS (
-         |  SELECT b.query_id, count(l.neighbor_id) AS hit
-         |  FROM brute_top b LEFT JOIN pq_top l
-         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
-         |  GROUP BY b.query_id),
+         |$sparkPqRecall,
          |scan AS (SELECT count(*) AS n_cand FROM cand),
          |corpus AS (SELECT count(*) AS n FROM v)
          |SELECT CAST(count(*) AS BIGINT) AS n_queries,
@@ -561,39 +571,7 @@ object IndexQueries extends QueryPack {
          |  JOIN d1 ON d1.cid = a1.cid
          |  JOIN d2 ON d2.query_id = d1.query_id AND d2.cid = a2.cid
          |  WHERE a1.vec_id != d1.query_id),
-         |pq_short AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(rnrm AS DOUBLE)) DESC, neighbor_id) AS rank
-         |    FROM adc) t WHERE rank <= 50),
-         |rer AS (
-         |  SELECT sh.query_id, sh.neighbor_id,
-         |    CAST(list_dot_product(qv.qe::DOUBLE[], nv.qe::DOUBLE[]) AS DOUBLE)
-         |      / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(nv.nrm AS DOUBLE))) AS cos
-         |  FROM pq_short sh JOIN v qv ON qv.vec_id = sh.query_id
-         |                   JOIN v nv ON nv.vec_id = sh.neighbor_id),
-         |pq_top AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |    FROM rer) t WHERE rank <= 5),
-         |brute AS (
-         |  SELECT q2.vec_id AS query_id, v2b.vec_id AS neighbor_id,
-         |    CAST(list_dot_product(q2.qe::DOUBLE[], v2b.qe::DOUBLE[]) AS DOUBLE)
-         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2b.nrm AS DOUBLE))) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
-         |  JOIN v v2b ON q2.vec_id != v2b.vec_id),
-         |brute_top AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |    FROM brute) t WHERE rank <= 5),
-         |hits AS (
-         |  SELECT b.query_id, count(l.neighbor_id) AS hit
-         |  FROM brute_top b LEFT JOIN pq_top l
-         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
-         |  GROUP BY b.query_id),
+         |$duckPqRecall,
          |codes AS (SELECT CAST(count(*) AS BIGINT) AS n_codes FROM (
          |  SELECT DISTINCT a1.cid AS cx, a2.cid AS cy
          |  FROM p1af a1 JOIN p2af a2 ON a2.vec_id = a1.vec_id) t)
@@ -638,39 +616,7 @@ object IndexQueries extends QueryPack {
          |  JOIN p2af a2 ON a2.vec_id = c.neighbor_id
          |  JOIN d1 ON d1.query_id = c.query_id AND d1.cid = a1.cid
          |  JOIN d2 ON d2.query_id = c.query_id AND d2.cid = a2.cid),
-         |pq_short AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY CAST(adot AS DOUBLE) / sqrt(CAST(rnrm AS DOUBLE)) DESC, neighbor_id) AS rank
-         |    FROM adc) t WHERE rank <= 50),
-         |rer AS (
-         |  SELECT sh.query_id, sh.neighbor_id,
-         |    CAST(list_dot_product(qv.qe::DOUBLE[], nv.qe::DOUBLE[]) AS DOUBLE)
-         |      / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(nv.nrm AS DOUBLE))) AS cos
-         |  FROM pq_short sh JOIN v qv ON qv.vec_id = sh.query_id
-         |                   JOIN v nv ON nv.vec_id = sh.neighbor_id),
-         |pq_top AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |    FROM rer) t WHERE rank <= 5),
-         |brute AS (
-         |  SELECT q2.vec_id AS query_id, v2b.vec_id AS neighbor_id,
-         |    CAST(list_dot_product(q2.qe::DOUBLE[], v2b.qe::DOUBLE[]) AS DOUBLE)
-         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2b.nrm AS DOUBLE))) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
-         |  JOIN v v2b ON q2.vec_id != v2b.vec_id),
-         |brute_top AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-         |    FROM brute) t WHERE rank <= 5),
-         |hits AS (
-         |  SELECT b.query_id, count(l.neighbor_id) AS hit
-         |  FROM brute_top b LEFT JOIN pq_top l
-         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
-         |  GROUP BY b.query_id),
+         |$duckPqRecall,
          |scan AS (SELECT count(*) AS n_cand FROM cand),
          |corpus AS (SELECT count(*) AS n FROM v)
          |SELECT CAST(count(*) AS BIGINT) AS n_queries,

@@ -341,8 +341,9 @@ object SimilarityQueries extends QueryPack {
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
     }),
 
-    // SimHash (32-bit over distinct tokens) + byte-band candidate join;
-    // hamming <= 2 guaranteed found by pigeonhole over 4 bands. The bit
+    // SimHash (32-bit over distinct tokens) + banded candidate join
+    // (3 bands of 11/11/10 bits — see the band CTE comment below for the
+    // pigeonhole guarantee covering hamming <= 2). The bit
     // tallies run as 32 codegen'd conditional sums in ONE pass over the
     // token rows — no 32x bit-explosion shuffle — and the signature table
     // materializes once (cached temp view) instead of being recomputed

@@ -119,11 +119,15 @@ object CdcMerge {
     val eTs = col("__e").getField(tsCol)
     val uWins = col("__e").isNull || eTs.isNull || (uTs.isNotNull && uTs >= eTs)
 
+    // rows with no batch event (op null) are kept unconditionally — the
+    // filter must short-circuit on that BEFORE touching uWins, or SQL
+    // three-valued logic turns `!(null AND ...)` into null and silently
+    // drops untouched rows whose stored timestamp is null
     val kept = joined.filter(
-      // a WINNING matched delete drops the row; a losing one is ignored
-      !(col(OpColumn) === "d" && col("__e").isNotNull && uWins) &&
-        // an unmatched delete never inserts
-        !(col(OpColumn) === "d" && col("__e").isNull))
+      col(OpColumn).isNull ||
+        // a WINNING matched delete drops the row (a losing one is
+        // ignored); an unmatched delete never inserts
+        !(col(OpColumn) === "d" && (col("__e").isNull || uWins)))
 
     def sideField(side: String, c: String, types: Map[String, DataType]): Column =
       if (types.contains(c)) col(side).getField(c) else lit(null).cast(resolveType(c, eTypes, uTypes))

@@ -68,6 +68,7 @@ final class CdcTable(
   private def versionDir(v: Long) = new File(path, f"v$v%08d")
   private def commitDir(v: Long) = new File(path, f"c$v%08d")
   private def manifestFile(v: Long) = new File(versionDir(v), ManifestName)
+  private def schemaFile(v: Long) = new File(versionDir(v), SchemaName)
 
   /** Latest committed version, if any. */
   def currentVersion: Option[Long] =
@@ -130,16 +131,31 @@ final class CdcTable(
     * re-attaching the month as `__part_month`. Per-directory reads union
     * by name so additive schema evolution across commits just works; the
     * directory list is metadata-scale (months x commits), never data-scale.
+    *
+    * `at` names the version the entries came from: a version whose
+    * manifest is EMPTY (a delete matched every row) reads as an empty
+    * DataFrame with that version's recorded schema (the `_schema.json`
+    * sidecar each partitioned commit writes) instead of throwing —
+    * a fully-deleted table stays readable.
     */
-  private def readParts(entries: Seq[(String, String)], months: Option[Set[String]]): DataFrame = {
+  private def readParts(entries: Seq[(String, String)], months: Option[Set[String]],
+                        at: Long): DataFrame = {
     val picked = months.fold(entries)(ms => entries.filter(e => ms.contains(e._1)))
-    val parts = picked.map { case (m, rel) =>
+    if (picked.isEmpty) {
+      val f = schemaFile(at)
+      if (f.exists()) {
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(Files.readString(f.toPath))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+      throw new java.io.FileNotFoundException(s"no live partitions at $path for $months")
+    }
+    picked.map { case (m, rel) =>
       spark.read.option("mergeSchema", "true").parquet(new File(path, rel).getPath)
         .withColumn(PartCol, lit(m))
-    }
-    if (parts.isEmpty)
-      throw new java.io.FileNotFoundException(s"no live partitions at $path for $months")
-    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // ----------------------------------------------------------------- reads
@@ -149,7 +165,7 @@ final class CdcTable(
 
   /** Time travel: read a specific retained version. */
   def readVersion(v: Long): DataFrame = partitionSource match {
-    case Some(_) => readParts(manifest(v), None).drop(PartCol)
+    case Some(_) => readParts(manifest(v), None, v).drop(PartCol)
     case None =>
       val d = versionDir(v)
       if (!d.exists())
@@ -236,6 +252,9 @@ final class CdcTable(
     val carried = expected.map(manifest).getOrElse(Nil)
       .filterNot { case (m, _) => replaced.contains(m) }
     writeManifest(next, carried ++ outMonths.map(m => m -> relDir(next, m)))
+    // schema sidecar: lets an all-months-deleted (empty-manifest) version
+    // still read as a typed empty table
+    Files.writeString(schemaFile(next).toPath, df.schema.json): Unit
     commitPointer(next)
   }
 
@@ -353,7 +372,7 @@ final class CdcTable(
         // to the key columns plus the attached month literal — with the
         // small batch-key set broadcast, and union those months into the
         // touched set so the old copy is read and rewritten too.
-        val keyMonths = readParts(entries, None)
+        val keyMonths = readParts(entries, None, expected)
           .select((keys.map(col) :+ col(PartCol)): _*)
           .join(broadcast(deduped.select(keys.map(col): _*).distinct()), keys, "left_semi")
           .select(col(PartCol))
@@ -361,7 +380,7 @@ final class CdcTable(
         val touched = (batchMonths ++ keyMonths).distinct.filter(_ != null).toSet
         val existing =
           if (entries.exists(e => touched.contains(e._1)))
-            readParts(entries, Some(touched)).drop(PartCol)
+            readParts(entries, Some(touched), expected).drop(PartCol)
           else deduped.drop(CdcMerge.OpColumn).filter(lit(false))
         val merged = withPart(CdcMerge.merge(existing, deduped, keys))
         commitPartitioned(merged, replaced = touched, Some(expected))
@@ -427,14 +446,17 @@ final class CdcTable(
     * gains a manifest entry). No matches -> no new version is burned.
     */
   def update(condition: org.apache.spark.sql.Column,
-             set: Map[String, org.apache.spark.sql.Column]): Unit =
+             set: Map[String, org.apache.spark.sql.Column]): Unit = {
+    // validate BEFORE the no-match short-circuit: a typo'd SET column must
+    // reject loudly even when the predicate matches nothing
+    val bad = set.keySet -- read.columns.toSet
+    require(bad.isEmpty, s"UPDATE assigns unknown columns: ${bad.mkString(", ")}")
     rewrite(condition) { df =>
-      val bad = set.keySet -- df.columns.toSet
-      require(bad.isEmpty, s"UPDATE assigns unknown columns: ${bad.mkString(", ")}")
       df.select(df.columns.toIndexedSeq.map { c =>
         set.get(c).map(e => when(condition, e).otherwise(col(c)).as(c)).getOrElse(col(c))
       }: _*)
     }
+  }
 
   /** Predicate DELETE (copy-on-write twin of [[update]]): matching rows
     * vanish; partitioned tables rewrite only the months holding matches.
@@ -453,11 +475,11 @@ final class CdcTable(
     partitionSource match {
       case Some(_) =>
         val entries = manifest(expected)
-        val touched = readParts(entries, None)
+        val touched = readParts(entries, None, expected)
           .filter(condition).select(col(PartCol))
           .distinct().as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
         if (touched.nonEmpty) {
-          val existing = readParts(entries, Some(touched)).drop(PartCol)
+          val existing = readParts(entries, Some(touched), expected).drop(PartCol)
           commitPartitioned(withPart(transform(existing)), replaced = touched, Some(expected))
         }
       case None =>
@@ -481,10 +503,13 @@ final class CdcTable(
     val oldDf = readAt(fromV)
     val newDf = readAt(toV)
     val allCols = (oldDf.columns ++ newDf.columns.filterNot(oldDf.columns.contains)).toIndexedSeq
+    // null-pad missing columns TYPED (from whichever version has them) so
+    // the o-row and n-row structs below are union-compatible
+    val typeOf = (oldDf.schema ++ newDf.schema).map(f => f.name -> f.dataType).toMap
     val present = "__present" // survives the outer join where a key value could be null
     def align(df: DataFrame): DataFrame =
       df.select(allCols.map(c =>
-        if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+        if (df.columns.contains(c)) col(c) else lit(null).cast(typeOf(c)).as(c)): _*)
         .withColumn(present, lit(true))
     val o = align(oldDf).alias("o")
     val n = align(newDf).alias("n")
@@ -497,12 +522,19 @@ final class CdcTable(
       if (nonKey.isEmpty) lit(false)
       else !(struct(nonKey.map(c => col(s"o.$c")): _*) <=>
              struct(nonKey.map(c => col(s"n.$c")): _*))
-    def pick(side: String, tag: String) =
-      allCols.map(c => col(s"$side.$c").as(c)) :+ lit(tag).as(ChangeTypeCol)
-    joined.filter(!inOld && inNew).select(pick("n", "insert"): _*)
-      .unionAll(joined.filter(inOld && !inNew).select(pick("o", "delete"): _*))
-      .unionAll(joined.filter(inOld && inNew && changed).select(pick("o", "update_preimage"): _*))
-      .unionAll(joined.filter(inOld && inNew && changed).select(pick("n", "update_postimage"): _*))
+    // single pass over the join: each row contributes 0, 1, or 2 feed
+    // entries (an update yields its pre- AND post-image), exploded from
+    // one case expression — the join and both snapshot scans run once,
+    // which is the whole point of the one-join scale claim
+    def row(side: String, tag: String) =
+      struct((allCols.map(c => col(s"$side.$c").as(c)) :+ lit(tag).as(ChangeTypeCol)): _*)
+    val entries = when(!inOld && inNew, array(row("n", "insert")))
+      .when(inOld && !inNew, array(row("o", "delete")))
+      .when(inOld && inNew && changed,
+        array(row("o", "update_preimage"), row("n", "update_postimage")))
+      .otherwise(array())
+    joined.select(explode(entries).as("__r"))
+      .select((allCols :+ ChangeTypeCol).map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** Compaction (reference K10): rewrite to `target` files per partition,
@@ -513,7 +545,7 @@ final class CdcTable(
     val expected = currentOrThrow
     partitionSource match {
       case Some(_) =>
-        val all = readParts(manifest(expected), None)
+        val all = readParts(manifest(expected), None, expected)
         commitPartitioned(all.repartition(target, col(PartCol)),
           replaced = allMonths(Some(expected)), Some(expected))
       case None => commitFull(readAt(expected).repartition(target), Some(expected))
@@ -540,6 +572,11 @@ object CdcTable {
 
   /** Per-version month -> data-directory map (partitioned layout). */
   val ManifestName = "manifest.tsv"
+
+  /** Per-version schema sidecar (partitioned layout) — the read schema
+    * of a version whose manifest holds no live months.
+    */
+  val SchemaName = "_schema.json"
 
   /** Change-data-feed tag column emitted by [[CdcTable.changesBetween]]:
     * insert / delete / update_preimage / update_postimage.

@@ -26,24 +26,67 @@ object Dml {
   final case class Delete(target: String, where: Option[String]) extends Stmt
 
   private val UpdateRe =
-    raw"(?is)^\s*UPDATE\s+(\S+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.+?))?\s*$$".r
+    raw"(?is)^\s*UPDATE\s+(\S+)\s+SET\s+(.+?)\s*$$".r
   private val DeleteRe =
-    raw"(?is)^\s*DELETE\s+FROM\s+(\S+)(?:\s+WHERE\s+(.+?))?\s*$$".r
+    raw"(?is)^\s*DELETE\s+FROM\s+(\S+)(\s.*?)?\s*$$".r
+  private val WhereRe = raw"(?is)^WHERE\s+(.+)$$".r
   private val AssignRe = raw"(?s)^\s*(\w+)\s*=\s*(.+)$$".r
 
-  /** Split on commas at paren depth 0 outside string literals. */
+  /** Index of the first top-level `WHERE` keyword — outside string
+    * literals (backslash escapes honored) and parentheses — or -1.
+    * A `'use where needed'` literal inside a SET expression must not
+    * terminate the SET list.
+    */
+  private def topLevelWhere(s: String): Int = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) {
+        if (ch == '\\') i += 1
+        else if (ch == '\'') inStr = false
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'w' | 'W'
+            if depth == 0 && i + 5 <= s.length &&
+              s.substring(i, i + 5).equalsIgnoreCase("where") &&
+              (i == 0 || s.charAt(i - 1).isWhitespace) &&
+              (i + 5 == s.length || s.charAt(i + 5).isWhitespace) =>
+          return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split on commas at paren depth 0 outside string literals
+    * (backslash escapes honored; SQL `''` doubling toggles twice, which
+    * also lands outside-the-literal correctly).
+    */
   private def splitTop(s: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     var depth = 0
     var inStr = false
     var start = 0
-    for (i <- s.indices) s(i) match {
-      case '\'' => inStr = !inStr
-      case '(' if !inStr => depth += 1
-      case ')' if !inStr => depth -= 1
-      case ',' if !inStr && depth == 0 =>
-        out += s.substring(start, i); start = i + 1
-      case _ => ()
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) {
+        if (ch == '\\') i += 1
+        else if (ch == '\'') inStr = false
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
     }
     out += s.substring(start)
     out.result().map(_.trim).filter(_.nonEmpty)
@@ -53,7 +96,16 @@ object Dml {
     * as [[MergeInto.parse]]).
     */
   def parse(sql: String): Stmt = sql match {
-    case UpdateRe(target, setList, where) =>
+    case UpdateRe(target, rest) =>
+      val (setList, where) = topLevelWhere(rest) match {
+        case -1 => (rest, None)
+        case i =>
+          val w = rest.substring(i) match {
+            case WhereRe(cond) => cond.trim
+            case other => throw new IllegalArgumentException(s"malformed WHERE clause: $other")
+          }
+          (rest.substring(0, i).trim, Some(w))
+      }
       val set = splitTop(setList).map {
         case AssignRe(c, e) => c -> e.trim
         case other => throw new IllegalArgumentException(s"unsupported SET item: $other")
@@ -61,9 +113,14 @@ object Dml {
       require(set.nonEmpty, "UPDATE requires at least one assignment")
       val dup = set.groupBy(_._1).collect { case (c, as) if as.size > 1 => c }
       require(dup.isEmpty, s"column assigned twice: ${dup.mkString(", ")}")
-      Update(target, set, Option(where).map(_.trim))
-    case DeleteRe(target, where) =>
-      Delete(target, Option(where).map(_.trim))
+      Update(target, set, where)
+    case DeleteRe(target, rest) =>
+      Option(rest).map(_.trim).filter(_.nonEmpty) match {
+        case None => Delete(target, None)
+        case Some(WhereRe(cond)) => Delete(target, Some(cond.trim))
+        case Some(other) =>
+          throw new IllegalArgumentException(s"unsupported DELETE clause: $other")
+      }
     case _ =>
       throw new IllegalArgumentException(
         "unsupported statement (expected UPDATE <t> SET ... [WHERE ...] or DELETE FROM <t> [WHERE ...])")

@@ -31,7 +31,7 @@ class CdcDmlSpec extends SparkSpec {
     assert(t.read.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
-  test("no-match UPDATE/DELETE burns no version") {
+  test("no-match UPDATE/DELETE burns no version; unknown SET column still rejects") {
     val path = tmpDir("dml") + "/t"
     val t = new CdcTable(spark, path, Seq("id"))
     t.init(Seq((1L, "a")).toDF("id", "v"))
@@ -39,6 +39,44 @@ class CdcDmlSpec extends SparkSpec {
     t.update(col("v") === "zzz", Map("v" -> lit("w")))
     t.delete(col("v") === "zzz")
     assert(t.currentVersion == v)
+    // the loud-reject policy must not depend on whether the predicate matches
+    intercept[IllegalArgumentException] {
+      t.update(col("v") === "zzz", Map("nonexistent" -> lit(1)))
+    }
+  }
+
+  test("partitioned DELETE matching every row leaves a readable empty table") {
+    val path = tmpDir("dml") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"))
+    t.init(Seq(
+      (1L, "a", ts("2024-01-05 00:00:00")),
+      (2L, "b", ts("2024-02-20 00:00:00"))).toDF("id", "v", "created_at"))
+    t.delete(lit(true))
+    assert(t.read.count() == 0)
+    assert(t.read.columns.toSeq == Seq("id", "v", "created_at"))
+    // and the empty table accepts new data again
+    t.merge(Seq((3L, "c", ts("2024-03-01 00:00:00"), 1L, "c"))
+      .toDF("id", "v", "created_at", "ts", "__op"), "ts")
+    assert(t.read.select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("Dml parser: WHERE inside a string literal belongs to the SET expression") {
+    val u = graft.ops.Dml.parse("UPDATE t SET note = 'use where needed', amt = 1")
+    u match {
+      case graft.ops.Dml.Update(_, set, where) =>
+        assert(set == Seq("note" -> "'use where needed'", "amt" -> "1"))
+        assert(where.isEmpty)
+      case other => fail(s"expected Update, got $other")
+    }
+    val u2 = graft.ops.Dml.parse("UPDATE t SET v = concat(v, ',x') WHERE amt > 2")
+    u2 match {
+      case graft.ops.Dml.Update(_, set, where) =>
+        assert(set == Seq("v" -> "concat(v, ',x')"))
+        assert(where.contains("amt > 2"))
+      case other => fail(s"expected Update, got $other")
+    }
+    intercept[IllegalArgumentException](
+      graft.ops.Dml.parse("DELETE FROM t USING other"))
   }
 
   test("partitioned UPDATE rewrites only touched months; moved partition key lands in its new month") {

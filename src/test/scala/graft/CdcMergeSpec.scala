@@ -98,7 +98,9 @@ class CdcMergeSpec extends SparkSpec {
 
   test("mergeGuarded ignores late cross-batch events; current ones apply") {
     val stored = Seq(
-      (1L, "a5", 5L), (2L, "b5", 5L), (3L, "c5", 5L), (4L, "d5", 5L))
+      (1L, "a5", Some(5L)), (2L, "b5", Some(5L)), (3L, "c5", Some(5L)), (4L, "d5", Some(5L)),
+      (7L, "g", None),      // null stored ts, untouched -> must survive
+      (8L, "h", None))      // null stored ts, updated -> yields to the update
       .toDF("id", "name", "ts")
     val lateBatch = Seq(
       (1L, "a3", 3L, "u"),  // late update -> ignored
@@ -106,16 +108,17 @@ class CdcMergeSpec extends SparkSpec {
       (3L, "c7", 7L, "u"),  // current update -> applied
       (4L, "y", 7L, "d"),   // current delete -> removed
       (5L, "e7", 7L, "c"),  // insert -> applied
-      (6L, "z", 7L, "d")    // unmatched delete -> never inserts
+      (6L, "z", 7L, "d"),   // unmatched delete -> never inserts
+      (8L, "h7", 7L, "u")   // update over null stored ts -> applied
     ).toDF("id", "name", "ts", "__op")
 
     val out = CdcMerge.mergeGuarded(stored, lateBatch, Seq("id"), "ts")
-      .orderBy("id").select("id", "name", "ts").as[(Long, String, Long)].collect().toSeq
-    assert(out == Seq((1L, "a5", 5L), (2L, "b5", 5L), (3L, "c7", 7L), (5L, "e7", 7L)))
+      .orderBy("id").select("id", "name").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a5"), (2L, "b5"), (3L, "c7"), (5L, "e7"), (7L, "g"), (8L, "h7")))
 
     // plain merge (no guard) would have let the late rows win
     val unguarded = CdcMerge.merge(stored, lateBatch, Seq("id"))
       .orderBy("id").select("id", "name").as[(Long, String)].collect().toSeq
-    assert(unguarded == Seq((1L, "a3"), (3L, "c7"), (5L, "e7")))
+    assert(unguarded == Seq((1L, "a3"), (3L, "c7"), (5L, "e7"), (7L, "g"), (8L, "h7")))
   }
 }
