@@ -210,7 +210,27 @@ object PipelineQueries extends QueryPack {
         |  FROM seq WHERE prev_t IS NOT NULL GROUP BY prev_t, next_t)
         |SELECT prev_t, next_t, CAST(n AS BIGINT) AS n,
         |  CAST(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_t) AS DOUBLE) AS DOUBLE) AS p_next
-        |FROM pairs""".stripMargin))
+        |FROM pairs""".stripMargin)),
+
+    // SCD2 history reconstruction: compress each user's event stream into
+    // state-change rows with [valid_from, valid_to) intervals and a
+    // current flag — the slowly-changing-dimension type-2 shape rebuilt
+    // declaratively from raw history (the batch face of ops.Scd2.apply).
+    // Two windows over one shuffle on user_id; (ts, event_id) is a unique
+    // total order so change detection and interval ends are deterministic.
+    "x_scd2_history" -> ((s, dir) => events(s, dir,
+      """WITH s AS (
+        |  SELECT user_id, event_type AS state, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, state, ts, event_id FROM s
+        |  WHERE prev IS NULL OR state != prev)
+        |SELECT user_id, state,
+        |  unix_millis(ts) AS valid_from_ms,
+        |  unix_millis(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_ms,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM chg""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -308,6 +328,20 @@ object PipelineQueries extends QueryPack {
         |SELECT prev_t, next_t, CAST(n AS BIGINT) AS n,
         |  CAST(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_t) AS DOUBLE) AS DOUBLE) AS p_next
         |FROM pairs""".stripMargin,
+
+    "x_scd2_history" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS state, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, state, ts, event_id FROM s
+        |  WHERE prev IS NULL OR state != prev)
+        |SELECT user_id, state,
+        |  epoch_ms(ts) AS valid_from_ms,
+        |  epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_ms,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM chg""".stripMargin,
 
     "x_retention_cohorts" ->
       """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
