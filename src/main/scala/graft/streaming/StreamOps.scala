@@ -152,6 +152,29 @@ object StreamOps {
          |f_ts <= l_ts + interval ${maxLagMs / 1000} second""".stripMargin))
   }
 
+  /** LEFT OUTER [[intervalJoin]]: every lead event emits — matched rows
+    * as they join, unmatched ones with null follow columns once the
+    * follow-side watermark passes the lead's interval end (only then can
+    * the engine prove no match will arrive). The funnel-analysis join
+    * face: "every impression, with its click if one came within the
+    * window". Same bounded state as the inner form — both watermarks
+    * plus the two-sided time bound are what make outer emission (and
+    * state eviction) possible at all on an unbounded stream.
+    */
+  def intervalJoinOuter(lead: Dataset[Evt], follow: Dataset[Evt],
+                        leadWatermark: String, followWatermark: String,
+                        maxLagMs: Long): DataFrame = {
+    val l = lead.toDF("l_event_id", "l_user_id", "l_event_type", "l_ts")
+      .withWatermark("l_ts", leadWatermark)
+    val f = follow.toDF("f_event_id", "f_user_id", "f_event_type", "f_ts")
+      .withWatermark("f_ts", followWatermark)
+    l.join(f, expr(
+      s"""l_user_id = f_user_id AND
+         |f_ts >= l_ts AND
+         |f_ts <= l_ts + interval ${maxLagMs / 1000} second""".stripMargin),
+      "left_outer")
+  }
+
   /** Output-mode helper kept with the operators so call sites stay
     * declarative in specs and pipelines.
     */

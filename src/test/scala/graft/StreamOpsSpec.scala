@@ -124,6 +124,57 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set((10L, 20L), (11L, 22L)))
   }
 
+  test("left-outer interval join emits unmatched leads with nulls once the watermark passes") {
+    val root = tmpDir("streamops7")
+    val t0 = 1700000000000L
+    // impressions: user 1 gets a click, user 2 never does
+    Seq((10L, 1L, "imp", new java.sql.Timestamp(t0)),
+        (11L, 2L, "imp", new java.sql.Timestamp(t0)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("append").parquet(s"$root/lead")
+    Seq((20L, 1L, "click", new java.sql.Timestamp(t0 + 5 * 60000L)),
+        (28L, 9L, "click", new java.sql.Timestamp(t0 + 60 * 60000L)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("append").parquet(s"$root/follow")
+
+    // unmatched rows emit only in a batch that runs AFTER the watermark
+    // passed their interval end — the two-run shape of an incremental
+    // (trigger-once per invocation) pipeline
+    val emitted = scala.collection.concurrent.TrieMap.empty[(Long, Long), Unit]
+    def runOnce(): Unit = {
+      val lead = spark.readStream.schema(evtSchema).parquet(s"$root/lead").as[Evt]
+      val follow = spark.readStream.schema(evtSchema).parquet(s"$root/follow").as[Evt]
+      val q = StreamOps.intervalJoinOuter(lead, follow, "10 minutes", "10 minutes", 10 * 60000L)
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(col("l_event_id"), col("f_event_id")).collect().foreach(r =>
+            emitted.put((r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)), ()))
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(emitted.keySet.contains((10L, 20L)))
+    assert(!emitted.keySet.exists(_._1 == 11L), "unmatched row must wait for the watermark")
+    // runs 2-3: later events on BOTH sides (the global watermark is the
+    // minimum across inputs) carry the watermark past u2's interval end —
+    // the unmatched impression then emits with null follow columns
+    for (late <- Seq(120L, 240L)) {
+      Seq((30L + late, 8L, "imp", new java.sql.Timestamp(t0 + late * 60000L)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+        .write.mode("append").parquet(s"$root/lead")
+      Seq((40L + late, 9L, "click", new java.sql.Timestamp(t0 + late * 60000L)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+        .write.mode("append").parquet(s"$root/follow")
+      runOnce()
+    }
+    assert(emitted.keySet.contains((11L, -1L)),
+      s"unmatched impression must emit with nulls after the watermark passes: $emitted")
+    assert(!emitted.keySet.exists(p => p._1 == 11L && p._2 != -1L))
+  }
+
   test("stream-static enrichment join broadcasts the dimension to the stream") {
     val root = tmpDir("streamops6")
     writeEvents(s"$root/in", 0 until 20, _ => "click")
