@@ -416,6 +416,23 @@ object IndexQueries extends QueryPack {
          |  CAST(max(s.n_cand) AS DOUBLE) / (count(*) * (max(c.n) - 1)) AS scanned_frac
          |FROM hits CROSS JOIN scan s CROSS JOIN corpus c""".stripMargin)),
 
+    // Corpus clustering quality: the trained k-means partition audited
+    // per cluster — member count and exact integer inertia
+    // (sum ||x-c||^2 = sum(x.x) - 2 sum(x.c) + n*c.c, every term an
+    // exact integer dot). The mixture-analysis face of the IVF
+    // machinery: how big and how tight each learned corpus cluster is.
+    // One broadcast join (k rows) + one combine-friendly groupBy on cid.
+    "x_kmeans_quality" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuantV,
+         |$sparkKmeans,
+         |j AS (
+         |  SELECT a.cid, v.nrm, dot_i64(v.qe, c.ce) AS xc, dot_i64(c.ce, c.ce) AS cc
+         |  FROM af a JOIN v ON v.vec_id = a.vec_id JOIN c2 c ON c.cid = a.cid)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(nrm) - 2 * sum(xc) + count(*) * max(cc) AS BIGINT) AS inertia,
+         |  CAST((sum(nrm) - 2 * sum(xc) + count(*) * max(cc)) DIV count(*) AS BIGINT) AS inertia_per_member
+         |FROM j GROUP BY cid""".stripMargin)),
+
     // Corpus line-level exact dedup (the CCNet/Gopher boilerplate pass):
     // documents split into non-overlapping 8-word segments, each hashed
     // to 60 bits; a segment is boilerplate when its hash occurs >= 2
@@ -625,6 +642,19 @@ object IndexQueries extends QueryPack {
          |  CAST(max(s.n_cand) AS BIGINT) AS n_candidates,
          |  CAST(max(s.n_cand) AS DOUBLE) / (count(*) * (max(c.n) - 1)) AS scanned_frac
          |FROM hits CROSS JOIN scan s CROSS JOIN corpus c""".stripMargin,
+
+    "x_kmeans_quality" ->
+      s"""WITH $duckQuantV,
+         |$duckKmeans,
+         |j AS (
+         |  SELECT a.cid, v.nrm,
+         |    CAST(list_dot_product(v.qe::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT) AS xc,
+         |    CAST(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT) AS cc
+         |  FROM af a JOIN v ON v.vec_id = a.vec_id JOIN c2 c ON c.cid = a.cid)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(nrm) - 2 * sum(xc) + count(*) * max(cc) AS BIGINT) AS inertia,
+         |  CAST((sum(nrm) - 2 * sum(xc) + count(*) * max(cc)) // count(*) AS BIGINT) AS inertia_per_member
+         |FROM j GROUP BY cid""".stripMargin,
 
     "x_line_dedup" ->
       s"""WITH w AS (
