@@ -490,6 +490,49 @@ object OlapQueries extends QueryPack {
         |  array_join(array_sort(collect_set(c_mktsegment)), ',') AS segments
         |FROM customer GROUP BY c_nationkey""".stripMargin)),
 
+    // Data-quality column profiling: per-column row/null/distinct counts
+    // and min/max, one scan per profiled table (Spark collapses the
+    // UNION ALL of per-column aggregates over the same scan via exchange
+    // reuse; all aggregates combine map-side). Doubles surface as exact
+    // integer cents so the min/max text is engine-independent.
+    "x_data_profile" -> ((s, dir) => sql(s, dir,
+      """SELECT 'o_orderstatus' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_orderstatus) AS STRING) AS min_v,
+        |  CAST(max(o_orderstatus) AS STRING) AS max_v
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_totalprice) AS BIGINT),
+        |  CAST(count(DISTINCT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT),
+        |  CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS STRING),
+        |  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS STRING)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_custkey) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(min(o_custkey) AS STRING), CAST(max(o_custkey) AS STRING)
+        |FROM orders""".stripMargin)),
+
+    // Referential-integrity audit: orphan counts across the star's
+    // foreign keys, each one left join + conditional count (broadcast
+    // parent side at scale; no orphans expected in this data, so the
+    // query also acts as a generator-consistency check).
+    "x_referential_check" -> ((s, dir) => sql(s, dir,
+      """SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |UNION ALL
+        |SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders o2 LEFT JOIN customer c ON c.c_custkey = o2.o_custkey
+        |UNION ALL
+        |SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM customer c2 LEFT JOIN nation n ON n.n_nationkey = c2.c_nationkey""".stripMargin)),
+
     // Per-customer order time series: previous-order delta and 3-order
     // moving average. All arithmetic is exact integer cents inside the
     // window frames; the single closing division is one IEEE op on
@@ -861,6 +904,40 @@ object OlapQueries extends QueryPack {
         |        FROM customer GROUP BY c_nationkey)
         |SELECT cnt.c_nationkey, cnt.n_customers, segs.segments
         |FROM cnt JOIN segs ON segs.c_nationkey = cnt.c_nationkey""".stripMargin,
+
+    "x_data_profile" ->
+      """SELECT 'o_orderstatus' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_orderstatus) AS VARCHAR) AS min_v,
+        |  CAST(max(o_orderstatus) AS VARCHAR) AS max_v
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_totalprice) AS BIGINT),
+        |  CAST(count(DISTINCT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT),
+        |  CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS VARCHAR),
+        |  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_custkey) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |FROM orders""".stripMargin,
+
+    "x_referential_check" ->
+      """SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |UNION ALL
+        |SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders o2 LEFT JOIN customer c ON c.c_custkey = o2.o_custkey
+        |UNION ALL
+        |SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM customer c2 LEFT JOIN nation n ON n.n_nationkey = c2.c_nationkey""".stripMargin,
 
     "x_timeseries_features" ->
       """WITH c AS (
