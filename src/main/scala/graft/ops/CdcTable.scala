@@ -537,6 +537,24 @@ final class CdcTable(
       .select((allCols :+ ChangeTypeCol).map(c => col(s"__r.$c").as(c)): _*)
   }
 
+  /** RESTORE: make a retained historical version's content current again
+    * by committing it as a NEW version (Delta-style rollback — history
+    * moves forward, nothing is rewritten in place, and the bad versions
+    * between remain inspectable until they expire). The restored data
+    * re-materializes through the normal commit path, so the usual
+    * crash-safety and conflict rules apply.
+    */
+  def restore(v: Long): Unit = {
+    val expected = currentOrThrow
+    if (v == expected) return
+    val content = readVersion(v)
+    partitionSource match {
+      case Some(_) =>
+        commitPartitioned(withPart(content), replaced = allMonths(Some(expected)), Some(expected))
+      case None => commitFull(content, Some(expected))
+    }
+  }
+
   /** Compaction (reference K10): rewrite to `target` files per partition,
     * folding a partitioned table's multi-commit months back to one
     * directory each (a new version; content unchanged).

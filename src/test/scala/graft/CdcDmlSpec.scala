@@ -114,6 +114,31 @@ class CdcDmlSpec extends SparkSpec {
     assert(t.manifest(t.currentVersion.get).filter(_._1 == "2024-02") == febBefore)
   }
 
+  test("restore commits a historical version's content as a new version") {
+    val path = tmpDir("restore") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), retainVersions = 5)
+    t.init(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val good = t.currentVersion.get
+    t.delete(lit(true)) // fat-finger wipe
+    assert(t.read.count() == 0)
+    t.restore(good)
+    assert(t.read.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // rollback moved history FORWARD: the wipe remains inspectable
+    assert(t.currentVersion.get > good + 1)
+    assert(t.readVersion(good + 1).count() == 0)
+
+    // partitioned layout restores through the same path
+    val p2 = tmpDir("restore") + "/p"
+    val tp = new CdcTable(spark, p2, Seq("id"), partitionSource = Some("created_at"),
+      retainVersions = 5)
+    tp.init(Seq((1L, "x", ts("2024-01-05 00:00:00"))).toDF("id", "v", "created_at"))
+    val pGood = tp.currentVersion.get
+    tp.update(col("id") === 1L, Map("v" -> lit("bad")))
+    tp.restore(pGood)
+    assert(tp.read.select("v").as[String].head() == "x")
+  }
+
   test("changesBetween tags insert, delete, and update pre/post images") {
     val path = tmpDir("cdf") + "/t"
     val t = new CdcTable(spark, path, Seq("id"))
