@@ -163,6 +163,19 @@ final class CdcTable(
   /** Current table content (user columns only). */
   def read: DataFrame = readAt(currentOrThrow)
 
+  /** Partition-pruned read: only the named months' data directories are
+    * listed and scanned (manifest-level pruning — the reader never
+    * touches other months' files, the same guarantee Iceberg gets from
+    * its manifests). Months with no live data simply contribute nothing.
+    */
+  def readMonths(months: Set[String]): DataFrame = {
+    require(partitionSource.isDefined, "readMonths requires a partitioned table")
+    val cur = currentOrThrow
+    val entries = manifest(cur).filter(e => months.contains(e._1))
+    if (entries.isEmpty) readAt(cur).filter(lit(false))
+    else readParts(entries, None, cur).drop(PartCol)
+  }
+
   /** Time travel: read a specific retained version. */
   def readVersion(v: Long): DataFrame = partitionSource match {
     case Some(_) => readParts(manifest(v), None, v).drop(PartCol)

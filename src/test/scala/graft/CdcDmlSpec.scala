@@ -114,6 +114,25 @@ class CdcDmlSpec extends SparkSpec {
     assert(t.manifest(t.currentVersion.get).filter(_._1 == "2024-02") == febBefore)
   }
 
+  test("readMonths scans only the named months' files") {
+    val path = tmpDir("readmonths") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"))
+    t.init(Seq(
+      (1L, "a", ts("2024-01-05 00:00:00")),
+      (2L, "b", ts("2024-02-20 00:00:00")),
+      (3L, "c", ts("2024-03-10 00:00:00"))).toDF("id", "v", "created_at"))
+
+    val jan = t.readMonths(Set("2024-01"))
+    assert(jan.select("id").as[Long].collect().toSeq == Seq(1L))
+    // manifest-level pruning: the plan's file locations only name the
+    // requested month's directory
+    val files = jan.queryExecution.executedPlan.toString()
+    assert(files.contains("2024-01") && !files.contains("2024-02") && !files.contains("2024-03"))
+
+    assert(t.readMonths(Set("2024-02", "2024-03")).count() == 2)
+    assert(t.readMonths(Set("2030-12")).count() == 0)
+  }
+
   test("restore commits a historical version's content as a new version") {
     val path = tmpDir("restore") + "/t"
     val t = new CdcTable(spark, path, Seq("id"), retainVersions = 5)
