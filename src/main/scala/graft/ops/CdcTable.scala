@@ -172,7 +172,10 @@ final class CdcTable(
     require(partitionSource.isDefined, "readMonths requires a partitioned table")
     val cur = currentOrThrow
     val entries = manifest(cur).filter(e => months.contains(e._1))
-    if (entries.isEmpty) readAt(cur).filter(lit(false))
+    if (entries.isEmpty && schemaFile(cur).exists())
+      // typed empty from the schema sidecar — zero file listing/footers
+      readParts(Nil, None, cur).drop(PartCol)
+    else if (entries.isEmpty) readAt(cur).filter(lit(false))
     else readParts(entries, None, cur).drop(PartCol)
   }
 
@@ -560,11 +563,30 @@ final class CdcTable(
   def restore(v: Long): Unit = {
     val expected = currentOrThrow
     if (v == expected) return
-    val content = readVersion(v)
+    val next = expected + 1
     partitionSource match {
       case Some(_) =>
-        commitPartitioned(withPart(content), replaced = allMonths(Some(expected)), Some(expected))
-      case None => commitFull(content, Some(expected))
+        // metadata-only rollback: data dirs are immutable and expire()
+        // keeps every commit dir a retained manifest references, so the
+        // new version simply re-points at version v's directories — no
+        // data is read or rewritten (Delta-style RESTORE)
+        val entries = manifest(v)
+        reserveOrConflict(next)
+        writeManifest(next, entries)
+        if (schemaFile(v).exists())
+          Files.copy(schemaFile(v).toPath, schemaFile(next).toPath): Unit
+        commitPointer(next)
+      case None =>
+        // hard-link the restored version's files (same metadata-only
+        // trick as append's carry-over) — no data copy
+        val src = versionDir(v)
+        if (!src.exists())
+          throw new java.io.FileNotFoundException(s"version $v of $path is expired or never existed")
+        reserveOrConflict(next)
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .foreach(f => Files.createLink(versionDir(next).toPath.resolve(f.getName), f.toPath): Unit)
+        commitPointer(next)
     }
   }
 

@@ -25,12 +25,15 @@ object IncrementalView {
 
   /** The full (bootstrap) computation: per-`groupCols` row count and
     * sums of `sumCols`. The refreshed aggregate always equals this run
-    * over the corresponding version.
+    * over the corresponding version. Sum convention: null values
+    * contribute nothing and an all-null group sums to 0 (not null) —
+    * the convention that makes signed delta application exact, stated
+    * here so compute and refresh agree bit-for-bit.
     */
   def compute(table: DataFrame, groupCols: Seq[String], sumCols: Seq[String]): DataFrame =
     table.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as(CountCol),
-      sumCols.map(c => sum(col(c)).as(c)): _*)
+      sumCols.map(c => coalesce(sum(col(c)), lit(0)).as(c)): _*)
 
   /** Apply the change feed `changes` (the [[CdcTable.changesBetween]]
     * output covering exactly the versions between the aggregate's
@@ -48,14 +51,20 @@ object IncrementalView {
         sum(col("__sign")).as("__dn"),
         sumCols.map(c => sum(col(c) * col("__sign")).as(s"__d_$c")): _*)
 
-    val joined = agg.join(delta, groupCols, "full_outer")
+    // null-safe join: a null group KEY is a legitimate group (compute's
+    // groupBy treats all nulls as one group), so the join must match on
+    // <=>, not =, or null-keyed groups double up instead of merging
+    val a = agg.alias("a")
+    val d = delta.alias("d")
+    val joinCond = groupCols.map(k => col(s"a.$k") <=> col(s"d.$k")).reduce(_ && _)
+    val joined = a.join(d, joinCond, "full_outer")
     val refreshed = joined.select(
-      (groupCols.map(col) :+
-        (coalesce(col(CountCol), lit(0L)) + coalesce(col("__dn"), lit(0L))).as(CountCol)) ++
+      (groupCols.map(k => coalesce(col(s"a.$k"), col(s"d.$k")).as(k)) :+
+        (coalesce(col(s"a.$CountCol"), lit(0L)) + coalesce(col("d.__dn"), lit(0L))).as(CountCol)) ++
         sumCols.map { c =>
-          // a side absent for this group contributes 0, not null (type
-          // coercion lifts the integer literal to the sum's type)
-          (coalesce(col(c), lit(0)) + coalesce(col(s"__d_$c"), lit(0))).as(c)
+          // a side absent for this group contributes 0, matching the
+          // null-sums-to-0 convention of compute()
+          (coalesce(col(s"a.$c"), lit(0)) + coalesce(col(s"d.__d_$c"), lit(0))).as(c)
         }: _*)
     refreshed.filter(col(CountCol) > 0)
   }

@@ -52,14 +52,20 @@ object Scd2 {
       s"batch must carry every dimension attribute: ${attrs.mkString(", ")}")
 
     val closed = dim.filter(col(ValidTo).isNotNull)
-    val current = dim.filter(col(ValidTo).isNull)
+    // explicit presence markers: after the full-outer join, side presence
+    // cannot be inferred from nullable data columns (a null valid_from or
+    // a null observation time would masquerade as an absent side and
+    // fabricate an all-null "current" row). Observations without a time
+    // cannot be sequenced and are dropped up front.
+    val current = dim.filter(col(ValidTo).isNull).withColumn("__d_present", lit(true))
 
-    val b = batch.select(
-      (keys.map(col) ++ attrs.map(c => col(c).as(s"__b_$c")) :+ col(tsCol).as("__b_ts")): _*)
+    val b = batch.na.drop(Seq(tsCol)).select(
+      (keys.map(col) ++ attrs.map(c => col(c).as(s"__b_$c")) :+
+        col(tsCol).as("__b_ts") :+ lit(true).as("__b_present")): _*)
     val j = current.join(b, keys, "full_outer")
 
-    val inDim = col(ValidFrom).isNotNull
-    val inBatch = col("__b_ts").isNotNull
+    val inDim = coalesce(col("__d_present"), lit(false))
+    val inBatch = coalesce(col("__b_present"), lit(false))
     val changed = attrs
       .map(c => !(col(c) <=> col(s"__b_$c")))
       .foldLeft(lit(false))(_ || _)

@@ -141,7 +141,12 @@ object StreamOps {
     */
   def intervalJoin(lead: Dataset[Evt], follow: Dataset[Evt],
                    leadWatermark: String, followWatermark: String,
-                   maxLagMs: Long): DataFrame = {
+                   maxLagMs: Long): DataFrame =
+    intervalJoinWith(lead, follow, leadWatermark, followWatermark, maxLagMs, "inner")
+
+  private def intervalJoinWith(lead: Dataset[Evt], follow: Dataset[Evt],
+                               leadWatermark: String, followWatermark: String,
+                               maxLagMs: Long, joinType: String): DataFrame = {
     val l = lead.toDF("l_event_id", "l_user_id", "l_event_type", "l_ts")
       .withWatermark("l_ts", leadWatermark)
     val f = follow.toDF("f_event_id", "f_user_id", "f_event_type", "f_ts")
@@ -149,7 +154,8 @@ object StreamOps {
     l.join(f, expr(
       s"""l_user_id = f_user_id AND
          |f_ts >= l_ts AND
-         |f_ts <= l_ts + interval ${maxLagMs / 1000} second""".stripMargin))
+         |f_ts <= l_ts + interval $maxLagMs millisecond""".stripMargin),
+      joinType)
   }
 
   /** LEFT OUTER [[intervalJoin]]: every lead event emits — matched rows
@@ -163,17 +169,8 @@ object StreamOps {
     */
   def intervalJoinOuter(lead: Dataset[Evt], follow: Dataset[Evt],
                         leadWatermark: String, followWatermark: String,
-                        maxLagMs: Long): DataFrame = {
-    val l = lead.toDF("l_event_id", "l_user_id", "l_event_type", "l_ts")
-      .withWatermark("l_ts", leadWatermark)
-    val f = follow.toDF("f_event_id", "f_user_id", "f_event_type", "f_ts")
-      .withWatermark("f_ts", followWatermark)
-    l.join(f, expr(
-      s"""l_user_id = f_user_id AND
-         |f_ts >= l_ts AND
-         |f_ts <= l_ts + interval ${maxLagMs / 1000} second""".stripMargin),
-      "left_outer")
-  }
+                        maxLagMs: Long): DataFrame =
+    intervalJoinWith(lead, follow, leadWatermark, followWatermark, maxLagMs, "left_outer")
 
   /** Output-mode helper kept with the operators so call sites stay
     * declarative in specs and pipelines.

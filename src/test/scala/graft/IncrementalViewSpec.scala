@@ -12,7 +12,7 @@ class IncrementalViewSpec extends SparkSpec {
   private def sorted(df: org.apache.spark.sql.DataFrame) =
     df.select(col("grp"), col(IncrementalView.CountCol), col("amt"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
       .toSeq
 
@@ -20,17 +20,23 @@ class IncrementalViewSpec extends SparkSpec {
     val path = tmpDir("iview") + "/t"
     val t = new CdcTable(spark, path, Seq("id"), retainVersions = 10)
     t.init(Seq(
-      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)).toDF("id", "grp", "amt"))
+      (1L, Some("a"), Some(10L)), (2L, Some("a"), Some(20L)), (3L, Some("b"), Some(30L)),
+      (5L, None, Some(50L)),   // null group key is a legitimate group
+      (6L, Some("d"), None))   // all-null sums follow the sums-to-0 convention
+      .toDF("id", "grp", "amt"))
     val v1 = t.currentVersion.get
     var agg = IncrementalView.compute(t.read, Seq("grp"), Seq("amt"))
-    assert(sorted(agg) == Seq(("a", 2L, 30L), ("b", 1L, 30L)))
+    assert(sorted(agg) == Seq(
+      ("<null>", 1L, 50L), ("a", 2L, 30L), ("b", 1L, 30L), ("d", 1L, 0L)))
 
-    // merge: update 2's amount, move 3 to group a, insert 4 in c, delete 1
+    // merge: update 2's amount, move 3 to group a, insert 4 in c,
+    // insert 7 into the null group, delete 1
     t.merge(Seq(
-      (2L, "a", 25L, 1L, "u"),
-      (3L, "a", 30L, 1L, "u"),
-      (4L, "c", 40L, 1L, "c"),
-      (1L, null.asInstanceOf[String], 0L, 1L, "d"))
+      (2L, Some("a"), Some(25L), 1L, "u"),
+      (3L, Some("a"), Some(30L), 1L, "u"),
+      (4L, Some("c"), Some(40L), 1L, "c"),
+      (7L, None, Some(8L), 1L, "c"),
+      (1L, None, Some(0L), 1L, "d"))
       .toDF("id", "grp", "amt", "ts", "__op"), "ts")
     val v2 = t.currentVersion.get
 
@@ -39,12 +45,15 @@ class IncrementalViewSpec extends SparkSpec {
     assert(sorted(agg) == sorted(full2))
     // group b emptied out and must vanish, like the recompute drops it
     assert(!sorted(agg).exists(_._1 == "b"))
+    // the null group merged (not doubled): one row, both members
+    assert(sorted(agg).count(_._1 == "<null>") == 1)
+    assert(sorted(agg).find(_._1 == "<null>").get == (("<null>", 2L, 58L)))
 
     // predicate DELETE wipes group a; refresh again
     t.delete(col("grp") === "a")
     val v3 = t.currentVersion.get
     agg = IncrementalView.refresh(agg, t.changesBetween(v2, v3), Seq("grp"), Seq("amt"))
     assert(sorted(agg) == sorted(IncrementalView.compute(t.read, Seq("grp"), Seq("amt"))))
-    assert(sorted(agg) == Seq(("c", 1L, 40L)))
+    assert(sorted(agg) == Seq(("<null>", 2L, 58L), ("c", 1L, 40L), ("d", 1L, 0L)))
   }
 }

@@ -46,6 +46,13 @@ class Scd2Spec extends SparkSpec {
     val dim3 = Scd2.apply(dim2,
       Seq((1L, "old", 30L), (2L, "old", 5L)).toDF("id", "city", "ts"), Seq("id"), "ts")
     assert(rows(dim3) == rows(dim2))
+
+    // an observation without a time cannot be sequenced: dropped, and it
+    // must not fabricate an all-null "current" row for its key
+    val dim4 = Scd2.apply(dim3,
+      Seq((9L, "nowhere")).toDF("id", "city").withColumn("ts", lit(null).cast("long")),
+      Seq("id"), "ts")
+    assert(rows(dim4) == rows(dim3))
   }
 
   test("as-of lookup reads the state at any past time") {
