@@ -126,6 +126,23 @@ object Dml {
         "unsupported statement (expected UPDATE <t> SET ... [WHERE ...] or DELETE FROM <t> [WHERE ...])")
   }
 
+  /** One entry point for the whole DML statement surface: UPDATE and
+    * DELETE dispatch here, MERGE INTO and INSERT INTO dispatch to
+    * [[MergeInto.execute]] (which needs the source batch). The caller's
+    * statement router for a pipeline that receives arbitrary DML text.
+    */
+  def executeAny(spark: SparkSession, sql: String, tablePath: String => String,
+                 keys: Seq[String], partitionSource: Option[String] = None,
+                 source: Option[org.apache.spark.sql.DataFrame] = None,
+                 tsCol: String = "__ts_ms"): CdcTable = {
+    val trimmed = sql.trim
+    if (trimmed.toUpperCase.startsWith("MERGE") || trimmed.toUpperCase.startsWith("INSERT")) {
+      val batch = source.getOrElse(
+        throw new IllegalArgumentException("MERGE/INSERT statements need a source batch"))
+      MergeInto.execute(spark, sql, batch, tablePath, tsCol)
+    } else execute(spark, sql, tablePath, keys, partitionSource)
+  }
+
   /** Execute `sql` against the [[CdcTable]] at `tablePath(targetName)`.
     * `keys`/`partitionSource` carry the table's layout metadata (a real
     * catalog would store them; the path contract mirrors

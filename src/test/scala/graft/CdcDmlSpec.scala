@@ -201,6 +201,34 @@ class CdcDmlSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.ops.Dml.parse("UPDATE t SET WHERE x = 1"))
   }
 
+  test("executeAny routes every DML statement type through one entry point") {
+    val root = tmpDir("dmlany")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"))
+    t.init(Seq((1L, "a", 0L)).toDF("id", "v", "__ts_ms"))
+
+    // MERGE goes through the MergeInto path (needs a source batch)
+    val batch = Seq((2L, "b", 1L, "c")).toDF("id", "v", "__ts_ms", "__op")
+    graft.ops.Dml.executeAny(spark,
+      """MERGE INTO t t USING (select * from src) s on t.id = s.id
+        |WHEN MATCHED AND s.__op = 'd' THEN DELETE
+        |WHEN MATCHED AND (s.__op = 'u' or s.__op = 'c' or s.__op = 'r')
+        |THEN UPDATE SET t.id=s.id, t.v=s.v, t.__ts_ms=s.__ts_ms
+        |WHEN NOT MATCHED AND NOT s.__op = 'd' THEN INSERT (id, v, __ts_ms)
+        |VALUES (s.id, s.v, s.__ts_ms)""".stripMargin,
+      n => s"$root/$n", Seq("id"), source = Some(batch))
+    assert(t.read.count() == 2)
+
+    // UPDATE / DELETE go through the Dml path (no batch needed)
+    graft.ops.Dml.executeAny(spark, "UPDATE t SET v = 'z' WHERE id = 1",
+      n => s"$root/$n", Seq("id"))
+    assert(t.read.filter(col("id") === 1L).select("v").as[String].head() == "z")
+    graft.ops.Dml.executeAny(spark, "DELETE FROM t WHERE id = 2", n => s"$root/$n", Seq("id"))
+    assert(t.read.count() == 1)
+
+    intercept[IllegalArgumentException](
+      graft.ops.Dml.executeAny(spark, "MERGE INTO t ...", n => s"$root/$n", Seq("id")))
+  }
+
   test("DML commits race safely: a concurrent reservation surfaces as CommitConflictException") {
     val path = tmpDir("dmlrace") + "/t"
     val t = new CdcTable(spark, path, Seq("id"))
