@@ -51,6 +51,47 @@ object Multimodal {
     }
   }
 
+  /** A sampled video frame: one row per kept frame. */
+  final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** STUB resize — stands in for an image scaler. Deterministic: keeps a
+    * byte every `factor` positions (a real scaler swaps only this body);
+    * the plumbing contract is payload-in/payload-out with updated
+    * metadata, schema preserved, partition-local execution.
+    */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = r.payload.indices.collect { case i if i % factor == 0 => r.payload(i) }.toArray
+        MediaRow(r.media_id, r.kind, out, out.length.toLong)
+      }
+    }
+  }
+
+  /** STUB frame sampling — stands in for video frame extraction: the
+    * payload divides into fixed-size pseudo-frames and every `stride`-th
+    * one is kept, one output row per sampled frame (the explode shape a
+    * real frame sampler produces). Non-video rows pass through with a
+    * single frame 0.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(frameBytes >= 1 && stride >= 1, s"bad frameBytes=$frameBytes stride=$stride")
+    media.flatMap { r =>
+      if (r.kind != "video") Seq(Frame(r.media_id, 0, r.payload))
+      else {
+        val nFrames = math.max(1, r.payload.length / frameBytes)
+        (0 until nFrames by stride).map { f =>
+          val from = f * frameBytes
+          Frame(r.media_id, f,
+            java.util.Arrays.copyOfRange(r.payload, from, math.min(from + frameBytes, r.payload.length)))
+        }
+      }
+    }
+  }
+
   /** Build a synthetic media table from the documents table (text bytes as
     * payload) — the offline fixture for the plumbing.
     */

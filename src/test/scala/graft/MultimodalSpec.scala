@@ -22,6 +22,33 @@ class MultimodalSpec extends SparkSpec {
     feats.unpersist()
   }
 
+  test("resize preserves schema and shrinks payloads partition-locally") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val small = Multimodal.resize(media, 4)
+    assert(small.count() == media.count())
+    val before = media.filter($"media_id" === 0L).head()
+    val after = small.filter($"media_id" === 0L).head()
+    assert(after.payload.length == (before.payload.length + 3) / 4)
+    assert(after.meta_len == after.payload.length.toLong)
+    assert(after.kind == before.kind)
+  }
+
+  test("frame sampling explodes video payloads into strided frame rows; others pass through") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", Array.range(0, 100).map(_.toByte), 100L),
+      Multimodal.MediaRow(2L, "image", Array.range(0, 10).map(_.toByte), 10L))
+      .toDS()
+    val frames = Multimodal.sampleFrames(media, frameBytes = 10, stride = 3).collect()
+    val vid = frames.filter(_.media_id == 1L).sortBy(_.frame_idx)
+    // 10 pseudo-frames of 10 bytes, every 3rd kept: 0, 3, 6, 9
+    assert(vid.map(_.frame_idx).toSeq == Seq(0, 3, 6, 9))
+    assert(vid.forall(_.frame_bytes.length == 10))
+    assert(vid.head.frame_bytes.toSeq == Array.range(0, 10).map(_.toByte).toSeq)
+    val img = frames.filter(_.media_id == 2L)
+    assert(img.length == 1 && img.head.frame_idx == 0 && img.head.frame_bytes.length == 10)
+  }
+
   test("decode stub stands behind a stable contract (swap point for real codecs)") {
     val (crc1, w1, h1) = Multimodal.decodeStub("same bytes".getBytes)
     val (crc2, w2, h2) = Multimodal.decodeStub("same bytes".getBytes)
