@@ -79,4 +79,37 @@ class StreamingSpec extends SparkSpec {
     val t = tbl(s"$root/tables/events")
     assert(t.select("event_id").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("streaming-maintained materialized view: CDF refresh tracks the table across runs") {
+    import graft.ops.{CdcTable, IncrementalView}
+    val root = tmpDir("cdcview")
+    val envDir = s"$root/env"; val ckpt = s"$root/ckpt"; val tables = s"$root/tables"
+
+    def sortedView(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type").collect().toSeq
+
+    // run 1: ingest, bootstrap the view from the table
+    envelopesFor(0 until 60, 1700000000000L, "auto").write.parquet(envDir)
+    new CdcPipeline(spark, envDir, ckpt, tables).runOnce()
+    val t = new CdcTable(spark, s"$tables/events", Seq("event_id"))
+    var vPrev = t.currentVersion.get
+    var view = IncrementalView.compute(t.read, Seq("event_type"), Seq("user_id"))
+
+    // runs 2-3: updates to existing keys and brand-new keys stream in;
+    // after each incremental run the view refreshes from the table's own
+    // change feed — never re-scanning the table — and must equal the
+    // recompute (the streaming face of incremental view maintenance)
+    for ((range, ts) <- Seq((40 until 80) -> 1800000000000L,
+                            (70 until 90) -> 1900000000000L)) {
+      envelopesFor(range, ts, "u").write.mode("append").parquet(envDir)
+      new CdcPipeline(spark, envDir, ckpt, tables).runOnce()
+      val vNow = t.currentVersion.get
+      view = IncrementalView.refresh(
+        view, t.changesBetween(vPrev, vNow), Seq("event_type"), Seq("user_id"))
+      vPrev = vNow
+      assert(sortedView(view) ==
+        sortedView(IncrementalView.compute(t.read, Seq("event_type"), Seq("user_id"))))
+    }
+    assert(view.count() > 0)
+  }
 }
