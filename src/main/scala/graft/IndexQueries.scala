@@ -32,6 +32,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IndexQueries extends QueryPack {
   import TextQueries.{h64, duckH64}
+  import SimilarityQueries.{sparkQsel, duckQsel}
 
   private def docs(s: SparkSession, dir: String, sql: String): DataFrame = {
     Tables(s, dir, "documents").createOrReplaceTempView("documents")
@@ -183,7 +184,7 @@ object IndexQueries extends QueryPack {
       |  SELECT q2.vec_id AS query_id, v2b.vec_id AS neighbor_id,
       |    CAST(dot_i64(q2.qe, v2b.qe) AS DOUBLE)
       |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2b.nrm AS DOUBLE))) AS cos
-      |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+      |  FROM qsel q2
       |  JOIN v v2b ON q2.vec_id != v2b.vec_id),
       |brute_top AS (
       |  SELECT query_id, neighbor_id FROM (
@@ -218,7 +219,7 @@ object IndexQueries extends QueryPack {
       |  SELECT q2.vec_id AS query_id, v2b.vec_id AS neighbor_id,
       |    CAST(list_dot_product(q2.qe::DOUBLE[], v2b.qe::DOUBLE[]) AS DOUBLE)
       |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2b.nrm AS DOUBLE))) AS cos
-      |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+      |  FROM qsel q2
       |  JOIN v v2b ON q2.vec_id != v2b.vec_id),
       |brute_top AS (
       |  SELECT query_id, neighbor_id FROM (
@@ -231,17 +232,19 @@ object IndexQueries extends QueryPack {
       |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
       |  GROUP BY b.query_id)""".stripMargin
 
-  // Query-side probing: each query (every-50th vector) probes its
-  // nprobe=3 nearest trained centroids; candidates are the probed lists'
-  // members, reranked by exact cosine.
+  // Query-side probing: each query (the shared count-bounded qsel set —
+  // the 100 smallest-salted-hash vectors) probes its nprobe=3 nearest
+  // trained centroids; candidates are the probed lists' members,
+  // reranked by exact cosine.
   private val sparkKmeansScored =
     s"""$sparkKmeans,
+       |$sparkQsel,
        |probes AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT qv.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY qv.vec_id
        |        ORDER BY dot_i64(c.ce, c.ce) - 2 * dot_i64(qv.qe, c.ce), c.cid) AS rnk
-       |    FROM (SELECT * FROM v WHERE vec_id % 50 = 0) qv CROSS JOIN c2 c) WHERE rnk <= 3),
+       |    FROM qsel qv CROSS JOIN c2 c) WHERE rnk <= 3),
        |cand AS (
        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
        |  FROM probes p JOIN af a ON a.cid = p.cid AND a.vec_id != p.vec_id),
@@ -257,13 +260,14 @@ object IndexQueries extends QueryPack {
 
   private val duckKmeansScored =
     s"""$duckKmeans,
+       |$duckQsel,
        |probes AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT qv.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY qv.vec_id
        |        ORDER BY CAST(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT)
        |          - 2 * CAST(list_dot_product(qv.qe::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT), c.cid) AS rnk
-       |    FROM (SELECT * FROM v WHERE vec_id % 50 = 0) qv CROSS JOIN c2 c) WHERE rnk <= 3),
+       |    FROM qsel qv CROSS JOIN c2 c) WHERE rnk <= 3),
        |cand AS (
        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
        |  FROM probes p JOIN af a ON a.cid = p.cid AND a.vec_id != p.vec_id),
@@ -282,7 +286,7 @@ object IndexQueries extends QueryPack {
 
     // k-means-trained IVF ANN: top-5 by exact cosine within the nprobe=3
     // probed lists. The trained-quantizer upgrade of x_ann_ivf (whose
-    // given-label lists have no geometric meaning — recall 0.08): same
+    // given-label lists have no geometric meaning — recall 0.12): same
     // partition-bounded probe cost shape, learned lists.
     "x_ann_ivf_kmeans" -> ((s, dir) => embs(s, dir,
       s"""WITH $sparkQuantV,
@@ -293,8 +297,9 @@ object IndexQueries extends QueryPack {
 
     // Recall + scan-cost row for the k-means IVF: recall@5 vs brute force
     // and the fraction of the corpus scanned — the fourth point on the
-    // ANN operating-point dashboard (vs single-probe LSH 0.62/0.24,
-    // multi-probe LSH 0.84/0.43, label-IVF 0.08/~0.1).
+    // ANN operating-point dashboard (sf0.01, 100-query qsel set:
+    // kmeans-IVF 0.50/0.19 vs single-probe LSH 0.45, multi-probe LSH
+    // 0.67/0.42, label-IVF 0.12).
     "x_ann_recall_kmeans" -> ((s, dir) => embs(s, dir,
       s"""WITH $sparkQuantV,
          |$sparkKmeansScored,
@@ -307,7 +312,7 @@ object IndexQueries extends QueryPack {
          |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
          |    CAST(dot_i64(q2.qe, v2.qe) AS DOUBLE)
          |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  FROM qsel q2
          |  JOIN v v2 ON q2.vec_id != v2.vec_id),
          |brute_top AS (
          |  SELECT query_id, neighbor_id FROM (
@@ -347,7 +352,8 @@ object IndexQueries extends QueryPack {
          |v2 AS (SELECT vec_id, slice(qe, CAST(size(qe) DIV 2 + 1 AS INT), CAST(size(qe) - size(qe) DIV 2 AS INT)) AS qe FROM v),
          |${sparkKmeansFor("p1", "v1", 64)},
          |${sparkKmeansFor("p2", "v2", 64)},
-         |qs AS (SELECT vec_id FROM v WHERE vec_id % 50 = 0),
+         |$sparkQsel,
+         |qs AS (SELECT vec_id FROM qsel),
          |d1 AS (SELECT q.vec_id AS query_id, c.cid, dot_i64(s1.qe, c.ce) AS qdot, dot_i64(c.ce, c.ce) AS cnrm
          |  FROM qs q JOIN v1 s1 ON s1.vec_id = q.vec_id CROSS JOIN p1c2 c),
          |d2 AS (SELECT q.vec_id AS query_id, c.cid, dot_i64(s2.qe, c.ce) AS qdot, dot_i64(c.ce, c.ce) AS cnrm
@@ -383,7 +389,8 @@ object IndexQueries extends QueryPack {
          |v2 AS (SELECT vec_id, slice(qe, CAST(size(qe) DIV 2 + 1 AS INT), CAST(size(qe) - size(qe) DIV 2 AS INT)) AS qe FROM v),
          |${sparkKmeansFor("p1", "v1", 64)},
          |${sparkKmeansFor("p2", "v2", 64)},
-         |qs AS (SELECT vec_id FROM v WHERE vec_id % 50 = 0),
+         |$sparkQsel,
+         |qs AS (SELECT vec_id FROM qsel),
          |probes AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT qv.vec_id, c.cid,
@@ -545,7 +552,7 @@ object IndexQueries extends QueryPack {
          |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
          |    CAST(list_dot_product(q2.qe::DOUBLE[], v2.qe::DOUBLE[]) AS DOUBLE)
          |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  FROM qsel q2
          |  JOIN v v2 ON q2.vec_id != v2.vec_id),
          |brute_top AS (
          |  SELECT query_id, neighbor_id FROM (
@@ -572,7 +579,8 @@ object IndexQueries extends QueryPack {
          |v2 AS (SELECT vec_id, list_slice(qe, len(qe) // 2 + 1, len(qe)) AS qe FROM v),
          |${duckKmeansFor("p1", "v1", 64)},
          |${duckKmeansFor("p2", "v2", 64)},
-         |qs AS (SELECT vec_id FROM v WHERE vec_id % 50 = 0),
+         |$duckQsel,
+         |qs AS (SELECT vec_id FROM qsel),
          |d1 AS (SELECT q.vec_id AS query_id, c.cid,
          |    CAST(list_dot_product(s1.qe::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT) AS qdot,
          |    CAST(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT) AS cnrm
@@ -605,7 +613,8 @@ object IndexQueries extends QueryPack {
          |v2 AS (SELECT vec_id, list_slice(qe, len(qe) // 2 + 1, len(qe)) AS qe FROM v),
          |${duckKmeansFor("p1", "v1", 64)},
          |${duckKmeansFor("p2", "v2", 64)},
-         |qs AS (SELECT vec_id FROM v WHERE vec_id % 50 = 0),
+         |$duckQsel,
+         |qs AS (SELECT vec_id FROM qsel),
          |probes AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT qv.vec_id, c.cid,

@@ -131,31 +131,60 @@ object SimilarityQueries extends QueryPack {
   // Shared LSH-banded ANN candidate scoring: 16 deterministic hyperplanes
   // folded into 4 bands of 4 sign bits (same banding family as the
   // embedding near-dup); a vector is a candidate for a query when any
-  // band value matches. Chosen operating point (measured by
-  // `x_ann_recall`): ~62% recall@5 scanning ~24% of the corpus at sf0.01
-  // — vs the full 16-bit signature, whose exact-bucket match has near-zero
-  // top-5 recall at 64 dims. Every-50th vector is the query set; used by
-  // both the window-ranked and the Aggregator-reduced top-k.
+  // band value matches. The hyperplane weights are pure functions of
+  // (plane, dim) through the same md5 arithmetic as h64, so the engine
+  // precomputes them at plan-build time and embeds them as literal
+  // arrays: each row computes its 16 projections with dot_i64 in one
+  // codegen'd pass — no 1,024-row plane table, no row x 1024 expansion,
+  // and no aggregate exchange keyed on (vec_id, plane). Banding is
+  // map-side; the only shuffle left in candidate generation is the
+  // (band, bval) equi-join itself. (The DuckDB oracles keep the
+  // declarative CROSS JOIN planes form — the weights are identical by
+  // construction, so results hash-match.) The query set is `qsel`.
+  private def h64Const(x: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+  private[graft] def planeWeight(p: Int, d: Int): Long =
+    (h64Const(s"${p}_${d}") % 2001L) - 1000L
+  private val planeLit: IndexedSeq[String] =
+    (0 until 16).map(p =>
+      (0 until 64).map(d => s"${planeWeight(p, d)}L").mkString("array(", ",", ")"))
+
   private val sparkLshBands =
-    s"""planes AS (
-       |  SELECT pp.p, dd.d, (${h64("concat(pp.p, '_', dd.d)")} % 2001) - 1000 AS wgt
-       |  FROM (SELECT explode(sequence(0, 15)) AS p) pp
-       |  CROSS JOIN (SELECT explode(sequence(0, 63)) AS d) dd),
-       |proj AS (
-       |  SELECT v.vec_id, planes.p, sum(element_at(v.qe, planes.d + 1) * planes.wgt) AS s
-       |  FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.p),
+    s"""projt AS (
+       |  SELECT vec_id, array(
+       |    ${(0 until 16).map(p => s"dot_i64(qe, ${planeLit(p)})").mkString(",\n       |    ")}) AS pr
+       |  FROM v),
+       |proj AS (SELECT vec_id, p, s FROM projt LATERAL VIEW posexplode(pr) t AS p, s),
        |bands AS (
-       |  SELECT vec_id, p DIV 4 AS band,
-       |    CAST(sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), p % 4) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bval
-       |  FROM proj GROUP BY vec_id, p DIV 4)""".stripMargin
+       |  SELECT vec_id, b AS band,
+       |    CAST(IF(pr[b*4] > 0, 1, 0) + IF(pr[b*4+1] > 0, 2, 0)
+       |       + IF(pr[b*4+2] > 0, 4, 0) + IF(pr[b*4+3] > 0, 8, 0) AS BIGINT) AS bval
+       |  FROM projt LATERAL VIEW explode(sequence(0, 3)) t AS b)""".stripMargin
+
+  // ANN query set bounded by COUNT, not fraction: the 100 vectors with
+  // the smallest salted hash (ties broken by vec_id — a total order, so
+  // both engines pick the same rows at any scale factor). |Q| stays 100
+  // as the corpus grows, which keeps the recall harnesses' brute-force
+  // ground truth at O(100 * n); the previous fixed-fraction set
+  // (vec_id % 50 = 0) grew |Q| with n and made ground truth O(n^2 / 50).
+  // Plans as a map-side-combinable TakeOrdered, never a global sort.
+  private[graft] val sparkQsel =
+    s"""qsel AS (SELECT * FROM v ORDER BY ${h64("concat('q_', vec_id)")}, vec_id LIMIT 100)"""
+  private[graft] val duckQsel =
+    s"""qsel AS (SELECT * FROM v ORDER BY ${duckH64("'q_' || vec_id::VARCHAR")}, vec_id LIMIT 100)"""
 
   private val sparkLshScored =
     s"""$sparkLshBands,
+       |$sparkQsel,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id != b.vec_id
-       |  WHERE a.vec_id % 50 = 0),
+       |  WHERE a.vec_id IN (SELECT vec_id FROM qsel)),
        |pairs AS (
        |  SELECT c.query_id, c.neighbor_id,
        |    dot_i64(qv.qe, nv.qe) AS dot, qv.nrm AS n1, nv.nrm AS n2
@@ -181,11 +210,12 @@ object SimilarityQueries extends QueryPack {
 
   private val duckLshScored =
     s"""$duckLshBands,
+       |$duckQsel,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id != b.vec_id
-       |  WHERE a.vec_id % 50 = 0),
+       |  WHERE a.vec_id IN (SELECT vec_id FROM qsel)),
        |pairs AS (
        |  SELECT c.query_id, c.neighbor_id,
        |    CAST(list_dot_product(qv.qe::DOUBLE[], nv.qe::DOUBLE[]) AS BIGINT) AS dot,
@@ -201,21 +231,22 @@ object SimilarityQueries extends QueryPack {
   // query probes the buckets reached by flipping the 4 sign bits whose
   // projection magnitude |s| is smallest — exactly the bits most likely
   // to have landed on the wrong side of a hyperplane. 8 probes/query
-  // total. Measured frontier at sf0.01 (recall@5 / corpus fraction
-  // scanned): directed-4 = 0.84/0.43 (chosen; sf0.1: 0.80/0.43),
-  // directed-8 = 0.90/0.57, blind hamming-1 (16 flips) = 0.94/0.77,
-  // vs single-probe 0.62/0.24. Probing is the recall lever that costs
+  // total. Measured frontier at sf0.01 over the 100-query qsel set
+  // (recall@5 / corpus fraction scanned): directed-4 = 0.67/0.42
+  // (chosen) vs single-probe 0.45 — and blind hamming-1 (all 16 flips)
+  // scans ~2x for a smaller gain. Probing is the recall lever that costs
   // extra bucket READS only — no index copies, no rebuild — so at
   // 100 TB the same banded index serves every point on this frontier.
   private val sparkMultiprobeScored =
     s"""$sparkLshBands,
-       |qproj AS (SELECT vec_id, p, s FROM proj WHERE vec_id % 50 = 0),
+       |$sparkQsel,
+       |qproj AS (SELECT vec_id, p, s FROM proj WHERE vec_id IN (SELECT vec_id FROM qsel)),
        |flips AS (
        |  SELECT vec_id, p DIV 4 AS band, shiftleft(CAST(1 AS BIGINT), p % 4) AS bit,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(s), p) AS rnk
        |  FROM qproj),
        |probes AS (
-       |  SELECT vec_id, band, bval AS pval FROM bands WHERE vec_id % 50 = 0
+       |  SELECT vec_id, band, bval AS pval FROM bands WHERE vec_id IN (SELECT vec_id FROM qsel)
        |  UNION ALL
        |  SELECT f.vec_id, f.band, b.bval ^ f.bit AS pval
        |  FROM flips f JOIN bands b ON b.vec_id = f.vec_id AND b.band = f.band
@@ -236,13 +267,14 @@ object SimilarityQueries extends QueryPack {
 
   private val duckMultiprobeScored =
     s"""$duckLshBands,
-       |qproj AS (SELECT vec_id, p, s FROM proj WHERE vec_id % 50 = 0),
+       |$duckQsel,
+       |qproj AS (SELECT vec_id, p, s FROM proj WHERE vec_id IN (SELECT vec_id FROM qsel)),
        |flips AS (
        |  SELECT vec_id, p // 4 AS band, (1::BIGINT << (p % 4)) AS bit,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(s), p) AS rnk
        |  FROM qproj),
        |probes AS (
-       |  SELECT vec_id, band, bval AS pval FROM bands WHERE vec_id % 50 = 0
+       |  SELECT vec_id, band, bval AS pval FROM bands WHERE vec_id IN (SELECT vec_id FROM qsel)
        |  UNION ALL
        |  SELECT f.vec_id, f.band, xor(b.bval, f.bit) AS pval
        |  FROM flips f JOIN bands b ON b.vec_id = f.vec_id AND b.band = f.band
@@ -377,25 +409,16 @@ object SimilarityQueries extends QueryPack {
     }),
 
     // Embedding cosine near-dup over integer-quantized vectors, with
-    // hyperplane-LSH banded candidates (16 deterministic hyperplanes ->
-    // 4 bands x 4 sign bits; candidates share at least one band value).
+    // hyperplane-LSH banded candidates (16 precomputed-literal
+    // hyperplanes -> 4 bands x 4 sign bits; candidates share at least
+    // one band value — see sparkLshBands for the zero-shuffle banding).
     // Pair generation is a (band, value) equi-join — the 100 TB path —
     // and only candidates pay the exact dot product. Both engines apply
     // the identical deterministic bucketing, so results hash-match; the
     // recall trade vs all-pairs is the standard LSH operating point.
     "x_dedup_embedding" -> ((s, dir) => embs(s, dir,
       s"""WITH $sparkQuant,
-         |planes AS (
-         |  SELECT pp.p, dd.d, (${h64("concat(pp.p, '_', dd.d)")} % 2001) - 1000 AS wgt
-         |  FROM (SELECT explode(sequence(0, 15)) AS p) pp
-         |  CROSS JOIN (SELECT explode(sequence(0, 63)) AS d) dd),
-         |proj AS (
-         |  SELECT v.vec_id, planes.p, sum(element_at(v.qe, planes.d + 1) * planes.wgt) AS s
-         |  FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.p),
-         |bands AS (
-         |  SELECT vec_id, p DIV 4 AS band,
-         |    CAST(sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), p % 4) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bval
-         |  FROM proj GROUP BY vec_id, p DIV 4),
+         |$sparkLshBands,
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
          |  FROM bands a JOIN bands b
@@ -422,10 +445,17 @@ object SimilarityQueries extends QueryPack {
          |  aggregate(slice(qe, 1, 8), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS head8_sum
          |FROM q""".stripMargin)),
 
-    // Brute-force cosine top-10 per query vector (correctness baseline).
+    // Brute-force cosine top-10 per query vector — the declared
+    // correctness/ground-truth BASELINE for the ANN family, kept
+    // deliberately exact (O(|Q| * n) with |Q| fixed at 100 by qsel).
+    // The serving paths are its scale-safe siblings: x_ann_lsh /
+    // x_ann_multiprobe (banded), x_ann_ivf_kmeans (partition-bounded),
+    // x_ann_pq / x_ann_ivfpq (memory-bounded). Do not "optimize" this
+    // query into one of them — the recall harnesses compare against it.
     "x_ann_topk" -> ((s, dir) => embs(s, dir,
       s"""WITH $sparkQuant,
-         |qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |$sparkQsel,
+         |qs AS (SELECT * FROM qsel),
          |pairs AS (
          |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
          |    dot_i64(qs.qe, v.qe) AS dot,
@@ -445,7 +475,8 @@ object SimilarityQueries extends QueryPack {
     // worth of vectors instead of the corpus.
     "x_ann_ivf" -> ((s, dir) => embs(s, dir,
       s"""WITH $sparkQuant,
-         |qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |$sparkQsel,
+         |qs AS (SELECT * FROM qsel),
          |pairs AS (
          |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
          |    dot_i64(qs.qe, v.qe) AS dot,
@@ -509,7 +540,7 @@ object SimilarityQueries extends QueryPack {
          |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
          |    CAST(dot_i64(q2.qe, v2.qe) AS DOUBLE)
          |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  FROM qsel q2
          |  JOIN v v2 ON q2.vec_id != v2.vec_id),
          |brute_top AS (
          |  SELECT query_id, neighbor_id FROM (
@@ -532,11 +563,12 @@ object SimilarityQueries extends QueryPack {
     // two recall rows are the operating-point dashboard for the ANN paths.
     "x_ann_recall_ivf" -> ((s, dir) => embs(s, dir,
       s"""WITH $sparkQuant,
+         |$sparkQsel,
          |ivf_scored AS (
          |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
          |    CAST(dot_i64(qs.qe, v.qe) AS DOUBLE)
          |      / (sqrt(CAST(qs.nrm AS DOUBLE)) * sqrt(CAST(v.nrm AS DOUBLE))) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) qs
+         |  FROM qsel qs
          |  JOIN v ON qs.label = v.label AND qs.vec_id != v.vec_id),
          |ivf_top AS (
          |  SELECT query_id, neighbor_id FROM (
@@ -547,7 +579,7 @@ object SimilarityQueries extends QueryPack {
          |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
          |    CAST(dot_i64(q2.qe, v2.qe) AS DOUBLE)
          |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  FROM qsel q2
          |  JOIN v v2 ON q2.vec_id != v2.vec_id),
          |brute_top AS (
          |  SELECT query_id, neighbor_id FROM (
@@ -589,7 +621,7 @@ object SimilarityQueries extends QueryPack {
          |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
          |    CAST(dot_i64(q2.qe, v2.qe) AS DOUBLE)
          |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  FROM qsel q2
          |  JOIN v v2 ON q2.vec_id != v2.vec_id),
          |brute_top AS (
          |  SELECT query_id, neighbor_id FROM (
@@ -811,7 +843,8 @@ object SimilarityQueries extends QueryPack {
 
     "x_ann_topk" ->
       s"""WITH $duckQuant,
-         |qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |$duckQsel,
+         |qs AS (SELECT * FROM qsel),
          |pairs AS (
          |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
          |    CAST(list_dot_product(qs.qe::DOUBLE[], v.qe::DOUBLE[]) AS BIGINT) AS dot,
@@ -827,7 +860,8 @@ object SimilarityQueries extends QueryPack {
 
     "x_ann_ivf" ->
       s"""WITH $duckQuant,
-         |qs AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |$duckQsel,
+         |qs AS (SELECT * FROM qsel),
          |pairs AS (
          |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
          |    CAST(list_dot_product(qs.qe::DOUBLE[], v.qe::DOUBLE[]) AS BIGINT) AS dot,
@@ -867,7 +901,7 @@ object SimilarityQueries extends QueryPack {
          |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
          |    CAST(list_dot_product(q2.qe::DOUBLE[], v2.qe::DOUBLE[]) AS DOUBLE)
          |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  FROM qsel q2
          |  JOIN v v2 ON q2.vec_id != v2.vec_id),
          |brute_top AS (
          |  SELECT query_id, neighbor_id FROM (
@@ -886,11 +920,12 @@ object SimilarityQueries extends QueryPack {
 
     "x_ann_recall_ivf" ->
       s"""WITH $duckQuant,
+         |$duckQsel,
          |ivf_scored AS (
          |  SELECT qs.vec_id AS query_id, v.vec_id AS neighbor_id,
          |    CAST(list_dot_product(qs.qe::DOUBLE[], v.qe::DOUBLE[]) AS DOUBLE)
          |      / (sqrt(CAST(qs.nrm AS DOUBLE)) * sqrt(CAST(v.nrm AS DOUBLE))) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) qs
+         |  FROM qsel qs
          |  JOIN v ON qs.label = v.label AND qs.vec_id != v.vec_id),
          |ivf_top AS (
          |  SELECT query_id, neighbor_id FROM (
@@ -901,7 +936,7 @@ object SimilarityQueries extends QueryPack {
          |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
          |    CAST(list_dot_product(q2.qe::DOUBLE[], v2.qe::DOUBLE[]) AS DOUBLE)
          |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  FROM qsel q2
          |  JOIN v v2 ON q2.vec_id != v2.vec_id),
          |brute_top AS (
          |  SELECT query_id, neighbor_id FROM (
@@ -937,7 +972,7 @@ object SimilarityQueries extends QueryPack {
          |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
          |    CAST(list_dot_product(q2.qe::DOUBLE[], v2.qe::DOUBLE[]) AS DOUBLE)
          |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q2
+         |  FROM qsel q2
          |  JOIN v v2 ON q2.vec_id != v2.vec_id),
          |brute_top AS (
          |  SELECT query_id, neighbor_id FROM (

@@ -55,6 +55,18 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("LSH banding is map-side: band values come from literal-plane projections, never a (vec_id, plane) aggregate exchange") {
+    // the zero-shuffle banding computes all 16 projections per row with
+    // dot_i64 against constant-folded literal plane arrays; the old shape
+    // (CROSS JOIN planes + GROUP BY (vec_id, p)) re-appears in a plan as
+    // an Exchange keyed on vec_id — assert it stays gone
+    Seq("x_dedup_embedding", "x_ann_lsh").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("hashpartitioning(vec_id#"),
+        s"$n must band per-row (map-side); an exchange keyed on vec_id means the banding re-grew an aggregate or shuffle join on per-vector rows")
+    }
+  }
+
   test("decontamination probes the eval set through a broadcast, not a shuffle of the corpus side") {
     val p = plan("x_decontamination")
     assert(p.contains("BroadcastHashJoin"))
