@@ -41,7 +41,10 @@ object Bench {
     val errors = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val ok = results.flatMap(_._2)
-    println(s"""{"metric":"total","value":${ok.sum},"unit":"sec","queries":$qs,"errors":$errors,"ok_count":${ok.size},"sf":"$sfDir"}""")
+    // field order matters: the driver archives only a bounded TAIL of this
+    // line, so the long per-query map goes first and the summary fields
+    // (total/ok_count/errors) last — they must survive the truncation
+    println(s"""{"queries":$qs,"errors":$errors,"ok_count":${ok.size},"metric":"total","value":${ok.sum},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -118,9 +118,11 @@ object OlapQueries extends QueryPack {
         |    RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
         |FROM orders""".stripMargin)),
 
-    // GROUPING SETS with sentinel labels.
+    // GROUPING SETS with grouping()-derived labels (not a value sentinel
+    // — same reasoning as q_cube_agg).
     "q_grouping_sets" -> ((s, dir) => sql(s, dir,
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      """SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        |  CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
         |  count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
         |FROM lineitem
@@ -462,8 +464,12 @@ object OlapQueries extends QueryPack {
     // CUBE: all four grouping combinations in one pass (Spark expands to
     // a single shuffle with grouping-id; 100 TB cost is one scan, not
     // four). Sentinel labels keep the null grouping keys comparable.
+    // rollup rows are labeled via grouping(), not a coalesce sentinel —
+    // a genuine 'ALL' or NULL data value must stay distinguishable from
+    // the CUBE's aggregate rows
     "q_cube_agg" -> ((s, dir) => sql(s, dir,
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      """SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        |  CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
         |  count(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM lineitem
@@ -631,7 +637,8 @@ object OlapQueries extends QueryPack {
         |FROM orders""".stripMargin,
 
     "q_grouping_sets" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      """SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        |  CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
         |  count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
         |FROM lineitem
@@ -882,7 +889,8 @@ object OlapQueries extends QueryPack {
         |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(50 AS DECIMAL(12,2)))""".stripMargin,
 
     "q_cube_agg" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      """SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        |  CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
         |  count(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM lineitem

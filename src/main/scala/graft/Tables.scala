@@ -15,7 +15,11 @@ object Tables {
   // cache a bench rep spends more time re-reading footers than running
   // the query. The testdata dirs are immutable, so reuse is safe; entries
   // for stopped sessions are pruned to keep the map from pinning dead
-  // session state across ScalaTest suites.
+  // session state across ScalaTest suites. Pruning happens on the next
+  // apply() call, so the LAST session's handful of entries stay pinned
+  // once calls cease — acceptable for a bench/test harness (a few plan
+  // objects); a long-lived server would prune from a session-end
+  // listener instead.
   private val tableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 

@@ -97,11 +97,13 @@ object TextQueries extends QueryPack {
          |  min(doc_id) AS first_doc
          |FROM assigned GROUP BY shard""".stripMargin)),
 
-    // Equal-frequency bucketing (NTILE): pack ordered documents into 10
-    // balanced buckets by length — shard-balancing by size. The global
-    // ORDER BY funnels one partition here (fine for an oracle query); the
-    // 100 TB form replaces ntile with approx_percentile boundaries + a
-    // range join, which needs no global sort.
+    // Equal-frequency bucketing (NTILE) — the declared exact BASELINE,
+    // kept deliberately: its global ORDER BY funnels one partition
+    // (PlanAuditSpec asserts exactly that), which is the anti-pattern its
+    // scale-safe sibling `x_bucket_boundaries` (just below) replaces with
+    // approx_percentile boundaries + broadcast assignment. Do not
+    // "optimize" this query into the sketch form — it is the exact-answer
+    // oracle row the sketch's balance contract is judged against.
     "x_ntile_bucketing" -> ((s, dir) => run(s, dir,
       """WITH b AS (
         |  SELECT doc_id, n_chars,

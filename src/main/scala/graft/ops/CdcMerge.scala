@@ -93,10 +93,13 @@ object CdcMerge {
     * delivery) overwrite newer state with older row images. Here a
     * matched update or delete applies only when the incoming event time
     * is at or after the stored one; older events are ignored row-wise.
-    * A null stored timestamp yields to the update; a null incoming
-    * timestamp yields to the stored row. Same full-outer
-    * copy-on-write shape — the guard is one more per-row predicate, no
-    * extra shuffle.
+    * Null precedence, in check order: a null STORED timestamp always
+    * yields to the update (a stored row without an event time cannot
+    * claim recency — this includes the case where the incoming
+    * timestamp is also null); only when the stored timestamp is present
+    * does a null INCOMING timestamp yield to the stored row. Same
+    * full-outer copy-on-write shape — the guard is one more per-row
+    * predicate, no extra shuffle.
     */
   def mergeGuarded(existing: DataFrame, updates: DataFrame, keys: Seq[String],
                    tsCol: String): DataFrame = {

@@ -516,13 +516,17 @@ final class CdcTable(
     * null-padding the missing columns.
     */
   def changesBetween(fromV: Long, toV: Long): DataFrame = {
+    require(keys.nonEmpty,
+      "change data feed needs merge keys: a keyless (append-only) table has no row identity to diff")
     val oldDf = readAt(fromV)
     val newDf = readAt(toV)
     val allCols = (oldDf.columns ++ newDf.columns.filterNot(oldDf.columns.contains)).toIndexedSeq
     // null-pad missing columns TYPED (from whichever version has them) so
     // the o-row and n-row structs below are union-compatible
     val typeOf = (oldDf.schema ++ newDf.schema).map(f => f.name -> f.dataType).toMap
-    val present = "__present" // survives the outer join where a key value could be null
+    // presence marker that survives the outer join where a key value could
+    // be null; suffixed until it collides with no user column
+    val present = Iterator.iterate("__present")(_ + "_").find(!allCols.contains(_)).get
     def align(df: DataFrame): DataFrame =
       df.select(allCols.map(c =>
         if (df.columns.contains(c)) col(c) else lit(null).cast(typeOf(c)).as(c)): _*)

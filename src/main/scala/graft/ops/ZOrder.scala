@@ -56,6 +56,8 @@ object ZOrder {
     * the caller-supplied normalization for [[interleave]].
     */
   def bucketize(c: Column, lo: Double, hi: Double, buckets: Int): Column = {
+    require(hi > lo, s"bucketize needs hi > lo (got lo=$lo, hi=$hi): width would be <= 0 and every bucket Inf/NaN")
+    require(buckets >= 1, s"bucketize needs at least one bucket (got $buckets)")
     val w = (hi - lo) / buckets
     least(lit(buckets - 1), greatest(lit(0), floor((c - lit(lo)) / lit(w)))).cast("long")
   }
