@@ -52,8 +52,10 @@ final class CdcPipeline(
       tables.foreach { t =>
         val env = withMeta.filter(col("__table") === t)
         val decoded = EnvelopeCodec.withTenantColumns(EnvelopeCodec.decodeDynamic(env))
-        val keyName = graft.envelope.DebeziumSchema
-          .primaryKeyFromKeyJson(env.select("key").tail(1).head.getString(0))
+        // PK sniff from the max-__ts_ms record (not positional tail):
+        // deterministic under any partitioning, later key schema wins
+        val keyName = EnvelopeCodec.latestRecord(env)
+          .flatMap(r => graft.envelope.DebeziumSchema.primaryKeyFromKeyJson(r._1))
         keyName match {
           case Some(pk) =>
             val table = new CdcTable(spark, s"$tableRoot/$t", Seq(pk))

@@ -115,16 +115,31 @@ object EnvelopeCodec {
     }
   }
 
+  /** The (key, value) of the batch's LATEST record: greatest `__ts_ms`,
+    * ties broken by (key, value) string order — a total order, so the
+    * sniffed record is deterministic regardless of partitioning. The
+    * reference sniffs "the last record" (incremental_kafka_s3_cdc.py:317),
+    * but "last" on an unordered DataFrame is partition-order-dependent;
+    * max-by-event-time preserves the intent (when a schema evolves
+    * mid-batch, the LATER schema wins) and is stable across replans.
+    * One map-side-combinable aggregate, no sort.
+    */
+  def latestRecord(env: DataFrame): Option[(String, String)] = {
+    val r = env.agg(max_by(
+      struct(col("key"), col("value")),
+      struct(col("__ts_ms"), col("key"), col("value"))).as("r"))
+      .head.getStruct(0)
+    Option(r).map(s => (s.getString(0), s.getString(1)))
+  }
+
   /** Two-pass dynamic decode, the reference's data-driven schema flow
-    * (incremental_kafka_s3_cdc.py:317,326): sniff the PK from the last
+    * (incremental_kafka_s3_cdc.py:317,326): sniff the PK from the latest
     * record's key JSON and the schema from its embedded `schema` field,
     * then re-plan the batch decode with that schema.
     */
   def decodeDynamic(env: DataFrame): DataFrame = {
-    val last = env.tail(1).headOption.getOrElse(
+    val (keyJson, valueJson) = latestRecord(env).getOrElse(
       throw new IllegalArgumentException("empty envelope batch"))
-    val keyJson = last.getAs[Any]("key").toString
-    val valueJson = last.getAs[Any]("value").toString
     val pk = DebeziumSchema.primaryKeyFromKeyJson(keyJson)
     val outer = new com.fasterxml.jackson.databind.ObjectMapper().readTree(valueJson)
     val fields = DebeziumSchema.parseFields(outer.get("schema").toString)

@@ -61,6 +61,32 @@ class DebeziumSchemaSpec extends SparkSpec {
     assert(DebeziumSchema.primaryKeyFromKeyJson("""{}""").isEmpty)
   }
 
+  test("schema sniff picks the max-__ts_ms record under any partitioning; later key schema wins") {
+    import org.apache.spark.sql.functions.col
+    val sql = spark
+    import sql.implicits._
+    // a batch whose key schema evolved mid-batch: early records keyed by
+    // old_pk, the latest by new_pk — whichever partitioning the batch
+    // arrives in, the sniff must land on the later schema (a positional
+    // tail(1) would flip with partition order)
+    val rows = (1 to 40).map { i =>
+      val late = i == 17 // latest event buried mid-sequence, not last
+      val key = if (late) """{"new_pk": 1}""" else s"""{"old_pk": $i}"""
+      val ts = if (late) java.sql.Timestamp.valueOf("2024-06-01 00:00:09")
+               else java.sql.Timestamp.valueOf(s"2024-06-01 00:00:0${i % 9}")
+      (key, s"""{"schema":{},"payload":"$i"}""", ts)
+    }
+    Seq(1, 3, 7).foreach { parts =>
+      val env = rows.toDF("key", "value", "__ts_ms").repartition(parts, col("key"))
+      val latest = graft.envelope.EnvelopeCodec.latestRecord(env)
+      assert(latest.map(_._1).contains("""{"new_pk": 1}"""),
+        s"partitioning with $parts partitions must not change the sniffed record")
+      assert(latest.flatMap(r => DebeziumSchema.primaryKeyFromKeyJson(r._1)).contains("new_pk"))
+    }
+    assert(graft.envelope.EnvelopeCodec.latestRecord(
+      Seq.empty[(String, String, java.sql.Timestamp)].toDF("key", "value", "__ts_ms")).isEmpty)
+  }
+
   test("mysql->ddl map covers the reference's full type surface") {
     val m = TypeMaps.mysqlToDdl
     assert(m("bigint") == "long" && m("tinyint") == "integer" &&
