@@ -1,22 +1,29 @@
 package graft.ops
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.functions.{col, expr, lit}
 
-/** Statement-level `UPDATE` / `DELETE`: the SQL face of
-  * [[CdcTable.update]]/[[CdcTable.delete]], completing the DML statement
-  * surface next to [[MergeInto]]. Plain Spark parses UPDATE/DELETE only
-  * against v2 catalog tables; the engine's tables are parquet paths, so
-  * this wrapper parses the statement shell (target, SET list, WHERE) and
-  * hands every embedded expression to Spark's own `expr()` — full
-  * expression power, no second expression grammar:
+/** Statement-level `UPDATE` / `DELETE` / `INSERT`: the SQL face of
+  * [[CdcTable.update]]/[[CdcTable.delete]]/[[CdcTable.append]],
+  * completing the DML statement surface next to [[MergeInto]]. Plain
+  * Spark parses these only against v2 catalog tables; the engine's
+  * tables are parquet paths, so this wrapper parses the statement shell
+  * (target, SET list, WHERE, column list) and hands every embedded
+  * expression to Spark's own `expr()`/`sql()` — full expression power,
+  * no second expression grammar:
   *
   *   - `UPDATE t SET v = concat(v, '!'), amt = amt + 1 WHERE amt >= 20`
   *   - `DELETE FROM t WHERE v = 'x'`
+  *   - `INSERT INTO t (k, v) VALUES (1, 'a'), (2, upper('b'))`
+  *   - `INSERT INTO t SELECT k, v FROM some_view`
   *
   * A missing WHERE applies to every row (standard SQL semantics). SET
   * items are split on top-level commas only, so function calls with
-  * commas in the right-hand side parse correctly.
+  * commas in the right-hand side parse correctly. INSERT appends through
+  * the versioned commit path (a new immutable version per statement,
+  * reference keyless path K3 / incremental_kafka_s3_cdc.py:275-276);
+  * missing columns null-fill typed from the stored schema, unknown
+  * columns reject loudly.
   */
 object Dml {
 
@@ -24,13 +31,23 @@ object Dml {
   final case class Update(target: String, set: Seq[(String, String)],
                           where: Option[String]) extends Stmt
   final case class Delete(target: String, where: Option[String]) extends Stmt
+  /** Exactly one of `values` (the raw tuples text after VALUES) or
+    * `select` (the full SELECT query) is set.
+    */
+  final case class Insert(target: String, columns: Seq[String],
+                          values: Option[String], select: Option[String]) extends Stmt
 
   private val UpdateRe =
     raw"(?is)^\s*UPDATE\s+(\S+)\s+SET\s+(.+?)\s*$$".r
   private val DeleteRe =
     raw"(?is)^\s*DELETE\s+FROM\s+(\S+)(\s.*?)?\s*$$".r
+  private val InsertValuesRe =
+    raw"(?is)^\s*INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.+?)\s*$$".r
+  private val InsertSelectRe =
+    raw"(?is)^\s*INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\)\s*)?(SELECT\b.+?)\s*$$".r
   private val WhereRe = raw"(?is)^WHERE\s+(.+)$$".r
   private val AssignRe = raw"(?s)^\s*(\w+)\s*=\s*(.+)$$".r
+  private val IdentRe = raw"(?s)^\w+$$".r
 
   /** Index of the first top-level `WHERE` keyword — outside string
     * literals (backslash escapes honored) and parentheses — or -1.
@@ -121,26 +138,43 @@ object Dml {
         case Some(other) =>
           throw new IllegalArgumentException(s"unsupported DELETE clause: $other")
       }
+    case InsertValuesRe(target, cols, tuples) =>
+      Insert(target, parseColumnList(cols), Some(tuples.trim), None)
+    case InsertSelectRe(target, cols, select) =>
+      Insert(target, parseColumnList(cols), None, Some(select.trim))
     case _ =>
       throw new IllegalArgumentException(
-        "unsupported statement (expected UPDATE <t> SET ... [WHERE ...] or DELETE FROM <t> [WHERE ...])")
+        "unsupported statement (expected UPDATE <t> SET ... [WHERE ...], " +
+          "DELETE FROM <t> [WHERE ...], or INSERT INTO <t> [(cols)] VALUES ... | SELECT ...)")
   }
 
-  /** One entry point for the whole DML statement surface: UPDATE and
-    * DELETE dispatch here, MERGE INTO and INSERT INTO dispatch to
-    * [[MergeInto.execute]] (which needs the source batch). The caller's
-    * statement router for a pipeline that receives arbitrary DML text.
+  private def parseColumnList(cols: String): Seq[String] = {
+    val out = Option(cols).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    out.foreach(c => require(IdentRe.matches(c), s"malformed INSERT column name: $c"))
+    require(out.distinct.size == out.size, "INSERT column list has duplicates")
+    out
+  }
+
+  /** One entry point for the whole DML statement surface: UPDATE, DELETE,
+    * and standalone INSERT (VALUES / SELECT) dispatch here; MERGE INTO —
+    * and the reference's batch-INSERT fallback `INSERT INTO t (...)
+    * VALUES (s. ...)` — dispatch to [[MergeInto.execute]], which consumes
+    * the caller's source batch. The caller's statement router for a
+    * pipeline that receives arbitrary DML text.
     */
   def executeAny(spark: SparkSession, sql: String, tablePath: String => String,
                  keys: Seq[String], partitionSource: Option[String] = None,
                  source: Option[org.apache.spark.sql.DataFrame] = None,
                  tsCol: String = "__ts_ms"): CdcTable = {
     val trimmed = sql.trim
-    if (trimmed.toUpperCase.startsWith("MERGE") || trimmed.toUpperCase.startsWith("INSERT")) {
-      val batch = source.getOrElse(
-        throw new IllegalArgumentException("MERGE/INSERT statements need a source batch"))
-      MergeInto.execute(spark, sql, batch, tablePath, tsCol)
-    } else execute(spark, sql, tablePath, keys, partitionSource)
+    val upper = trimmed.toUpperCase
+    if (upper.startsWith("MERGE"))
+      MergeInto.execute(spark, sql, source.getOrElse(
+        throw new IllegalArgumentException("MERGE statements need a source batch")),
+        tablePath, tsCol)
+    else if (upper.startsWith("INSERT") && source.isDefined)
+      MergeInto.execute(spark, sql, source.get, tablePath, tsCol)
+    else execute(spark, sql, tablePath, keys, partitionSource)
   }
 
   /** Execute `sql` against the [[CdcTable]] at `tablePath(targetName)`.
@@ -158,6 +192,45 @@ object Dml {
           set.map { case (c, e) => c -> expr(e) }.toMap)
       case Delete(_, where) =>
         table.delete(where.map(expr).getOrElse(lit(true)))
+      case Insert(_, cols, values, select) =>
+        val incoming = (values, select) match {
+          case (Some(tuples), _) =>
+            // VALUES tuples become a Spark inline table — Spark's own
+            // parser evaluates the row expressions, same policy as expr()
+            val named =
+              if (cols.nonEmpty) cols
+              else {
+                require(table.currentVersion.isDefined,
+                  "INSERT without a column list needs an existing table to name the columns")
+                table.read.columns.toSeq
+              }
+            spark.sql(s"SELECT * FROM VALUES $tuples AS __ins(${named.mkString(", ")})")
+          case (None, Some(q)) =>
+            val df = spark.sql(q)
+            if (cols.isEmpty) df
+            else {
+              require(df.columns.length == cols.length,
+                s"INSERT column list has ${cols.length} names but SELECT emits ${df.columns.length} columns")
+              df.toDF(cols: _*)
+            }
+          case _ => throw new IllegalStateException("unreachable: parse() sets exactly one source")
+        }
+        // SQL INSERT semantics against the stored schema: unknown columns
+        // reject loudly, missing columns null-fill, present columns
+        // coerce to the stored type (a literal 2 must land as the
+        // table's BIGINT, not write an int32 parquet column beside it)
+        val aligned = table.currentVersion match {
+          case None => incoming
+          case Some(_) =>
+            val schema = table.read.schema
+            val have = incoming.columns.toSet
+            val unknown = have -- schema.map(_.name).toSet
+            require(unknown.isEmpty, s"INSERT columns not in table: ${unknown.mkString(", ")}")
+            incoming.select(schema.map(f =>
+              (if (have(f.name)) col(f.name) else lit(null))
+                .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        }
+        table.append(aligned)
     }
     table
   }

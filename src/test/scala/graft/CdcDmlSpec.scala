@@ -201,6 +201,46 @@ class CdcDmlSpec extends SparkSpec {
     intercept[IllegalArgumentException](graft.ops.Dml.parse("UPDATE t SET WHERE x = 1"))
   }
 
+  test("statement-level INSERT appends through a new versioned commit") {
+    val root = tmpDir("dmlins")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"))
+    t.init(Seq((1L, "a", 10L)).toDF("id", "v", "amt"))
+    val v0 = t.currentVersion.get
+
+    // VALUES with a column list: literals coerce to the stored types,
+    // the missing column null-fills, expressions evaluate
+    graft.ops.Dml.execute(spark,
+      "INSERT INTO t (id, v) VALUES (2, 'b'), (3, upper('c'))",
+      n => s"$root/$n", Seq("id"))
+    assert(t.currentVersion.get == v0 + 1)
+    assert(t.read.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.read.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq ==
+      Seq((1L, "a", 10L), (2L, "b", -1L), (3L, "C", -1L)))
+    // history is immutable: the pre-insert version still reads one row
+    assert(t.readVersion(v0).count() == 1)
+
+    // INSERT ... SELECT
+    t.read.createOrReplaceTempView("t_src")
+    graft.ops.Dml.execute(spark,
+      "INSERT INTO t SELECT id + 10 AS id, v, amt FROM t_src WHERE id = 1",
+      n => s"$root/$n", Seq("id"))
+    assert(t.read.filter(col("id") === 11L).select("v").as[String].head() == "a")
+    assert(t.read.count() == 4)
+
+    // column-count mismatch and unknown columns reject loudly
+    intercept[IllegalArgumentException](graft.ops.Dml.execute(spark,
+      "INSERT INTO t (id) SELECT id, v FROM t_src", n => s"$root/$n", Seq("id")))
+    intercept[IllegalArgumentException](graft.ops.Dml.execute(spark,
+      "INSERT INTO t (nope) VALUES (1)", n => s"$root/$n", Seq("id")))
+
+    // statement-level INSERT without a source batch routes through
+    // executeAny too (the reference's batch-INSERT form still needs one)
+    graft.ops.Dml.executeAny(spark, "INSERT INTO t (id, v) VALUES (99, 'z')",
+      n => s"$root/$n", Seq("id"))
+    assert(t.read.filter(col("id") === 99L).count() == 1)
+  }
+
   test("executeAny routes every DML statement type through one entry point") {
     val root = tmpDir("dmlany")
     val t = new CdcTable(spark, s"$root/t", Seq("id"))

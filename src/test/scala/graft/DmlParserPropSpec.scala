@@ -71,6 +71,44 @@ class DmlParserPropSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: INSERT VALUES / SELECT round-trip; malformed column lists reject") {
+    val litGen: Gen[String] = Gen.oneOf(
+      Gen.choose(0, 999).map(_.toString),
+      literalGen.map(l => s"'${l.replace("'", "''")}'"))
+    val gen = for {
+      target <- identGen
+      nCols <- Gen.choose(1, 4)
+      cols <- Gen.listOfN(nCols, identGen).map(_.distinct)
+      nRows <- Gen.choose(1, 3)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(cols.length, litGen))
+      withCols <- Gen.oneOf(true, false)
+      asSelect <- Gen.oneOf(true, false)
+    } yield (target, cols, rows, withCols, asSelect)
+    val prop = Prop.forAll(gen) { case (target, cols, rows, withCols, asSelect) =>
+      val colList = if (withCols) s"(${cols.mkString(", ")}) " else ""
+      if (asSelect) {
+        val q = s"SELECT ${cols.mkString(", ")} FROM somewhere WHERE x > 0"
+        Dml.parse(s"INSERT INTO $target $colList$q") match {
+          case Dml.Insert(t, c, None, Some(sel)) =>
+            t == target && c == (if (withCols) cols else Nil) && sel == q
+          case _ => false
+        }
+      } else {
+        val tuples = rows.map(_.mkString("(", ", ", ")")).mkString(", ")
+        Dml.parse(s"INSERT INTO $target ${colList}VALUES $tuples") match {
+          case Dml.Insert(t, c, Some(v), None) =>
+            t == target && c == (if (withCols) cols else Nil) && v == tuples
+          case _ => false
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+    // malformed column names and duplicate columns reject loudly
+    intercept[IllegalArgumentException](Dml.parse("INSERT INTO t (a b) VALUES (1)"))
+    intercept[IllegalArgumentException](Dml.parse("INSERT INTO t (a, a) VALUES (1, 2)"))
+  }
+
   test("property: DELETE round-trips") {
     val gen = Gen.zip(identGen,
       Gen.option(Gen.zip(identGen, literalGen).map { case (c, l) =>
