@@ -58,7 +58,12 @@ final class CdcTable(
     val path: String,
     val keys: Seq[String],
     val partitionSource: Option[String] = None,
-    val retainVersions: Int = 3) {
+    val retainVersions: Int = 3,
+    /** When set, merge/append commits run [[compactIfNeeded]] with this
+      * threshold afterwards — the automatic table-services policy; None
+      * keeps compaction manual.
+      */
+    val autoCompactMaxFiles: Option[Int] = None) {
 
   import CdcTable._
 
@@ -327,23 +332,26 @@ final class CdcTable(
     * time travel, and a crashed append leaves only a pointer-unreachable
     * orphan that [[expire]] collects.
     */
-  def append(df: DataFrame): Unit = partitionSource match {
-    case Some(_) =>
-      exists: Unit // legacy hive-at-root guard (throws); bootstrap on a truly-empty dir is fine
-      commitPartitioned(withPart(df), replaced = Set.empty, currentVersion)
-    case None =>
-      if (!exists) init(df)
-      else {
-        val cur = currentOrThrow
-        val next = cur + 1
-        reserveOrConflict(next)
-        val nd = versionDir(next)
-        Option(versionDir(cur).listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-          .foreach(f => Files.createLink(nd.toPath.resolve(f.getName), f.toPath): Unit)
-        df.write.mode(SaveMode.Append).parquet(nd.getPath)
-        commitPointer(next)
-      }
+  def append(df: DataFrame): Unit = {
+    partitionSource match {
+      case Some(_) =>
+        exists: Unit // legacy hive-at-root guard (throws); bootstrap on a truly-empty dir is fine
+        commitPartitioned(withPart(df), replaced = Set.empty, currentVersion)
+      case None =>
+        if (!exists) init(df)
+        else {
+          val cur = currentOrThrow
+          val next = cur + 1
+          reserveOrConflict(next)
+          val nd = versionDir(next)
+          Option(versionDir(cur).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+            .foreach(f => Files.createLink(nd.toPath.resolve(f.getName), f.toPath): Unit)
+          df.write.mode(SaveMode.Append).parquet(nd.getPath)
+          commitPointer(next)
+        }
+    }
+    maybeAutoCompact()
   }
 
   private def withPart(df: DataFrame): DataFrame = partitionSource match {
@@ -405,6 +413,7 @@ final class CdcTable(
         // pointer moves, so no read-our-input hazard and no crash window
         commitFull(CdcMerge.merge(readAt(expected), deduped, keys), Some(expected))
     }
+    maybeAutoCompact()
   }
 
   /** [[merge]] wrapped in the reference's merge-conflict retry loop
@@ -608,6 +617,63 @@ final class CdcTable(
       case None => commitFull(readAt(expected).repartition(target), Some(expected))
     }
   }
+
+  /** Live parquet file count per month (partitioned) or for the whole
+    * table (unpartitioned, single "" key) — the quantity the
+    * auto-compaction policy thresholds on. Metadata-only: directory
+    * listings of the manifest's dirs, no data read.
+    */
+  def liveFileCounts: Map[String, Int] = {
+    def parquetFiles(dir: File): Int =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    partitionSource match {
+      case Some(_) =>
+        manifest(currentOrThrow).groupBy(_._1).view
+          .mapValues(_.map(e => parquetFiles(new File(path, e._2))).sum).toMap
+      case None => Map("" -> parquetFiles(versionDir(currentOrThrow)))
+    }
+  }
+
+  /** Auto-compaction policy (the table-services side of the reference's
+    * 512 MB-target-file intent, incremental_kafka_s3_cdc.py:405-423):
+    * fold any partition whose live file count exceeds `maxFiles` down to
+    * `target` files, and ONLY those — cold months carry over as manifest
+    * pointer copies, byte-untouched. Appends add a commit dir per batch
+    * and merges write shuffle-width files, so a hot month's file count
+    * grows linearly with commits until scans pay per-file open cost;
+    * this bounds it. The rewrite commits through the normal versioned
+    * path, so history stays time-travelable (old commit dirs live until
+    * the last retained manifest referencing them expires). Returns true
+    * when a compaction committed.
+    */
+  def compactIfNeeded(maxFiles: Int = 16, target: Int = 1): Boolean = {
+    val cur = currentOrThrow
+    partitionSource match {
+      case Some(_) =>
+        val hot = liveFileCounts.filter(_._2 > maxFiles).keySet
+        if (hot.isEmpty) false
+        else {
+          val rows = readParts(manifest(cur).filter(e => hot(e._1)), None, cur)
+          commitPartitioned(rows.repartition(target, col(PartCol)),
+            replaced = hot, Some(cur))
+          true
+        }
+      case None =>
+        if (liveFileCounts("") <= maxFiles) false
+        else { commitFull(readAt(cur).repartition(target), Some(cur)); true }
+    }
+  }
+
+  /** Best-effort policy hook run after write commits when the table was
+    * constructed with `autoCompactMaxFiles`: a lost race to another
+    * writer is fine — their commit re-checks the same policy.
+    */
+  private def maybeAutoCompact(): Unit =
+    autoCompactMaxFiles.foreach { n =>
+      try compactIfNeeded(n): Unit
+      catch { case _: CommitConflictException => () }
+    }
 
   private def rm(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))

@@ -50,6 +50,42 @@ class CdcTableSpec extends SparkSpec {
     assert(t.read.select("v").as[String].head() == "a2")
   }
 
+  test("auto-compaction: K small appends keep a hot month's live file count bounded; history stays time-travelable") {
+    val path = tmpDir("autocompact") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"),
+      retainVersions = 8, autoCompactMaxFiles = Some(4))
+    t.init(Seq((0L, "seed", ts("2024-01-01 00:00:00"))).toDF("id", "v", "created_at"))
+    // each append adds a commit dir (>=1 file) to the hot 2024-01 month;
+    // without the policy the month's file count grows linearly forever
+    (1 to 9).foreach { i =>
+      t.append(Seq((i.toLong, s"r$i", ts("2024-01-02 00:00:00"))).toDF("id", "v", "created_at"))
+    }
+    val counts = t.liveFileCounts
+    assert(counts("2024-01") <= 4,
+      s"policy must fold the hot month back under the threshold, got $counts")
+    // nothing lost: all 10 rows live
+    assert(t.read.count() == 10)
+    // and a retained pre-compaction version still reads (time travel intact)
+    val past = t.versions.dropRight(1).last
+    assert(t.readVersion(past).count() >= 1)
+
+    // a month under the threshold is never rewritten: its manifest entry
+    // (commit dir) is carried over byte-identical by later commits
+    t.append(Seq((100L, "feb", ts("2024-02-10 00:00:00"))).toDF("id", "v", "created_at"))
+    val febEntry = t.manifest(t.currentVersion.get).filter(_._1 == "2024-02")
+    t.append(Seq((11L, "more-jan", ts("2024-01-03 00:00:00"))).toDF("id", "v", "created_at"))
+    assert(t.manifest(t.currentVersion.get).filter(_._1 == "2024-02") == febEntry)
+
+    // unpartitioned policy: hard-linked append versions accumulate files,
+    // compactIfNeeded folds them when over the threshold
+    val up = new CdcTable(spark, tmpDir("autocompact") + "/u", Seq("id"),
+      retainVersions = 8, autoCompactMaxFiles = Some(4))
+    up.init(Seq((1L, "a")).toDF("id", "v"))
+    (2 to 8).foreach(i => up.append(Seq((i.toLong, s"r$i")).toDF("id", "v")))
+    assert(up.liveFileCounts("") <= 4)
+    assert(up.read.count() == 8)
+  }
+
   test("crash recovery: an orphan version dir (commit died before pointer move) is invisible") {
     val path = tmpDir("cdccrash") + "/t"
     val t = new CdcTable(spark, path, Seq("id"))
