@@ -23,7 +23,13 @@ final class CdcPipeline(
     spark: SparkSession,
     envelopeDir: String,
     checkpointDir: String,
-    tableRoot: String) {
+    tableRoot: String,
+    /** Materialized views to maintain inside the ingestion flow: after a
+      * table's micro-batch merge commits, its registered views refresh
+      * from the table's change data feed (merge -> CDF -> signed-delta
+      * refresh, no re-scan) — see [[graft.ops.MaterializedView]].
+      */
+    views: Seq[CdcPipeline.ViewSpec] = Nil) {
 
   /** Envelope file-source schema — same shape the Kafka source yields
     * after the reference's casts (incremental_kafka_s3_cdc.py:376-383).
@@ -73,16 +79,24 @@ final class CdcPipeline(
             val tieCols = payload.columns.toSeq
               .filterNot(c => c == pk || c == "__ts_ms")
             table.merge(payload, "__ts_ms", tieCols)
+            maintainViews(t, table)
           case None =>
             // keyless tables degrade to append (reference K3)
-            new CdcTable(spark, s"$tableRoot/$t", Nil)
-              .append(decoded.drop("__deleted", "__db", "__topic", "__op"))
+            val table = new CdcTable(spark, s"$tableRoot/$t", Nil)
+            table.append(decoded.drop("__deleted", "__db", "__topic", "__op"))
+            maintainViews(t, table)
         }
       }
     } finally {
       withMeta.unpersist(): Unit
     }
   }
+
+  private def maintainViews(tableName: String, table: CdcTable): Unit =
+    views.filter(_.table == tableName).foreach { vs =>
+      new graft.ops.MaterializedView(spark, table, vs.viewPath, vs.groupCols, vs.sumCols)
+        .refresh()
+    }
 
   /** Run one incremental pass over all currently-available envelope files,
     * then stop (trigger-once semantics). Safe to call repeatedly; each call
@@ -99,4 +113,13 @@ final class CdcPipeline(
       .start()
     q.awaitTermination()
   }
+}
+
+object CdcPipeline {
+  /** Declarative view registration for the pipeline: maintain at
+    * `viewPath` the per-`groupCols` count/sum aggregate of ingested
+    * table `table` (sums over `sumCols`).
+    */
+  final case class ViewSpec(table: String, viewPath: String,
+                            groupCols: Seq[String], sumCols: Seq[String])
 }

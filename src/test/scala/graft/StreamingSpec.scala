@@ -80,6 +80,38 @@ class StreamingSpec extends SparkSpec {
     assert(t.select("event_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("end-to-end view maintenance: foreachBatch merge -> CDF -> persisted view refresh in one flow") {
+    import graft.ops.{CdcTable, IncrementalView, MaterializedView}
+    val root = tmpDir("cdcview2")
+    val envDir = s"$root/env"; val ckpt = s"$root/ckpt"; val tables = s"$root/tables"
+    val spec = CdcPipeline.ViewSpec("events", s"$root/view", Seq("event_type"), Seq("user_id"))
+    val t = new CdcTable(spark, s"$tables/events", Seq("event_id"))
+    def mv = new MaterializedView(spark, t, s"$root/view", Seq("event_type"), Seq("user_id"))
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "n_rows", "user_id").orderBy("event_type").collect().toSeq
+
+    // three streamed batches — inserts+deletes, updates, then a pure
+    // delete wave — each processed by the pipeline with the view
+    // registered; the view refreshes INSIDE the flow and must equal the
+    // full recompute after every run, with zero manual refresh calls
+    val batches = Seq(
+      ((0 until 60), 1700000000000L, "auto"), // i%5==0 rows are deletes
+      ((40 until 80), 1800000000000L, "u"),
+      ((10 until 30), 1900000000000L, "d"))
+    for (((range, ts, op), i) <- batches.zipWithIndex) {
+      envelopesFor(range, ts, op).write.mode("append").parquet(envDir)
+      new CdcPipeline(spark, envDir, ckpt, tables, views = Seq(spec)).runOnce()
+      assert(mv.reflectedVersion.contains(t.currentVersion.get),
+        s"view must be refreshed to the table's committed version by run $i")
+      assert(sortedRows(mv.read) ==
+        sortedRows(IncrementalView.compute(t.read, Seq("event_type"), Seq("user_id"))),
+        s"view must equal the full recompute after run $i")
+    }
+    // the delete wave actually shrank groups (refresh handled deletes)
+    assert(mv.read.agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) ==
+      t.read.count())
+  }
+
   test("streaming-maintained materialized view: CDF refresh tracks the table across runs") {
     import graft.ops.{CdcTable, IncrementalView}
     val root = tmpDir("cdcview")
