@@ -21,7 +21,12 @@ import graft.ops.CdcTable
   */
 final class CdcPipeline(
     spark: SparkSession,
-    envelopeDir: String,
+    /** Where envelopes come from — the source-adapter seam
+      * ([[graft.sources.EnvelopeSource]]): the offline file source and a
+      * real Kafka reader are interchangeable here, the pipeline code
+      * never knows which.
+      */
+    source: graft.sources.EnvelopeSource,
     checkpointDir: String,
     tableRoot: String,
     /** Materialized views to maintain inside the ingestion flow: after a
@@ -31,13 +36,14 @@ final class CdcPipeline(
       */
     views: Seq[CdcPipeline.ViewSpec] = Nil) {
 
-  /** Envelope file-source schema — same shape the Kafka source yields
-    * after the reference's casts (incremental_kafka_s3_cdc.py:376-383).
-    */
-  val envelopeSchema: org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType.fromDDL(
-      "key STRING, value STRING, " +
-        "headers ARRAY<STRUCT<key: STRING, value: BINARY>>, topic STRING")
+  /** File-backed convenience constructors (the offline default). */
+  def this(spark: SparkSession, envelopeDir: String, checkpointDir: String,
+           tableRoot: String, views: Seq[CdcPipeline.ViewSpec]) =
+    this(spark, new graft.sources.FileEnvelopeSource(envelopeDir), checkpointDir,
+      tableRoot, views)
+  def this(spark: SparkSession, envelopeDir: String, checkpointDir: String,
+           tableRoot: String) =
+    this(spark, envelopeDir, checkpointDir, tableRoot, Nil)
 
   @volatile private var batchesSeen: Long = 0L
   def batchCount: Long = batchesSeen
@@ -103,9 +109,7 @@ final class CdcPipeline(
     * picks up only files the checkpoint has not seen.
     */
   def runOnce(): Unit = {
-    val stream = spark.readStream
-      .schema(envelopeSchema)
-      .parquet(envelopeDir)
+    val stream = source.readStream(spark)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))

@@ -47,6 +47,17 @@ final class Snapshot(spark: SparkSession, logPath: String) {
         .collect().map(_.getString(0)).toSet
     else Set.empty
 
+  /** [[loadTable]] through the source-adapter seam
+    * ([[graft.sources.SnapshotSource]]): a real JDBC reader (the
+    * reference's 5-way partitioned MySQL scan, sanpshot_script.py:117-129)
+    * drops in as another SnapshotSource implementation — this loader
+    * never knows which backend produced the rows.
+    */
+  def load(src: graft.sources.SnapshotSource, table: String, sinkPath: String,
+           pk: Option[String], tenantId: Long = 0L, rdsId: Long = 0L,
+           writePartitions: Int = 8): Boolean =
+    loadTable(src.read(spark), table, sinkPath, pk, tenantId, rdsId, writePartitions)
+
   /** Snapshot one source table into `sinkPath`, unless the watermark log
     * already records it. Returns true if a load happened.
     */
