@@ -150,20 +150,31 @@ object SimilarityQueries extends QueryPack {
   private[graft] def planeWeight(p: Int, d: Int): Long =
     (h64Const(s"${p}_${d}") % 2001L) - 1000L
   private val planeLit: IndexedSeq[String] =
-    (0 until 16).map(p =>
+    (0 until 64).map(p =>
       (0 until 64).map(d => s"${planeWeight(p, d)}L").mkString("array(", ",", ")"))
 
-  private val sparkLshBands =
+  /** The literal-plane banding CTEs at a given operating point: 4 bands
+    * of `bandBits` sign bits each (4 * bandBits hyperplanes total). The
+    * ANN family pins bandBits = 4 (the documented recall/scan frontier);
+    * the all-pairs near-dup path picks bandBits from the corpus size —
+    * see x_dedup_embedding.
+    */
+  private def lshBandsSql(bandBits: Int): String = {
+    val planes = 4 * bandBits
+    val bval = (0 until bandBits)
+      .map(i => s"IF(pr[b*$bandBits+$i] > 0, ${1L << i}L, 0L)").mkString(" + ")
     s"""projt AS (
        |  SELECT vec_id, array(
-       |    ${(0 until 16).map(p => s"dot_i64(qe, ${planeLit(p)})").mkString(",\n       |    ")}) AS pr
+       |    ${(0 until planes).map(p => s"dot_i64(qe, ${planeLit(p)})").mkString(",\n       |    ")}) AS pr
        |  FROM v),
        |proj AS (SELECT vec_id, p, s FROM projt LATERAL VIEW posexplode(pr) t AS p, s),
        |bands AS (
        |  SELECT vec_id, b AS band,
-       |    CAST(IF(pr[b*4] > 0, 1, 0) + IF(pr[b*4+1] > 0, 2, 0)
-       |       + IF(pr[b*4+2] > 0, 4, 0) + IF(pr[b*4+3] > 0, 8, 0) AS BIGINT) AS bval
+       |    CAST($bval AS BIGINT) AS bval
        |  FROM projt LATERAL VIEW explode(sequence(0, 3)) t AS b)""".stripMargin
+  }
+
+  private val sparkLshBands = lshBandsSql(4)
 
   // ANN query set bounded by COUNT, not fraction: the 100 vectors with
   // the smallest salted hash (ties broken by vec_id — a total order, so
@@ -409,16 +420,31 @@ object SimilarityQueries extends QueryPack {
     }),
 
     // Embedding cosine near-dup over integer-quantized vectors, with
-    // hyperplane-LSH banded candidates (16 precomputed-literal
-    // hyperplanes -> 4 bands x 4 sign bits; candidates share at least
-    // one band value — see sparkLshBands for the zero-shuffle banding).
-    // Pair generation is a (band, value) equi-join — the 100 TB path —
-    // and only candidates pay the exact dot product. Both engines apply
-    // the identical deterministic bucketing, so results hash-match; the
-    // recall trade vs all-pairs is the standard LSH operating point.
-    "x_dedup_embedding" -> ((s, dir) => embs(s, dir,
+    // hyperplane-LSH banded candidates (precomputed-literal hyperplanes
+    // -> 4 bands of sign bits; candidates share at least one band value
+    // — see lshBandsSql for the zero-shuffle banding). Pair generation
+    // is a (band, value) equi-join and only candidates pay the exact
+    // dot product. Unlike the query-bounded ANN paths, this is an
+    // ALL-PAIRS candidate join, so a FIXED band width makes bucket
+    // occupancy — and the candidate count — grow O(n^2 / 2^bits): the
+    // sf0.1 -> sf1 slope bench measured 38x wall-clock at 10x rows with
+    // 4-bit bands. The operating point therefore adapts to the corpus:
+    // bandBits = max(4, ceil(log2 n) - 6) keeps expected occupancy
+    // (~64 rows per band value) and candidates O(n) at any scale, the
+    // standard LSH sizing rule. The rule is deterministic in n and
+    // stays exactly 4 bits for every n <= 4096 — which covers every
+    // scale factor the DuckDB oracle gate runs at (sf0.01: n=500), so
+    // the static oracle text below pins the same operating point.
+    "x_dedup_embedding" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      val emb = Tables(s, dir, "embeddings")
+      emb.createOrReplaceTempView("embeddings")
+      val n = emb.count()
+      val bandBits = math.max(4,
+        math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt - 6)
+      s.sql(
       s"""WITH $sparkQuant,
-         |$sparkLshBands,
+         |${lshBandsSql(bandBits)},
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
          |  FROM bands a JOIN bands b
@@ -429,7 +455,8 @@ object SimilarityQueries extends QueryPack {
          |SELECT v1, v2,
          |  CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
          |FROM pairs
-         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) >= 0.4""".stripMargin)),
+         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) >= 0.4""".stripMargin)
+    }),
 
     // Array/higher-order function surface over the quantized vectors:
     // slicing, extrema, membership, filtered counts, element sums.
