@@ -63,11 +63,13 @@ final class CdcPipeline(
         .collect().map(_.getString(0))
       tables.foreach { t =>
         val env = withMeta.filter(col("__table") === t)
-        val decoded = EnvelopeCodec.withTenantColumns(EnvelopeCodec.decodeDynamic(env))
-        // PK sniff from the max-__ts_ms record (not positional tail):
-        // deterministic under any partitioning, later key schema wins
-        val keyName = EnvelopeCodec.latestRecord(env)
-          .flatMap(r => graft.envelope.DebeziumSchema.primaryKeyFromKeyJson(r._1))
+        // one sniff per table per batch: the max-__ts_ms record (not a
+        // positional tail — deterministic under any partitioning, later
+        // key schema wins) drives BOTH the schema decode and PK routing
+        val latest = EnvelopeCodec.latestRecord(env).getOrElse(
+          throw new IllegalArgumentException(s"empty envelope batch for table $t"))
+        val decoded = EnvelopeCodec.withTenantColumns(EnvelopeCodec.decodeDynamic(env, latest))
+        val keyName = graft.envelope.DebeziumSchema.primaryKeyFromKeyJson(latest._1)
         keyName match {
           case Some(pk) =>
             val table = new CdcTable(spark, s"$tableRoot/$t", Seq(pk))

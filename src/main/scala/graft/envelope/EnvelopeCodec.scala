@@ -135,11 +135,17 @@ object EnvelopeCodec {
   /** Two-pass dynamic decode, the reference's data-driven schema flow
     * (incremental_kafka_s3_cdc.py:317,326): sniff the PK from the latest
     * record's key JSON and the schema from its embedded `schema` field,
-    * then re-plan the batch decode with that schema.
+    * then re-plan the batch decode with that schema. The overload takes
+    * an already-sniffed record so a caller that needs the sniff for its
+    * own routing (CdcPipeline's PK dispatch) runs the aggregate job once
+    * per table per batch, not twice.
     */
-  def decodeDynamic(env: DataFrame): DataFrame = {
-    val (keyJson, valueJson) = latestRecord(env).getOrElse(
-      throw new IllegalArgumentException("empty envelope batch"))
+  def decodeDynamic(env: DataFrame): DataFrame =
+    decodeDynamic(env, latestRecord(env).getOrElse(
+      throw new IllegalArgumentException("empty envelope batch")))
+
+  def decodeDynamic(env: DataFrame, latest: (String, String)): DataFrame = {
+    val (keyJson, valueJson) = latest
     val pk = DebeziumSchema.primaryKeyFromKeyJson(keyJson)
     val outer = new com.fasterxml.jackson.databind.ObjectMapper().readTree(valueJson)
     val fields = DebeziumSchema.parseFields(outer.get("schema").toString)

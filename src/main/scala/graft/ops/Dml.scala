@@ -41,10 +41,12 @@ object Dml {
     raw"(?is)^\s*UPDATE\s+(\S+)\s+SET\s+(.+?)\s*$$".r
   private val DeleteRe =
     raw"(?is)^\s*DELETE\s+FROM\s+(\S+)(\s.*?)?\s*$$".r
+  // the target must not swallow a no-space column list (`t(id)`), so '('
+  // is excluded from it; VALUES needs no trailing whitespace ("VALUES(1)")
   private val InsertValuesRe =
-    raw"(?is)^\s*INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\)\s*)?VALUES\s+(.+?)\s*$$".r
+    raw"(?is)^\s*INSERT\s+INTO\s+([^\s(]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(\(.+?)\s*$$".r
   private val InsertSelectRe =
-    raw"(?is)^\s*INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\)\s*)?(SELECT\b.+?)\s*$$".r
+    raw"(?is)^\s*INSERT\s+INTO\s+([^\s(]+)\s*(?:\(([^)]*)\)\s*)?(SELECT\b.+?)\s*$$".r
   private val WhereRe = raw"(?is)^WHERE\s+(.+)$$".r
   private val AssignRe = raw"(?s)^\s*(\w+)\s*=\s*(.+)$$".r
   private val IdentRe = raw"(?s)^\w+$$".r

@@ -107,6 +107,12 @@ class DmlParserPropSpec extends AnyFunSuite {
     // malformed column names and duplicate columns reject loudly
     intercept[IllegalArgumentException](Dml.parse("INSERT INTO t (a b) VALUES (1)"))
     intercept[IllegalArgumentException](Dml.parse("INSERT INTO t (a, a) VALUES (1, 2)"))
+    // no-space spellings: the column list must not be swallowed into the
+    // target name, and VALUES( needs no whitespace
+    assert(Dml.parse("INSERT INTO t(id) SELECT id FROM src") ==
+      Dml.Insert("t", Seq("id"), None, Some("SELECT id FROM src")))
+    assert(Dml.parse("INSERT INTO t(id) VALUES(1), (2)") ==
+      Dml.Insert("t", Seq("id"), Some("(1), (2)"), None))
   }
 
   test("property: DELETE round-trips") {
