@@ -56,4 +56,45 @@ class IncrementalViewSpec extends SparkSpec {
     assert(sorted(agg) == sorted(IncrementalView.compute(t.read, Seq("grp"), Seq("amt"))))
     assert(sorted(agg) == Seq(("<null>", 2L, 58L), ("c", 1L, 40L), ("d", 1L, 0L)))
   }
+
+  test("MaterializedView crash window: an orphan refresh (data written, pointer not moved) is invisible and re-derived") {
+    import graft.ops.MaterializedView
+    val root = tmpDir("mview")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"), retainVersions = 10)
+    t.init(Seq((1L, Some("a"), Some(10L)), (2L, Some("b"), Some(20L))).toDF("id", "grp", "amt"))
+    val mv = new MaterializedView(spark, t, s"$root/view", Seq("grp"), Seq("amt"))
+    mv.refresh()
+    val reflected = mv.reflectedVersion.get
+
+    // table advances; a refresh CRASHES after materializing the new view
+    // dir but before the pointer rename — simulated by writing garbage to
+    // the dir the next refresh will target
+    t.merge(Seq((3L, Some("a"), Some(5L), 1L, "c")).toDF("id", "grp", "amt", "ts", "__op"), "ts")
+    val target = t.currentVersion.get
+    Seq(("junk", 999L, 999L)).toDF("grp", IncrementalView.CountCol, "amt")
+      .write.parquet(f"$root/view/v$target%08d")
+    // the pointer never moved: reads still serve the old consistent view
+    assert(mv.reflectedVersion.contains(reflected))
+    assert(!sorted(mv.read).exists(_._1 == "junk"))
+
+    // the retried refresh overwrites the orphan (idempotent re-derivation,
+    // NOT a delta double-apply) and lands exactly at the recompute
+    mv.refresh()
+    assert(mv.reflectedVersion.contains(target))
+    assert(sorted(mv.read) == sorted(IncrementalView.compute(t.read, Seq("grp"), Seq("amt"))))
+  }
+
+  test("auto-compaction is a no-op under the threshold: no version burned, manifest untouched") {
+    val path = tmpDir("autonoop") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), retainVersions = 8,
+      autoCompactMaxFiles = Some(50))
+    t.init(Seq((1L, "a")).toDF("id", "v"))
+    val v1 = t.currentVersion.get
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    // exactly ONE commit happened (the append) — the policy saw file
+    // counts under the threshold and burned nothing
+    assert(t.currentVersion.contains(v1 + 1))
+    assert(!t.compactIfNeeded(maxFiles = 50))
+    assert(t.currentVersion.contains(v1 + 1))
+  }
 }
