@@ -406,7 +406,13 @@ object SimilarityQueries extends QueryPack {
       // hamming <= 2 (two flips can dirty at most two bands, so one band
       // always matches), and the ~2048-value band space cuts candidate
       // pairs ~14x vs 256-value bytes — the exact-hamming verification
-      // below makes the result set identical either way.
+      // below makes the result set identical either way. Scaling
+      // envelope: like any fixed-width banding, random-pair candidates
+      // grow O(n^2 / 2048) — negligible through ~10^6 docs (the sf0.1 ->
+      // sf1 slope measured 4.4x wall at 10x docs); past that, widen the
+      // signature (h64 already yields 60 bits) and re-tune bands per the
+      // pigeonhole rule, the same corpus-adaptive move x_dedup_embedding
+      // makes automatically.
       s.sql(
         """WITH bands AS (SELECT doc_id, simhash, k,
           |    CASE k WHEN 0 THEN simhash & 2047
@@ -429,18 +435,18 @@ object SimilarityQueries extends QueryPack {
     // occupancy — and the candidate count — grow O(n^2 / 2^bits): the
     // sf0.1 -> sf1 slope bench measured 38x wall-clock at 10x rows with
     // 4-bit bands. The operating point therefore adapts to the corpus:
-    // bandBits = max(4, ceil(log2 n) - 6) keeps expected occupancy
-    // (~64 rows per band value) and candidates O(n) at any scale, the
-    // standard LSH sizing rule, clamped to the 16-bit precomputed plane
-    // budget (occupancy re-grows past n ~ 4M per 64 rows — acceptable;
-    // widen planeLit to raise the cap). The rule is deterministic in n
-    // and stays exactly 4 bits for every n <= 1024 — which covers the
-    // DuckDB oracle gate (the driver verifies at sf0.01, n=500; the
-    // sf0.1 bench run uses 5-bit bands and is timing-only).
+    // the smallest bandBits in [4, 16] with n <= 64 * 2^bandBits keeps
+    // expected occupancy (<= 64 rows per band value) and candidates
+    // O(n) at any scale — the standard LSH sizing rule, capped by the
+    // 64 precomputed plane arrays (occupancy re-grows past n ~ 4M;
+    // widen planeLit to raise the cap). The rule is INTEGER-exact
+    // (shift-and-compare, no floating log), and the DuckDB oracle
+    // computes the identical rule from its own count(*) — both engines
+    // pick the same width at ANY corpus size, so the hash-compare
+    // holds at every scale factor, not just the sf0.01 gate.
     "x_dedup_embedding" -> ((s, dir) => {
       val n = Tables(s, dir, "embeddings").count()
-      val bandBits = math.min(16, math.max(4,
-        math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt - 6))
+      val bandBits = (4 to 16).find(b => n <= (64L << b)).getOrElse(16)
       embs(s, dir,
       s"""WITH $sparkQuant,
          |${lshBandsSql(bandBits)},
@@ -828,19 +834,28 @@ object SimilarityQueries extends QueryPack {
          |SELECT d1, d2, CAST(bit_count(xor(s1, s2)::BIT) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(s1, s2)::BIT) <= 2""".stripMargin,
 
+    // the band width mirrors the Spark side's integer-exact adaptive
+    // rule (smallest bits in [4,16] with n <= 64 * 2^bits), computed
+    // here from DuckDB's own count(*) — identical at any corpus size
     "x_dedup_embedding" ->
       s"""WITH $duckQuant,
+         |nb AS (
+         |  SELECT COALESCE(MIN(b), 16) AS bits
+         |  FROM (SELECT unnest(generate_series(4, 16)) AS b),
+         |       (SELECT count(*) AS n FROM embeddings)
+         |  WHERE n <= 64 * (1::BIGINT << b)),
          |planes AS (
          |  SELECT pp.p, dd.d, (${duckH64("pp.p::VARCHAR || '_' || dd.d::VARCHAR")} % 2001) - 1000 AS wgt
-         |  FROM (SELECT unnest(generate_series(0, 15)) AS p) pp
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd),
+         |  FROM nb, (SELECT unnest(generate_series(0, 63)) AS p) pp
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d) dd
+         |  WHERE pp.p < 4 * nb.bits),
          |proj AS (
          |  SELECT v.vec_id, planes.p, sum(v.qe[planes.d + 1] * planes.wgt) AS s
          |  FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.p),
          |bands AS (
-         |  SELECT vec_id, p // 4 AS band,
-         |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (p % 4)) ELSE 0::BIGINT END) AS BIGINT) AS bval
-         |  FROM proj GROUP BY vec_id, p // 4),
+         |  SELECT vec_id, p // bits AS band,
+         |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (p % bits)) ELSE 0::BIGINT END) AS BIGINT) AS bval
+         |  FROM proj CROSS JOIN nb GROUP BY vec_id, p // bits),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
          |  FROM bands a JOIN bands b

@@ -125,6 +125,8 @@ object EnvelopeCodec {
     * One map-side-combinable aggregate, no sort.
     */
   def latestRecord(env: DataFrame): Option[(String, String)] = {
+    require(env.columns.contains("__ts_ms"),
+      "latestRecord needs withMeta-decorated envelopes (missing __ts_ms — apply EnvelopeCodec.withMeta first)")
     val r = env.agg(max_by(
       struct(col("key"), col("value")),
       struct(col("__ts_ms"), col("key"), col("value"))).as("r"))

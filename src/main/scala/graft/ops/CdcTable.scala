@@ -666,13 +666,16 @@ final class CdcTable(
   }
 
   /** Best-effort policy hook run after write commits when the table was
-    * constructed with `autoCompactMaxFiles`: a lost race to another
-    * writer is fine — their commit re-checks the same policy.
+    * constructed with `autoCompactMaxFiles`. Any failure here must NOT
+    * make the already-committed write look failed to the caller (a lost
+    * commit race, a transient IO error mid-rewrite, a concurrently
+    * expired read version): the next commit re-checks the same policy,
+    * so swallowing is safe and correct.
     */
   private def maybeAutoCompact(): Unit =
     autoCompactMaxFiles.foreach { n =>
       try compactIfNeeded(n): Unit
-      catch { case _: CommitConflictException => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
 
   private def rm(f: File): Unit = {

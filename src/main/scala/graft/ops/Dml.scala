@@ -164,6 +164,13 @@ object Dml {
     * the caller's source batch. The caller's statement router for a
     * pipeline that receives arbitrary DML text.
     */
+  // the reference's batch-INSERT fallback is recognized by SHAPE (its
+  // VALUES reference the source alias: `VALUES (s.id, ...)`), not by the
+  // side-channel presence of a batch — a router that always supplies its
+  // micro-batch must still reach the literal/SELECT INSERT path
+  private val BatchInsertRe =
+    raw"(?is)^\s*INSERT\s+INTO\s+\S+\s*\([^)]*\)\s*VALUES\s*\(\s*s\s*\..*".r
+
   def executeAny(spark: SparkSession, sql: String, tablePath: String => String,
                  keys: Seq[String], partitionSource: Option[String] = None,
                  source: Option[org.apache.spark.sql.DataFrame] = None,
@@ -174,8 +181,11 @@ object Dml {
       MergeInto.execute(spark, sql, source.getOrElse(
         throw new IllegalArgumentException("MERGE statements need a source batch")),
         tablePath, tsCol)
-    else if (upper.startsWith("INSERT") && source.isDefined)
-      MergeInto.execute(spark, sql, source.get, tablePath, tsCol)
+    else if (upper.startsWith("INSERT") && BatchInsertRe.matches(trimmed))
+      MergeInto.execute(spark, sql, source.getOrElse(
+        throw new IllegalArgumentException(
+          "the batch-INSERT form (VALUES (s.col, ...)) needs a source batch")),
+        tablePath, tsCol)
     else execute(spark, sql, tablePath, keys, partitionSource)
   }
 

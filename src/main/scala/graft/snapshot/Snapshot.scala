@@ -56,7 +56,11 @@ final class Snapshot(spark: SparkSession, logPath: String) {
   def load(src: graft.sources.SnapshotSource, table: String, sinkPath: String,
            pk: Option[String], tenantId: Long = 0L, rdsId: Long = 0L,
            writePartitions: Int = 8): Boolean =
-    loadTable(src.read(spark), table, sinkPath, pk, tenantId, rdsId, writePartitions)
+    // watermark check BEFORE touching the source: a skipped table must
+    // not pay the adapter's read setup (a JDBC impl opens a connection
+    // and probes the remote schema in read())
+    if (loadedTables.contains(table)) false
+    else loadTable(src.read(spark), table, sinkPath, pk, tenantId, rdsId, writePartitions)
 
   /** Snapshot one source table into `sinkPath`, unless the watermark log
     * already records it. Returns true if a load happened.

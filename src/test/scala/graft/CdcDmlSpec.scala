@@ -239,6 +239,16 @@ class CdcDmlSpec extends SparkSpec {
     graft.ops.Dml.executeAny(spark, "INSERT INTO t (id, v) VALUES (99, 'z')",
       n => s"$root/$n", Seq("id"))
     assert(t.read.filter(col("id") === 99L).count() == 1)
+
+    // routing is by statement SHAPE, not source presence: a literal
+    // INSERT still takes the standalone path when a batch happens to be
+    // supplied, and the s.-prefixed batch form without a batch rejects
+    val stray = Seq((1L, "x")).toDF("id", "v")
+    graft.ops.Dml.executeAny(spark, "INSERT INTO t (id, v) VALUES (98, 'y')",
+      n => s"$root/$n", Seq("id"), source = Some(stray))
+    assert(t.read.filter(col("id") === 98L).count() == 1)
+    intercept[IllegalArgumentException](graft.ops.Dml.executeAny(spark,
+      "INSERT INTO t (id, v) VALUES (s.id, s.v)", n => s"$root/$n", Seq("id")))
   }
 
   test("executeAny routes every DML statement type through one entry point") {
