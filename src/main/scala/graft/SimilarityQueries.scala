@@ -176,6 +176,15 @@ object SimilarityQueries extends QueryPack {
 
   private val sparkLshBands = lshBandsSql(4)
 
+  /** The corpus-adaptive band width for the all-pairs near-dup path:
+    * smallest bits in [4, 16] with n <= 64 * 2^bits (expected bucket
+    * occupancy <= 64 — candidates O(n)). Integer shift-and-compare so
+    * the DuckDB oracle's SQL twin (`nb` CTE in the x_dedup_embedding
+    * oracle) computes the identical value at any corpus size.
+    */
+  private[graft] def adaptiveBandBits(n: Long): Int =
+    (4 to 16).find(b => n <= (64L << b)).getOrElse(16)
+
   // ANN query set bounded by COUNT, not fraction: the 100 vectors with
   // the smallest salted hash (ties broken by vec_id — a total order, so
   // both engines pick the same rows at any scale factor). |Q| stays 100
@@ -445,8 +454,7 @@ object SimilarityQueries extends QueryPack {
     // pick the same width at ANY corpus size, so the hash-compare
     // holds at every scale factor, not just the sf0.01 gate.
     "x_dedup_embedding" -> ((s, dir) => {
-      val n = Tables(s, dir, "embeddings").count()
-      val bandBits = (4 to 16).find(b => n <= (64L << b)).getOrElse(16)
+      val bandBits = adaptiveBandBits(Tables(s, dir, "embeddings").count())
       embs(s, dir,
       s"""WITH $sparkQuant,
          |${lshBandsSql(bandBits)},

@@ -55,6 +55,18 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("adaptive band width follows the occupancy rule and matches the oracle's operating points") {
+    // smallest bits in [4,16] with n <= 64*2^bits; pinned at the values
+    // the DuckDB oracle's nb CTE computes for the known corpora
+    assert(SimilarityQueries.adaptiveBandBits(50) == 4)     // sf0.001
+    assert(SimilarityQueries.adaptiveBandBits(500) == 4)    // sf0.01 (oracle gate)
+    assert(SimilarityQueries.adaptiveBandBits(1024) == 4)   // boundary: 64*2^4
+    assert(SimilarityQueries.adaptiveBandBits(1025) == 5)
+    assert(SimilarityQueries.adaptiveBandBits(2000) == 5)   // sf0.1
+    assert(SimilarityQueries.adaptiveBandBits(20000) == 9)  // sf1
+    assert(SimilarityQueries.adaptiveBandBits(100000000L) == 16) // clamped at the plane budget
+  }
+
   test("LSH banding is map-side: band values come from literal-plane projections, never a (vec_id, plane) aggregate exchange") {
     // the zero-shuffle banding computes all 16 projections per row with
     // dot_i64 against constant-folded literal plane arrays; the old shape
