@@ -45,6 +45,16 @@ object IndexQueries extends QueryPack {
     s.sql(sql)
   }
 
+  /** [[embs]] plus the trained-model views the query serves from. */
+  private def embsTrained(s: SparkSession, dir: String, km: Boolean, pq: Boolean)
+                         (sql: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    if (km) kmeansViews(s, dir)
+    if (pq) pqViews(s, dir)
+    s.sql(sql)
+  }
+
   private def ordersLineitem(s: SparkSession, dir: String, sql: String): DataFrame = {
     Tables(s, dir, "orders").createOrReplaceTempView("orders")
     Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -232,22 +242,64 @@ object IndexQueries extends QueryPack {
       |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
       |  GROUP BY b.query_id)""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Trained-model materialization: the k-means codebooks / assignments
+  // are INDEX ARTIFACTS — trained once, served by many queries — so
+  // they materialize once per (session, sfDir) and register as temp
+  // views (`km_c2`/`km_af` for the 16-list coarse quantizer, `pq_*` for
+  // the two 64-centroid PQ codebooks), the same shared-artifact pattern
+  // as the cached MinHash signature view. localCheckpoint, NOT
+  // Tables.cacheView: the training plans contain SQL CTEs, which the
+  // Spark 4.1.2 cache-manager dedup crashes on (InlineCTE /
+  // DeduplicateRelations). The tables are tiny (k x dims codebooks, one
+  // (vec_id, qe, cid) row per vector). The DuckDB oracles keep their
+  // inline CTE chains — same math, results identical; x_ann_ivfpq's
+  // coarse quantizer reuses km_c2/km_af because kmeansFor("g", "v") is
+  // the same seeds/rounds chain modulo CTE names.
+  // ------------------------------------------------------------------
+  private val trained = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def trainedView(s: SparkSession, dir: String, name: String)(sql: => String): Unit = {
+    trained.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+    trained.getOrElseUpdate((s, dir, name), s.sql(sql).localCheckpoint())
+      .createOrReplaceTempView(name)
+  }
+
+  private def kmeansViews(s: SparkSession, dir: String): Unit = {
+    trainedView(s, dir, "km_c2")(
+      s"WITH $sparkQuantV,\n$sparkKmeans\nSELECT cid, ce FROM c2")
+    trainedView(s, dir, "km_af")(
+      s"WITH $sparkQuantV,\n$sparkKmeans\nSELECT vec_id, qe, cid FROM af")
+  }
+
+  private val sparkHalves =
+    """v1 AS (SELECT vec_id, slice(qe, 1, CAST(size(qe) DIV 2 AS INT)) AS qe FROM v),
+      |v2 AS (SELECT vec_id, slice(qe, CAST(size(qe) DIV 2 + 1 AS INT), CAST(size(qe) - size(qe) DIV 2 AS INT)) AS qe FROM v)""".stripMargin
+
+  private def pqViews(s: SparkSession, dir: String): Unit =
+    Seq("p1" -> "v1", "p2" -> "v2").foreach { case (p, half) =>
+      trainedView(s, dir, s"pq_${p}c2")(
+        s"WITH $sparkQuantV,\n$sparkHalves,\n${sparkKmeansFor(p, half, 64)}\nSELECT cid, ce FROM ${p}c2")
+      trainedView(s, dir, s"pq_${p}af")(
+        s"WITH $sparkQuantV,\n$sparkHalves,\n${sparkKmeansFor(p, half, 64)}\nSELECT vec_id, cid FROM ${p}af")
+    }
+
   // Query-side probing: each query (the shared count-bounded qsel set —
   // the 100 smallest-salted-hash vectors) probes its nprobe=3 nearest
   // trained centroids; candidates are the probed lists' members,
   // reranked by exact cosine.
   private val sparkKmeansScored =
-    s"""$sparkKmeans,
-       |$sparkQsel,
+    s"""$sparkQsel,
        |probes AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT qv.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY qv.vec_id
        |        ORDER BY dot_i64(c.ce, c.ce) - 2 * dot_i64(qv.qe, c.ce), c.cid) AS rnk
-       |    FROM qsel qv CROSS JOIN c2 c) WHERE rnk <= 3),
+       |    FROM qsel qv CROSS JOIN km_c2 c) WHERE rnk <= 3),
        |cand AS (
        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
-       |  FROM probes p JOIN af a ON a.cid = p.cid AND a.vec_id != p.vec_id),
+       |  FROM probes p JOIN km_af a ON a.cid = p.cid AND a.vec_id != p.vec_id),
        |pairs AS (
        |  SELECT c.query_id, c.neighbor_id,
        |    dot_i64(qv.qe, nv.qe) AS dot, qv.nrm AS n1, nv.nrm AS n2
@@ -288,7 +340,7 @@ object IndexQueries extends QueryPack {
     // probed lists. The trained-quantizer upgrade of x_ann_ivf (whose
     // given-label lists have no geometric meaning — recall 0.12): same
     // partition-bounded probe cost shape, learned lists.
-    "x_ann_ivf_kmeans" -> ((s, dir) => embs(s, dir,
+    "x_ann_ivf_kmeans" -> ((s, dir) => embsTrained(s, dir, km = true, pq = false)(
       s"""WITH $sparkQuantV,
          |$sparkKmeansScored
          |SELECT query_id, neighbor_id, rank, cos FROM (
@@ -300,7 +352,7 @@ object IndexQueries extends QueryPack {
     // ANN operating-point dashboard (sf0.01, 100-query qsel set:
     // kmeans-IVF 0.50/0.19 vs single-probe LSH 0.45, multi-probe LSH
     // 0.67/0.42, label-IVF 0.12).
-    "x_ann_recall_kmeans" -> ((s, dir) => embs(s, dir,
+    "x_ann_recall_kmeans" -> ((s, dir) => embsTrained(s, dir, km = true, pq = false)(
       s"""WITH $sparkQuantV,
          |$sparkKmeansScored,
          |ivf_top AS (
@@ -346,29 +398,26 @@ object IndexQueries extends QueryPack {
     // rows per query. Emits recall@5 vs exact brute force and the
     // number of distinct codes in use. All ranking terms are exact
     // integer dots; ties break on neighbor_id.
-    "x_ann_pq" -> ((s, dir) => embs(s, dir,
+    "x_ann_pq" -> ((s, dir) => embsTrained(s, dir, km = false, pq = true)(
       s"""WITH $sparkQuantV,
-         |v1 AS (SELECT vec_id, slice(qe, 1, CAST(size(qe) DIV 2 AS INT)) AS qe FROM v),
-         |v2 AS (SELECT vec_id, slice(qe, CAST(size(qe) DIV 2 + 1 AS INT), CAST(size(qe) - size(qe) DIV 2 AS INT)) AS qe FROM v),
-         |${sparkKmeansFor("p1", "v1", 64)},
-         |${sparkKmeansFor("p2", "v2", 64)},
+         |$sparkHalves,
          |$sparkQsel,
          |qs AS (SELECT vec_id FROM qsel),
          |d1 AS (SELECT q.vec_id AS query_id, c.cid, dot_i64(s1.qe, c.ce) AS qdot, dot_i64(c.ce, c.ce) AS cnrm
-         |  FROM qs q JOIN v1 s1 ON s1.vec_id = q.vec_id CROSS JOIN p1c2 c),
+         |  FROM qs q JOIN v1 s1 ON s1.vec_id = q.vec_id CROSS JOIN pq_p1c2 c),
          |d2 AS (SELECT q.vec_id AS query_id, c.cid, dot_i64(s2.qe, c.ce) AS qdot, dot_i64(c.ce, c.ce) AS cnrm
-         |  FROM qs q JOIN v2 s2 ON s2.vec_id = q.vec_id CROSS JOIN p2c2 c),
+         |  FROM qs q JOIN v2 s2 ON s2.vec_id = q.vec_id CROSS JOIN pq_p2c2 c),
          |adc AS (
          |  SELECT d1.query_id, a1.vec_id AS neighbor_id,
          |    d1.qdot + d2.qdot AS adot, d1.cnrm + d2.cnrm AS rnrm
-         |  FROM p1af a1 JOIN p2af a2 ON a2.vec_id = a1.vec_id
+         |  FROM pq_p1af a1 JOIN pq_p2af a2 ON a2.vec_id = a1.vec_id
          |  JOIN d1 ON d1.cid = a1.cid
          |  JOIN d2 ON d2.query_id = d1.query_id AND d2.cid = a2.cid
          |  WHERE a1.vec_id != d1.query_id),
          |$sparkPqRecall,
          |codes AS (SELECT CAST(count(*) AS BIGINT) AS n_codes FROM (
          |  SELECT DISTINCT a1.cid AS cx, a2.cid AS cy
-         |  FROM p1af a1 JOIN p2af a2 ON a2.vec_id = a1.vec_id) t)
+         |  FROM pq_p1af a1 JOIN pq_p2af a2 ON a2.vec_id = a1.vec_id) t)
          |SELECT CAST(count(*) AS BIGINT) AS n_queries,
          |  CAST(sum(hit) AS BIGINT) AS n_hits,
          |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5,
@@ -382,13 +431,9 @@ object IndexQueries extends QueryPack {
     // precision. At 100 TB: probe cost = nprobe/16 of the corpus codes
     // (~1.5 bytes/vector), full vectors read for 50 rows per query.
     // Emits recall@5 vs brute force plus the candidate scan fraction.
-    "x_ann_ivfpq" -> ((s, dir) => embs(s, dir,
+    "x_ann_ivfpq" -> ((s, dir) => embsTrained(s, dir, km = true, pq = true)(
       s"""WITH $sparkQuantV,
-         |${sparkKmeansFor("g", "v")},
-         |v1 AS (SELECT vec_id, slice(qe, 1, CAST(size(qe) DIV 2 AS INT)) AS qe FROM v),
-         |v2 AS (SELECT vec_id, slice(qe, CAST(size(qe) DIV 2 + 1 AS INT), CAST(size(qe) - size(qe) DIV 2 AS INT)) AS qe FROM v),
-         |${sparkKmeansFor("p1", "v1", 64)},
-         |${sparkKmeansFor("p2", "v2", 64)},
+         |$sparkHalves,
          |$sparkQsel,
          |qs AS (SELECT vec_id FROM qsel),
          |probes AS (
@@ -397,20 +442,20 @@ object IndexQueries extends QueryPack {
          |      row_number() OVER (PARTITION BY qv.vec_id
          |        ORDER BY dot_i64(c.ce, c.ce) - 2 * dot_i64(qv.qe, c.ce), c.cid) AS rnk
          |    FROM (SELECT v.* FROM v JOIN qs ON qs.vec_id = v.vec_id) qv
-         |    CROSS JOIN gc2 c) WHERE rnk <= 3),
+         |    CROSS JOIN km_c2 c) WHERE rnk <= 3),
          |cand AS (
          |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
-         |  FROM probes p JOIN gaf a ON a.cid = p.cid AND a.vec_id != p.vec_id),
+         |  FROM probes p JOIN km_af a ON a.cid = p.cid AND a.vec_id != p.vec_id),
          |d1 AS (SELECT q.vec_id AS query_id, c.cid, dot_i64(s1.qe, c.ce) AS qdot, dot_i64(c.ce, c.ce) AS cnrm
-         |  FROM qs q JOIN v1 s1 ON s1.vec_id = q.vec_id CROSS JOIN p1c2 c),
+         |  FROM qs q JOIN v1 s1 ON s1.vec_id = q.vec_id CROSS JOIN pq_p1c2 c),
          |d2 AS (SELECT q.vec_id AS query_id, c.cid, dot_i64(s2.qe, c.ce) AS qdot, dot_i64(c.ce, c.ce) AS cnrm
-         |  FROM qs q JOIN v2 s2 ON s2.vec_id = q.vec_id CROSS JOIN p2c2 c),
+         |  FROM qs q JOIN v2 s2 ON s2.vec_id = q.vec_id CROSS JOIN pq_p2c2 c),
          |adc AS (
          |  SELECT c.query_id, c.neighbor_id,
          |    d1.qdot + d2.qdot AS adot, d1.cnrm + d2.cnrm AS rnrm
          |  FROM cand c
-         |  JOIN p1af a1 ON a1.vec_id = c.neighbor_id
-         |  JOIN p2af a2 ON a2.vec_id = c.neighbor_id
+         |  JOIN pq_p1af a1 ON a1.vec_id = c.neighbor_id
+         |  JOIN pq_p2af a2 ON a2.vec_id = c.neighbor_id
          |  JOIN d1 ON d1.query_id = c.query_id AND d1.cid = a1.cid
          |  JOIN d2 ON d2.query_id = c.query_id AND d2.cid = a2.cid),
          |$sparkPqRecall,
@@ -429,12 +474,11 @@ object IndexQueries extends QueryPack {
     // exact integer dot). The mixture-analysis face of the IVF
     // machinery: how big and how tight each learned corpus cluster is.
     // One broadcast join (k rows) + one combine-friendly groupBy on cid.
-    "x_kmeans_quality" -> ((s, dir) => embs(s, dir,
+    "x_kmeans_quality" -> ((s, dir) => embsTrained(s, dir, km = true, pq = false)(
       s"""WITH $sparkQuantV,
-         |$sparkKmeans,
          |j AS (
          |  SELECT a.cid, v.nrm, dot_i64(v.qe, c.ce) AS xc, dot_i64(c.ce, c.ce) AS cc
-         |  FROM af a JOIN v ON v.vec_id = a.vec_id JOIN c2 c ON c.cid = a.cid)
+         |  FROM km_af a JOIN v ON v.vec_id = a.vec_id JOIN km_c2 c ON c.cid = a.cid)
          |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
          |  CAST(sum(nrm) - 2 * sum(xc) + count(*) * max(cc) AS BIGINT) AS inertia,
          |  CAST((sum(nrm) - 2 * sum(xc) + count(*) * max(cc)) DIV count(*) AS BIGINT) AS inertia_per_member
