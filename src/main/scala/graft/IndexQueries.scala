@@ -45,14 +45,17 @@ object IndexQueries extends QueryPack {
     s.sql(sql)
   }
 
-  /** [[embs]] plus the trained-model views the query serves from. */
+  /** [[embs]] plus the trained-model views the query serves from (the
+    * setup lines repeat because training itself needs the embeddings
+    * view registered before [[embs]] runs the final statement).
+    */
   private def embsTrained(s: SparkSession, dir: String, km: Boolean, pq: Boolean)
                          (sql: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
     if (km) kmeansViews(s, dir)
     if (pq) pqViews(s, dir)
-    s.sql(sql)
+    embs(s, dir, sql)
   }
 
   private def ordersLineitem(s: SparkSession, dir: String, sql: String): DataFrame = {
@@ -260,17 +263,27 @@ object IndexQueries extends QueryPack {
   private val trained = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
-  private def trainedView(s: SparkSession, dir: String, name: String)(sql: => String): Unit = {
-    trained.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
-    trained.getOrElseUpdate((s, dir, name), s.sql(sql).localCheckpoint())
-      .createOrReplaceTempView(name)
-  }
+  // synchronized: getOrElseUpdate alone could run the multi-second
+  // training thunk twice (and orphan one checkpoint's blocks) under
+  // concurrent first access; the runners are sequential today but the
+  // guard costs nothing on the memoized path
+  private def trainedView(s: SparkSession, dir: String, name: String)(sql: => String): Unit =
+    trained.synchronized {
+      trained.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+      trained.getOrElseUpdate((s, dir, name), s.sql(sql).localCheckpoint())
+        .createOrReplaceTempView(name)
+    }
 
+  // one full training per model: the codebook view trains and
+  // checkpoints first, then the assignment view is ONE assignment pass
+  // against the registered codebook (not a second training run); both
+  // store only what consumers read (codebooks: (cid, ce); assignments:
+  // (vec_id, cid) — every serving query joins v for vectors)
   private def kmeansViews(s: SparkSession, dir: String): Unit = {
     trainedView(s, dir, "km_c2")(
       s"WITH $sparkQuantV,\n$sparkKmeans\nSELECT cid, ce FROM c2")
     trainedView(s, dir, "km_af")(
-      s"WITH $sparkQuantV,\n$sparkKmeans\nSELECT vec_id, qe, cid FROM af")
+      s"WITH $sparkQuantV,\n${sparkAssign("af", "km_c2")}\nSELECT vec_id, cid FROM af")
   }
 
   private val sparkHalves =
@@ -282,7 +295,7 @@ object IndexQueries extends QueryPack {
       trainedView(s, dir, s"pq_${p}c2")(
         s"WITH $sparkQuantV,\n$sparkHalves,\n${sparkKmeansFor(p, half, 64)}\nSELECT cid, ce FROM ${p}c2")
       trainedView(s, dir, s"pq_${p}af")(
-        s"WITH $sparkQuantV,\n$sparkHalves,\n${sparkKmeansFor(p, half, 64)}\nSELECT vec_id, cid FROM ${p}af")
+        s"WITH $sparkQuantV,\n$sparkHalves,\n${sparkAssign(s"${p}af", s"pq_${p}c2", half)}\nSELECT vec_id, cid FROM ${p}af")
     }
 
   // Query-side probing: each query (the shared count-bounded qsel set —
