@@ -44,7 +44,11 @@ object Bench {
     // field order matters: the driver archives only a bounded TAIL of this
     // line, so the long per-query map goes first and the summary fields
     // (total/ok_count/errors) last — they must survive the truncation
-    println(s"""{"queries":$qs,"errors":$errors,"ok_count":${ok.size},"metric":"total","value":${ok.sum},"unit":"sec","sf":"$sfDir"}""")
+    val line = s"""{"queries":$qs,"errors":$errors,"ok_count":${ok.size},"metric":"total","value":${ok.sum},"unit":"sec","sf":"$sfDir"}"""
+    println(line)
+    // the stdout tail truncates the first ~68 per-query entries, so the
+    // complete line is also written to a file for full per-query history
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n"): Unit
     spark.stop()
   }
 }

@@ -50,15 +50,19 @@ object SimilarityQueries extends QueryPack {
     scala.collection.concurrent.TrieMap.empty[SparkSession, String]
 
   private def registerDedupViews(s: SparkSession, dir: String): Unit =
-    if (!dedupViewsFor.get(s).contains(dir)) {
-      dedupViewsFor.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
-      Tables(s, dir, "documents").createOrReplaceTempView("documents")
-      Tables.cacheView("sh", s.sql(s"WITH $sparkShingles SELECT doc_id, shingle_h FROM sh"))
-      Tables.cacheView("n",
-        s.sql("SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id"))
-      Tables.cacheView("mh", s.sql(s"WITH $sparkPermsMh SELECT doc_id, p, mh FROM mh"))
-      Tables.cacheView("mh_sig", s.sql(s"WITH $sparkSigCtes SELECT doc_id, band, sig FROM sigt"))
-      dedupViewsFor.update(s, dir)
+    if (!dedupViewsFor.get(s).contains(dir)) dedupViewsFor.synchronized {
+      // double-checked under the monitor like trainedView/interCache so
+      // concurrent first calls can't double-build and leak a cached plan
+      if (!dedupViewsFor.get(s).contains(dir)) {
+        dedupViewsFor.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents")
+        Tables.cacheView("sh", s.sql(s"WITH $sparkShingles SELECT doc_id, shingle_h FROM sh"))
+        Tables.cacheView("n",
+          s.sql("SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id"))
+        Tables.cacheView("mh", s.sql(s"WITH $sparkPermsMh SELECT doc_id, p, mh FROM mh"))
+        Tables.cacheView("mh_sig", s.sql(s"WITH $sparkSigCtes SELECT doc_id, band, sig FROM sigt"))
+        dedupViewsFor.update(s, dir)
+      }
     }
 
   private def docsWithBands(s: SparkSession, dir: String, sql: String): DataFrame = {
@@ -210,6 +214,11 @@ object SimilarityQueries extends QueryPack {
     */
   private def lshBandsSql(bandBits: Int): String = {
     val planes = 4 * bandBits
+    require(planes <= planeLit.length,
+      s"operating point needs $planes hyperplanes but only ${planeLit.length} are precomputed " +
+        s"(caps adaptiveBandBits adaptation at n = 64 * 2^${planeLit.length / 4} vectors); " +
+        "widen planeLit's `0 until 64` range — planeWeight is a pure function of (plane, dim), " +
+        "so new planes are deterministic and oracle-parity-safe if the DuckDB planes CTE range widens identically")
     val bval = (0 until bandBits)
       .map(i => s"IF(pr[b*$bandBits+$i] > 0, ${1L << i}L, 0L)").mkString(" + ")
     s"""projt AS (
@@ -233,6 +242,23 @@ object SimilarityQueries extends QueryPack {
     */
   private[graft] def adaptiveBandBits(n: Long): Int =
     (4 to 16).find(b => n <= (64L << b)).getOrElse(16)
+
+  /** The corpus-adaptive SimHash operating point: 3 bands (the pigeonhole
+    * minimum covering hamming <= 2 — two flips dirty at most two bands,
+    * so one band always matches, an EXACT recall guarantee at any band
+    * width) of `b` bits each, signature width 3*b. Unlike the uniform
+    * LSH band values, simhash band values are correlated (shared
+    * vocabulary pulls signatures together), so the occupancy target is
+    * <= 1 expected uniform occupant, not 64: smallest b in [12, 20] with
+    * n <= 2^b. Integer shift-and-compare; the DuckDB oracle's `nb` CTE
+    * computes the identical value from its own count(*), so the two
+    * engines agree at any corpus size. The cap b = 20 uses all 60 bits
+    * h64 yields; past n ~ 10^6 docs candidate noise re-grows O(n^2/2^20)
+    * — the named remedy is a second salted h64 per token (120-bit
+    * signature, b to 40), not a re-tune of this rule.
+    */
+  private[graft] def adaptiveSimhashBits(n: Long): Int =
+    (12 to 20).find(b => n <= (1L << b)).getOrElse(20)
 
   // ANN query set bounded by COUNT, not fraction: the 100 vectors with
   // the smallest salted hash (ties broken by vec_id — a total order, so
@@ -432,51 +458,50 @@ object SimilarityQueries extends QueryPack {
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
     }),
 
-    // SimHash (32-bit over distinct tokens) + banded candidate join
-    // (3 bands of 11/11/10 bits — see the band CTE comment below for the
-    // pigeonhole guarantee covering hamming <= 2). The bit
-    // tallies run as 32 codegen'd conditional sums in ONE pass over the
-    // token rows — no 32x bit-explosion shuffle — and the signature table
-    // materializes once (cached temp view) instead of being recomputed
-    // per band-join side. (The DuckDB oracle keeps the straightforward
-    // exploded CTE form; results are identical.)
+    // SimHash over distinct tokens + banded candidate join, at a
+    // corpus-adaptive operating point (adaptiveSimhashBits): 3 bands of
+    // b bits each over a 3b-bit signature, b = smallest in [12, 20] with
+    // n <= 2^b. The pigeonhole guarantee is width-independent (hamming
+    // <= 2 flips dirty at most 2 of 3 bands), so widening bands with the
+    // corpus cuts random-collision candidates exponentially while recall
+    // stays EXACT — the fix for the 4.4x sf1 slope the fixed 11/11/10
+    // layout measured. The bit tallies run as 3b codegen'd conditional
+    // sums in ONE pass over the token rows — no bit-explosion shuffle —
+    // and the signature table materializes once (cached temp view)
+    // instead of being recomputed per band-join side. (The DuckDB oracle
+    // keeps the straightforward exploded CTE form and computes the SAME
+    // b from its own count(*) — results identical at any corpus size.)
     "x_dedup_simhash" -> ((s, dir) => {
+      val bits = adaptiveSimhashBits(Tables.rowCount(s, dir, "documents"))
+      val w = 3 * bits
+      val mask = (1L << bits) - 1
       // same registration memoization as registerDedupViews: building
-      // the 32-tally plan for the sameResult check costs more than the
-      // served query
-      if (!simhashFor.get(s).contains(dir)) {
-      Tables(s, dir, "documents").createOrReplaceTempView("documents")
-      Tables.cacheView("simhash_sig", s.sql(
-        s"""WITH w AS (SELECT doc_id, explode(array_distinct(split(text, '\\\\s+'))) AS word FROM documents),
-           |h AS (SELECT doc_id, ${h64("word")} AS hw FROM w),
-           |tallies AS (SELECT doc_id,
-           |  ${(0 to 31).map(b => s"sum(CASE WHEN (shiftright(hw, $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")}
-           |  FROM h GROUP BY doc_id)
-           |SELECT doc_id, CAST(${(0 to 31).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")} AS BIGINT) AS simhash
-           |FROM tallies""".stripMargin))
-      simhashFor.update(s, dir)
+      // the tally plan for the sameResult check costs more than the
+      // served query (bits is a pure function of dir, so keying on dir
+      // keys the operating point too)
+      if (!simhashFor.get(s).contains(dir)) simhashFor.synchronized {
+        if (!simhashFor.get(s).contains(dir)) {
+          simhashFor.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
+          Tables(s, dir, "documents").createOrReplaceTempView("documents")
+          Tables.cacheView("simhash_sig", s.sql(
+            s"""WITH w AS (SELECT doc_id, explode(array_distinct(split(text, '\\\\s+'))) AS word FROM documents),
+               |h AS (SELECT doc_id, ${h64("word")} AS hw FROM w),
+               |tallies AS (SELECT doc_id,
+               |  ${(0 until w).map(b => s"sum(CASE WHEN (shiftright(hw, $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")}
+               |  FROM h GROUP BY doc_id)
+               |SELECT doc_id, CAST(${(0 until w).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")} AS BIGINT) AS simhash
+               |FROM tallies""".stripMargin))
+          simhashFor.update(s, dir)
+        }
       }
-      // 3 bands (11+11+10 bits) instead of 4x8: pigeonhole still covers
-      // hamming <= 2 (two flips can dirty at most two bands, so one band
-      // always matches), and the ~2048-value band space cuts candidate
-      // pairs ~14x vs 256-value bytes — the exact-hamming verification
-      // below makes the result set identical either way. Scaling
-      // envelope: like any fixed-width banding, random-pair candidates
-      // grow O(n^2 / 2048) — negligible through ~10^6 docs (the sf0.1 ->
-      // sf1 slope measured 4.4x wall at 10x docs); past that, widen the
-      // signature (h64 already yields 60 bits) and re-tune bands per the
-      // pigeonhole rule, the same corpus-adaptive move x_dedup_embedding
-      // makes automatically.
       s.sql(
-        """WITH bands AS (SELECT doc_id, simhash, k,
-          |    CASE k WHEN 0 THEN simhash & 2047
-          |           WHEN 1 THEN shiftright(simhash, 11) & 2047
-          |           ELSE shiftright(simhash, 22) & 1023 END AS band
-          |  FROM simhash_sig LATERAL VIEW explode(sequence(0, 2)) t AS k),
-          |cand AS (SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2
-          |  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
-          |SELECT d1, d2, CAST(bit_count(s1 ^ s2) AS BIGINT) AS hamming
-          |FROM cand WHERE bit_count(s1 ^ s2) <= 2""".stripMargin)
+        s"""WITH bands AS (SELECT doc_id, simhash, k,
+           |    shiftright(simhash, k * $bits) & $mask AS band
+           |  FROM simhash_sig LATERAL VIEW explode(sequence(0, 2)) t AS k),
+           |cand AS (SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2
+           |  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
+           |SELECT d1, d2, CAST(bit_count(s1 ^ s2) AS BIGINT) AS hamming
+           |FROM cand WHERE bit_count(s1 ^ s2) <= 2""".stripMargin)
     }),
 
     // Embedding cosine near-dup over integer-quantized vectors, with
@@ -499,7 +524,7 @@ object SimilarityQueries extends QueryPack {
     // pick the same width at ANY corpus size, so the hash-compare
     // holds at every scale factor, not just the sf0.01 gate.
     "x_dedup_embedding" -> ((s, dir) => {
-      val bandBits = adaptiveBandBits(Tables(s, dir, "embeddings").count())
+      val bandBits = adaptiveBandBits(Tables.rowCount(s, dir, "embeddings"))
       embs(s, dir,
       s"""WITH $sparkQuant,
          |${lshBandsSql(bandBits)},
@@ -860,10 +885,19 @@ object SimilarityQueries extends QueryPack {
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM closure GROUP BY a""".stripMargin,
 
+    // the band width mirrors the Spark side's integer-exact adaptive
+    // rule (adaptiveSimhashBits: smallest b in [12,20] with n <= 2^b,
+    // signature width 3*b), computed here from DuckDB's own count(*) —
+    // identical at any corpus size
     "x_dedup_simhash" ->
-      s"""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS word FROM documents),
+      s"""WITH nb AS (
+         |  SELECT COALESCE(MIN(b), 20) AS bits
+         |  FROM (SELECT unnest(generate_series(12, 20)) AS b),
+         |       (SELECT count(*) AS n FROM documents)
+         |  WHERE n <= (1::BIGINT << b)),
+         |w AS (SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS word FROM documents),
          |h AS (SELECT doc_id, ${duckH64("word")} AS hw FROM w),
-         |bits AS (SELECT doc_id, unnest(generate_series(0, 31)) AS b, hw FROM h),
+         |bits AS (SELECT doc_id, unnest(generate_series(0, 3 * nb.bits - 1)) AS b, hw FROM h, nb),
          |s AS (SELECT doc_id, b,
          |  CASE WHEN sum(CASE WHEN (hw >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
          |  FROM bits GROUP BY doc_id, b),
@@ -871,9 +905,8 @@ object SimilarityQueries extends QueryPack {
          |  FROM s GROUP BY doc_id),
          |bands AS (SELECT doc_id, simhash, unnest(generate_series(0, 2)) AS k FROM sig),
          |bands2 AS (SELECT doc_id, simhash, k,
-         |  CASE k WHEN 0 THEN simhash & 2047
-         |         WHEN 1 THEN (simhash >> 11) & 2047
-         |         ELSE (simhash >> 22) & 1023 END AS band FROM bands),
+         |  (simhash >> (k * nb.bits)) & ((1::BIGINT << nb.bits) - 1) AS band
+         |  FROM bands, nb),
          |cand AS (SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1, b.doc_id AS d2, b.simhash AS s2
          |  FROM bands2 a JOIN bands2 b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
          |SELECT d1, d2, CAST(bit_count(xor(s1, s2)::BIT) AS BIGINT) AS hamming

@@ -37,6 +37,18 @@ object Tables {
     })
   }
 
+  // Corpus-size lookups drive the adaptive operating points (band widths
+  // in SimilarityQueries); the testdata dirs are immutable, so the count
+  // is computed once per (session, sfDir, name) instead of re-scanning on
+  // every query invocation.
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Long]
+
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    countCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    countCache.getOrElseUpdate((spark, sfDir, name), apply(spark, sfDir, name).count())
+  }
+
   private val cachedViews =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 

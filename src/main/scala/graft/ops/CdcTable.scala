@@ -675,7 +675,14 @@ final class CdcTable(
   private def maybeAutoCompact(): Unit =
     autoCompactMaxFiles.foreach { n =>
       try compactIfNeeded(n): Unit
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // swallowed by design (see scaladoc) but never silently: a
+          // persistently failing policy (corrupt file, permissions)
+          // must surface in the logs
+          CdcTable.log.warn(s"auto-compaction of $path failed (write already committed; " +
+            s"policy re-runs on next commit): $e")
+      }
     }
 
   private def rm(f: File): Unit = {
@@ -685,6 +692,8 @@ final class CdcTable(
 }
 
 object CdcTable {
+  private[ops] val log = org.slf4j.LoggerFactory.getLogger(classOf[CdcTable])
+
   /** Another writer holds the version this commit needs (or the pointer
     * advanced mid-commit): re-read and retry — [[CdcTable.mergeWithRetry]].
     */

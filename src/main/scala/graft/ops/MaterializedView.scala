@@ -61,13 +61,24 @@ final class MaterializedView(
     reflectedVersion match {
       case Some(r) if r == target => ()
       case Some(r) if r < target && table.keys.nonEmpty =>
-        val refreshed =
-          try IncrementalView.refresh(read, table.changesBetween(r, target), groupCols, sumCols)
-          catch {
-            case _: java.io.FileNotFoundException =>
-              IncrementalView.compute(table.read, groupCols, sumCols)
-          }
-        commit(refreshed, target)
+        // the try covers commit() too: the incremental plan is lazy, so a
+        // concurrent expire() of base version r can surface the missing
+        // files either at plan-build time (changesBetween throws directly)
+        // or only when the write action executes inside commit() — Spark
+        // then wraps the FileNotFoundException, so walk the cause chain.
+        def isExpiredBase(e: Throwable): Boolean =
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+            .exists(_.isInstanceOf[java.io.FileNotFoundException])
+        try commit(
+          IncrementalView.refresh(read, table.changesBetween(r, target), groupCols, sumCols),
+          target)
+        catch {
+          case e: Throwable if isExpiredBase(e) =>
+            // pointer has not moved (commit repoints only after the data
+            // materializes), so overwriting the orphan target dir with
+            // the full recompute is safe and idempotent
+            commit(IncrementalView.compute(table.read, groupCols, sumCols), target)
+        }
       case _ =>
         commit(IncrementalView.compute(table.read, groupCols, sumCols), target)
     }

@@ -67,6 +67,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(SimilarityQueries.adaptiveBandBits(100000000L) == 16) // clamped at the plane budget
   }
 
+  test("simhash band width follows the corpus-adaptive rule and matches the oracle's operating points") {
+    // smallest b in [12,20] with n <= 2^b (signature width 3b); pinned at
+    // the values the DuckDB oracle's nb CTE computes for the known corpora
+    assert(SimilarityQueries.adaptiveSimhashBits(50) == 12)     // sf0.001
+    assert(SimilarityQueries.adaptiveSimhashBits(500) == 12)    // sf0.01 (oracle gate)
+    assert(SimilarityQueries.adaptiveSimhashBits(4096) == 12)   // boundary: 2^12
+    assert(SimilarityQueries.adaptiveSimhashBits(4097) == 13)
+    assert(SimilarityQueries.adaptiveSimhashBits(5000) == 13)   // sf0.1
+    assert(SimilarityQueries.adaptiveSimhashBits(50000) == 16)  // sf1
+    assert(SimilarityQueries.adaptiveSimhashBits(100000000L) == 20) // clamped at h64's 60 bits
+  }
+
+  test("simhash candidates come from the 3-band equi-join, not all-pairs") {
+    val p = plan("x_dedup_simhash")
+    assert(!p.contains("CartesianProduct"),
+      "simhash near-dup must generate candidates via the band equi-join")
+  }
+
   test("LSH banding is map-side: band values come from literal-plane projections, never a (vec_id, plane) aggregate exchange") {
     // the zero-shuffle banding computes all 16 projections per row with
     // dot_i64 against constant-folded literal plane arrays; the old shape
