@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object OlapQueries extends QueryPack {
 
+  import TextQueries.{h64, duckH64}
+
   private val views = Seq("customer", "orders", "lineitem", "supplier", "part", "nation", "region", "events")
 
   private def sql(s: SparkSession, dir: String, q: String): DataFrame = {
@@ -21,6 +23,48 @@ object OlapQueries extends QueryPack {
 
   private val decSpend =
     "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)"
+
+  /** Derived `partsupp`: the driver testdata carries no partsupp table, so
+    * the five TPC-H queries that need one (q2/q9/q11/q16/q20) derive it as
+    * a PURE FUNCTION of the (part x supplier) keys — full-fidelity join
+    * shapes without new testdata. Four supplier slots per part,
+    * `ps_suppkey = (p_partkey*4 + i) % |supplier|` (four consecutive
+    * integers stay distinct mod |S| >= 4, so (ps_partkey, ps_suppkey) is a
+    * real primary key); availqty and supplycost come from the shared
+    * md5-derived h64 on the (part, slot) pair. Cost lives as integer CENTS
+    * (`ps_supplycost_cents` BIGINT) so min-equality and cross-multiplied
+    * threshold compares are exact integer ops in both engines; the decimal
+    * face (`ps_supplycost`) reconstructs cents/100 through one IEEE
+    * division + round-to-2dp, bit-identical cross-engine, and is used only
+    * in per-row arithmetic that both engines sum as exact decimals.
+    * The DuckDB oracle computes the identical rows from its own tables
+    * (`duckPartsupp`), so parity holds at any scale factor. Scale note:
+    * partsupp is 4x part — generated map-side from the part scan, never
+    * shuffled on its own; the 100 TB plan treats it like any fact-derived
+    * dimension (broadcast when small, shuffle-joined on ps keys when not).
+    */
+  // |supplier| enters as a one-row CROSS JOIN, not a scalar subquery: a
+  // scalar subquery nested inside q20's correlated IN-subquery trips
+  // Spark 4.1.2's "Subquery has not finished" reuse assertion; the
+  // broadcast-join form plans identically and is robust.
+  private val sparkPartsupp =
+    s"""partsupp AS (
+       |  SELECT CAST(p_partkey AS BIGINT) AS ps_partkey,
+       |    CAST((p_partkey * 4 + i) % sc.n AS BIGINT) AS ps_suppkey,
+       |    CAST(${h64("concat('av_', CAST(p_partkey AS STRING), '_', CAST(i AS STRING))")} % 9999 + 1 AS BIGINT) AS ps_availqty,
+       |    CAST(${h64("concat('ps_', CAST(p_partkey AS STRING), '_', CAST(i AS STRING))")} % 90001 + 10000 AS BIGINT) AS ps_supplycost_cents,
+       |    CAST(CAST(${h64("concat('ps_', CAST(p_partkey AS STRING), '_', CAST(i AS STRING))")} % 90001 + 10000 AS DOUBLE) / 100.0 AS DECIMAL(12,2)) AS ps_supplycost
+       |  FROM part CROSS JOIN (SELECT count(*) AS n FROM supplier) sc
+       |  LATERAL VIEW explode(sequence(0, 3)) t AS i)""".stripMargin
+
+  private val duckPartsupp =
+    s"""partsupp AS (
+       |  SELECT p_partkey::BIGINT AS ps_partkey,
+       |    ((p_partkey * 4 + i) % (SELECT count(*) FROM supplier))::BIGINT AS ps_suppkey,
+       |    (${duckH64("'av_' || p_partkey::VARCHAR || '_' || i::VARCHAR")} % 9999 + 1)::BIGINT AS ps_availqty,
+       |    (${duckH64("'ps_' || p_partkey::VARCHAR || '_' || i::VARCHAR")} % 90001 + 10000)::BIGINT AS ps_supplycost_cents,
+       |    CAST(CAST((${duckH64("'ps_' || p_partkey::VARCHAR || '_' || i::VARCHAR")} % 90001 + 10000) AS DOUBLE) / 100.0 AS DECIMAL(12,2)) AS ps_supplycost
+       |  FROM part, (SELECT unnest(generate_series(0, 3)) AS i) sl)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -139,20 +183,25 @@ object OlapQueries extends QueryPack {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_type, p_brand""".stripMargin)),
 
-    // TPC-H Q9 shape: profit per nation-year — revenue minus a computed
-    // cost (retail price stands in for supplycost; no partsupp table),
-    // fact joined to two dimensions plus supplier nation.
+    // TPC-H Q9: profit per nation-year — revenue minus supplycost*qty
+    // from the derived partsupp (full-fidelity: the fact joins partsupp
+    // on BOTH keys, the official shape), part name filtered like the
+    // official color-word predicate, supplier nation for the group key.
     "q9_profit" -> ((s, dir) => sql(s, dir,
-      """SELECT nation, yr,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-        |         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(4,2))) AS DOUBLE) AS profit
-        |FROM (
-        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
-        |    l_extendedprice, l_discount, p_retailprice, l_quantity
-        |  FROM lineitem, orders, part, supplier, nation
-        |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
-        |    AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey) t
-        |GROUP BY nation, yr""".stripMargin)),
+      s"""WITH $sparkPartsupp
+         |SELECT nation, yr,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+         |         - ps_supplycost * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+         |FROM (
+         |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |    l_extendedprice, l_discount, ps_supplycost, l_quantity
+         |  FROM lineitem, orders, part, supplier, partsupp, nation
+         |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+         |    AND l_suppkey = s_suppkey
+         |    AND ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |    AND s_nationkey = n_nationkey
+         |    AND p_name LIKE '%bolt%') t
+         |GROUP BY nation, yr""".stripMargin)),
 
     // TPC-H Q7 shape: the same dimension joined twice under different
     // roles (customer nation vs supplier nation), revenue by nation pair
@@ -258,16 +307,24 @@ object OlapQueries extends QueryPack {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
 
-    // TPC-H Q2 shape: correlated-min selection — rows whose measure equals
-    // the per-group minimum, the min computed by a correlated subquery
-    // (rewritten to a grouped join; double equality is bit-identical
-    // across engines so the match set is deterministic).
+    // TPC-H Q2: minimum-cost supplier — the full region-scoped correlated
+    // minimum over the derived partsupp (Catalyst rewrites the correlated
+    // subquery into a grouped join; the min-equality compares integer
+    // CENTS, exact in both engines, so the match set is deterministic).
     "q2_min_acct_supplier" -> ((s, dir) => sql(s, dir,
-      """SELECT n_name, s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
-        |FROM supplier s JOIN nation ON s_nationkey = n_nationkey
-        |WHERE s_acctbal = (
-        |  SELECT min(s2.s_acctbal) FROM supplier s2
-        |  WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin)),
+      s"""WITH $sparkPartsupp
+         |SELECT CAST(s_acctbal AS DOUBLE) AS acctbal, s_name, n_name, p_partkey, p_type,
+         |  CAST(ps_supplycost_cents AS DOUBLE) / 100.0 AS supplycost
+         |FROM part, supplier, partsupp, nation, region
+         |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         |  AND p_size IN (5, 15)
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |  AND ps_supplycost_cents = (
+         |    SELECT min(ps2.ps_supplycost_cents)
+         |    FROM partsupp ps2, supplier s2, nation n2, region r2
+         |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+         |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+         |      AND r2.r_name = 'ASIA')""".stripMargin)),
 
     // TPC-H Q4 shape: order-priority checking — EXISTS turns into a left
     // semi join on the order key (shipdate-lag stands in for the missing
@@ -413,53 +470,64 @@ object OlapQueries extends QueryPack {
         |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY CAST(c_nationkey % 5 AS BIGINT)""".stripMargin)),
 
-    // TPC-H Q11 shape: important-stock identification — per-part value
-    // held by one nation's suppliers, kept only when it exceeds a fixed
-    // fraction of the grand total (lineitem revenue stands in for the
-    // missing partsupp cost*qty). The uncorrelated total is one scalar
-    // subquery (a broadcast single row) computing 2x the average
-    // per-part share, so the selectivity survives any scale factor (the
-    // official query scales its fraction by 1/SF for the same reason);
-    // all aggregates are exact decimal sums cast to double, so the
-    // strict threshold compare is bit-identical across engines.
+    // TPC-H Q11: important-stock identification — per-part inventory
+    // value (supplycost * availqty from the derived partsupp) held by one
+    // nation's suppliers, kept when it exceeds 2x the average per-part
+    // share (the official query scales its fraction by 1/SF for the same
+    // selectivity-stability reason). The threshold compare is
+    // CROSS-MULTIPLIED INTEGER arithmetic on cents — no division, no
+    // doubles — so it is bit-identical across engines at any SF (exact
+    // until SUM(cents*qty)*nparts nears 2^63, ~sf100 of this data; past
+    // that, swap both sides to DECIMAL(38,0)).
     "q11_important_stock" -> ((s, dir) => sql(s, dir,
-      """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_value
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE s_nationkey = 3
-        |GROUP BY l_partkey
-        |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) >
-        |  (SELECT 2.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(DISTINCT l_partkey)
-        |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey WHERE s_nationkey = 3)""".stripMargin)),
+      s"""WITH $sparkPartsupp,
+         |natps AS (
+         |  SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS val_cents
+         |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+         |  WHERE s_nationkey = 3)
+         |SELECT ps_partkey, CAST(SUM(val_cents) AS DOUBLE) / 100.0 AS part_value
+         |FROM natps GROUP BY ps_partkey
+         |HAVING SUM(val_cents) * (SELECT count(DISTINCT ps_partkey) FROM natps) >
+         |       2 * (SELECT SUM(val_cents) FROM natps)""".stripMargin)),
 
-    // TPC-H Q16 shape: parts/supplier relationship count — distinct
-    // suppliers per part attribute group with a NOT-IN supplier
-    // exclusion (negative balance stands in for the complaints LIKE; no
-    // s_comment column). NOT IN over a non-null key column becomes a
-    // broadcast anti join; the distinct count is two-phase at scale.
+    // TPC-H Q16: parts/supplier relationship count — distinct suppliers
+    // per part attribute group FROM THE DERIVED PARTSUPP (the official
+    // fact source), with a NOT-IN supplier exclusion (negative balance
+    // stands in for the complaints LIKE; no s_comment column). NOT IN
+    // over a non-null key column becomes a broadcast anti join; the
+    // distinct count is two-phase at scale.
     "q16_parts_supplier" -> ((s, dir) => sql(s, dir,
-      """SELECT p_type, CAST(p_size AS BIGINT) AS p_size, count(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
-        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
-        |GROUP BY p_type, CAST(p_size AS BIGINT)""".stripMargin)),
+      s"""WITH $sparkPartsupp
+         |SELECT p_type, CAST(p_size AS BIGINT) AS p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM partsupp JOIN part ON p_partkey = ps_partkey
+         |WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         |GROUP BY p_type, CAST(p_size AS BIGINT)""".stripMargin)),
 
-    // TPC-H Q20 shape: potential part promotion — nation-filtered
-    // suppliers who moved more than a threshold quantity of a
-    // name-matched part family in one year (the grouped-HAVING IN stands
-    // in for the partsupp availability correlate). Chain: dimension
-    // filters push into both scans, the IN becomes a semi join against
-    // the grouped fact.
+    // TPC-H Q20: excess-availability suppliers — the official availability
+    // correlate over the derived partsupp: suppliers holding a 'small%'
+    // part slot whose availqty exceeds half the quantity THAT PAIR shipped
+    // in the window (pair-correlated scalar subquery; a NULL sum — pair
+    // never shipped — drops the row in both engines), scoped to one
+    // region. The compare is 2*availqty (BIGINT) > exact decimal sum —
+    // no doubles. Region rather than the official single nation keeps the
+    // result non-degenerate at the small test SFs (a nation is 1/25 of
+    // 100 suppliers at sf0.01); the join chain is a superset of the
+    // official one (supplier -> nation -> region).
     "q20_excess_suppliers" -> ((s, dir) => sql(s, dir,
-      """SELECT s_suppkey, s_name
-        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name = 'NATION_3'
-        |  AND s_suppkey IN (
-        |    SELECT l_suppkey
-        |    FROM lineitem JOIN part ON p_partkey = l_partkey
-        |    WHERE p_name LIKE 'small%'
-        |      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-        |    GROUP BY l_suppkey
-        |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(50 AS DECIMAL(12,2)))""".stripMargin)),
+      s"""WITH $sparkPartsupp
+         |SELECT s_suppkey, s_name
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND s_suppkey IN (
+         |    SELECT ps_suppkey FROM partsupp
+         |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+         |      AND 2 * ps_availqty > (
+         |        SELECT SUM(CAST(l_quantity AS DECIMAL(12,2)))
+         |        FROM lineitem
+         |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'))""".stripMargin)),
 
     // CUBE: all four grouping combinations in one pass (Spark expands to
     // a single shuffle with grouping-id; 100 TB cost is one scan, not
@@ -659,16 +727,20 @@ object OlapQueries extends QueryPack {
         |GROUP BY p_type, p_brand""".stripMargin,
 
     "q9_profit" ->
-      """SELECT nation, yr,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-        |         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(4,2))) AS DOUBLE) AS profit
-        |FROM (
-        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
-        |    l_extendedprice, l_discount, p_retailprice, l_quantity
-        |  FROM lineitem, orders, part, supplier, nation
-        |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
-        |    AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey) t
-        |GROUP BY nation, yr""".stripMargin,
+      s"""WITH $duckPartsupp
+         |SELECT nation, yr,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+         |         - ps_supplycost * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+         |FROM (
+         |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |    l_extendedprice, l_discount, ps_supplycost, l_quantity
+         |  FROM lineitem, orders, part, supplier, partsupp, nation
+         |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+         |    AND l_suppkey = s_suppkey
+         |    AND ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |    AND s_nationkey = n_nationkey
+         |    AND p_name LIKE '%bolt%') t
+         |GROUP BY nation, yr""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT supp_nation, cust_nation, yr,
@@ -718,11 +790,19 @@ object OlapQueries extends QueryPack {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q2_min_acct_supplier" ->
-      """SELECT n_name, s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
-        |FROM supplier s JOIN nation ON s_nationkey = n_nationkey
-        |WHERE s_acctbal = (
-        |  SELECT min(s2.s_acctbal) FROM supplier s2
-        |  WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin,
+      s"""WITH $duckPartsupp
+         |SELECT CAST(s_acctbal AS DOUBLE) AS acctbal, s_name, n_name, p_partkey, p_type,
+         |  CAST(ps_supplycost_cents AS DOUBLE) / 100.0 AS supplycost
+         |FROM part, supplier, partsupp, nation, region
+         |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         |  AND p_size IN (5, 15)
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |  AND ps_supplycost_cents = (
+         |    SELECT min(ps2.ps_supplycost_cents)
+         |    FROM partsupp ps2, supplier s2, nation n2, region r2
+         |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+         |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+         |      AND r2.r_name = 'ASIA')""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
@@ -861,32 +941,38 @@ object OlapQueries extends QueryPack {
         |  ON e.user_id = od.user_id AND e.ts2 <= od.o_orderdate""".stripMargin,
 
     "q11_important_stock" ->
-      """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_value
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE s_nationkey = 3
-        |GROUP BY l_partkey
-        |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) >
-        |  (SELECT 2.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(DISTINCT l_partkey)
-        |   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey WHERE s_nationkey = 3)""".stripMargin,
+      s"""WITH $duckPartsupp,
+         |natps AS (
+         |  SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS val_cents
+         |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+         |  WHERE s_nationkey = 3)
+         |SELECT ps_partkey, CAST(SUM(val_cents) AS DOUBLE) / 100.0 AS part_value
+         |FROM natps GROUP BY ps_partkey
+         |HAVING SUM(val_cents) * (SELECT count(DISTINCT ps_partkey) FROM natps) >
+         |       2 * (SELECT SUM(val_cents) FROM natps)""".stripMargin,
 
     "q16_parts_supplier" ->
-      """SELECT p_type, CAST(p_size AS BIGINT) AS p_size, count(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
-        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
-        |GROUP BY p_type, CAST(p_size AS BIGINT)""".stripMargin,
+      s"""WITH $duckPartsupp
+         |SELECT p_type, CAST(p_size AS BIGINT) AS p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM partsupp JOIN part ON p_partkey = ps_partkey
+         |WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         |GROUP BY p_type, CAST(p_size AS BIGINT)""".stripMargin,
 
     "q20_excess_suppliers" ->
-      """SELECT s_suppkey, s_name
-        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name = 'NATION_3'
-        |  AND s_suppkey IN (
-        |    SELECT l_suppkey
-        |    FROM lineitem JOIN part ON p_partkey = l_partkey
-        |    WHERE p_name LIKE 'small%'
-        |      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-        |    GROUP BY l_suppkey
-        |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(50 AS DECIMAL(12,2)))""".stripMargin,
+      s"""WITH $duckPartsupp
+         |SELECT s_suppkey, s_name
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND s_suppkey IN (
+         |    SELECT ps_suppkey FROM partsupp
+         |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+         |      AND 2 * ps_availqty > (
+         |        SELECT SUM(CAST(l_quantity AS DECIMAL(12,2)))
+         |        FROM lineitem
+         |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'))""".stripMargin,
 
     "q_cube_agg" ->
       """SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,

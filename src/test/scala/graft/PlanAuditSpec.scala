@@ -97,6 +97,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("derived-partsupp TPC-H queries broadcast their dimension sides") {
+    // partsupp is generated map-side from the part scan (4 rows per part);
+    // the |supplier| count enters as a one-row broadcast, and the
+    // dimension joins (part/supplier/nation/region) broadcast rather than
+    // shuffling the fact side
+    Seq("q2_min_acct_supplier", "q9_profit", "q16_parts_supplier", "q20_excess_suppliers")
+      .foreach { n =>
+        assert(plan(n).contains("BroadcastHashJoin"),
+          s"$n must broadcast its dimension joins")
+      }
+  }
+
   test("decontamination probes the eval set through a broadcast, not a shuffle of the corpus side") {
     val p = plan("x_decontamination")
     assert(p.contains("BroadcastHashJoin"))
