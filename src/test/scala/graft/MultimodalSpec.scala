@@ -49,11 +49,47 @@ class MultimodalSpec extends SparkSpec {
     assert(img.length == 1 && img.head.frame_idx == 0 && img.head.frame_bytes.length == 10)
   }
 
-  test("decode stub stands behind a stable contract (swap point for real codecs)") {
+  test("decode stub stands behind a stable contract (fallback for codec-less kinds)") {
     val (crc1, w1, h1) = Multimodal.decodeStub("same bytes".getBytes)
     val (crc2, w2, h2) = Multimodal.decodeStub("same bytes".getBytes)
     val (crc3, _, _) = Multimodal.decodeStub("other bytes".getBytes)
     assert((crc1, w1, h1) == (crc2, w2, h2))
     assert(crc1 != crc3)
+  }
+
+  test("real PNG decode round-trips exact dimensions and pixel-sum checksum") {
+    val png = Multimodal.encodePng(7, 5, seed = 42L)
+    val Some((sum1, w, h)) = Multimodal.decodeImage(png)
+    assert((w, h) == (7, 5), "decoded dimensions must be the encoded ones, not header-sniffed fakes")
+    val Some((sum2, _, _)) = Multimodal.decodeImage(Multimodal.encodePng(7, 5, seed = 42L))
+    assert(sum1 == sum2, "same seed -> same pixels -> same checksum")
+    val Some((sum3, _, _)) = Multimodal.decodeImage(Multimodal.encodePng(7, 5, seed = 43L))
+    assert(sum1 != sum3, "checksum must depend on pixel content")
+    // not an image -> None, never a fake success
+    assert(Multimodal.decodeImage("plain text".getBytes).isEmpty)
+  }
+
+  test("extractFeatures decodes real image payloads through the Spark path; undecodable ones fall back") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Multimodal.encodePng(12, 9, seed = 7L), 0L),
+      Multimodal.MediaRow(2L, "image", "not really an image".getBytes, 0L),
+      Multimodal.MediaRow(3L, "audio", Multimodal.encodePng(12, 9, seed = 7L), 0L)
+    ).toDS()
+    val f = Multimodal.extractFeatures(media).collect().map(r => r.media_id -> r).toMap
+    assert((f(1L).width, f(1L).height) == (12, 9), "real decode must surface real dimensions")
+    val (stubCrc, stubW, stubH) = Multimodal.decodeStub("not really an image".getBytes)
+    assert((f(2L).checksum, f(2L).width, f(2L).height) == (stubCrc, stubW, stubH),
+      "undecodable image payloads take the stub path")
+    assert((f(3L).width, f(3L).height) != (12, 9),
+      "non-image kinds never enter the image codec, even with decodable bytes")
+  }
+
+  test("resize on a real PNG is a genuine scaled re-encode, still decodable") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Multimodal.encodePng(16, 10, seed = 3L), 0L)).toDS()
+    val out = Multimodal.resize(media, 2).head()
+    val Some((_, w, h)) = Multimodal.decodeImage(out.payload)
+    assert((w, h) == (8, 5), "resize must scale the raster, not stride the bytes")
+    assert(out.meta_len == out.payload.length.toLong)
   }
 }
