@@ -102,7 +102,7 @@ final class CdcPipeline(
 
   private def maintainViews(tableName: String, table: CdcTable): Unit =
     views.filter(_.table == tableName).foreach { vs =>
-      new graft.ops.MaterializedView(spark, table, vs.viewPath, vs.groupCols, vs.sumCols)
+      new graft.ops.MaterializedView(spark, table, vs.viewPath, vs.groupCols, vs.sumCols, vs.extCols)
         .refresh()
     }
 
@@ -123,9 +123,11 @@ final class CdcPipeline(
 
 object CdcPipeline {
   /** Declarative view registration for the pipeline: maintain at
-    * `viewPath` the per-`groupCols` count/sum aggregate of ingested
-    * table `table` (sums over `sumCols`).
+    * `viewPath` the per-`groupCols` count/sum/avg aggregate of ingested
+    * table `table` (sums and avgs over `sumCols`, min/max over
+    * `extCols`).
     */
   final case class ViewSpec(table: String, viewPath: String,
-                            groupCols: Seq[String], sumCols: Seq[String])
+                            groupCols: Seq[String], sumCols: Seq[String],
+                            extCols: Seq[String] = Nil)
 }

@@ -6,8 +6,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** A PERSISTED, streaming-maintained materialized view of one
-  * [[CdcTable]]: the [[IncrementalView]] count/sum aggregate kept
-  * current by the table's own change data feed, committed through the
+  * [[CdcTable]]: the [[IncrementalView]] count/sum/avg/min/max aggregate
+  * kept current by the table's own change data feed, committed through the
   * same atomic-pointer discipline as the table itself. This is the
   * end-to-end face of incremental view maintenance: the CDC pipeline
   * calls [[refresh]] after each micro-batch merge, so the flow is
@@ -32,6 +32,7 @@ final class MaterializedView(
     val path: String,
     groupCols: Seq[String],
     sumCols: Seq[String],
+    extCols: Seq[String] = Nil,
     retainVersions: Int = 3) {
 
   private def pointer = new File(path, CdcTable.CurrentPointer)
@@ -70,17 +71,18 @@ final class MaterializedView(
           Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
             .exists(_.isInstanceOf[java.io.FileNotFoundException])
         try commit(
-          IncrementalView.refresh(read, table.changesBetween(r, target), groupCols, sumCols),
+          IncrementalView.refresh(read, table.changesBetween(r, target),
+            groupCols, sumCols, extCols, table.read),
           target)
         catch {
           case e: Throwable if isExpiredBase(e) =>
             // pointer has not moved (commit repoints only after the data
             // materializes), so overwriting the orphan target dir with
             // the full recompute is safe and idempotent
-            commit(IncrementalView.compute(table.read, groupCols, sumCols), target)
+            commit(IncrementalView.compute(table.read, groupCols, sumCols, extCols), target)
         }
       case _ =>
-        commit(IncrementalView.compute(table.read, groupCols, sumCols), target)
+        commit(IncrementalView.compute(table.read, groupCols, sumCols, extCols), target)
     }
   }
 

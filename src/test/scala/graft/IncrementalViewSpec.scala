@@ -57,6 +57,76 @@ class IncrementalViewSpec extends SparkSpec {
     assert(sorted(agg) == Seq(("<null>", 2L, 58L), ("c", 1L, 40L), ("d", 1L, 0L)))
   }
 
+  test("all five aggregates (count/sum/avg/min/max) refresh == recompute across merges and deletes") {
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", IncrementalView.CountCol, "amt", "avg_amt", "min_amt", "max_amt")
+        .collect()
+        .map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))
+        .sortBy(_._1).toSeq
+    val path = tmpDir("iview5") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), retainVersions = 10)
+    t.init(Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("a"), Some(20L)), (3L, Some("a"), Some(5L)),
+      (4L, Some("b"), Some(30L)), (5L, Some("b"), None),
+      (6L, Some("c"), None)) // all-null group: sum 0, avg/min/max null
+      .toDF("id", "grp", "amt"))
+    val v1 = t.currentVersion.get
+    var agg = IncrementalView.compute(t.read, Seq("grp"), Seq("amt"), Seq("amt"))
+    assert(snap(agg) == Seq(
+      ("a", 3L, 35L, Some(35.0 / 3), Some(5L), Some(20L)),
+      ("b", 2L, 30L, Some(30.0), Some(30L), Some(30L)),
+      ("c", 1L, 0L, None, None, None)))
+
+    // delete a's MIN (5) — extremum invalidated, group-local recompute;
+    // insert a new max into a; delete b's only non-null value (avg and
+    // extrema must go null while the group survives); give c a value
+    t.merge(Seq(
+      (3L, Some("a"), Some(5L), 1L, "d"),
+      (7L, Some("a"), Some(99L), 1L, "c"),
+      (4L, Some("b"), Some(30L), 1L, "d"),
+      (6L, Some("c"), Some(42L), 1L, "u"))
+      .toDF("id", "grp", "amt", "ts", "__op"), "ts")
+    val v2 = t.currentVersion.get
+    agg = IncrementalView.refresh(agg, t.changesBetween(v1, v2),
+      Seq("grp"), Seq("amt"), Seq("amt"), t.read)
+    val full2 = IncrementalView.compute(t.read, Seq("grp"), Seq("amt"), Seq("amt"))
+    assert(snap(agg) == snap(full2))
+    assert(snap(agg) == Seq(
+      ("a", 3L, 129L, Some(43.0), Some(10L), Some(99L)),
+      ("b", 1L, 0L, None, None, None),
+      ("c", 1L, 42L, Some(42.0), Some(42L), Some(42L))))
+
+    // update that MOVES the max down (update_preimage removes 99, the
+    // stored max) plus an untouched-extrema update — only the dirty
+    // group pays a recompute, both land on the recompute's answer
+    t.merge(Seq(
+      (7L, Some("a"), Some(1L), 2L, "u"),
+      (6L, Some("c"), Some(41L), 2L, "u"))
+      .toDF("id", "grp", "amt", "ts", "__op"), "ts")
+    val v3 = t.currentVersion.get
+    agg = IncrementalView.refresh(agg, t.changesBetween(v2, v3),
+      Seq("grp"), Seq("amt"), Seq("amt"), t.read)
+    assert(snap(agg) == snap(IncrementalView.compute(t.read, Seq("grp"), Seq("amt"), Seq("amt"))))
+    assert(snap(agg).head == (("a", 3L, 31L, Some(31.0 / 3), Some(1L), Some(20L))))
+  }
+
+  test("MaterializedView maintains min/max through the extCols seam") {
+    import graft.ops.MaterializedView
+    val root = tmpDir("mview5")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"), retainVersions = 10)
+    t.init(Seq((1L, Some("a"), Some(10L)), (2L, Some("a"), Some(3L))).toDF("id", "grp", "amt"))
+    val mv = new MaterializedView(spark, t, s"$root/view", Seq("grp"), Seq("amt"), Seq("amt"))
+    mv.refresh()
+    // delete the min; the refreshed persisted view equals the recompute
+    t.delete(org.apache.spark.sql.functions.col("id") === 2L)
+    mv.refresh()
+    val r = mv.read.select("grp", "min_amt", "max_amt", "avg_amt").head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)) == (("a", 10L, 10L, 10.0)))
+  }
+
   test("MaterializedView crash window: an orphan refresh (data written, pointer not moved) is invisible and re-derived") {
     import graft.ops.MaterializedView
     val root = tmpDir("mview")
