@@ -135,6 +135,31 @@ object ParityQueries extends QueryPack {
           |FROM sess GROUP BY user_id, sess_no""".stripMargin)
     }),
 
+    // The BATCH TWIN of the stateful streaming sessionizer
+    // (streaming.StreamOps.sessionize): same 2-hour gap rule, same output
+    // schema (user_id, start_ms, end_ms, n_events) in epoch millis — so
+    // the flatMapGroupsWithState session definition is provable against
+    // the DuckDB oracle here, and StreamOpsSpec proves the streamed
+    // output equals THIS query on the same events. Same gaps-and-islands
+    // plan as x_sessionization: one shuffle on user_id.
+    "x_session_stateful_twin" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events")
+      s.sql(
+        """WITH gaps AS (
+          |  SELECT user_id, event_id, unix_millis(ts) AS tms,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |           OR unix_millis(ts) - unix_millis(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 7200000
+          |         THEN 1 ELSE 0 END AS new_sess
+          |  FROM events),
+          |sess AS (
+          |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+          |  FROM gaps)
+          |SELECT user_id, CAST(min(tms) AS BIGINT) AS start_ms,
+          |  CAST(max(tms) AS BIGINT) AS end_ms, count(*) AS n_events
+          |FROM sess GROUP BY user_id, sess_no""".stripMargin)
+    }),
+
     // S3 + P4: metadata-style pushdown projection — concat/substr
     // projections with a regex filter and negation, the
     // information_schema query shapes of the snapshot path.
@@ -209,6 +234,21 @@ object ParityQueries extends QueryPack {
         |SELECT user_id, sess_no, count(*) AS n_events,
         |  min(ts) AS sess_start, max(ts) AS sess_end,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sess_value
+        |FROM sess GROUP BY user_id, sess_no""".stripMargin,
+
+    "x_session_stateful_twin" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS tms,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 7200000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+        |  FROM gaps)
+        |SELECT user_id, CAST(min(tms) AS BIGINT) AS start_ms,
+        |  CAST(max(tms) AS BIGINT) AS end_ms, count(*) AS n_events
         |FROM sess GROUP BY user_id, sess_no""".stripMargin,
 
     "p_envelope_hygiene" ->

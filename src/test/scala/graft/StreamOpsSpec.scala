@@ -97,6 +97,53 @@ class StreamOpsSpec extends SparkSpec {
     assert(sessions(1).start_ms == t0 + 5 * 3600000L)
   }
 
+  test("streamed stateful sessions equal the batch twin oracle query on the same events") {
+    val dir = "/root/testdata/sf0.001"
+    val root = tmpDir("streamops8")
+    // one time-sorted file -> one initial micro-batch, so the stateful
+    // path sees each user's events in order (the batch twin sorts by
+    // definition; feeding the stream unordered would test file layout,
+    // not the session rule)
+    Tables(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).sortWithinPartitions("ts", "event_id")
+      .write.mode("append").parquet(s"$root/in")
+
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[StreamOps.Session]
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(evtSchema).parquet(s"$root/in").as[Evt]
+      val q = StreamOps.sessionize(stream, gapMs = 2 * 3600000L)
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.Session], _: Long) =>
+          emitted.synchronized { emitted ++= df.collect() }: Unit
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // two sentinel runs: the first advances the watermark past every real
+    // session's end+gap, the second lets the event-time timeouts fire and
+    // flush the still-open last session of each user (timeout processing
+    // uses the watermark checkpointed by the PREVIOUS batch)
+    val maxTs = Tables(spark, dir, "events")
+      .agg(max("ts")).head().getTimestamp(0).getTime
+    for (k <- 1 to 2) {
+      Seq((-k.toLong, -1L, "sentinel", new java.sql.Timestamp(maxTs + k * 24 * 3600000L)))
+        .toDF("event_id", "user_id", "event_type", "ts")
+        .write.mode("append").parquet(s"$root/in")
+      runOnce()
+    }
+
+    val got = emitted.filter(_.user_id >= 0)
+      .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events)).sorted.toSeq
+    val want = SparkEntry.queries("x_session_stateful_twin")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got.nonEmpty && got == want,
+      s"stateful sessions (${got.length}) must equal the batch twin (${want.length})")
+  }
+
   test("stream-stream interval join matches follows within the lag window only") {
     val root = tmpDir("streamops5")
     val t0 = 1700000000000L
