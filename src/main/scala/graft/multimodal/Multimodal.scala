@@ -99,8 +99,12 @@ object Multimodal {
     require(factor >= 1, s"factor must be >= 1: $factor")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val out = resizeImage(r.payload, factor).getOrElse(
-          r.payload.indices.collect { case i if i % factor == 0 => r.payload(i) }.toArray)
+        // same kind gate as extractFeatures: only image rows enter the
+        // image codec — an audio/video payload that HAPPENS to parse as
+        // an image must not be silently transcoded through the PNG path
+        val out = (if (r.kind == "image") resizeImage(r.payload, factor) else None)
+          .getOrElse(
+            r.payload.indices.collect { case i if i % factor == 0 => r.payload(i) }.toArray)
         MediaRow(r.media_id, r.kind, out, out.length.toLong)
       }
     }

@@ -127,8 +127,13 @@ object IncrementalView {
 
     if (extCols.isEmpty) refreshed.drop("__dirty")
     else {
-      val clean = refreshed.filter(!col("__dirty")).drop("__dirty")
-      val dirtyKeys = refreshed.filter(col("__dirty")).select(groupCols.map(col): _*)
+      // the clean/dirty split consumes `refreshed` twice (clean rows and
+      // dirty keys) in the one downstream action — materialize the joined
+      // aggregate once (it is group-cardinality-sized, not table-sized)
+      // instead of re-running the join + dirty evaluation per branch
+      val split = refreshed.localCheckpoint()
+      val clean = split.filter(!col("__dirty")).drop("__dirty")
+      val dirtyKeys = split.filter(col("__dirty")).select(groupCols.map(col): _*)
       val semiCond = groupCols.map(k => col(s"t.$k") <=> col(s"k.$k")).reduce(_ && _)
       val recomputed = compute(
         tableAt.alias("t").join(dirtyKeys.alias("k"), semiCond, "left_semi"),

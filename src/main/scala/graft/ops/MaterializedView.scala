@@ -61,7 +61,11 @@ final class MaterializedView(
   def refresh(): Unit = table.currentVersion.foreach { target =>
     reflectedVersion match {
       case Some(r) if r == target => ()
-      case Some(r) if r < target && table.keys.nonEmpty =>
+      // a view persisted by an older build may lack columns the current
+      // IncrementalView maintains (e.g. __nn_/avg_/min_/max_); the
+      // incremental plan would then fail on every refresh, so detect the
+      // schema gap up front and recompute once — the rewrite migrates it
+      case Some(r) if r < target && table.keys.nonEmpty && hasCurrentSchema =>
         // the try covers commit() too: the incremental plan is lazy, so a
         // concurrent expire() of base version r can surface the missing
         // files either at plan-build time (changesBetween throws directly)
@@ -70,20 +74,36 @@ final class MaterializedView(
         def isExpiredBase(e: Throwable): Boolean =
           Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
             .exists(_.isInstanceOf[java.io.FileNotFoundException])
+        // readVersion(target), NOT table.read: read re-resolves the
+        // current pointer at action time, so a concurrent commit past
+        // `target` would recompute dirty groups from a NEWER snapshot
+        // while the view commits as `target` — the next refresh would
+        // then re-apply that delta on top (double count). Pinning the
+        // version keeps refresh exactly version-consistent.
         try commit(
           IncrementalView.refresh(read, table.changesBetween(r, target),
-            groupCols, sumCols, extCols, table.read),
+            groupCols, sumCols, extCols, table.readVersion(target)),
           target)
         catch {
           case e: Throwable if isExpiredBase(e) =>
             // pointer has not moved (commit repoints only after the data
             // materializes), so overwriting the orphan target dir with
             // the full recompute is safe and idempotent
-            commit(IncrementalView.compute(table.read, groupCols, sumCols, extCols), target)
+            commit(IncrementalView.compute(table.readVersion(target), groupCols, sumCols, extCols), target)
         }
       case _ =>
-        commit(IncrementalView.compute(table.read, groupCols, sumCols, extCols), target)
+        commit(IncrementalView.compute(table.readVersion(target), groupCols, sumCols, extCols), target)
     }
+  }
+
+  // the columns the CURRENT IncrementalView.compute emits; a persisted
+  // view missing any of them predates this build and must bootstrap again
+  private def hasCurrentSchema: Boolean = {
+    val have = read.columns.toSet
+    val want = Seq(IncrementalView.CountCol) ++ sumCols ++
+      sumCols.flatMap(c => Seq(s"__nn_$c", s"avg_$c")) ++
+      extCols.flatMap(e => Seq(s"min_$e", s"max_$e"))
+    want.forall(have)
   }
 
   private def commit(df: DataFrame, target: Long): Unit = {

@@ -154,6 +154,32 @@ class IncrementalViewSpec extends SparkSpec {
     assert(sorted(mv.read) == sorted(IncrementalView.compute(t.read, Seq("grp"), Seq("amt"))))
   }
 
+  test("MaterializedView migrates a pre-avg/min/max persisted view by recompute, not a failing delta") {
+    import graft.ops.MaterializedView
+    val root = tmpDir("mviewold")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"), retainVersions = 10)
+    t.init(Seq((1L, Some("a"), Some(10L)), (2L, Some("b"), Some(20L))).toDF("id", "grp", "amt"))
+    val v1 = t.currentVersion.get
+    // a view dir written by the build BEFORE avg/min/max maintenance:
+    // only (groupCols, n_rows, sums) — no __nn_/avg_ columns
+    Seq(("a", 1L, 10L), ("b", 1L, 20L)).toDF("grp", IncrementalView.CountCol, "amt")
+      .write.parquet(f"$root/view/v$v1%08d")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/view", CdcTable.CurrentPointer), f"v$v1%08d")
+    val mv = new MaterializedView(spark, t, s"$root/view", Seq("grp"), Seq("amt"))
+
+    // table advances; the incremental path would reference __nn_amt and
+    // fail permanently — the schema gate must route to a full recompute
+    t.merge(Seq((3L, Some("a"), Some(5L), 1L, "c")).toDF("id", "grp", "amt", "ts", "__op"), "ts")
+    mv.refresh()
+    assert(mv.reflectedVersion.contains(t.currentVersion.get))
+    assert(sorted(mv.read) == sorted(IncrementalView.compute(t.read, Seq("grp"), Seq("amt"))))
+    // and the migrated view resumes INCREMENTAL maintenance afterwards
+    t.merge(Seq((4L, Some("b"), Some(7L), 2L, "c")).toDF("id", "grp", "amt", "ts", "__op"), "ts")
+    mv.refresh()
+    assert(sorted(mv.read) == sorted(IncrementalView.compute(t.read, Seq("grp"), Seq("amt"))))
+  }
+
   test("auto-compaction is a no-op under the threshold: no version burned, manifest untouched") {
     val path = tmpDir("autonoop") + "/t"
     val t = new CdcTable(spark, path, Seq("id"), retainVersions = 8,

@@ -92,4 +92,13 @@ class MultimodalSpec extends SparkSpec {
     assert((w, h) == (8, 5), "resize must scale the raster, not stride the bytes")
     assert(out.meta_len == out.payload.length.toLong)
   }
+
+  test("resize applies the same kind gate as extractFeatures: non-image rows never enter the codec") {
+    val png = Multimodal.encodePng(16, 10, seed = 3L)
+    val media = Seq(Multimodal.MediaRow(1L, "audio", png, 0L)).toDS()
+    val out = Multimodal.resize(media, 2).head()
+    val expected = png.indices.collect { case i if i % 2 == 0 => png(i) }.toArray
+    assert(out.payload.sameElements(expected),
+      "an audio payload that happens to parse as an image must take the byte-stride stub, not a PNG transcode")
+  }
 }
