@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.envelope.{DebeziumSchema, EnvelopeCodec}
-import graft.ops.{CdcMerge, Dedup}
+import graft.ops.{CdcMerge, CdcTable, Dedup, FileSkipping}
 
 /** Queries exercising the reference's own operator surface (SURVEY.md §2):
   * envelope decode (S1/P1/P2/P10), latest-wins dedup (A4/O1), join-based
@@ -22,6 +22,20 @@ object ParityQueries extends QueryPack {
     */
   private val opSql =
     "CASE WHEN event_type='signup' THEN 'c' WHEN event_type='error' THEN 'd' ELSE 'u' END"
+
+  // one key-range-clustered versioned copy of `orders` per (session, sfDir)
+  // for the stats-pruned scan; tight per-file key ranges are the layout
+  // file skipping exists for. localCheckpoint-free: the table IS the
+  // persisted artifact, rebuilt only when the session or dir changes.
+  private val skipTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
+  private def skipTable(s: SparkSession, dir: String): CdcTable =
+    skipTables.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft_skip").toString
+      val t = new CdcTable(s, s"$root/orders", keys = Seq("o_orderkey"), retainVersions = 3)
+      t.init(Tables(s, dir, "orders").repartitionByRange(8, col("o_orderkey")))
+      t
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -57,6 +71,22 @@ object ParityQueries extends QueryPack {
       val batch = ev.filter(col("event_id") % 2 === 1)
         .select("user_id", "event_id", "event_type", "value", "ts", "__op")
       CdcMerge.applyCdcBatch(base, batch, Seq("user_id"), "ts", Seq("event_id"))
+    }),
+
+    // K10/S2 + Iceberg column metrics (incremental_kafka_s3_cdc.py:134-136,
+    // write.metadata.metrics.default=full): a stats-pruned CdcTable scan.
+    // orders lands key-range-clustered in a versioned table once per
+    // (session, sfDir); the predicate read opens only the files whose
+    // footer min/max can match (scanProfile-verified in FileSkippingSpec)
+    // and must equal the DuckDB filter over the raw table exactly.
+    "k_stats_pruned_scan" -> ((s, dir) => {
+      val t = skipTable(s, dir)
+      t.readWhere(Seq(
+        FileSkipping.Range("o_orderkey", Some(1000L), Some(5000L)),
+        FileSkipping.Range("o_orderdate",
+          Some(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
+          Some(java.sql.Timestamp.valueOf("1996-12-31 23:59:59")))))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
     }),
 
     // J3 + P5: anti-join restartability — rows whose key is NOT in the
@@ -209,6 +239,12 @@ object ParityQueries extends QueryPack {
          |  CASE WHEN u.op IS NOT NULL THEN u.ts ELSE b.ts END AS ts
          |FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
          |WHERE u.op IS NULL OR u.op <> 'd'""".stripMargin,
+
+    "k_stats_pruned_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 5000
+        |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |                      AND TIMESTAMP '1996-12-31 23:59:59'""".stripMargin,
 
     "j3_anti_join_watermark" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -195,6 +195,65 @@ final class CdcTable(
     else readParts(entries, None, cur).drop(PartCol)
   }
 
+  /** Stats-pruned scan — the Iceberg-column-metrics analogue
+    * ([[FileSkipping]]): the manifest prunes MONTHS (a range predicate on
+    * the partition-source column bounds the month keys, which sort
+    * lexically as `yyyy-MM`), footer-derived file stats prune FILES
+    * inside the surviving months, and the residual predicate still
+    * applies to whatever is read — so the answer is identical to
+    * `read.filter(...)` while a selective scan opens only the files
+    * whose min/max ranges can match. Predicates reference DATA columns
+    * (the partition-source column included); stats are cached per
+    * immutable data directory, so repeat scans pay zero footer reads.
+    */
+  def readWhere(preds: Seq[FileSkipping.Range]): DataFrame = {
+    val cur = currentOrThrow
+    val conf = spark.sessionState.newHadoopConf()
+    val kept = scanDirs(cur, preds).flatMap(FileSkipping.prunedFiles(conf, _, preds))
+    val residual = preds.map { p =>
+      val c = col(p.column)
+      (p.lower.map(v => c >= lit(v)) ++ p.upper.map(v => c <= lit(v))).reduce(_ && _)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    if (kept.isEmpty) readAt(cur).filter(lit(false))
+    else {
+      val df = spark.read.option("mergeSchema", "true").parquet(kept.map(_.getPath): _*)
+        .filter(residual)
+      if (df.columns.contains(PartCol)) df.drop(PartCol) else df
+    }
+  }
+
+  /** `(files a readWhere(preds) scan opens, files total)` at the current
+    * version — the skipping effectiveness number specs and plan audits
+    * assert on; metadata-only.
+    */
+  def scanProfile(preds: Seq[FileSkipping.Range]): (Int, Int) = {
+    val cur = currentOrThrow
+    val conf = spark.sessionState.newHadoopConf()
+    val dirs = scanDirs(cur, preds)
+    (dirs.map(FileSkipping.prunedFiles(conf, _, preds).size).sum,
+      dirs.map(FileSkipping.prunedFiles(conf, _, Nil).size).sum)
+  }
+
+  /** The data directories a predicate scan must consider: manifest
+    * entries with months outside the predicate's `yyyy-MM` range dropped
+    * (partitioned), or the current version dir (unpartitioned). Month
+    * bounds derive only from STRING-normalized bounds on the
+    * partition-source column — ISO dates truncate to their month and
+    * both sort lexically; non-string bounds skip month pruning.
+    */
+  private def scanDirs(cur: Long, preds: Seq[FileSkipping.Range]): Seq[File] =
+    partitionSource match {
+      case Some(src) =>
+        val onSrc = preds.filter(_.column == src)
+        val picked = onSrc.foldLeft(manifest(cur)) { (es, p) =>
+          val lo = p.lower.map(FileSkipping.norm).collect { case s: String => s.take(7) }
+          val hi = p.upper.map(FileSkipping.norm).collect { case s: String => s.take(7) }
+          es.filter { case (m, _) => lo.forall(m >= _) && hi.forall(m <= _) }
+        }
+        picked.map(e => new File(path, e._2))
+      case None => Seq(versionDir(cur))
+    }
+
   /** Time travel: read a specific retained version. */
   def readVersion(v: Long): DataFrame = partitionSource match {
     case Some(_) => readParts(manifest(v), None, v).drop(PartCol)
