@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A parquet-backed mergeable table: the engine's stand-in for the
@@ -218,6 +218,26 @@ final class CdcTable(
     else {
       val df = spark.read.option("mergeSchema", "true").parquet(kept.map(_.getPath): _*)
         .filter(residual)
+      if (df.columns.contains(PartCol)) df.drop(PartCol) else df
+    }
+  }
+
+  /** [[readWhere]] with a plain Catalyst predicate: the skippable
+    * conjuncts are extracted ([[FileSkipping.rangesOf]]) for pruning and
+    * the FULL predicate re-applies to whatever is scanned — so any
+    * predicate is accepted and the answer always equals
+    * `read.filter(pred)`; only the pruning power varies with how much of
+    * the predicate is range-shaped.
+    */
+  def readFiltered(pred: Column): DataFrame = {
+    val cur = currentOrThrow
+    val conf = spark.sessionState.newHadoopConf()
+    val ranges = FileSkipping.rangesOf(pred)
+    val kept = scanDirs(cur, ranges).flatMap(FileSkipping.prunedFiles(conf, _, ranges))
+    if (kept.isEmpty) readAt(cur).filter(lit(false))
+    else {
+      val df = spark.read.option("mergeSchema", "true").parquet(kept.map(_.getPath): _*)
+        .filter(pred)
       if (df.columns.contains(PartCol)) df.drop(PartCol) else df
     }
   }
@@ -680,34 +700,55 @@ final class CdcTable(
 
   /** Compaction (reference K10): rewrite to `target` files per partition,
     * folding a partitioned table's multi-commit months back to one
-    * directory each (a new version; content unchanged).
+    * directory each (a new version; content unchanged). `clusterBy`
+    * optionally RE-CLUSTERS while compacting: rows land range-ordered on
+    * the named columns within each month, so every rewritten file covers
+    * a tight value range and [[FileSkipping]] stats prune predicate scans
+    * on those columns — the OPTIMIZE ZORDER/SORT BY maintenance move, at
+    * zero extra cost beyond the rewrite compaction already pays.
     */
-  def compact(target: Int = 1): Unit = {
+  def compact(target: Int = 1, clusterBy: Seq[String] = Nil): Unit = {
     val expected = currentOrThrow
     partitionSource match {
       case Some(_) =>
         val months = allMonths(Some(expected))
         val all = readParts(manifest(expected), None, expected)
-        commitPartitioned(compactShape(all, months.size, target),
+        commitPartitioned(compactShape(all, months.size, target, clusterBy),
           replaced = months, Some(expected))
-      case None => commitFull(readAt(expected).repartition(target), Some(expected))
+      case None =>
+        val base = readAt(expected)
+        val shaped =
+          if (clusterBy.isEmpty) base.repartition(target)
+          else base.repartitionByRange(math.max(1, target), clusterBy.map(col): _*)
+            .sortWithinPartitions(clusterBy.map(col): _*)
+        commitFull(shaped, Some(expected))
     }
   }
 
-  /** Compaction write shape: hash-distribute BY MONTH over `months *
-    * target` shuffle partitions so every hot month rewrites in parallel —
+  /** Compaction write shape: distribute BY MONTH over `months * target`
+    * shuffle partitions so every hot month rewrites in parallel —
     * `repartition(target, month)` alone funnels EVERY month through
     * `target` writer tasks, a single-writer bottleneck once many months
     * are hot (measured 38 s for a full-table fold at sf0.1 that the
     * parallel shape does in a fraction). A month never splits across
     * partitions on the month key alone, so when `target > 1` a
-    * row-content salt spreads each month over `target` buckets.
+    * row-content salt spreads each month over `target` buckets; with
+    * `clusterBy`, range partitioning on (month, cluster cols) + a local
+    * sort replaces the salt — same parallelism, but each file covers a
+    * tight cluster-column range (stats-prunable) instead of a random
+    * slice.
     */
-  private def compactShape(df: DataFrame, months: Int, target: Int): DataFrame = {
-    val dataCols = df.columns.filterNot(_ == PartCol).map(col).toIndexedSeq
-    val salt = if (target <= 1) lit(0) else pmod(hash(dataCols: _*), lit(target))
-    df.repartition(math.max(1, months * target), col(PartCol), salt)
-  }
+  private def compactShape(df: DataFrame, months: Int, target: Int,
+                           clusterBy: Seq[String] = Nil): DataFrame =
+    if (clusterBy.nonEmpty) {
+      val keys = (PartCol +: clusterBy).map(col)
+      df.repartitionByRange(math.max(1, months * target), keys: _*)
+        .sortWithinPartitions(keys: _*)
+    } else {
+      val dataCols = df.columns.filterNot(_ == PartCol).map(col).toIndexedSeq
+      val salt = if (target <= 1) lit(0) else pmod(hash(dataCols: _*), lit(target))
+      df.repartition(math.max(1, months * target), col(PartCol), salt)
+    }
 
   /** Live parquet file count per month (partitioned) or for the whole
     * table (unpartitioned, single "" key) — the quantity the

@@ -9,6 +9,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.catalyst.expressions
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
@@ -196,6 +197,80 @@ object FileSkipping {
     case (x: String, y: String) => x < y
     case _ => throw new IllegalArgumentException(
       s"unorderable stat/predicate pair: ${a.getClass.getSimpleName} vs ${b.getClass.getSimpleName}")
+  }
+
+  // ----------------------------------------------- predicate extraction
+
+  /** Best-effort extraction of skippable [[Range]]s from a Catalyst
+    * predicate: top-level conjuncts of `=`, `>=`, `>`, `<=`, `<` (and
+    * therefore BETWEEN) over one attribute and one foldable literal
+    * contribute a range; everything else (OR, NOT, functions, …)
+    * contributes NOTHING — the caller re-applies the full predicate, so
+    * extraction only ever adds pruning power, never changes the answer.
+    * Strict bounds relax to inclusive ones: a superset of files is a
+    * correct prune set.
+    */
+  def rangesOf(pred: org.apache.spark.sql.Column): Seq[Range] =
+    rangesOf(org.apache.spark.sql.graft.ColumnExpr.expression(pred))
+
+  private def rangesOf(e: expressions.Expression): Seq[Range] = {
+    import expressions._
+    def attr(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // literal values arrive in Catalyst INTERNAL form — map them onto the
+    // stat domain (UTF8String -> String, date days -> ISO, timestamp
+    // already epoch micros)
+    def litVal(x: Expression): Option[Any] = x match {
+      case Literal(v, dt) if v != null =>
+        dt match {
+          case org.apache.spark.sql.types.StringType => Some(v.toString)
+          case org.apache.spark.sql.types.DateType =>
+            Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+          case org.apache.spark.sql.types.TimestampType => Some(v.asInstanceOf[Long])
+          case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+            Some(v.asInstanceOf[Number].longValue)
+          case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+            Some(v.asInstanceOf[Number].doubleValue)
+          case _ => None
+        }
+      case _ => None
+    }
+    def one(c: Option[String], v: Option[Any], lower: Boolean, upper: Boolean): Seq[Range] =
+      (c, v) match {
+        case (Some(cc), Some(vv)) =>
+          Seq(Range(cc, if (lower) Some(vv) else None, if (upper) Some(vv) else None))
+        case _ => Nil
+      }
+    // a DSL-built Column arrives UNRESOLVED: `col("a") >= lit(1)` is
+    // UnresolvedFunction(">=", ...), not GreaterThanOrEqual — normalize
+    // both shapes to (op, left, right) before matching
+    def shape(x: Expression): Option[(String, Expression, Expression)] = x match {
+      case And(l, r)                => Some(("and", l, r))
+      case EqualTo(a, b)            => Some(("=", a, b))
+      case GreaterThanOrEqual(a, b) => Some((">=", a, b))
+      case GreaterThan(a, b)        => Some((">", a, b))
+      case LessThanOrEqual(a, b)    => Some(("<=", a, b))
+      case LessThan(a, b)           => Some(("<", a, b))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.length == 1 && f.arguments.length == 2 =>
+        Some((f.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+          f.arguments(0), f.arguments(1)))
+      case _ => None
+    }
+    shape(e) match {
+      case Some(("and", l, r)) => rangesOf(l) ++ rangesOf(r)
+      case Some(("=" | "==", a, l)) => one(attr(a), litVal(l), lower = true, upper = true) ++
+        one(attr(l), litVal(a), lower = true, upper = true)
+      case Some((">=" | ">", a, l)) => one(attr(a), litVal(l), lower = true, upper = false) ++
+        one(attr(l), litVal(a), lower = false, upper = true)
+      case Some(("<=" | "<", a, l)) => one(attr(a), litVal(l), lower = false, upper = true) ++
+        one(attr(l), litVal(a), lower = true, upper = false)
+      case Some(("between", _, _)) | _ => Nil
+    }
   }
 
   // ------------------------------------------------------------- sidecar

@@ -82,6 +82,45 @@ class FileSkippingSpec extends SparkSpec {
     assert(!FileSkipping.mayMatch(wide, FileSkipping.Range("c", Some(101L), None)))
   }
 
+  test("readFiltered extracts ranges from a plain Column predicate and equals read.filter") {
+    val t = clusteredTable(tmpDir("skip5"))
+    val pred = col("id").between(10L, 20L) &&
+      col("day") >= dt("1996-01-01") && col("user") =!= "u6"
+    val ranges = FileSkipping.rangesOf(pred)
+    assert(ranges.exists(r => r.column == "id" && r.lower.contains(10L) && r.upper.contains(20L)))
+    assert(ranges.exists(r => r.column == "day" && r.lower.contains("1996-01-01")),
+      "date literal must extract (internal day-int -> ISO string domain)")
+    assert(!ranges.exists(_.column == "user"), "a =!= conjunct is residual-only")
+    val got = t.readFiltered(pred).select("id").as[Long].collect().sorted.toSeq
+    val want = t.read.filter(pred).select("id").as[Long].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // an OR tree extracts nothing but still answers exactly
+    val orPred = col("id") === 5L || col("user") === "u2"
+    assert(FileSkipping.rangesOf(orPred).isEmpty)
+    assert(t.readFiltered(orPred).count() == t.read.filter(orPred).count())
+  }
+
+  test("clustered compaction tightens file ranges: the same predicate opens fewer files after compact(clusterBy)") {
+    val root = tmpDir("skip6")
+    // UNclustered layout: rows round-robin over 4 tasks, so every file in
+    // every month spans nearly the full id range — stats cannot prune
+    val rows = (0 until 400).map { i =>
+      (i.toLong, s"u${i % 7}", dt(f"1996-${1 + i % 4}%02d-${1 + i % 28}%02d"))
+    }
+    val t = new CdcTable(spark, s"$root/t", Seq("id"), partitionSource = Some("day"),
+      retainVersions = 5)
+    t.init(rows.toDF("id", "user", "day").repartition(4))
+    val preds = Seq(FileSkipping.Range("id", Some(10L), Some(20L)))
+    val (keptBefore, totalBefore) = t.scanProfile(preds)
+    assert(keptBefore == totalBefore, "round-robin layout leaves nothing to prune")
+    t.compact(target = 4, clusterBy = Seq("id"))
+    val (keptAfter, totalAfter) = t.scanProfile(preds)
+    assert(totalAfter > 1, s"clustered compaction must keep multiple files, got $totalAfter")
+    assert(keptAfter < totalAfter, s"re-clustering must make stats prune: $keptAfter of $totalAfter")
+    val got = t.readWhere(preds).select("id").as[Long].collect().sorted.toSeq
+    assert(got == (10L to 20L).toSeq)
+  }
+
   test("string and date stats prune; merge-evolved files lacking the column are kept") {
     val root = tmpDir("skip4")
     val t = clusteredTable(root)
