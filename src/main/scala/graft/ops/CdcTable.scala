@@ -206,13 +206,16 @@ final class CdcTable(
     * (the partition-source column included); stats are cached per
     * immutable data directory, so repeat scans pay zero footer reads.
     */
-  def readWhere(preds: Seq[FileSkipping.Range]): DataFrame = {
+  def readWhere(preds: Seq[FileSkipping.Pred]): DataFrame = {
     val cur = currentOrThrow
     val conf = spark.sessionState.newHadoopConf()
     val kept = scanDirs(cur, preds).flatMap(FileSkipping.prunedFiles(conf, _, preds))
-    val residual = preds.map { p =>
-      val c = col(p.column)
-      (p.lower.map(v => c >= lit(v)) ++ p.upper.map(v => c <= lit(v))).reduce(_ && _)
+    val residual = preds.map {
+      case p: FileSkipping.Range =>
+        val c = col(p.column)
+        (p.lower.map(v => c >= lit(v)) ++ p.upper.map(v => c <= lit(v))).reduce(_ && _)
+      case FileSkipping.IsNull(c)  => col(c).isNull
+      case FileSkipping.NotNull(c) => col(c).isNotNull
     }.reduceOption(_ && _).getOrElse(lit(true))
     if (kept.isEmpty) readAt(cur).filter(lit(false))
     else {
@@ -223,16 +226,16 @@ final class CdcTable(
   }
 
   /** [[readWhere]] with a plain Catalyst predicate: the skippable
-    * conjuncts are extracted ([[FileSkipping.rangesOf]]) for pruning and
+    * conjuncts are extracted ([[FileSkipping.predsOf]]) for pruning and
     * the FULL predicate re-applies to whatever is scanned — so any
     * predicate is accepted and the answer always equals
     * `read.filter(pred)`; only the pruning power varies with how much of
-    * the predicate is range-shaped.
+    * the predicate is range/null-check shaped.
     */
   def readFiltered(pred: Column): DataFrame = {
     val cur = currentOrThrow
     val conf = spark.sessionState.newHadoopConf()
-    val ranges = FileSkipping.rangesOf(pred)
+    val ranges = FileSkipping.predsOf(pred)
     val kept = scanDirs(cur, ranges).flatMap(FileSkipping.prunedFiles(conf, _, ranges))
     if (kept.isEmpty) readAt(cur).filter(lit(false))
     else {
@@ -246,7 +249,7 @@ final class CdcTable(
     * version — the skipping effectiveness number specs and plan audits
     * assert on; metadata-only.
     */
-  def scanProfile(preds: Seq[FileSkipping.Range]): (Int, Int) = {
+  def scanProfile(preds: Seq[FileSkipping.Pred]): (Int, Int) = {
     val cur = currentOrThrow
     val conf = spark.sessionState.newHadoopConf()
     val dirs = scanDirs(cur, preds)
@@ -257,22 +260,49 @@ final class CdcTable(
   /** The data directories a predicate scan must consider: manifest
     * entries with months outside the predicate's `yyyy-MM` range dropped
     * (partitioned), or the current version dir (unpartitioned). Month
-    * bounds derive only from STRING-normalized bounds on the
-    * partition-source column — ISO dates truncate to their month and
-    * both sort lexically; non-string bounds skip month pruning.
+    * bounds derive from range bounds on the partition-source column:
+    * STRING-normalized bounds truncate to their `yyyy-MM` prefix (ISO
+    * dates and month keys both sort lexically), and — when the schema
+    * sidecar proves the source column is TIMESTAMP-typed — epoch-micros
+    * Long bounds format to `yyyy-MM` in the session time zone, the same
+    * zone `date_format` used to mint the month keys. The type gate
+    * matters: a numeric partition source must not be misread as micros,
+    * so unproven Long bounds skip month pruning instead.
     */
-  private def scanDirs(cur: Long, preds: Seq[FileSkipping.Range]): Seq[File] =
+  private def scanDirs(cur: Long, preds: Seq[FileSkipping.Pred]): Seq[File] =
     partitionSource match {
       case Some(src) =>
-        val onSrc = preds.filter(_.column == src)
+        val onSrc = preds.collect { case r: FileSkipping.Range if r.column == src => r }
+        lazy val srcIsTimestamp = schemaAt(cur)
+          .flatMap(_.find(_.name == src))
+          .exists(_.dataType == org.apache.spark.sql.types.TimestampType)
+        def month(v: Any): Option[String] = FileSkipping.norm(v) match {
+          case s: String => Some(s.take(7))
+          case m: Long if srcIsTimestamp =>
+            val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+            Some(java.time.Instant.ofEpochSecond(Math.floorDiv(m, 1000000L)).atZone(zone)
+              .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")))
+          case _ => None
+        }
         val picked = onSrc.foldLeft(manifest(cur)) { (es, p) =>
-          val lo = p.lower.map(FileSkipping.norm).collect { case s: String => s.take(7) }
-          val hi = p.upper.map(FileSkipping.norm).collect { case s: String => s.take(7) }
+          val lo = p.lower.flatMap(month)
+          val hi = p.upper.flatMap(month)
           es.filter { case (m, _) => lo.forall(m >= _) && hi.forall(m <= _) }
         }
         picked.map(e => new File(path, e._2))
       case None => Seq(versionDir(cur))
     }
+
+  /** Recorded schema of version `v` from its `_schema.json` sidecar, if
+    * present (every partitioned commit writes one); metadata-only.
+    */
+  private def schemaAt(v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val f = schemaFile(v)
+    if (!f.exists()) None
+    else scala.util.Try(org.apache.spark.sql.types.DataType
+      .fromJson(Files.readString(f.toPath))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+  }
 
   /** Time travel: read a specific retained version. */
   def readVersion(v: Long): DataFrame = partitionSource match {

@@ -71,39 +71,146 @@ class FileSkippingSpec extends SparkSpec {
       t.read.filter(col("id").between(10L, 20L)).count())
   }
 
+  test("a torn or old-format sidecar is ignored, recomputed and atomically rewritten") {
+    val root = tmpDir("skip7")
+    val t = clusteredTable(root)
+    val preds = Seq(FileSkipping.Range("id", Some(10L), Some(20L)))
+    val (kept, total) = t.scanProfile(preds)
+    assert(kept < total)
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    val sidecars = walk(new File(root)).filter(_.getName == FileSkipping.SidecarName)
+    assert(sidecars.nonEmpty)
+    // simulate a torn write (no header, partial line) — the old strict
+    // parser threw MatchError on every later scan until manual cleanup
+    sidecars.foreach(s => java.nio.file.Files.writeString(s.toPath, "garbage\tline"))
+    assert(t.scanProfile(preds) == ((kept, total)),
+      "a bad sidecar must be recomputed from footers, not crash or mis-prune")
+    assert(t.readWhere(preds).count() ==
+      t.read.filter(col("id").between(10L, 20L)).count())
+    // and the recompute pass must have healed the sidecar on disk
+    val healed = java.nio.file.Files.readString(sidecars.head.toPath)
+    assert(healed.startsWith("#graft-filestats"), "scan must rewrite the bad sidecar")
+  }
+
   test("an all-null column is skippable; a column with no stats never prunes") {
-    val allNull = FileSkipping.ColStat(None, None, nulls = 100L)
+    val allNull = FileSkipping.ColStat(None, None, nulls = Some(100L))
     assert(!FileSkipping.mayMatch(allNull, FileSkipping.Range("c", Some(1L), None)),
       "no comparison predicate matches a file whose column is entirely null")
-    val wide = FileSkipping.ColStat(Some(0L), Some(100L), 0L)
+    val wide = FileSkipping.ColStat(Some(0L), Some(100L), Some(0L))
     assert(FileSkipping.mayMatch(wide, FileSkipping.Eq("c", 50)))
     assert(!FileSkipping.mayMatch(wide, FileSkipping.Eq("c", 200)))
     assert(FileSkipping.mayMatch(wide, FileSkipping.Range("c", None, Some(0L))))
     assert(!FileSkipping.mayMatch(wide, FileSkipping.Range("c", Some(101L), None)))
   }
 
-  test("readFiltered extracts ranges from a plain Column predicate and equals read.filter") {
+  test("an unorderable stat/predicate type pair keeps the file instead of crashing") {
+    // a plain read.filter would answer col(stringCol) > 5 via implicit
+    // casts, so the pruning layer must accept it too — conservatively
+    val stringStats = FileSkipping.ColStat(Some("a"), Some("z"), Some(0L))
+    assert(FileSkipping.mayMatch(stringStats, FileSkipping.Range("c", Some(5L), None)))
+    assert(FileSkipping.mayMatch(stringStats, FileSkipping.Eq("c", 5)))
+    val t = clusteredTable(tmpDir("skip8"))
+    // string bound against the Long id stats: keeps everything, answers right
+    val odd = Seq(FileSkipping.Range("id", Some("10"), Some("20")))
+    val (kept, total) = t.scanProfile(odd)
+    assert(kept == total, "wrong-type bounds must not prune anything")
+    assert(t.readWhere(odd).count() ==
+      t.read.filter(col("id") >= "10" && col("id") <= "20").count())
+  }
+
+  test("IS NULL and IS NOT NULL prune on null counts and answer exactly") {
+    val root = tmpDir("skip9")
+    // score is null for id < 200: clustered on id, low files are all-null
+    // in score, high files have no nulls — both null predicates prune
+    val rows = (0 until 400).map { i =>
+      (i.toLong, if (i < 200) None else Some(i.toLong * 2), dt(f"1996-${1 + i % 4}%02d-15"))
+    }
+    val df = rows.toDF("id", "score", "day").repartitionByRange(4, col("id"))
+    val t = new CdcTable(spark, s"$root/t", Seq("id"), partitionSource = Some("day"),
+      retainVersions = 5)
+    t.init(df)
+    val (keptNull, totalNull) = t.scanProfile(Seq(FileSkipping.IsNull("score")))
+    assert(keptNull < totalNull, s"IS NULL must skip all-non-null files: $keptNull of $totalNull")
+    val (keptNotNull, totalNotNull) = t.scanProfile(Seq(FileSkipping.NotNull("score")))
+    assert(keptNotNull < totalNotNull,
+      s"IS NOT NULL must skip all-null files: $keptNotNull of $totalNotNull")
+    assert(t.readWhere(Seq(FileSkipping.IsNull("score"))).count() ==
+      t.read.filter(col("score").isNull).count())
+    assert(t.readWhere(Seq(FileSkipping.NotNull("score"))).count() ==
+      t.read.filter(col("score").isNotNull).count())
+    // and through the Column face: extraction + pruning + exact answer
+    val pred = col("score").isNotNull && col("id") <= 250L
+    assert(FileSkipping.predsOf(pred).contains(FileSkipping.NotNull("score")))
+    val got = t.readFiltered(pred).select("id").as[Long].collect().sorted.toSeq
+    val want = t.read.filter(pred).select("id").as[Long].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("decimal stats prune money predicates on both int64 and binary encodings") {
+    val root = tmpDir("skip10")
+    // decimal(12,2) fits INT64; decimal(24,2) forces FIXED_LEN_BYTE_ARRAY
+    val df = (0 until 400).map(i => (i.toLong, dt(f"1996-${1 + i % 4}%02d-15")))
+      .toDF("id", "day")
+      .withColumn("price", (col("id") * 7 / 4).cast("decimal(12,2)"))
+      .withColumn("price_wide", (col("id") * 1000000 + 17).cast("decimal(24,2)"))
+      .repartitionByRange(4, col("id"))
+    val t = new CdcTable(spark, s"$root/t", Seq("id"), partitionSource = Some("day"),
+      retainVersions = 5)
+    t.init(df)
+    val preds = Seq(FileSkipping.Range("price", Some(BigDecimal("100.00")), Some(BigDecimal("200.00"))))
+    val (kept, total) = t.scanProfile(preds)
+    assert(kept < total, s"decimal stats must prune: $kept of $total")
+    assert(t.readWhere(preds).count() ==
+      t.read.filter(col("price").between(BigDecimal("100.00"), BigDecimal("200.00"))).count())
+    val wide = Seq(FileSkipping.Range("price_wide", None, Some(BigDecimal("50000000"))))
+    val (keptW, totalW) = t.scanProfile(wide)
+    assert(keptW < totalW, s"fixed-len-binary decimal stats must prune: $keptW of $totalW")
+    assert(t.readWhere(wide).count() ==
+      t.read.filter(col("price_wide") <= BigDecimal("50000000")).count())
+    // Column face with a decimal literal
+    val pred = col("price") > BigDecimal("300.00")
+    assert(FileSkipping.predsOf(pred).nonEmpty, "decimal literal must extract")
+    assert(t.readFiltered(pred).count() == t.read.filter(pred).count())
+  }
+
+  test("readFiltered extracts preds from a plain Column predicate and equals read.filter") {
     val t = clusteredTable(tmpDir("skip5"))
     val pred = col("id").between(10L, 20L) &&
       col("day") >= dt("1996-01-01") && col("user") =!= "u6"
-    val ranges = FileSkipping.rangesOf(pred)
-    assert(ranges.exists(r => r.column == "id" && r.lower.contains(10L) && r.upper.contains(20L)))
+    val preds = FileSkipping.predsOf(pred)
+    val ranges = preds.collect { case r: FileSkipping.Range => r }
+    assert(ranges.exists(r => r.column == "id" && r.lower.contains(10L) && r.upper.contains(20L)),
+      s"between must extract one merged two-sided range, got $preds")
     assert(ranges.exists(r => r.column == "day" && r.lower.contains("1996-01-01")),
       "date literal must extract (internal day-int -> ISO string domain)")
-    assert(!ranges.exists(_.column == "user"), "a =!= conjunct is residual-only")
+    assert(!preds.exists(_.column == "user"), "a =!= conjunct is residual-only")
+    // the DSL face must actually SKIP files on a clustered table
+    val (kept, total) = t.scanProfile(preds)
+    assert(kept < total, s"Column-face extraction must prune: $kept of $total")
     val got = t.readFiltered(pred).select("id").as[Long].collect().sorted.toSeq
     val want = t.read.filter(pred).select("id").as[Long].collect().sorted.toSeq
     assert(got == want && got.nonEmpty)
     // an OR tree extracts nothing but still answers exactly
     val orPred = col("id") === 5L || col("user") === "u2"
-    assert(FileSkipping.rangesOf(orPred).isEmpty)
+    assert(FileSkipping.predsOf(orPred).isEmpty)
     assert(t.readFiltered(orPred).count() == t.read.filter(orPred).count())
+  }
+
+  test("SQL-parsed predicates (resolved-shape Catalyst classes) extract the same ranges") {
+    val preds = FileSkipping.predsOf(expr("id between 10 and 20 and day >= '1996-01-01'"))
+    val ranges = preds.collect { case r: FileSkipping.Range => r }
+    assert(ranges.exists(r => r.column == "id" && r.lower.contains(10L) && r.upper.contains(20L)))
+    assert(ranges.exists(r => r.column == "day" && r.lower.contains("1996-01-01")))
+    assert(FileSkipping.predsOf(expr("score is null")) == Seq(FileSkipping.IsNull("score")))
+    assert(FileSkipping.predsOf(expr("score is not null")) == Seq(FileSkipping.NotNull("score")))
   }
 
   test("clustered compaction tightens file ranges: the same predicate opens fewer files after compact(clusterBy)") {
     val root = tmpDir("skip6")
-    // UNclustered layout: rows round-robin over 4 tasks, so every file in
-    // every month spans nearly the full id range — stats cannot prune
+    // UNclustered layout: rows round-robin over 4 tasks, so files span
+    // wide id ranges and stats prune little if anything
     val rows = (0 until 400).map { i =>
       (i.toLong, s"u${i % 7}", dt(f"1996-${1 + i % 4}%02d-${1 + i % 28}%02d"))
     }
@@ -111,12 +218,16 @@ class FileSkippingSpec extends SparkSpec {
       retainVersions = 5)
     t.init(rows.toDF("id", "user", "day").repartition(4))
     val preds = Seq(FileSkipping.Range("id", Some(10L), Some(20L)))
+    // assert the post-compaction DELTA, not absolute pre-compaction
+    // counts: round-robin over sequential input partitions can still
+    // correlate (month, task) cells with id blocks and prune a file or two
     val (keptBefore, totalBefore) = t.scanProfile(preds)
-    assert(keptBefore == totalBefore, "round-robin layout leaves nothing to prune")
     t.compact(target = 4, clusterBy = Seq("id"))
     val (keptAfter, totalAfter) = t.scanProfile(preds)
     assert(totalAfter > 1, s"clustered compaction must keep multiple files, got $totalAfter")
     assert(keptAfter < totalAfter, s"re-clustering must make stats prune: $keptAfter of $totalAfter")
+    assert(keptAfter.toDouble / totalAfter < keptBefore.toDouble / totalBefore.max(1),
+      s"clustering must LOWER the kept fraction: $keptBefore/$totalBefore -> $keptAfter/$totalAfter")
     val got = t.readWhere(preds).select("id").as[Long].collect().sorted.toSeq
     assert(got == (10L to 20L).toSeq)
   }
