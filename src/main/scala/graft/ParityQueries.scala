@@ -25,16 +25,26 @@ object ParityQueries extends QueryPack {
 
   // one key-range-clustered versioned copy of `orders` per (session, sfDir)
   // for the stats-pruned scan; tight per-file key ranges are the layout
-  // file skipping exists for. localCheckpoint-free: the table IS the
-  // persisted artifact, rebuilt only when the session or dir changes.
+  // file skipping exists for. `o_note` is deliberately nullable BY KEY
+  // RANGE (null above max/2) so the key-clustered files are all-null or
+  // all-non-null in it and null-count pruning has something to skip.
+  // localCheckpoint-free: the table IS the persisted artifact, rebuilt
+  // only when the session or dir changes; double-checked synchronized so
+  // two first calls cannot both build (and leak) a table.
   private val skipTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
   private def skipTable(s: SparkSession, dir: String): CdcTable =
-    skipTables.getOrElseUpdate((s, dir), {
-      val root = java.nio.file.Files.createTempDirectory("graft_skip").toString
-      val t = new CdcTable(s, s"$root/orders", keys = Seq("o_orderkey"), retainVersions = 3)
-      t.init(Tables(s, dir, "orders").repartitionByRange(8, col("o_orderkey")))
-      t
+    skipTables.get((s, dir)).getOrElse(skipTables.synchronized {
+      skipTables.getOrElseUpdate((s, dir), {
+        val root = java.nio.file.Files.createTempDirectory("graft_skip").toString
+        val maxKey = Tables(s, dir, "orders").agg(max("o_orderkey")).head.getLong(0)
+        val t = new CdcTable(s, s"$root/orders", keys = Seq("o_orderkey"), retainVersions = 3)
+        t.init(Tables(s, dir, "orders")
+          .withColumn("o_note",
+            when(col("o_orderkey") <= lit(maxKey / 2), col("o_orderpriority")))
+          .repartitionByRange(8, col("o_orderkey")))
+        t
+      })
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -87,6 +97,21 @@ object ParityQueries extends QueryPack {
           Some(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
           Some(java.sql.Timestamp.valueOf("1996-12-31 23:59:59")))))
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    }),
+
+    // K10 through the Column face: the same stats-pruned scan driven by a
+    // plain DSL predicate — range conjuncts and the IS NOT NULL prune
+    // files ([[FileSkipping.predsOf]] extraction), the `=!=` conjunct is
+    // residual-only, and the answer must equal DuckDB's filter exactly.
+    // o_note's by-key-range nullability makes the null check actually
+    // skip the all-null upper-half files, not just pass through.
+    "k_stats_pruned_scan_col" -> ((s, dir) => {
+      val t = skipTable(s, dir)
+      t.readFiltered(
+        col("o_orderkey").between(2000L, 6000L) &&
+          col("o_note").isNotNull &&
+          col("o_orderstatus") =!= "P")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_note")
     }),
 
     // J3 + P5: anti-join restartability — rows whose key is NOT in the
@@ -245,6 +270,15 @@ object ParityQueries extends QueryPack {
         |WHERE o_orderkey BETWEEN 1000 AND 5000
         |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
         |                      AND TIMESTAMP '1996-12-31 23:59:59'""".stripMargin,
+
+    "k_stats_pruned_scan_col" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_note FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+        |    CASE WHEN o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 2
+        |         THEN o_orderpriority END AS o_note
+        |  FROM orders)
+        |WHERE o_orderkey BETWEEN 2000 AND 6000
+        |  AND o_note IS NOT NULL AND o_orderstatus <> 'P'""".stripMargin,
 
     "j3_anti_join_watermark" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

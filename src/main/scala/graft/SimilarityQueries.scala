@@ -202,8 +202,13 @@ object SimilarityQueries extends QueryPack {
   }
   private[graft] def planeWeight(p: Int, d: Int): Long =
     (h64Const(s"${p}_${d}") % 2001L) - 1000L
-  private val planeLit: IndexedSeq[String] =
-    (0 until 64).map(p =>
+  // plane literals are GENERATED on demand from the (plane, dim) pure
+  // function — any operating point constructs by definition, no fixed
+  // precomputed cap. Memoized per plane index: each literal is a 64-term
+  // array expression reused across every LSH query in a session.
+  private val planeLitCache = scala.collection.concurrent.TrieMap.empty[Int, String]
+  private def planeLit(p: Int): String =
+    planeLitCache.getOrElseUpdate(p,
       (0 until 64).map(d => s"${planeWeight(p, d)}L").mkString("array(", ",", ")"))
 
   /** The literal-plane banding CTEs at a given operating point: 4 bands
@@ -212,13 +217,14 @@ object SimilarityQueries extends QueryPack {
     * the all-pairs near-dup path picks bandBits from the corpus size —
     * see x_dedup_embedding.
     */
-  private def lshBandsSql(bandBits: Int): String = {
+  private[graft] def lshBandsSql(bandBits: Int): String = {
     val planes = 4 * bandBits
-    require(planes <= planeLit.length,
-      s"operating point needs $planes hyperplanes but only ${planeLit.length} are precomputed " +
-        s"(caps adaptiveBandBits adaptation at n = 64 * 2^${planeLit.length / 4} vectors); " +
-        "widen planeLit's `0 until 64` range — planeWeight is a pure function of (plane, dim), " +
-        "so new planes are deterministic and oracle-parity-safe if the DuckDB planes CTE range widens identically")
+    // any plane count constructs — planeLit generates literals on demand
+    // from the pure (plane, dim) function, so the only remaining cap is
+    // the adaptiveBandBits [4, 16] clamp itself, which is the SHARED
+    // operating envelope (the DuckDB oracle's nb CTE computes the same
+    // clamp and sizes its planes series to it): widening the envelope
+    // means widening BOTH engines' ranges identically, not this function
     val bval = (0 until bandBits)
       .map(i => s"IF(pr[b*$bandBits+$i] > 0, ${1L << i}L, 0L)").mkString(" + ")
     s"""projt AS (
@@ -516,9 +522,11 @@ object SimilarityQueries extends QueryPack {
     // 4-bit bands. The operating point therefore adapts to the corpus:
     // the smallest bandBits in [4, 16] with n <= 64 * 2^bandBits keeps
     // expected occupancy (<= 64 rows per band value) and candidates
-    // O(n) at any scale — the standard LSH sizing rule, capped by the
-    // 64 precomputed plane arrays (occupancy re-grows past n ~ 4M;
-    // widen planeLit to raise the cap). The rule is INTEGER-exact
+    // O(n) at any scale — the standard LSH sizing rule. The [4, 16]
+    // clamp is the shared operating envelope (occupancy re-grows past
+    // n ~ 4M; widen the clamp AND the oracle's nb/planes ranges
+    // together to raise it — plane literals themselves generate on
+    // demand from planeWeight). The rule is INTEGER-exact
     // (shift-and-compare, no floating log), and the DuckDB oracle
     // computes the identical rule from its own count(*) — both engines
     // pick the same width at ANY corpus size, so the hash-compare

@@ -180,6 +180,29 @@ class IncrementalViewSpec extends SparkSpec {
     assert(sorted(mv.read) == sorted(IncrementalView.compute(t.read, Seq("grp"), Seq("amt"))))
   }
 
+  test("MaterializedView whose reflected base version expired falls back to a full recompute") {
+    import graft.ops.MaterializedView
+    val root = tmpDir("mviewexp")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"), retainVersions = 2)
+    t.init(Seq((1L, Some("a"), Some(10L)), (2L, Some("b"), Some(20L))).toDF("id", "grp", "amt"))
+    val mv = new MaterializedView(spark, t, s"$root/view", Seq("grp"), Seq("amt"))
+    mv.refresh()
+    val base = mv.reflectedVersion.get
+    // the view lags while the table advances past its retention window:
+    // the delta source for changesBetween(base, target) no longer exists
+    (3L to 5L).foreach { i =>
+      t.merge(Seq((i, Some("a"), Some(i), 1L, "c")).toDF("id", "grp", "amt", "ts", "__op"), "ts")
+    }
+    assert(!t.versions.contains(base), "fixture must expire the reflected base")
+    mv.refresh() // must recompute, not fail the incremental plan forever
+    assert(mv.reflectedVersion.contains(t.currentVersion.get))
+    assert(sorted(mv.read) == sorted(IncrementalView.compute(t.read, Seq("grp"), Seq("amt"))))
+    // and INCREMENTAL maintenance resumes once re-based
+    t.merge(Seq((6L, Some("b"), Some(6L), 2L, "c")).toDF("id", "grp", "amt", "ts", "__op"), "ts")
+    mv.refresh()
+    assert(sorted(mv.read) == sorted(IncrementalView.compute(t.read, Seq("grp"), Seq("amt"))))
+  }
+
   test("auto-compaction is a no-op under the threshold: no version burned, manifest untouched") {
     val path = tmpDir("autonoop") + "/t"
     val t = new CdcTable(spark, path, Seq("id"), retainVersions = 8,

@@ -64,7 +64,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(SimilarityQueries.adaptiveBandBits(1025) == 5)
     assert(SimilarityQueries.adaptiveBandBits(2000) == 5)   // sf0.1
     assert(SimilarityQueries.adaptiveBandBits(20000) == 9)  // sf1
-    assert(SimilarityQueries.adaptiveBandBits(100000000L) == 16) // clamped at the plane budget
+    assert(SimilarityQueries.adaptiveBandBits(100000000L) == 16) // clamped at the shared envelope
+  }
+
+  test("plane literals generate on demand: any operating point constructs, first 64 byte-identical") {
+    // the old fixed 64-array planeLit made operating points past 16 bits
+    // throw; generation from the pure (plane, dim) function removes the
+    // cap by construction — and must reproduce the original 64 planes
+    // exactly (the DuckDB oracle derives the same weights arithmetically)
+    val wide = SimilarityQueries.lshBandsSql(17) // 68 planes > the old 64 cap
+    assert("dot_i64".r.findAllIn(wide).size == 68)
+    val four = SimilarityQueries.lshBandsSql(4)
+    val expectPlane0 = (0 until 64).map(d => s"${SimilarityQueries.planeWeight(0, d)}L")
+      .mkString("array(", ",", ")")
+    assert(four.contains(expectPlane0), "plane 0 literal must be byte-identical to the pure function")
+    assert(wide.contains(expectPlane0), "wider operating points must reuse the identical low planes")
   }
 
   test("simhash band width follows the corpus-adaptive rule and matches the oracle's operating points") {
