@@ -178,6 +178,34 @@ class CdcDmlSpec extends SparkSpec {
     assert(!cdf.exists(_._1 == 1L))
   }
 
+  test("changesBetween on a partitioned table reads only months whose manifests differ") {
+    val path = tmpDir("cdfprune") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"),
+      retainVersions = 5)
+    val rows = (0 until 120).map { i =>
+      (i.toLong, s"v$i", ts(f"2024-${1 + i % 4}%02d-10 00:00:00"))
+    }
+    t.init(rows.toDF("id", "v", "created_at"))
+    val v1 = t.currentVersion.get
+    // touch ONLY February (id 1 lives there); the other three months'
+    // manifest entries carry over as pointer copies to the same dirs
+    t.merge(Seq((1L, "v1x", ts("2024-02-10 00:00:00"), 1L, "u"))
+      .toDF("id", "v", "created_at", "ts", "__op"), "ts")
+    val v2 = t.currentVersion.get
+    val feed = t.changesBetween(v1, v2)
+    // plan audit: both diff sides open only the changed month's files —
+    // per-merge CDF cost scales with the delta, not the table
+    val opened = feed.inputFiles.toSeq
+    assert(opened.nonEmpty && opened.forall(_.contains("=2024-02")),
+      s"diff must open only the changed month's files, got: $opened")
+    assert(opened.length < t.read.inputFiles.length,
+      "pruned diff must open strictly fewer files than a table scan")
+    // and the pruned feed is still the exact row-level diff
+    val cdf = feed.select(col("id"), col("v"), col(CdcTable.ChangeTypeCol).as("ct"))
+      .as[(Long, String, String)].collect().toSet
+    assert(cdf == Set((1L, "v1", "update_preimage"), (1L, "v1x", "update_postimage")))
+  }
+
   test("statement-level UPDATE/DELETE parse and execute; commas in RHS survive") {
     val root = tmpDir("dmlsql")
     val t = new CdcTable(spark, s"$root/t", Seq("id"))
