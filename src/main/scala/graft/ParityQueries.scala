@@ -38,10 +38,16 @@ object ParityQueries extends QueryPack {
       skipTables.getOrElseUpdate((s, dir), {
         val root = java.nio.file.Files.createTempDirectory("graft_skip").toString
         val maxKey = Tables(s, dir, "orders").agg(max("o_orderkey")).head.getLong(0)
-        val t = new CdcTable(s, s"$root/orders", keys = Seq("o_orderkey"), retainVersions = 3)
+        // o_lookup is a Knuth-scrambled key: unique per row, DECORRELATED
+        // from the o_orderkey clustering, so every file's (min,max) spans
+        // the whole domain and only its bloom filter can prune a point
+        // probe — the case bloomColumns exists for
+        val t = new CdcTable(s, s"$root/orders", keys = Seq("o_orderkey"), retainVersions = 3,
+          bloomColumns = Seq("o_lookup"))
         t.init(Tables(s, dir, "orders")
           .withColumn("o_note",
             when(col("o_orderkey") <= lit(maxKey / 2), col("o_orderpriority")))
+          .withColumn("o_lookup", (col("o_orderkey") * lit(2654435761L)) % lit(1000000007L))
           .repartitionByRange(8, col("o_orderkey")))
         t
       })
@@ -112,6 +118,20 @@ object ParityQueries extends QueryPack {
           col("o_note").isNotNull &&
           col("o_orderstatus") =!= "P")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_note")
+    }),
+
+    // K10, the bloom face: a point probe on the scattered o_lookup column
+    // — min/max ranges keep every file (the column is decorrelated from
+    // the clustering by construction), so only the parquet column bloom
+    // filters the table writes for it can skip files; the answer must
+    // still equal DuckDB's filter over the raw table exactly. The probe
+    // key derives from min(o_orderkey) so it exists at every SF.
+    "k_bloom_pruned_scan" -> ((s, dir) => {
+      val t = skipTable(s, dir)
+      val minKey = Tables(s, dir, "orders").agg(min("o_orderkey")).head.getLong(0)
+      val target = (minKey * 2654435761L) % 1000000007L
+      t.readFiltered(col("o_lookup") === lit(target))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_lookup")
     }),
 
     // J3 + P5: anti-join restartability — rows whose key is NOT in the
@@ -279,6 +299,13 @@ object ParityQueries extends QueryPack {
         |  FROM orders)
         |WHERE o_orderkey BETWEEN 2000 AND 6000
         |  AND o_note IS NOT NULL AND o_orderstatus <> 'P'""".stripMargin,
+
+    "k_bloom_pruned_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  (o_orderkey * 2654435761) % 1000000007 AS o_lookup
+        |FROM orders
+        |WHERE (o_orderkey * 2654435761) % 1000000007 =
+        |      (SELECT (min(o_orderkey) * 2654435761) % 1000000007 FROM orders)""".stripMargin,
 
     "j3_anti_join_watermark" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -63,7 +63,15 @@ final class CdcTable(
       * threshold afterwards — the automatic table-services policy; None
       * keeps compaction manual.
       */
-    val autoCompactMaxFiles: Option[Int] = None) {
+    val autoCompactMaxFiles: Option[Int] = None,
+    /** Columns every data file gets a parquet column BLOOM FILTER for
+      * (adaptively sized per row group, capped at 128 KiB). Point lookups
+      * on these columns skip files min/max ranges cannot — the
+      * high-cardinality-but-unclustered case ([[FileSkipping]] tests the
+      * blooms for equality predicates in [[readWhere]]/[[readFiltered]]).
+      * Pick the lookup keys a consumer probes by; empty = no blooms.
+      */
+    val bloomColumns: Seq[String] = Nil) {
 
   import CdcTable._
 
@@ -361,10 +369,22 @@ final class CdcTable(
     * writer's update (the read-version and the commit base are the same
     * version by construction).
     */
+  /** `df.write` with the table's bloom-filter options applied: parquet
+    * sizes each column's bloom adaptively from the row group's actual
+    * distinct count, bounded so metadata stays metadata-scale.
+    */
+  private def writer(df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    if (bloomColumns.isEmpty) df.write
+    else bloomColumns.foldLeft(
+      df.write
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
+        .option("parquet.bloom.filter.max.bytes", (128 * 1024).toString)
+    )((w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+
   private def commitFull(df: DataFrame, expected: Option[Long]): Unit = {
     val next = expected.getOrElse(0L) + 1
     reserveOrConflict(next)
-    df.write.mode(SaveMode.Append).parquet(versionDir(next).getPath)
+    writer(df).mode(SaveMode.Append).parquet(versionDir(next).getPath)
     commitPointer(next)
   }
 
@@ -384,7 +404,7 @@ final class CdcTable(
     // `expected` is the version df/carried were derived from — reserving
     // expected+1 makes read-base and commit-base the same version.
     reserveOrConflict(next)
-    df.write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(commitDir(next).getPath)
+    writer(df).mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(commitDir(next).getPath)
     // the hive directory names ARE the months actually written — no
     // second evaluation of df's plan needed
     val outMonths = Option(commitDir(next).listFiles()).getOrElse(Array.empty)
@@ -467,7 +487,7 @@ final class CdcTable(
           Option(versionDir(cur).listFiles()).getOrElse(Array.empty)
             .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
             .foreach(f => Files.createLink(nd.toPath.resolve(f.getName), f.toPath): Unit)
-          df.write.mode(SaveMode.Append).parquet(nd.getPath)
+          writer(df).mode(SaveMode.Append).parquet(nd.getPath)
           commitPointer(next)
         }
     }

@@ -50,6 +50,22 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
   * count per file, so `IS NULL` / `IS NOT NULL` predicates prune too.
   * INT96 timestamps and nested columns carry no stats here and are
   * simply never pruned on.
+  *
+  * '''Bloom filters for point lookups.''' Min/max ranges only prune when
+  * the layout is CLUSTERED on the predicate column; an equality probe on
+  * a high-cardinality column that is scattered across files (a key
+  * lookup after compaction mixed key ranges, a join-key side lookup)
+  * matches every file's range and prunes nothing. For columns the writer
+  * equipped with parquet's native column bloom filters
+  * (`parquet.bloom.filter.enabled#col` — see `CdcTable(bloomColumns)`),
+  * equality predicates additionally test the per-row-group bloom: a file
+  * none of whose row groups can contain the value is skipped. The
+  * sidecar records WHICH columns of each file carry a bloom, so a scan
+  * opens a footer only for surviving candidate files whose bloom can
+  * actually decide — a table without blooms never pays a footer read it
+  * did not already pay. False positives keep a file (never wrong, the
+  * residual filter still applies); a bloom says "absent" only
+  * definitively.
   */
 object FileSkipping {
 
@@ -82,12 +98,17 @@ object FileSkipping {
     */
   final case class ColStat(min: Option[Any], max: Option[Any], nulls: Option[Long])
 
-  /** All stats for one data file: total row count + per-column stats. */
-  final case class FileStats(rows: Long, cols: Map[String, ColStat])
+  /** All stats for one data file: total row count + per-column stats +
+    * the columns for which the file carries a parquet bloom filter (so
+    * equality probes know a footer read can pay off before opening one).
+    */
+  final case class FileStats(rows: Long, cols: Map[String, ColStat],
+                             bloom: Set[String] = Set.empty)
 
   val SidecarName = "_filestats.tsv"
-  private val SidecarHeader = "#graft-filestats v2"
+  private val SidecarHeader = "#graft-filestats v3"
   private val RowsMarker = "#rows"
+  private val BloomMarker = "#bloom"
 
   // ------------------------------------------------------------- gathering
 
@@ -139,7 +160,12 @@ object FileSkipping {
           (a.max ++ b.max).reduceOption((x, y) => if (cmpLt(x, y).getOrElse(false)) y else x),
           for (an <- a.nulls; bn <- b.nulls) yield an + bn)
       }
-      FileStats(blocks.map(_.getRowCount).sum, cols)
+      val bloomCols = (for {
+        block <- blocks
+        col <- block.getColumns.asScala
+        if col.getBloomFilterOffset >= 0
+      } yield col.getPath.toDotString).toSet
+      FileStats(blocks.map(_.getRowCount).sum, cols, bloomCols)
     } finally reader.close()
   }
 
@@ -187,8 +213,89 @@ object FileSkipping {
     */
   def prunedFiles(conf: Configuration, dir: File, preds: Seq[Pred]): Seq[File] = {
     val stats = statsForDir(conf, dir)
+    // equality predicates (degenerate ranges) that a bloom filter can
+    // answer; tested ONLY for files that survived the range/null pruning
+    // and whose sidecar says the column carries a bloom
+    val eqs = preds.collect {
+      case r: Range if r.lower.isDefined && r.lower == r.upper => (r.column, r.lower.get)
+    }
     dataFiles(dir).filter { f =>
-      stats.get(f.getName).forall(fs => preds.forall(mayMatchFile(fs, _)))
+      stats.get(f.getName).forall { fs =>
+        preds.forall(mayMatchFile(fs, _)) && {
+          val testable = eqs.filter { case (c, _) => fs.bloom.contains(c) }
+          testable.isEmpty || bloomMayMatch(conf, new File(dir, f.getName), testable)
+        }
+      }
+    }
+  }
+
+  /** Can file `file` contain every `(column, value)` equality? One footer
+    * open; per predicate the file survives if ANY row group's bloom may
+    * contain the value (conjuncts must co-occur in one ROW, so requiring
+    * one common row group would over-prune). A missing bloom, a null
+    * read, or a value/physical-type pair [[bloomHash]] cannot coerce all
+    * count as "may contain" — uncertainty never skips.
+    */
+  private def bloomMayMatch(conf: Configuration, file: File,
+                            eqs: Seq[(String, Any)]): Boolean = {
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file.getPath), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        eqs.forall { case (cname, raw) =>
+          blocks.exists { block =>
+            block.getColumns.asScala.find(_.getPath.toDotString == cname) match {
+              case Some(cc) if cc.getBloomFilterOffset >= 0 =>
+                val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+                bf == null || bloomHash(cc.getPrimitiveType, norm(raw), bf)
+                  .forall(bf.findHash)
+              case _ => true // column absent or bloomless in this row group
+            }
+          }
+        }
+      } finally reader.close()
+    } catch { case NonFatal(_) => true } // unreadable footer: keep, the scan decides
+  }
+
+  /** Hash a normalized predicate value the way the writer hashed the
+    * column's PHYSICAL values (xxHash over the plain encoding) — None
+    * when the coercion is not exact, in which case the bloom cannot
+    * decide and the file is kept.
+    */
+  private def bloomHash(pt: org.apache.parquet.schema.PrimitiveType, v: Any,
+                        bf: org.apache.parquet.column.values.bloomfilter.BloomFilter): Option[Long] = {
+    def unscaledLong(bd: java.math.BigDecimal, scale: Int): Option[Long] =
+      try Some(bd.setScale(scale).unscaledValue().longValueExact())
+      catch { case _: ArithmeticException => None }
+    (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation, v) match {
+      case (PrimitiveTypeName.INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation, micros: Long) =>
+        t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MICROS => Some(bf.hash(micros))
+          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            // a sub-millisecond predicate instant cannot equal any stored milli
+            if (micros % 1000L == 0) Some(bf.hash(micros / 1000L)) else None
+          case LogicalTypeAnnotation.TimeUnit.NANOS =>
+            try Some(bf.hash(Math.multiplyExact(micros, 1000L)))
+            catch { case _: ArithmeticException => None }
+        }
+      case (PrimitiveTypeName.INT64, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation, bd: java.math.BigDecimal) =>
+        unscaledLong(bd, d.getScale).map(bf.hash)
+      case (PrimitiveTypeName.INT32, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation, bd: java.math.BigDecimal) =>
+        unscaledLong(bd, d.getScale).filter(_.isValidInt).map(u => bf.hash(u.toInt))
+      case (PrimitiveTypeName.INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation, s: String) =>
+        (try Some(java.time.LocalDate.parse(s).toEpochDay)
+        catch { case NonFatal(_) => None }).filter(_.isValidInt).map(d => bf.hash(d.toInt))
+      case (PrimitiveTypeName.INT64, null | _: LogicalTypeAnnotation.IntLogicalTypeAnnotation, l: Long) =>
+        Some(bf.hash(l))
+      case (PrimitiveTypeName.INT32, null | _: LogicalTypeAnnotation.IntLogicalTypeAnnotation, l: Long) =>
+        if (l.isValidInt) Some(bf.hash(l.toInt)) else None
+      case (PrimitiveTypeName.BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation, s: String) =>
+        Some(bf.hash(Binary.fromString(s)))
+      case (PrimitiveTypeName.DOUBLE, _, d: Double) => Some(bf.hash(d))
+      case (PrimitiveTypeName.FLOAT, _, d: Double) =>
+        // only a double that IS a float can equal any stored float
+        if (d.toFloat.toDouble == d) Some(bf.hash(d.toFloat)) else None
+      case _ => None
     }
   }
 
@@ -385,19 +492,26 @@ object FileSkipping {
     case 's' => URLDecoder.decode(s.drop(2), UTF_8)
   }
 
-  /** v2 layout: a header line, one `file \t #rows \t n` marker per file,
-    * then `file \t col \t min \t max \t nulls` per column ("-" = absent).
-    * Written to a temp sibling and atomically renamed — a crash leaves
-    * either the old sidecar or the new one, never a torn file.
+  /** v3 layout: a header line, one `file \t #rows \t n` marker per file,
+    * an optional `file \t #bloom \t c1,c2` marker naming the columns the
+    * file carries bloom filters for, then `file \t col \t min \t max \t
+    * nulls` per column ("-" = absent). Written to a temp sibling and
+    * atomically renamed — a crash leaves either the old sidecar or the
+    * new one, never a torn file.
     */
   private def writeSidecar(f: File, stats: Map[String, FileStats]): Unit = {
     val lines = stats.toSeq.sortBy(_._1).flatMap { case (file, fs) =>
       val ef = URLEncoder.encode(file, UTF_8)
-      s"$ef\t$RowsMarker\t${fs.rows}" +: fs.cols.toSeq.sortBy(_._1).map { case (c, st) =>
-        Seq(ef, URLEncoder.encode(c, UTF_8),
-          st.min.map(enc).getOrElse("-"), st.max.map(enc).getOrElse("-"),
-          st.nulls.map(_.toString).getOrElse("-")).mkString("\t")
-      }
+      val bloomLine =
+        if (fs.bloom.isEmpty) Nil
+        else Seq(s"$ef\t$BloomMarker\t" +
+          fs.bloom.toSeq.sorted.map(URLEncoder.encode(_, UTF_8)).mkString(","))
+      (s"$ef\t$RowsMarker\t${fs.rows}" +: bloomLine) ++
+        fs.cols.toSeq.sortBy(_._1).map { case (c, st) =>
+          Seq(ef, URLEncoder.encode(c, UTF_8),
+            st.min.map(enc).getOrElse("-"), st.max.map(enc).getOrElse("-"),
+            st.nulls.map(_.toString).getOrElse("-")).mkString("\t")
+        }
     }
     val tmp = File.createTempFile(".filestats", ".tmp", f.getParentFile)
     Files.writeString(tmp.toPath, (SidecarHeader +: lines).mkString("\n"))
@@ -414,27 +528,34 @@ object FileSkipping {
       val all = Files.readAllLines(f.toPath).asScala.toSeq
       if (!all.headOption.contains(SidecarHeader)) None
       else {
-        val parsed = all.tail.filter(_.nonEmpty).map { l =>
+        sealed trait Line
+        case class RowsLine(file: String, n: Long) extends Line
+        case class BloomLine(file: String, cols: Set[String]) extends Line
+        case class StatLine(file: String, col: String, st: ColStat) extends Line
+        val parsed: Seq[Line] = all.tail.filter(_.nonEmpty).map { l =>
           l.split("\t", -1) match {
             case Array(file, RowsMarker, n) =>
-              (URLDecoder.decode(file, UTF_8), None, n.toLong)
+              RowsLine(URLDecoder.decode(file, UTF_8), n.toLong)
+            case Array(file, BloomMarker, cs) =>
+              BloomLine(URLDecoder.decode(file, UTF_8),
+                cs.split(",").filter(_.nonEmpty).map(URLDecoder.decode(_, UTF_8)).toSet)
             case Array(file, c, mn, mx, nulls) =>
-              (URLDecoder.decode(file, UTF_8),
-                Some((URLDecoder.decode(c, UTF_8),
-                  ColStat(Option(mn).filter(_ != "-").map(dec),
-                    Option(mx).filter(_ != "-").map(dec),
-                    Option(nulls).filter(_ != "-").map(_.toLong)))),
-                -1L)
+              StatLine(URLDecoder.decode(file, UTF_8), URLDecoder.decode(c, UTF_8),
+                ColStat(Option(mn).filter(_ != "-").map(dec),
+                  Option(mx).filter(_ != "-").map(dec),
+                  Option(nulls).filter(_ != "-").map(_.toLong)))
             case _ => throw new IllegalArgumentException(s"bad sidecar line: $l")
           }
         }
-        val rows = parsed.collect { case (file, None, n) => file -> n }.toMap
-        val cols = parsed.collect { case (file, Some(cs), _) => file -> cs }
+        val rows = parsed.collect { case RowsLine(file, n) => file -> n }.toMap
+        val blooms = parsed.collect { case BloomLine(file, cs) => file -> cs }.toMap
+        val cols = parsed.collect { case StatLine(file, c, st) => file -> (c -> st) }
           .groupMap(_._1)(_._2).view.mapValues(_.toMap).toMap
         // every file with column stats must have its row marker
-        if (!cols.keySet.subsetOf(rows.keySet)) None
+        if (!(cols.keySet ++ blooms.keySet).subsetOf(rows.keySet)) None
         else Some(rows.map { case (file, n) =>
-          file -> FileStats(n, cols.getOrElse(file, Map.empty))
+          file -> FileStats(n, cols.getOrElse(file, Map.empty),
+            blooms.getOrElse(file, Set.empty))
         })
       }
     } catch { case NonFatal(_) => None }

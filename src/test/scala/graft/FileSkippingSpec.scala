@@ -232,6 +232,40 @@ class FileSkippingSpec extends SparkSpec {
     assert(got == (10L to 20L).toSeq)
   }
 
+  test("bloom filters prune point lookups that min/max ranges cannot") {
+    val root = tmpDir("skip11")
+    // pid is unique per row but DECORRELATED from the round-robin layout:
+    // every file's (min,max) pid range spans nearly the whole domain, so
+    // range stats keep (almost) everything — only the bloom can decide
+    val rows = (0 until 400).map { i =>
+      (i.toLong, (i.toLong * 2654435761L) % 1000000007L, dt(f"1996-${1 + i % 4}%02d-15"))
+    }
+    val df = rows.toDF("id", "pid", "day").repartition(4)
+    val t = new CdcTable(spark, s"$root/t", Seq("id"), partitionSource = Some("day"),
+      retainVersions = 5, bloomColumns = Seq("pid"))
+    t.init(df)
+    val target = (123L * 2654435761L) % 1000000007L
+    val eq = Seq(FileSkipping.Eq("pid", target))
+    val (kept, total) = t.scanProfile(eq)
+    assert(total >= 4, s"fixture should produce several files, got $total")
+    assert(kept < total, s"bloom must prune: $kept of $total")
+    // the identical layout WITHOUT blooms prunes strictly less
+    val t2 = new CdcTable(spark, s"$root/t2", Seq("id"), partitionSource = Some("day"),
+      retainVersions = 5)
+    t2.init(df)
+    val (kept2, _) = t2.scanProfile(eq)
+    assert(kept < kept2, s"blooms must add pruning power beyond ranges: $kept vs $kept2")
+    // exact answers through both faces
+    assert(t.readWhere(eq).select("id").as[Long].collect().toSeq == Seq(123L))
+    assert(t.readFiltered(col("pid") === lit(target))
+      .select("id").as[Long].collect().toSeq == Seq(123L))
+    // a bloomless table stays correct (blooms are pure optimization)
+    assert(t2.readWhere(eq).select("id").as[Long].collect().toSeq == Seq(123L))
+    // a non-equality predicate on the bloom column never consults blooms
+    val rangePred = Seq(FileSkipping.Range("pid", Some(0L), Some(1000000007L)))
+    assert(t.readWhere(rangePred).count() == 400L)
+  }
+
   test("string and date stats prune; merge-evolved files lacking the column are kept") {
     val root = tmpDir("skip4")
     val t = clusteredTable(root)
