@@ -222,6 +222,7 @@ final class CdcTable(
       case p: FileSkipping.Range =>
         val c = col(p.column)
         (p.lower.map(v => c >= lit(v)) ++ p.upper.map(v => c <= lit(v))).reduce(_ && _)
+      case FileSkipping.InSet(c, vs) => col(c).isin(vs: _*)
       case FileSkipping.IsNull(c)  => col(c).isNull
       case FileSkipping.NotNull(c) => col(c).isNotNull
     }.reduceOption(_ && _).getOrElse(lit(true))
@@ -292,10 +293,20 @@ final class CdcTable(
               .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")))
           case _ => None
         }
-        val picked = onSrc.foldLeft(manifest(cur)) { (es, p) =>
+        val picked0 = onSrc.foldLeft(manifest(cur)) { (es, p) =>
           val lo = p.lower.flatMap(month)
           val hi = p.upper.flatMap(month)
           es.filter { case (m, _) => lo.forall(m >= _) && hi.forall(m <= _) }
+        }
+        // an IN on the partition source prunes to the values' months —
+        // only when EVERY member yields a month (else no month pruning)
+        val inMonths = preds.collect {
+          case FileSkipping.InSet(c, vs) if c == src =>
+            val ms = vs.map(month)
+            if (ms.forall(_.isDefined)) Some(ms.flatten.toSet) else None
+        }.flatten
+        val picked = inMonths.foldLeft(picked0) { (es, ms) =>
+          es.filter { case (m, _) => ms.contains(m) }
         }
         picked.map(e => new File(path, e._2))
       case None => Seq(versionDir(cur))

@@ -82,6 +82,15 @@ object FileSkipping {
   }
   object Eq { def apply(c: String, v: Any): Range = Range(c, Some(v), Some(v)) }
 
+  /** `column IN (values)`: a file survives when ANY value may be present
+    * — range-wise against min/max, and bloom-wise when the file carries
+    * a bloom for the column. The batched-point-lookup predicate (fetch N
+    * rows by key) that neither a single range nor one equality covers.
+    */
+  final case class InSet(column: String, values: Seq[Any]) extends Pred {
+    require(values.nonEmpty, "IN () matches nothing — filter it out before pruning")
+  }
+
   /** `column IS NULL`: skips files whose null count for the column is 0. */
   final case class IsNull(column: String) extends Pred
 
@@ -213,11 +222,12 @@ object FileSkipping {
     */
   def prunedFiles(conf: Configuration, dir: File, preds: Seq[Pred]): Seq[File] = {
     val stats = statsForDir(conf, dir)
-    // equality predicates (degenerate ranges) that a bloom filter can
-    // answer; tested ONLY for files that survived the range/null pruning
-    // and whose sidecar says the column carries a bloom
-    val eqs = preds.collect {
-      case r: Range if r.lower.isDefined && r.lower == r.upper => (r.column, r.lower.get)
+    // equality predicates (degenerate ranges, IN sets) that a bloom
+    // filter can answer; tested ONLY for files that survived the
+    // range/null pruning and whose sidecar says the column has a bloom
+    val eqs: Seq[(String, Seq[Any])] = preds.collect {
+      case r: Range if r.lower.isDefined && r.lower == r.upper => (r.column, Seq(r.lower.get))
+      case InSet(c, vs) => (c, vs)
     }
     dataFiles(dir).filter { f =>
       stats.get(f.getName).forall { fs =>
@@ -229,26 +239,27 @@ object FileSkipping {
     }
   }
 
-  /** Can file `file` contain every `(column, value)` equality? One footer
-    * open; per predicate the file survives if ANY row group's bloom may
-    * contain the value (conjuncts must co-occur in one ROW, so requiring
-    * one common row group would over-prune). A missing bloom, a null
-    * read, or a value/physical-type pair [[bloomHash]] cannot coerce all
-    * count as "may contain" — uncertainty never skips.
+  /** Can file `file` contain, per `(column, values)` entry, at least one
+    * of the values? One footer open; per predicate the file survives if
+    * ANY row group's bloom may contain ANY of the values (conjuncts must
+    * co-occur in one ROW, so requiring one common row group would
+    * over-prune). A missing bloom, a null read, or a value/physical-type
+    * pair [[bloomHash]] cannot coerce all count as "may contain" —
+    * uncertainty never skips.
     */
   private def bloomMayMatch(conf: Configuration, file: File,
-                            eqs: Seq[(String, Any)]): Boolean = {
+                            eqs: Seq[(String, Seq[Any])]): Boolean = {
     try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file.getPath), conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
-        eqs.forall { case (cname, raw) =>
+        eqs.forall { case (cname, raws) =>
           blocks.exists { block =>
             block.getColumns.asScala.find(_.getPath.toDotString == cname) match {
               case Some(cc) if cc.getBloomFilterOffset >= 0 =>
                 val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
-                bf == null || bloomHash(cc.getPrimitiveType, norm(raw), bf)
-                  .forall(bf.findHash)
+                bf == null || raws.exists(raw =>
+                  bloomHash(cc.getPrimitiveType, norm(raw), bf).forall(bf.findHash))
               case _ => true // column absent or bloomless in this row group
             }
           }
@@ -304,6 +315,7 @@ object FileSkipping {
     */
   def mayMatchFile(fs: FileStats, p: Pred): Boolean = p match {
     case r: Range     => fs.cols.get(r.column).forall(mayMatch(_, r))
+    case InSet(c, vs) => fs.cols.get(c).forall(st => vs.exists(v => mayMatch(st, Eq(c, v))))
     case IsNull(c)    => fs.cols.get(c).forall(st => !st.nulls.contains(0L))
     case NotNull(c)   => fs.cols.get(c).forall(st => !st.nulls.contains(fs.rows))
   }
@@ -366,8 +378,8 @@ object FileSkipping {
 
   /** Best-effort extraction of skippable [[Pred]]s from a Catalyst
     * predicate: top-level conjuncts of `=`, `>=`, `>`, `<=`, `<`,
-    * BETWEEN, IS NULL and IS NOT NULL over one attribute (and one
-    * foldable literal where applicable) contribute a predicate;
+    * BETWEEN, IN (all-literal list), IS NULL and IS NOT NULL over one
+    * attribute (and literal operands where applicable) contribute a predicate;
     * everything else (OR, NOT, functions, …) contributes NOTHING — the
     * caller re-applies the full predicate, so extraction only ever adds
     * pruning power, never changes the answer. Strict bounds relax to
@@ -425,6 +437,7 @@ object FileSkipping {
       case LessThan(a, b)           => Some(("<", Seq(a, b)))
       case expressions.IsNull(a)    => Some(("isnull", Seq(a)))
       case expressions.IsNotNull(a) => Some(("isnotnull", Seq(a)))
+      case expressions.In(v, list)  => Some(("in", v +: list))
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         if f.nameParts.length == 1 =>
         Some((f.nameParts.head.toLowerCase(java.util.Locale.ROOT), f.arguments))
@@ -443,6 +456,15 @@ object FileSkipping {
           one(attr(a), litVal(hi), lower = false, upper = true)
       case Some(("isnull", Seq(a)))    => attr(a).map(FileSkipping.IsNull(_)).toSeq
       case Some(("isnotnull", Seq(a))) => attr(a).map(FileSkipping.NotNull(_)).toSeq
+      case Some(("in", a +: vals)) if vals.nonEmpty =>
+        // all values must be extractable literals, or the conjunct
+        // contributes nothing (an unextractable member could match rows
+        // the extracted subset would wrongly prune)
+        (attr(a), vals.map(litVal)) match {
+          case (Some(c), ls) if ls.forall(_.isDefined) =>
+            Seq(FileSkipping.InSet(c, ls.map(_.get)))
+          case _ => Nil
+        }
       case _ => Nil
     }
   }
@@ -473,7 +495,8 @@ object FileSkipping {
         case i  => acc.updated(i, mergeRanges(acc(i), r).get)
       }
     }
-    mergedRanges ++ ps.collect { case p @ (IsNull(_) | NotNull(_)) => p }.distinct
+    mergedRanges ++
+      ps.collect { case p @ (IsNull(_) | NotNull(_) | InSet(_, _)) => p }.distinct
   }
 
   // ------------------------------------------------------------- sidecar

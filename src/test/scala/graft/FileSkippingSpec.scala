@@ -264,6 +264,40 @@ class FileSkippingSpec extends SparkSpec {
     // a non-equality predicate on the bloom column never consults blooms
     val rangePred = Seq(FileSkipping.Range("pid", Some(0L), Some(1000000007L)))
     assert(t.readWhere(rangePred).count() == 400L)
+    // an IN set probes the bloom per member: present + absent values
+    // still prune to the present value's files
+    val inEq = Seq(FileSkipping.InSet("pid", Seq(target, 999999999L)))
+    val (keptIn, totalIn) = t.scanProfile(inEq)
+    assert(keptIn < totalIn, s"bloom must prune an IN probe: $keptIn of $totalIn")
+    assert(t.readWhere(inEq).select("id").as[Long].collect().toSeq == Seq(123L))
+  }
+
+  test("IN-list predicates prune via ranges and month manifests, and extract from both faces") {
+    val t = clusteredTable(tmpDir("skip12"))
+    // two far-apart ids: only their clustered files survive
+    val in = Seq(FileSkipping.InSet("id", Seq(5L, 395L)))
+    val (kept, total) = t.scanProfile(in)
+    assert(kept < total, s"IN over clustered ids must prune: $kept of $total")
+    assert(t.readWhere(in).select("id").as[Long].collect().sorted.toSeq == Seq(5L, 395L))
+    // extraction: DSL isin and SQL IN both yield the InSet
+    assert(FileSkipping.predsOf(col("id").isin(5L, 395L)) ==
+      Seq(FileSkipping.InSet("id", Seq(5L, 395L))))
+    assert(FileSkipping.predsOf(expr("id in (5, 395)")) ==
+      Seq(FileSkipping.InSet("id", Seq(5L, 395L))))
+    // readFiltered face answers exactly
+    val got = t.readFiltered(col("id").isin(5L, 395L)).select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(5L, 395L))
+    // IN on the partition-source column prunes whole months
+    val dayIn = Seq(FileSkipping.InSet("day", Seq(dt("1996-02-06"), dt("1996-02-14"))))
+    val (_, totalIn) = t.scanProfile(dayIn)
+    val (_, totalAll) = t.scanProfile(Nil)
+    assert(totalIn < totalAll, "IN on the partition source must prune months")
+    assert(t.readWhere(dayIn).count() ==
+      t.read.filter(col("day").isin(dt("1996-02-06"), dt("1996-02-14"))).count())
+    // an IN with a non-literal member extracts nothing but answers exactly
+    val mixed = col("id").isin(lit(5L), col("id") + 1)
+    assert(FileSkipping.predsOf(mixed).isEmpty)
+    assert(t.readFiltered(mixed).count() == t.read.filter(mixed).count())
   }
 
   test("string and date stats prune; merge-evolved files lacking the column are kept") {
