@@ -53,7 +53,62 @@ object ParityQueries extends QueryPack {
       })
     })
 
+  // an incrementally-maintained `orders JOIN customer` enrichment view
+  // (ops.JoinView) per (session, sfDir): fact and dim each take one
+  // deterministic merge batch (modulo-gated so DuckDB can replay it),
+  // the view refreshes by signed delta — NOT recompute — and the oracle
+  // checks the refreshed content equals the fresh join of the final
+  // states. Same double-checked memo discipline as skipTables.
+  private val joinViews =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
+  private def joinView(s: SparkSession, dir: String): CdcTable =
+    joinViews.get((s, dir)).getOrElse(joinViews.synchronized {
+      joinViews.getOrElseUpdate((s, dir), {
+        import graft.ops.JoinView
+        val root = java.nio.file.Files.createTempDirectory("graft_joinview").toString
+        val onCols = Seq("o_custkey" -> "c_custkey")
+        val orders = Tables(s, dir, "orders")
+        val customer = Tables(s, dir, "customer")
+        val fact = new CdcTable(s, s"$root/fact", Seq("o_orderkey"),
+          partitionSource = Some("o_orderdate"), retainVersions = 5)
+        val dim = new CdcTable(s, s"$root/dim", Seq("c_custkey"), retainVersions = 5)
+        val view = new CdcTable(s, s"$root/view", Seq("o_orderkey"), retainVersions = 5)
+        fact.init(orders)
+        dim.init(customer)
+        view.init(JoinView.compute(fact.read, dim.read, onCols)
+          .withColumn(JoinView.TsCol, lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))))
+        val (f0, d0) = (fact.currentVersion.get, dim.currentVersion.get)
+        // 60% repriced, 20% deleted, 20% re-inserted under fresh keys —
+        // the CdcScaleBench churn shape, modulo-gated for the SQL twin
+        val slot = col("o_orderkey") % 10
+        val fts = lit(java.sql.Timestamp.valueOf("2001-01-02 00:00:00"))
+        val ups = orders.filter(slot < 6)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+          .withColumn("__op", lit("u"))
+        val dels = orders.filter(slot >= 6 && slot < 8).withColumn("__op", lit("d"))
+        val ins = orders.filter(slot >= 8)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+          .withColumn("__op", lit("c"))
+        fact.merge(ups.unionByName(dels).unionByName(ins).withColumn("f_ts", fts), "f_ts")
+        dim.merge(customer.filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") * 2)
+          .withColumn("__op", lit("u")).withColumn("d_ts", fts), "d_ts")
+        JoinView.refresh(view, fact, f0, fact.currentVersion.get,
+          dim, d0, dim.currentVersion.get, onCols,
+          java.sql.Timestamp.valueOf("2001-01-03 00:00:00"))
+        view
+      })
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // incremental JOIN-view maintenance (ops.JoinView): after one churn
+    // window on BOTH sides, the delta-refreshed view must equal DuckDB's
+    // join of the replayed final states — proving the signed-delta
+    // algebra produced exactly the recompute.
+    "x_join_view_incremental" -> ((s, dir) =>
+      joinView(s, dir).read
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal")),
 
     // A4 + O1: the flagship compaction — one latest row per key, total
     // order (ts desc, event_id desc). One shuffle on the key.
@@ -299,6 +354,25 @@ object ParityQueries extends QueryPack {
         |  FROM orders)
         |WHERE o_orderkey BETWEEN 2000 AND 6000
         |  AND o_note IS NOT NULL AND o_orderstatus <> 'P'""".stripMargin,
+
+    "x_join_view_incremental" ->
+      """WITH fact AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 < 6 THEN o_totalprice * 1.1
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 NOT IN (6, 7)
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 IN (8, 9)
+        |),
+        |dim AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer
+        |)
+        |SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, d.c_name, d.c_acctbal
+        |FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey""".stripMargin,
 
     "k_bloom_pruned_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
