@@ -23,47 +23,57 @@ object ParityQueries extends QueryPack {
   private val opSql =
     "CASE WHEN event_type='signup' THEN 'c' WHEN event_type='error' THEN 'd' ELSE 'u' END"
 
+  // double-checked per-(session, sfDir) memo for build-once fixture
+  // artifacts: the TrieMap read is lock-free on the hot path, the
+  // synchronized getOrElseUpdate guarantees two first calls cannot both
+  // build (and leak) an artifact
+  private def memoized[V](cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V])
+                         (s: SparkSession, dir: String)(build: => V): V =
+    cache.get((s, dir)).getOrElse(cache.synchronized {
+      cache.getOrElseUpdate((s, dir), build)
+    })
+
   // one key-range-clustered versioned copy of `orders` per (session, sfDir)
-  // for the stats-pruned scan; tight per-file key ranges are the layout
+  // for the stats-pruned scan, plus the memoized key bounds the probe
+  // queries derive from; tight per-file key ranges are the layout
   // file skipping exists for. `o_note` is deliberately nullable BY KEY
   // RANGE (null above max/2) so the key-clustered files are all-null or
   // all-non-null in it and null-count pruning has something to skip.
   // localCheckpoint-free: the table IS the persisted artifact, rebuilt
-  // only when the session or dir changes; double-checked synchronized so
-  // two first calls cannot both build (and leak) a table.
+  // only when the session or dir changes.
   private val skipTables =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
-  private def skipTable(s: SparkSession, dir: String): CdcTable =
-    skipTables.get((s, dir)).getOrElse(skipTables.synchronized {
-      skipTables.getOrElseUpdate((s, dir), {
-        val root = java.nio.file.Files.createTempDirectory("graft_skip").toString
-        val maxKey = Tables(s, dir, "orders").agg(max("o_orderkey")).head.getLong(0)
-        // o_lookup is a Knuth-scrambled key: unique per row, DECORRELATED
-        // from the o_orderkey clustering, so every file's (min,max) spans
-        // the whole domain and only its bloom filter can prune a point
-        // probe — the case bloomColumns exists for
-        val t = new CdcTable(s, s"$root/orders", keys = Seq("o_orderkey"), retainVersions = 3,
-          bloomColumns = Seq("o_lookup"))
-        t.init(Tables(s, dir, "orders")
-          .withColumn("o_note",
-            when(col("o_orderkey") <= lit(maxKey / 2), col("o_orderpriority")))
-          .withColumn("o_lookup", (col("o_orderkey") * lit(2654435761L)) % lit(1000000007L))
-          .repartitionByRange(8, col("o_orderkey")))
-        t
-      })
-    })
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (CdcTable, Long)]
+  private def skipTable(s: SparkSession, dir: String): (CdcTable, Long) =
+    memoized(skipTables)(s, dir) {
+      val root = java.nio.file.Files.createTempDirectory("graft_skip").toString
+      val bounds = Tables(s, dir, "orders")
+        .agg(min("o_orderkey"), max("o_orderkey")).head
+      val (minKey, maxKey) = (bounds.getLong(0), bounds.getLong(1))
+      // o_lookup is a Knuth-scrambled key: unique per row, DECORRELATED
+      // from the o_orderkey clustering, so every file's (min,max) spans
+      // the whole domain and only its bloom filter can prune a point
+      // probe — the case bloomColumns exists for
+      val t = new CdcTable(s, s"$root/orders", keys = Seq("o_orderkey"), retainVersions = 3,
+        bloomColumns = Seq("o_lookup"))
+      t.init(Tables(s, dir, "orders")
+        .withColumn("o_note",
+          when(col("o_orderkey") <= lit(maxKey / 2), col("o_orderpriority")))
+        .withColumn("o_lookup", (col("o_orderkey") * lit(2654435761L)) % lit(1000000007L))
+        .repartitionByRange(8, col("o_orderkey")))
+      (t, minKey)
+    }
 
   // an incrementally-maintained `orders JOIN customer` enrichment view
   // (ops.JoinView) per (session, sfDir): fact and dim each take one
   // deterministic merge batch (modulo-gated so DuckDB can replay it),
-  // the view refreshes by signed delta — NOT recompute — and the oracle
-  // checks the refreshed content equals the fresh join of the final
-  // states. Same double-checked memo discipline as skipTables.
+  // the view refreshes by delta-bounded restricted recompute — only the
+  // keys the feeds touched — and the oracle checks the refreshed content
+  // equals the fresh join of the final states.
   private val joinViews =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
   private def joinView(s: SparkSession, dir: String): CdcTable =
-    joinViews.get((s, dir)).getOrElse(joinViews.synchronized {
-      joinViews.getOrElseUpdate((s, dir), {
+    memoized(joinViews)(s, dir) {
+      {
         import graft.ops.JoinView
         val root = java.nio.file.Files.createTempDirectory("graft_joinview").toString
         val onCols = Seq("o_custkey" -> "c_custkey")
@@ -97,8 +107,8 @@ object ParityQueries extends QueryPack {
           dim, d0, dim.currentVersion.get, onCols,
           java.sql.Timestamp.valueOf("2001-01-03 00:00:00"))
         view
-      })
-    })
+      }
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -151,7 +161,7 @@ object ParityQueries extends QueryPack {
     // footer min/max can match (scanProfile-verified in FileSkippingSpec)
     // and must equal the DuckDB filter over the raw table exactly.
     "k_stats_pruned_scan" -> ((s, dir) => {
-      val t = skipTable(s, dir)
+      val (t, _) = skipTable(s, dir)
       t.readWhere(Seq(
         FileSkipping.Range("o_orderkey", Some(1000L), Some(5000L)),
         FileSkipping.Range("o_orderdate",
@@ -167,7 +177,7 @@ object ParityQueries extends QueryPack {
     // o_note's by-key-range nullability makes the null check actually
     // skip the all-null upper-half files, not just pass through.
     "k_stats_pruned_scan_col" -> ((s, dir) => {
-      val t = skipTable(s, dir)
+      val (t, _) = skipTable(s, dir)
       t.readFiltered(
         col("o_orderkey").between(2000L, 6000L) &&
           col("o_note").isNotNull &&
@@ -180,10 +190,11 @@ object ParityQueries extends QueryPack {
     // the clustering by construction), so only the parquet column bloom
     // filters the table writes for it can skip files; the answer must
     // still equal DuckDB's filter over the raw table exactly. The probe
-    // key derives from min(o_orderkey) so it exists at every SF.
+    // key derives from min(o_orderkey) — memoized with the table, so the
+    // repeat probe pays no per-invocation aggregation — and exists at
+    // every SF.
     "k_bloom_pruned_scan" -> ((s, dir) => {
-      val t = skipTable(s, dir)
-      val minKey = Tables(s, dir, "orders").agg(min("o_orderkey")).head.getLong(0)
+      val (t, minKey) = skipTable(s, dir)
       val target = (minKey * 2654435761L) % 1000000007L
       t.readFiltered(col("o_lookup") === lit(target))
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_lookup")

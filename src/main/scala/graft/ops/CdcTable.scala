@@ -424,9 +424,19 @@ final class CdcTable(
     val carried = expected.map(manifest).getOrElse(Nil)
       .filterNot { case (m, _) => replaced.contains(m) }
     writeManifest(next, carried ++ outMonths.map(m => m -> relDir(next, m)))
-    // schema sidecar: lets an all-months-deleted (empty-manifest) version
-    // still read as a typed empty table
-    Files.writeString(schemaFile(next).toPath, df.schema.json): Unit
+    // schema sidecar: the TABLE's schema as of this version — this
+    // commit's write schema unioned with the previous version's recorded
+    // schema, matching what a mergeSchema read over every month's files
+    // would see. Recording only the write schema would lose an evolved
+    // column carried solely by UNTOUCHED months' files, and the
+    // changed-months-pruned changesBetween (which recovers pruned-away
+    // columns from these sidecars) would emit a feed whose schema depends
+    // on which months changed. Also lets an all-months-deleted
+    // (empty-manifest) version still read as a typed empty table.
+    val priorFields = expected.flatMap(schemaAt).map(_.fields).getOrElse(Array.empty)
+    val unionSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields ++ priorFields.filterNot(f => df.columns.contains(f.name)))
+    Files.writeString(schemaFile(next).toPath, unionSchema.json): Unit
     commitPointer(next)
   }
 

@@ -8,21 +8,34 @@ import org.apache.spark.sql.functions._
   * and what a real pipeline materializes: an enriched fact stream,
   * `fact JOIN dim`, kept current as BOTH sides merge. The reference
   * materializes such enrichments by full recompute per batch
-  * (sanpshot_script.py rebuilds its joined exports end-to-end); here the
-  * refresh applies the classic signed-delta view-maintenance algebra so
-  * per-batch cost scales with the CHANGE FEEDS, not the table sizes:
+  * (sanpshot_script.py rebuilds its joined exports end-to-end); here
+  * each refresh recomputes ONLY the view rows the change feeds could
+  * have touched:
   *
-  * {{{
-  *   (A + dA) JOIN (B + dB)  =  A JOIN B  +  dA JOIN B_new  +  A_old JOIN dB
-  * }}}
+  *  1. affected fact keys = keys in the fact feed, plus facts whose
+  *     foreign key hits a changed dimension key;
+  *  2. their true end-state rows = the plain join of those facts (at
+  *     the window end) against the dimension window-end snapshot;
+  *  3. affected keys with no end-state row net to deletes.
   *
-  * (`dA JOIN B_new` absorbs the `dA JOIN dB` cross term — the standard
-  * trick that makes the two delta joins exact without a third term.)
-  * Both delta terms join a CDC-feed-sized side against one table
-  * snapshot: Catalyst broadcasts the small feed, the big side is a
-  * [[CdcTable]] time-travel read whose months/files prune like any
-  * other scan — at 100 TB the refresh reads the deltas plus the join
-  * partners they touch, never the full view.
+  * Because step 2 IS the recompute restricted to the affected keys, the
+  * refreshed view provably equals the full recompute: a key outside the
+  * affected set has an unchanged fact row whose partner's payload is
+  * also unchanged. No signed-delta netting is involved, so cancelling
+  * change pairs (a fact deleted in the same window its formerly-dangling
+  * partner is inserted) cannot resurrect rows.
+  *
+  * Refresh cost, honestly stated: the change feeds are delta-sized
+  * ([[CdcTable.changesBetween]] prunes to changed months), and each
+  * table snapshot is scanned AT MOST ONCE per refresh, map-side — the
+  * fact scan is a broadcast semi-join against the changed dimension
+  * keys (collapsed entirely by AQE's empty-relation propagation when
+  * the dimension window is empty), and the dimension scan is the step-2
+  * join against the broadcast delta-bounded fact set. Nothing shuffles
+  * at table size. At 100 TB that is one streaming pass over each
+  * table's files per refresh window — the price of not keeping a
+  * foreign-key index — against recompute's scan PLUS table-sized
+  * shuffle and full view rewrite.
   *
   * Scope (the canonical fact-enrichment shape, and what makes the view
   * keyable): the join maps fact-side columns onto the DIMENSION TABLE'S
@@ -34,8 +47,8 @@ import org.apache.spark.sql.functions._
   * fact's foreign key).
   *
   * The maintained view itself is a [[CdcTable]] keyed by the fact keys:
-  * the signed delta nets out, per fact key, to an upsert carrying the
-  * freshest payload or a delete — applied through the same MERGE path
+  * the refresh batch carries, per affected fact key, an upsert with the
+  * current payload or a delete — applied through the same MERGE path
   * as any CDC batch, with all its pruning, versioning and time travel.
   */
 object JoinView {
@@ -61,86 +74,78 @@ object JoinView {
       .select(fact.columns.toSeq.map(fact(_)) ++ payload.map(dim(_)): _*)
   }
 
-  /** The signed view delta between two refresh points, netted to one
-    * CDC row per fact key: `__op` = `u` (upsert, freshest payload) or
+  /** The view delta for one refresh window, one CDC row per affected
+    * fact key: `__op` = `u` (upsert carrying the current payload) or
     * `d` (delete), ready for the view table's `merge(batch, TsCol)`.
     *
     *  - `aChanges` / `bChanges`: `changesBetween` feeds of fact and
     *    dimension covering exactly the refresh window (either may be
     *    empty).
-    *  - `aOld`: the FACT table at the window START (time travel) — the
-    *    `A_old JOIN dB` term pairs dimension images with the facts that
-    *    did NOT change; facts that did arrive current via `dA JOIN
-    *    B_new`, whose images are strictly fresher and win the netting.
-    *  - `bNew`: the DIMENSION table at the window END.
+    *  - `aNew` / `bNew`: the FACT and DIMENSION tables at the window
+    *    END.
     *
-    * Netting, per fact key: signs sum negative → delete; otherwise the
-    * highest-priority positive row (term 1 over term 2 — its fact image
-    * is the post-image and its partner is current) is the upsert
-    * payload. A zero net with contributions is a payload refresh
-    * (re-upserting an identical payload is harmless and idempotent).
+    * Affected keys are (fact-feed keys) ∪ (end-state facts whose
+    * foreign key matches a changed dimension key); their end-state view
+    * rows come from [[compute]] over exactly those facts, so the batch
+    * is the restricted recompute — upserting an unchanged payload for a
+    * key both feeds touched is possible and harmless (idempotent under
+    * the view's keyed merge).
     */
-  def deltaBatch(aChanges: DataFrame, aOld: DataFrame,
+  def deltaBatch(aChanges: DataFrame, aNew: DataFrame,
                  bChanges: DataFrame, bNew: DataFrame,
                  on: Seq[(String, String)], aKeys: Seq[String]): DataFrame = {
-    val sign = when(col(CdcTable.ChangeTypeCol).isin("insert", "update_postimage"), lit(1L))
-      .otherwise(lit(-1L))
-    val dimJoinCols = on.map(_._2).toSet
-    // same contract as compute, checked up front for a readable error
-    // (both tables carrying a same-named bookkeeping column — e.g. the
-    // merge ts — is the common way to trip this; project it away or
-    // rename per table)
-    val factCols = aChanges.columns.filterNot(_ == CdcTable.ChangeTypeCol).toSet
-    val collide = bNew.columns.filterNot(dimJoinCols.contains).filter(factCols.contains)
-    require(collide.isEmpty,
-      s"fact and dimension payload columns must not collide: ${collide.mkString(", ")}")
-
-    // term 1: signed fact images JOIN the current dimension
-    val a1 = aChanges.withColumn("__sign", sign).drop(CdcTable.ChangeTypeCol)
-    val t1 = {
-      val payload = bNew.columns.filterNot(dimJoinCols.contains).toSeq
-      a1.join(bNew, cond(a1, bNew, on), "inner")
-        .select(a1.columns.toSeq.map(a1(_)) ++ payload.map(bNew(_)): _*)
-        .withColumn("__prio", lit(2L))
+    // the fact feed is used twice (post-images + touched keys) and is a
+    // changed-months diff join to recompute — materialize it once
+    val aCh = aChanges.localCheckpoint()
+    // end-state images of facts the fact feed touched (insert/update);
+    // deleted facts contribute their key to `touched` only
+    val aPost = aCh.filter(col(CdcTable.ChangeTypeCol)
+        .isin("insert", "update_postimage"))
+      .drop(CdcTable.ChangeTypeCol)
+    val aTouched = aCh.select(aKeys.map(col): _*).distinct()
+    // facts (unchanged by the fact feed) whose fk hits a changed dim key:
+    // ONE map-side pass over the fact snapshot — the changed-key set and
+    // the touched-key set both broadcast; AQE folds the whole branch to
+    // empty when the dimension feed is empty. Renamed probe columns keep
+    // the semi-join correlation-safe if fact and dim share column names.
+    val bKeyed = on.zipWithIndex.foldLeft(
+        bChanges.select(on.map(p => col(p._2)): _*).distinct()) {
+      case (d, ((_, bc), i)) => d.withColumnRenamed(bc, s"__bk$i")
     }
-    // term 2: window-start facts JOIN signed dimension images
-    val b2 = bChanges.withColumn("__sign", sign).drop(CdcTable.ChangeTypeCol)
-    val t2 = {
-      val payload = b2.columns.filterNot(c => dimJoinCols.contains(c) || c == "__sign").toSeq
-      aOld.join(b2, cond(aOld, b2, on), "inner")
-        .select(aOld.columns.toSeq.map(aOld(_)) ++ payload.map(b2(_)) :+ b2("__sign"): _*)
-        .withColumn("__prio", lit(1L))
-    }
-    // the signed union feeds BOTH the netting and the freshest-payload
-    // pass; it is delta-sized by construction, so materialize it once
-    // (same discipline as the merge path's deduped batch).
-    // allowMissingColumns: aOld has the WINDOW-START schema — a fact
-    // column that evolved in-window is absent there and null-pads, which
-    // is exactly the value unchanged rows carry for it at window end
-    val all = t1.unionByName(t2, allowMissingColumns = true).localCheckpoint()
-
-    val net = all.groupBy(aKeys.map(col): _*).agg(sum(col("__sign")).as("__net"))
-    val freshest = Dedup.latestWins(all.filter(col("__sign") === 1L), aKeys, "__prio")
-      .drop("__sign", "__prio")
-    // left join: a net-negative key has no positive payload — its
-    // non-key columns ride as nulls, which a merge DELETE never reads
-    net.join(freshest, aKeys, "left")
-      .withColumn(OpCol, when(col("__net") < 0, lit("d")).otherwise(lit("u")))
-      .drop("__net")
+    val hit = on.zipWithIndex.map { case ((ac, _), i) =>
+      aNew(ac) === bKeyed(s"__bk$i")
+    }.reduce(_ && _)
+    val aDimHit = aNew.join(bKeyed, hit, "left_semi")
+      .join(aTouched, aKeys, "left_anti")
+      .localCheckpoint() // reused below; recomputing = a second fact scan
+    // end-state fact rows for every affected key that still exists;
+    // aPost carries the feed's (union) schema, aDimHit the end-version
+    // schema — null-pad to their union like any evolved read would
+    val factEnd = aPost.unionByName(aDimHit, allowMissingColumns = true)
+    // the restricted recompute: exactly the view rows that should exist
+    val current = compute(factEnd, bNew, on).localCheckpoint()
+    val affected = aTouched
+      .unionByName(aDimHit.select(aKeys.map(col): _*))
+      .distinct()
+    // an affected key with no recomputed row has lost its fact row or
+    // its partner — delete (a no-op if the view never had it)
+    val deletes = affected.join(current.select(aKeys.map(col): _*), aKeys, "left_anti")
+    current.withColumn(OpCol, lit("u"))
+      .unionByName(deletes.withColumn(OpCol, lit("d")), allowMissingColumns = true)
   }
 
   /** Refresh `view` (a [[CdcTable]] keyed by `fact.keys`) from version
     * window `[fromA, toA]` of the fact table and `[fromB, toB]` of the
     * dimension — one [[deltaBatch]] merged under a caller-supplied
-    * refresh timestamp (any monotone value; the batch is already netted
-    * to one row per key). `fromA`/`fromB` must still be retained (they
-    * are time-travel reads).
+    * refresh timestamp (any monotone value; the batch carries one row
+    * per key). `fromA`/`fromB` must still be retained (the change feeds
+    * are endpoint diffs).
     */
   def refresh(view: CdcTable, fact: CdcTable, fromA: Long, toA: Long,
               dim: CdcTable, fromB: Long, toB: Long,
               on: Seq[(String, String)], refreshTs: java.sql.Timestamp): Unit = {
     val batch = deltaBatch(
-      fact.changesBetween(fromA, toA), fact.readVersion(fromA),
+      fact.changesBetween(fromA, toA), fact.readVersion(toA),
       dim.changesBetween(fromB, toB), dim.readVersion(toB),
       on, fact.keys)
       .withColumn(TsCol, lit(refreshTs))

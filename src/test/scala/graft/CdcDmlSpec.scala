@@ -321,6 +321,44 @@ class CdcDmlSpec extends SparkSpec {
     assert(t.currentVersion.contains(1L))
   }
 
+  test("pruned CDF recovers an evolved column carried only by untouched months") {
+    // `tag` lands via a February-only merge; every later commit touches
+    // only March, so both endpoint commits' WRITE schemas lack it. The
+    // schema sidecar records the table-level union, so the pruned feed
+    // still carries the column (typed, null-padded) exactly as the
+    // unpruned mergeSchema read did.
+    val path = tmpDir("cdfschemaprune") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), partitionSource = Some("created_at"),
+      retainVersions = 10)
+    t.init(Seq(
+      (1L, "a", ts("2024-02-10 00:00:00")),
+      (2L, "b", ts("2024-03-10 00:00:00"))
+    ).toDF("id", "v", "created_at"))
+    t.merge(Seq((1L, "a2", ts("2024-02-10 00:00:00"), "hot", ts("2024-02-11 00:00:00"), "u"))
+      .toDF("id", "v", "created_at", "tag", "mts", "__op"), "mts")
+    t.merge(Seq((2L, "b2", ts("2024-03-10 00:00:00"), ts("2024-03-11 00:00:00"), "u"))
+      .toDF("id", "v", "created_at", "mts", "__op"), "mts")
+    val v3 = t.currentVersion.get
+    t.merge(Seq((2L, "b3", ts("2024-03-10 00:00:00"), ts("2024-03-12 00:00:00"), "u"))
+      .toDF("id", "v", "created_at", "mts", "__op"), "mts")
+    val v4 = t.currentVersion.get
+    val feed = t.changesBetween(v3, v4)
+    // still month-pruned: only March's files open...
+    val opened = feed.inputFiles.toSeq
+    assert(opened.nonEmpty && opened.forall(_.contains("=2024-03")),
+      s"diff must open only the changed month's files, got: $opened")
+    // ...and the evolved column survives, null for rows whose files lack it
+    assert(feed.columns.contains("tag"),
+      s"pruned feed lost the evolved column; has ${feed.columns.mkString(",")}")
+    val rows = feed.select(col("id"), col("v"), col("tag"),
+        col(CdcTable.ChangeTypeCol).as("ct"))
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)), r.getString(3)))
+      .toSet
+    assert(rows == Set(
+      (2L, "b2", None, "update_preimage"),
+      (2L, "b3", None, "update_postimage")))
+  }
+
   test("changesBetween null-pads across schema evolution") {
     val path = tmpDir("cdf") + "/t"
     val t = new CdcTable(spark, path, Seq("id"))

@@ -120,6 +120,46 @@ class JoinViewSpec extends SparkSpec {
     assertViewCurrent(view, fact, dim)
   }
 
+  test("a dim insert repairing a dangling fk enriches the fact into the view") {
+    val (fact, dim, view) = fixture(tmpDir("jv7"))
+    val (fa0, db0) = (fact.currentVersion.get, dim.currentVersion.get)
+    dim.merge(Seq((99L, "z", 7L, ts(2), "c")).toDF("k", "name", "rating", "d_ts", "__op"), "d_ts")
+    JoinView.refresh(view, fact, fa0, fa0, dim, db0, dim.currentVersion.get, on, ts(3))
+    assertViewCurrent(view, fact, dim)
+    assert(view.read.filter(col("id") === 4L).select("name").as[String].head() == "z")
+  }
+
+  test("a fact deleted in the same window its dangling partner is inserted is NOT resurrected") {
+    // the cancelling-pair hole a signed-netting refresh gets wrong: fact 4
+    // (fk=99, dangling, so absent from the view) dies in the SAME window
+    // dim key 99 appears — the two delta contributions cancel and the
+    // correct refresh leaves the view without a row for it
+    val (fact, dim, view) = fixture(tmpDir("jv8"))
+    val (fa0, db0) = (fact.currentVersion.get, dim.currentVersion.get)
+    dim.merge(Seq((99L, "z", 7L, ts(2), "c")).toDF("k", "name", "rating", "d_ts", "__op"), "d_ts")
+    fact.merge(Seq((4L, 99L, 8.0, dt("1996-01-20"), ts(2), "d"))
+      .toDF("id", "fk", "amount", "day", "f_ts", "__op"), "f_ts")
+    JoinView.refresh(view, fact, fa0, fact.currentVersion.get,
+      dim, db0, dim.currentVersion.get, on, ts(3))
+    assertViewCurrent(view, fact, dim)
+    assert(view.read.filter(col("id") === 4L).count() == 0)
+  }
+
+  test("an fk move onto an absent partner while the OLD partner is inserted stays out of the view") {
+    // variant of the cancelling pair: fact 4 moves fk 99 -> 77 (77 never
+    // exists) in the window dim 99 is inserted; a stale pre-move image
+    // must not be upserted
+    val (fact, dim, view) = fixture(tmpDir("jv9"))
+    val (fa0, db0) = (fact.currentVersion.get, dim.currentVersion.get)
+    dim.merge(Seq((99L, "z", 7L, ts(2), "c")).toDF("k", "name", "rating", "d_ts", "__op"), "d_ts")
+    fact.merge(Seq((4L, 77L, 8.0, dt("1996-01-20"), ts(2), "u"))
+      .toDF("id", "fk", "amount", "day", "f_ts", "__op"), "f_ts")
+    JoinView.refresh(view, fact, fa0, fact.currentVersion.get,
+      dim, db0, dim.currentVersion.get, on, ts(3))
+    assertViewCurrent(view, fact, dim)
+    assert(view.read.filter(col("id") === 4L).count() == 0)
+  }
+
   test("colliding payload columns fail fast with the projection contract in the message") {
     val (fact, dim, _) = fixture(tmpDir("jv6"))
     val clash = dim.read.withColumn("amount", lit(0.0))
