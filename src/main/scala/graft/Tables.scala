@@ -26,14 +26,25 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tableCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     tableCache.getOrElseUpdate((spark, sfDir, name), {
-      // events.parquet carries TIMESTAMP(NANOS), which the vectorized reader
-      // rejects; read nanos as long and floor to micros (DuckDB does the
-      // same truncation when it reads nanos into its micros timestamps).
+      // Timestamp vintages vary across testdata generations: events.ts has
+      // been TIMESTAMP(NANOS) (which the vectorized reader rejects — read
+      // as long via nanosAsLong and floor to micros, the same truncation
+      // DuckDB applies reading nanos into its micros timestamps) and
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ).
+      // Normalize BY OBSERVED TYPE to session-zoned TimestampType, the
+      // type every query/oracle pair was built against — under the UTC
+      // session Verify/specs pin, NTZ -> LTZ relabels the same micros.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (name == "events")
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else df
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        f.dataType match {
+          case org.apache.spark.sql.types.LongType if name == "events" && f.name == "ts" =>
+            d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name).cast("timestamp"))
+          case _ => d
+        }
+      }
     })
   }
 
