@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/specs: Tables' NTZ->LTZ relabel and CdcTable's
+      // month bucketing are session-zone-dependent — benched plans must
+      // be the very plans the oracles verified
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()

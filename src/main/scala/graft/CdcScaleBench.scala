@@ -20,6 +20,9 @@ object CdcScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/specs: CdcTable's month bucketing uses the
+      // session zone — benched partitioning must match the verified one
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()

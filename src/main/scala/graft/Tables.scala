@@ -23,6 +23,32 @@ object Tables {
   private val tableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Top-level columns of one parquet file whose physical type is INT64
+    * TIMESTAMP(NANOS) — the columns `nanosAsLong` surfaces as raw Long.
+    * Read from the file's own footer annotation, so a genuine BIGINT
+    * column is never misread as nanos and a nanos column in ANY table
+    * (not just events.ts) gets the repair. One footer read per table
+    * load, amortized by the table cache.
+    */
+  private def nanosLongCols(spark: SparkSession, file: String): Set[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+        case f if f.isPrimitive &&
+          (f.asPrimitiveType.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          }) => f.getName
+      }.toSet
+    } finally reader.close()
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     tableCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     tableCache.getOrElseUpdate((spark, sfDir, name), {
@@ -34,18 +60,41 @@ object Tables {
       // Normalize BY OBSERVED TYPE to session-zoned TimestampType, the
       // type every query/oracle pair was built against — under the UTC
       // session Verify/specs pin, NTZ -> LTZ relabels the same micros.
+      // Which Long columns are really nanos comes from the parquet
+      // footer's own logical-type annotation, never from column names.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      val file = s"$sfDir/$name.parquet"
+      val df = spark.read.parquet(file)
+      lazy val nanos = nanosLongCols(spark, file)
       df.schema.fields.foldLeft(df) { (d, f) =>
         f.dataType match {
-          case org.apache.spark.sql.types.LongType if name == "events" && f.name == "ts" =>
-            d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          case org.apache.spark.sql.types.LongType if nanos(f.name) =>
+            d.withColumn(f.name, org.apache.spark.sql.functions.expr(
+              s"timestamp_micros(`${f.name}` div 1000)"))
           case org.apache.spark.sql.types.TimestampNTZType =>
             d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name).cast("timestamp"))
+          case t if hasNestedNtz(t) =>
+            // the normalization above walks TOP-LEVEL fields only; a
+            // nested NTZ would silently skew every timestamp comparison,
+            // so fail loudly instead (no current vintage nests timestamps)
+            throw new IllegalArgumentException(
+              s"$name.${f.name} nests TIMESTAMP_NTZ inside $t — top-level " +
+                "normalization cannot reach it; flatten the vintage or extend Tables")
           case _ => d
         }
       }
     })
+  }
+
+  private def hasNestedNtz(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case TimestampNTZType => true
+      case s: StructType    => s.fields.exists(f => hasNestedNtz(f.dataType))
+      case a: ArrayType     => hasNestedNtz(a.elementType)
+      case m: MapType       => hasNestedNtz(m.keyType) || hasNestedNtz(m.valueType)
+      case _ => false
+    }
   }
 
   // Corpus-size lookups drive the adaptive operating points (band widths
