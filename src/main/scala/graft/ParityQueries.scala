@@ -171,15 +171,19 @@ object ParityQueries extends QueryPack {
     }),
 
     // K10 through the Column face: the same stats-pruned scan driven by a
-    // plain DSL predicate — range conjuncts and the IS NOT NULL prune
-    // files ([[FileSkipping.predsOf]] extraction), the `=!=` conjunct is
-    // residual-only, and the answer must equal DuckDB's filter exactly.
-    // o_note's by-key-range nullability makes the null check actually
-    // skip the all-null upper-half files, not just pass through.
+    // plain DSL predicate — range conjuncts, the IS NOT NULL, and the
+    // q19-style OR-of-ranges disjunct all prune files
+    // ([[FileSkipping.predsOf]] extraction — the disjunct keeps a file
+    // only when SOME branch may match it, so the key window between the
+    // two branches skips), the `=!=` conjunct is residual-only, and the
+    // answer must equal DuckDB's filter exactly. o_note's by-key-range
+    // nullability makes the null check actually skip the all-null
+    // upper-half files, not just pass through.
     "k_stats_pruned_scan_col" -> ((s, dir) => {
       val (t, _) = skipTable(s, dir)
       t.readFiltered(
         col("o_orderkey").between(2000L, 6000L) &&
+          (col("o_orderkey") <= lit(2500L) || col("o_orderkey") >= lit(5500L)) &&
           col("o_note").isNotNull &&
           col("o_orderstatus") =!= "P")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_note")
@@ -364,6 +368,7 @@ object ParityQueries extends QueryPack {
         |         THEN o_orderpriority END AS o_note
         |  FROM orders)
         |WHERE o_orderkey BETWEEN 2000 AND 6000
+        |  AND (o_orderkey <= 2500 OR o_orderkey >= 5500)
         |  AND o_note IS NOT NULL AND o_orderstatus <> 'P'""".stripMargin,
 
     "x_join_view_incremental" ->

@@ -218,14 +218,8 @@ final class CdcTable(
     val cur = currentOrThrow
     val conf = spark.sessionState.newHadoopConf()
     val kept = scanDirs(cur, preds).flatMap(FileSkipping.prunedFiles(conf, _, preds))
-    val residual = preds.map {
-      case p: FileSkipping.Range =>
-        val c = col(p.column)
-        (p.lower.map(v => c >= lit(v)) ++ p.upper.map(v => c <= lit(v))).reduce(_ && _)
-      case FileSkipping.InSet(c, vs) => col(c).isin(vs: _*)
-      case FileSkipping.IsNull(c)  => col(c).isNull
-      case FileSkipping.NotNull(c) => col(c).isNotNull
-    }.reduceOption(_ && _).getOrElse(lit(true))
+    val residual = preds.map(FileSkipping.residualOf)
+      .reduceOption(_ && _).getOrElse(lit(true))
     if (kept.isEmpty) readAt(cur).filter(lit(false))
     else {
       val df = spark.read.option("mergeSchema", "true").parquet(kept.map(_.getPath): _*)
@@ -281,7 +275,6 @@ final class CdcTable(
   private def scanDirs(cur: Long, preds: Seq[FileSkipping.Pred]): Seq[File] =
     partitionSource match {
       case Some(src) =>
-        val onSrc = preds.collect { case r: FileSkipping.Range if r.column == src => r }
         lazy val srcIsTimestamp = schemaAt(cur)
           .flatMap(_.find(_.name == src))
           .exists(_.dataType == org.apache.spark.sql.types.TimestampType)
@@ -293,22 +286,23 @@ final class CdcTable(
               .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")))
           case _ => None
         }
-        val picked0 = onSrc.foldLeft(manifest(cur)) { (es, p) =>
-          val lo = p.lower.flatMap(month)
-          val hi = p.upper.flatMap(month)
-          es.filter { case (m, _) => lo.forall(m >= _) && hi.forall(m <= _) }
-        }
-        // an IN on the partition source prunes to the values' months —
-        // only when EVERY member yields a month (else no month pruning)
-        val inMonths = preds.collect {
+        // can month `m` hold a row satisfying `p`? Conservative: any
+        // predicate not range/IN-shaped on the partition source (or whose
+        // bounds don't map to months) allows every month; a disjunction
+        // allows a month any branch allows.
+        def monthAllows(m: String, p: FileSkipping.Pred): Boolean = p match {
+          case r: FileSkipping.Range if r.column == src =>
+            r.lower.flatMap(month).forall(m >= _) && r.upper.flatMap(month).forall(m <= _)
           case FileSkipping.InSet(c, vs) if c == src =>
+            // only when EVERY member yields a month (else no month pruning)
             val ms = vs.map(month)
-            if (ms.forall(_.isDefined)) Some(ms.flatten.toSet) else None
-        }.flatten
-        val picked = inMonths.foldLeft(picked0) { (es, ms) =>
-          es.filter { case (m, _) => ms.contains(m) }
+            !ms.forall(_.isDefined) || ms.flatten.contains(m)
+          case FileSkipping.AnyOf(bs) => bs.exists(_.forall(monthAllows(m, _)))
+          case _ => true
         }
-        picked.map(e => new File(path, e._2))
+        manifest(cur)
+          .filter { case (m, _) => preds.forall(monthAllows(m, _)) }
+          .map(e => new File(path, e._2))
       case None => Seq(versionDir(cur))
     }
 

@@ -69,8 +69,10 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
   */
 object FileSkipping {
 
-  /** A skippable predicate on one column. */
-  sealed trait Pred { def column: String }
+  /** A skippable predicate. Leaf predicates constrain one column;
+    * [[AnyOf]] composes them disjunctively.
+    */
+  sealed trait Pred
 
   /** Inclusive range (either bound optional). Equality is the degenerate
     * range. Values may be Int, Long, Double, String, BigDecimal,
@@ -81,6 +83,22 @@ object FileSkipping {
     require(lower.nonEmpty || upper.nonEmpty, "at least one bound")
   }
   object Eq { def apply(c: String, v: Any): Range = Range(c, Some(v), Some(v)) }
+
+  /** Disjunction of conjunctions — `(p11 AND p12 ...) OR (p21 ...) OR …`:
+    * a file survives when ANY branch's predicates all may match, so a
+    * q19-style multi-clause range disjunct prunes the files no branch
+    * can touch (each branch may constrain several columns). Same
+    * conservative direction as everything else: a branch that could
+    * match keeps the file. Scope notes: month pruning recurses into
+    * branches (a month survives if any branch allows it), but bloom
+    * filters are consulted only for TOP-LEVEL equality conjuncts —
+    * a point probe inside a disjunct prunes by ranges/nulls alone.
+    */
+  final case class AnyOf(branches: Seq[Seq[Pred]]) extends Pred {
+    require(branches.length >= 2, "a one-branch AnyOf is just its conjuncts")
+    require(branches.forall(_.nonEmpty),
+      "an empty branch matches everything — drop the whole AnyOf instead")
+  }
 
   /** `column IN (values)`: a file survives when ANY value may be present
     * — range-wise against min/max, and bloom-wise when the file carries
@@ -318,6 +336,22 @@ object FileSkipping {
     case InSet(c, vs) => fs.cols.get(c).forall(st => vs.exists(v => mayMatch(st, Eq(c, v))))
     case IsNull(c)    => fs.cols.get(c).forall(st => !st.nulls.contains(0L))
     case NotNull(c)   => fs.cols.get(c).forall(st => !st.nulls.contains(fs.rows))
+    case AnyOf(bs)    => bs.exists(_.forall(mayMatchFile(fs, _)))
+  }
+
+  /** The Catalyst predicate equivalent to `p` — what a pruned scan
+    * re-applies as the residual filter so the answer provably equals
+    * the plain filtered read whatever the stats said.
+    */
+  def residualOf(p: Pred): org.apache.spark.sql.Column = p match {
+    case r: Range =>
+      val c = org.apache.spark.sql.functions.col(r.column)
+      (r.lower.map(v => c >= org.apache.spark.sql.functions.lit(v)) ++
+        r.upper.map(v => c <= org.apache.spark.sql.functions.lit(v))).reduce(_ && _)
+    case InSet(c, vs) => org.apache.spark.sql.functions.col(c).isin(vs: _*)
+    case IsNull(c)    => org.apache.spark.sql.functions.col(c).isNull
+    case NotNull(c)   => org.apache.spark.sql.functions.col(c).isNotNull
+    case AnyOf(bs)    => bs.map(_.map(residualOf).reduce(_ && _)).reduce(_ || _)
   }
 
   /** Can a row of a file with stats `s` satisfy range `p`? Conservative:
@@ -430,6 +464,7 @@ object FileSkipping {
     // classes. Normalize both to (op, args) before matching.
     def shape(x: Expression): Option[(String, Seq[Expression])] = x match {
       case And(l, r)                => Some(("and", Seq(l, r)))
+      case Or(l, r)                 => Some(("or", Seq(l, r)))
       case EqualTo(a, b)            => Some(("=", Seq(a, b)))
       case GreaterThanOrEqual(a, b) => Some((">=", Seq(a, b)))
       case GreaterThan(a, b)        => Some((">", Seq(a, b)))
@@ -445,6 +480,19 @@ object FileSkipping {
     }
     shape(e) match {
       case Some(("and", Seq(l, r))) => conjuncts(l) ++ conjuncts(r)
+      case Some(("or", Seq(l, r))) =>
+        // a disjunct prunes only if BOTH branches extract something — an
+        // unextractable branch could match any row, so the whole OR then
+        // contributes nothing. Branches are merged independently (their
+        // conjuncts intersect per column), and a branch that is itself a
+        // lone AnyOf flattens so `a OR b OR c` stays one level deep.
+        def branchesOf(x: Expression): Seq[Seq[Pred]] = merged(conjuncts(x)) match {
+          case Seq(AnyOf(bs)) => bs
+          case ps             => Seq(ps)
+        }
+        val (lb, rb) = (branchesOf(l), branchesOf(r))
+        if (lb.exists(_.isEmpty) || rb.exists(_.isEmpty)) Nil
+        else Seq(AnyOf(lb ++ rb))
       case Some(("=" | "==", Seq(a, l))) => one(attr(a), litVal(l), lower = true, upper = true) ++
         one(attr(l), litVal(a), lower = true, upper = true)
       case Some((">=" | ">", Seq(a, l))) => one(attr(a), litVal(l), lower = true, upper = false) ++
@@ -496,7 +544,7 @@ object FileSkipping {
       }
     }
     mergedRanges ++
-      ps.collect { case p @ (IsNull(_) | NotNull(_) | InSet(_, _)) => p }.distinct
+      ps.collect { case p @ (IsNull(_) | NotNull(_) | InSet(_, _) | AnyOf(_)) => p }.distinct
   }
 
   // ------------------------------------------------------------- sidecar

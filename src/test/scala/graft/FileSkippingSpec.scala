@@ -185,17 +185,60 @@ class FileSkippingSpec extends SparkSpec {
       s"between must extract one merged two-sided range, got $preds")
     assert(ranges.exists(r => r.column == "day" && r.lower.contains("1996-01-01")),
       "date literal must extract (internal day-int -> ISO string domain)")
-    assert(!preds.exists(_.column == "user"), "a =!= conjunct is residual-only")
+    assert(preds.size == 2, s"a =!= conjunct is residual-only, got $preds")
     // the DSL face must actually SKIP files on a clustered table
     val (kept, total) = t.scanProfile(preds)
     assert(kept < total, s"Column-face extraction must prune: $kept of $total")
     val got = t.readFiltered(pred).select("id").as[Long].collect().sorted.toSeq
     val want = t.read.filter(pred).select("id").as[Long].collect().sorted.toSeq
     assert(got == want && got.nonEmpty)
-    // an OR tree extracts nothing but still answers exactly
+    // an OR whose branches both extract yields a pruning disjunction
     val orPred = col("id") === 5L || col("user") === "u2"
-    assert(FileSkipping.predsOf(orPred).isEmpty)
+    assert(FileSkipping.predsOf(orPred) ==
+      Seq(FileSkipping.AnyOf(Seq(Seq(FileSkipping.Eq("id", 5L)), Seq(FileSkipping.Eq("user", "u2"))))))
     assert(t.readFiltered(orPred).count() == t.read.filter(orPred).count())
+    // an OR with an unextractable branch contributes nothing (that branch
+    // could match any row) but still answers exactly
+    val mixedOr = col("id") === 5L || col("user").rlike("^u2$")
+    assert(FileSkipping.predsOf(mixedOr).isEmpty)
+    assert(t.readFiltered(mixedOr).count() == t.read.filter(mixedOr).count())
+  }
+
+  test("OR-of-ranges prunes per branch: files no branch can match are skipped, months too") {
+    val t = clusteredTable(tmpDir("skip13"))
+    // two disjoint id windows: the clustered files between them are dead
+    val pred = col("id").between(10L, 20L) || col("id").between(350L, 360L)
+    val preds = FileSkipping.predsOf(pred)
+    assert(preds == Seq(FileSkipping.AnyOf(Seq(
+      Seq(FileSkipping.Range("id", Some(10L), Some(20L))),
+      Seq(FileSkipping.Range("id", Some(350L), Some(360L)))))),
+      s"both branches must extract, got $preds")
+    val (kept, total) = t.scanProfile(preds)
+    assert(kept < total, s"OR-of-ranges must prune the between-windows files: $kept of $total")
+    val got = t.readFiltered(pred).select("id").as[Long].collect().sorted.toSeq
+    assert(got == ((10L to 20L) ++ (350L to 360L)).toSeq)
+    // a 3-way OR flattens to one disjunction level and still answers right
+    val three = col("id") <= 5L || col("id").between(100L, 110L) || col("id") >= 395L
+    FileSkipping.predsOf(three) match {
+      case Seq(FileSkipping.AnyOf(bs)) => assert(bs.length == 3, s"flatten, got $bs")
+      case other => fail(s"expected one AnyOf, got $other")
+    }
+    assert(t.readFiltered(three).count() == t.read.filter(three).count())
+    // multi-column branches: each branch's conjuncts must ALL match a file
+    val multi = (col("id") <= 20L && col("user") === "u3") || col("id") >= 380L
+    val (keptM, totalM) = t.scanProfile(FileSkipping.predsOf(multi))
+    assert(keptM < totalM, s"multi-column OR branches must prune: $keptM of $totalM")
+    assert(t.readFiltered(multi).count() == t.read.filter(multi).count())
+    // month pruning recurses into the disjunction: a two-month OR on the
+    // partition source keeps only those months' directories
+    val dayOr = col("day").between(dt("1996-02-01"), dt("1996-02-28")) ||
+      col("day").between(dt("1996-04-01"), dt("1996-04-30"))
+    val (_, totalDay) = t.scanProfile(FileSkipping.predsOf(dayOr))
+    val (_, totalAll) = t.scanProfile(Nil)
+    assert(totalDay < totalAll, "OR on the partition source must prune months")
+    assert(t.readFiltered(dayOr).count() == t.read.filter(dayOr).count())
+    // SQL-parsed disjunction (resolved Or class) extracts identically
+    assert(FileSkipping.predsOf(expr("id between 10 and 20 or id between 350 and 360")) == preds)
   }
 
   test("SQL-parsed predicates (resolved-shape Catalyst classes) extract the same ranges") {
