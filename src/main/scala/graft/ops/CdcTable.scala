@@ -214,13 +214,21 @@ final class CdcTable(
     * (the partition-source column included); stats are cached per
     * immutable data directory, so repeat scans pay zero footer reads.
     */
-  def readWhere(preds: Seq[FileSkipping.Pred]): DataFrame = {
-    val cur = currentOrThrow
+  def readWhere(preds: Seq[FileSkipping.Pred]): DataFrame =
+    readWhereAt(currentOrThrow, preds)
+
+  /** [[readWhere]] pinned to retained version `v` — the face maintenance
+    * paths (MV refresh, join-view deltas) scan through, so their pruned
+    * reads stay version-consistent with the rest of the refresh while
+    * opening only the files the delta's key/partition predicates can
+    * touch.
+    */
+  def readWhereAt(v: Long, preds: Seq[FileSkipping.Pred]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    val kept = scanDirs(cur, preds).flatMap(FileSkipping.prunedFiles(conf, _, preds))
+    val kept = scanDirs(v, preds).flatMap(FileSkipping.prunedFiles(conf, _, preds))
     val residual = preds.map(FileSkipping.residualOf)
       .reduceOption(_ && _).getOrElse(lit(true))
-    if (kept.isEmpty) readAt(cur).filter(lit(false))
+    if (kept.isEmpty) readAt(v).filter(lit(false))
     else {
       val df = spark.read.option("mergeSchema", "true").parquet(kept.map(_.getPath): _*)
         .filter(residual)
@@ -252,10 +260,15 @@ final class CdcTable(
     * version — the skipping effectiveness number specs and plan audits
     * assert on; metadata-only.
     */
-  def scanProfile(preds: Seq[FileSkipping.Pred]): (Int, Int) = {
-    val cur = currentOrThrow
+  def scanProfile(preds: Seq[FileSkipping.Pred]): (Int, Int) =
+    scanProfileAt(currentOrThrow, preds)
+
+  /** [[scanProfile]] at a pinned version (the audit face for
+    * version-pinned maintenance scans).
+    */
+  def scanProfileAt(v: Long, preds: Seq[FileSkipping.Pred]): (Int, Int) = {
     val conf = spark.sessionState.newHadoopConf()
-    val dirs = scanDirs(cur, preds)
+    val dirs = scanDirs(v, preds)
     (dirs.map(FileSkipping.prunedFiles(conf, _, preds).size).sum,
       dirs.map(FileSkipping.prunedFiles(conf, _, Nil).size).sum)
   }
@@ -390,6 +403,9 @@ final class CdcTable(
     val next = expected.getOrElse(0L) + 1
     reserveOrConflict(next)
     writer(df).mode(SaveMode.Append).parquet(versionDir(next).getPath)
+    // stats sidecar at write time: the footers just materialized and are
+    // cache-hot — the first pruned read must not pay a metadata storm
+    FileSkipping.writeStatsNow(spark.sessionState.newHadoopConf(), versionDir(next))
     commitPointer(next)
   }
 
@@ -415,6 +431,13 @@ final class CdcTable(
     val outMonths = Option(commitDir(next).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
       .map(_.getName.stripPrefix(s"$PartCol=")).toSeq.sorted
+    // write-time stats sidecars for exactly the directories this commit
+    // produced (carried months keep theirs — the dirs are immutable)
+    locally {
+      val conf = spark.sessionState.newHadoopConf()
+      outMonths.foreach(m =>
+        FileSkipping.writeStatsNow(conf, new File(commitDir(next), s"$PartCol=$m")))
+    }
     val carried = expected.map(manifest).getOrElse(Nil)
       .filterNot { case (m, _) => replaced.contains(m) }
     writeManifest(next, carried ++ outMonths.map(m => m -> relDir(next, m)))
@@ -503,6 +526,12 @@ final class CdcTable(
             .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
             .foreach(f => Files.createLink(nd.toPath.resolve(f.getName), f.toPath): Unit)
           writer(df).mode(SaveMode.Append).parquet(nd.getPath)
+          // sidecar: carried (hard-linked, byte-identical, same names)
+          // files reuse the previous version's stats; only the appended
+          // batch's fresh files pay a footer read — at commit time
+          val conf = spark.sessionState.newHadoopConf()
+          FileSkipping.writeStatsNow(conf, nd,
+            reuse = FileSkipping.statsForDir(conf, versionDir(cur)))
           commitPointer(next)
         }
     }
@@ -782,6 +811,11 @@ final class CdcTable(
         Option(src.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
           .foreach(f => Files.createLink(versionDir(next).toPath.resolve(f.getName), f.toPath): Unit)
+        // every restored file is a hard link of the source version under
+        // the same name — its sidecar carries over stat-for-stat
+        val conf = spark.sessionState.newHadoopConf()
+        FileSkipping.writeStatsNow(conf, versionDir(next),
+          reuse = FileSkipping.statsForDir(conf, src))
         commitPointer(next)
     }
   }

@@ -30,12 +30,17 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
   * The stats come from the parquet FOOTERS the writer already produced
   * (no second pass over data; reading a footer is a metadata-scale
   * operation, exactly what Iceberg does when it builds manifests) and
-  * are cached in a `_filestats.tsv` sidecar per data directory. Data
-  * directories are immutable once committed, so a sidecar never goes
-  * stale; a directory without one (pre-stats table, interrupted write)
-  * just keeps all its files — skipping is a pure optimization, never a
-  * correctness dependency, and the residual filter always re-applies the
-  * predicate. The sidecar is written to a temp name and atomically
+  * are cached in a `_filestats.tsv` sidecar per data directory.
+  * [[CdcTable]] commits emit the sidecar AS PART OF THE COMMIT
+  * ([[writeStatsNow]] — footers just written, cache-hot; hard-linked
+  * carry-over files reuse the prior version's entries), so a fresh
+  * table's first pruned scan opens zero footers; the lazy
+  * compute-on-first-read path remains as the fallback for pre-stats
+  * tables. Data directories are immutable once committed, so a sidecar
+  * never goes stale; a directory without one (pre-stats table,
+  * interrupted write) just keeps all its files — skipping is a pure
+  * optimization, never a correctness dependency, and the residual filter
+  * always re-applies the predicate. The sidecar is written to a temp name and atomically
   * renamed into place, and a torn/old-format/unparseable sidecar is
   * ignored (stats recompute from footers and the sidecar is rewritten) —
   * a bad cache can cost a footer pass, never an answer.
@@ -137,6 +142,12 @@ object FileSkipping {
   private val RowsMarker = "#rows"
   private val BloomMarker = "#bloom"
 
+  /** Footer opens performed for STATS (not bloom probes) — the number a
+    * write-time-sidecar'd table must keep at zero on its first pruned
+    * scan; observability for specs and plan audits.
+    */
+  private[graft] val statFooterReads = new java.util.concurrent.atomic.AtomicLong
+
   // ------------------------------------------------------------- gathering
 
   /** Stats for every data file in `dir` (non-recursive), computed from
@@ -155,6 +166,30 @@ object FileSkipping {
     }
   }
 
+  /** Write `dir`'s stats sidecar NOW — the writer's side of the cache.
+    * A table that calls this as part of its commit (the files were just
+    * produced and their footers are OS-cache-hot) never pays the lazy
+    * first-read footer pass, which at 100 TB is a metadata storm over
+    * every fresh data file of a big commit. Entries in `reuse` (from the
+    * previous version's sidecar — e.g. hard-linked carry-over files that
+    * are byte-identical under the same names) skip their footer read.
+    * Best-effort by contract: the data commit already stands, and a
+    * missing sidecar only means the first read recomputes it — so
+    * failures log and never fail the commit.
+    */
+  def writeStatsNow(conf: Configuration, dir: File,
+                    reuse: Map[String, FileStats] = Map.empty): Unit =
+    try {
+      val stats = dataFiles(dir).map { f =>
+        f.getName -> reuse.getOrElse(f.getName, footerStats(conf, f))
+      }.toMap
+      writeSidecar(new File(dir, SidecarName), stats)
+    } catch {
+      case NonFatal(e) =>
+        CdcTable.log.warn(s"write-time stats sidecar for $dir failed " +
+          s"(first pruned read will recompute from footers): $e")
+    }
+
   private def dataFiles(dir: File): Seq[File] =
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
@@ -162,6 +197,7 @@ object FileSkipping {
 
   /** One footer read: block-level stats merged per column. */
   private def footerStats(conf: Configuration, file: File): FileStats = {
+    statFooterReads.incrementAndGet(): Unit
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file.getPath), conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq

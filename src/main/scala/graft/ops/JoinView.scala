@@ -57,6 +57,26 @@ object JoinView {
   val OpCol = "__op"
   val TsCol = "__ts"
 
+  /** Largest key set a snapshot pass turns into IN-list file-skipping
+    * predicates ([[FileSkipping.InSet]]); a delta touching more keys
+    * falls back to the plain full-version scan (an IN that large prunes
+    * little and costs per-file x per-value work driver-side).
+    */
+  val MaxPruneKeys = 4096
+
+  /** Per-column IN-list predicates from collected key rows: column `i`
+    * of every row against `cols(i)`. Nulls drop — a null key can never
+    * equi-join, so rows carrying one are unreachable by the lookup the
+    * predicates bound. Columns whose values ALL dropped contribute
+    * nothing (`InSet` requires members).
+    */
+  private def inSetPreds(cols: Seq[String],
+                         rows: Array[org.apache.spark.sql.Row]): Seq[FileSkipping.Pred] =
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      val vs = rows.map(_.get(i)).filter(_ != null).distinct.toSeq
+      if (vs.isEmpty) None else Some(FileSkipping.InSet(c, vs))
+    }
+
   private def cond(a: DataFrame, b: DataFrame, on: Seq[(String, String)]): Column =
     on.map { case (ac, bc) => a(ac) === b(bc) }.reduce(_ && _)
 
@@ -93,6 +113,25 @@ object JoinView {
     */
   def deltaBatch(aChanges: DataFrame, aNew: DataFrame,
                  bChanges: DataFrame, bNew: DataFrame,
+                 on: Seq[(String, String)], aKeys: Seq[String]): DataFrame =
+    deltaBatch(aChanges, _ => aNew, bChanges, _ => bNew, on, aKeys)
+
+  /** [[deltaBatch]] with PRUNED snapshot passes: `aNewFor`/`bNewFor`
+    * produce the window-end fact/dimension snapshots restricted by
+    * file-skipping predicates (typically `t.readWhereAt(toV, preds)`) —
+    * the preds passed are derived from the delta itself, so on a table
+    * clustered (or bloom-filtered) on the probed key columns each
+    * "snapshot pass" opens only the files the delta's keys can live in.
+    * The functions MUST return all rows matching the predicates (any
+    * superset restriction of the full snapshot is what a pruned read
+    * gives); called with Nil they must return the full snapshot. This is
+    * what turns the two at-most-one-pass-per-snapshot scans into
+    * few-files scans for the common small-delta refresh — at 100 TB the
+    * difference between streaming the table per refresh window and
+    * opening the handful of files the window touched.
+    */
+  def deltaBatch(aChanges: DataFrame, aNewFor: Seq[FileSkipping.Pred] => DataFrame,
+                 bChanges: DataFrame, bNewFor: Seq[FileSkipping.Pred] => DataFrame,
                  on: Seq[(String, String)], aKeys: Seq[String]): DataFrame = {
     // the fact feed is used twice (post-images + touched keys) and is a
     // changed-months diff join to recompute — materialize it once
@@ -103,13 +142,23 @@ object JoinView {
         .isin("insert", "update_postimage"))
       .drop(CdcTable.ChangeTypeCol)
     val aTouched = aCh.select(aKeys.map(col): _*).distinct()
+    // the changed dimension keys drive BOTH the fk-hit probe and the
+    // fact-snapshot pruning predicates — materialize once, collect with
+    // a cap (delta-bounded; past the cap pruning stops paying anyway)
+    val bKeyDf = bChanges.select(on.map(p => col(p._2)): _*).distinct().localCheckpoint()
+    val bKeyRows = bKeyDf.limit(MaxPruneKeys + 1).collect()
     // facts (unchanged by the fact feed) whose fk hits a changed dim key:
-    // ONE map-side pass over the fact snapshot — the changed-key set and
-    // the touched-key set both broadcast; AQE folds the whole branch to
-    // empty when the dimension feed is empty. Renamed probe columns keep
-    // the semi-join correlation-safe if fact and dim share column names.
-    val bKeyed = on.zipWithIndex.foldLeft(
-        bChanges.select(on.map(p => col(p._2)): _*).distinct()) {
+    // AT MOST one map-side pass over the fact snapshot — file-skipped to
+    // the changed keys' files when the key set is small, skipped entirely
+    // when it is empty; the changed-key and touched-key sets broadcast.
+    // Renamed probe columns keep the semi-join correlation-safe if fact
+    // and dim share column names.
+    val aNew =
+      if (bKeyRows.isEmpty) aNewFor(Nil).filter(lit(false))
+      else if (bKeyRows.length <= MaxPruneKeys)
+        aNewFor(inSetPreds(on.map(_._1), bKeyRows))
+      else aNewFor(Nil)
+    val bKeyed = on.zipWithIndex.foldLeft(bKeyDf) {
       case (d, ((_, bc), i)) => d.withColumnRenamed(bc, s"__bk$i")
     }
     val hit = on.zipWithIndex.map { case ((ac, _), i) =>
@@ -122,6 +171,17 @@ object JoinView {
     // aPost carries the feed's (union) schema, aDimHit the end-version
     // schema — null-pad to their union like any evolved read would
     val factEnd = aPost.unionByName(aDimHit, allowMissingColumns = true)
+    // the dimension snapshot pass reads only files that can hold a
+    // partner of an affected fact: the affected fks are delta-bounded,
+    // so collect them (same cap) and push them down as IN-list skipping
+    // predicates on the dimension's key columns
+    val fkRows = factEnd.select(on.map(p => col(p._1)): _*).distinct()
+      .limit(MaxPruneKeys + 1).collect()
+    val bNew =
+      if (fkRows.isEmpty) bNewFor(Nil).filter(lit(false))
+      else if (fkRows.length <= MaxPruneKeys)
+        bNewFor(inSetPreds(on.map(_._2), fkRows))
+      else bNewFor(Nil)
     // the restricted recompute: exactly the view rows that should exist
     val current = compute(factEnd, bNew, on).localCheckpoint()
     val affected = aTouched
@@ -139,14 +199,17 @@ object JoinView {
     * dimension — one [[deltaBatch]] merged under a caller-supplied
     * refresh timestamp (any monotone value; the batch carries one row
     * per key). `fromA`/`fromB` must still be retained (the change feeds
-    * are endpoint diffs).
+    * are endpoint diffs). The snapshot passes go through the tables'
+    * stats-pruned version-pinned scans ([[CdcTable.readWhereAt]]), so a
+    * small delta against a key-clustered or bloom-filtered table opens
+    * only the files its keys can live in.
     */
   def refresh(view: CdcTable, fact: CdcTable, fromA: Long, toA: Long,
               dim: CdcTable, fromB: Long, toB: Long,
               on: Seq[(String, String)], refreshTs: java.sql.Timestamp): Unit = {
     val batch = deltaBatch(
-      fact.changesBetween(fromA, toA), fact.readVersion(toA),
-      dim.changesBetween(fromB, toB), dim.readVersion(toB),
+      fact.changesBetween(fromA, toA), preds => fact.readWhereAt(toA, preds),
+      dim.changesBetween(fromB, toB), preds => dim.readWhereAt(toB, preds),
       on, fact.keys)
       .withColumn(TsCol, lit(refreshTs))
     view.merge(batch, TsCol)

@@ -343,6 +343,53 @@ class FileSkippingSpec extends SparkSpec {
     assert(t.readFiltered(mixed).count() == t.read.filter(mixed).count())
   }
 
+  test("commits emit the stats sidecar at write time; first pruned scans read zero footers") {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    def sidecarsUnder(root: String) =
+      walk(new File(root)).filter(_.getName == FileSkipping.SidecarName)
+    val root = tmpDir("skip15")
+    val t = clusteredTable(root) // partitioned init commit
+    assert(sidecarsUnder(root).nonEmpty,
+      "init must write sidecars with the commit, before any read")
+    val preds = Seq(FileSkipping.Range("id", Some(10L), Some(20L)))
+    val before = FileSkipping.statFooterReads.get
+    val (kept, total) = t.scanProfile(preds)
+    assert(kept < total)
+    assert(FileSkipping.statFooterReads.get == before,
+      "first pruned scan of a freshly committed table must open zero footers for stats")
+    // a merge's new month directories arrive sidecar'd too
+    val nSidecars = sidecarsUnder(root).size
+    t.merge(Seq((10L, "u1", dt("1996-01-05"), java.sql.Timestamp.valueOf("2001-01-01 00:00:00"), "u"))
+      .toDF("id", "user", "day", "ts", "__op"), "ts")
+    assert(sidecarsUnder(root).size > nSidecars,
+      "merge-written month dirs must carry fresh sidecars")
+    val afterMerge = FileSkipping.statFooterReads.get
+    t.scanProfile(preds): Unit
+    assert(FileSkipping.statFooterReads.get == afterMerge,
+      "post-merge pruned scan must still be footer-free")
+    // unpartitioned append: carried hard-linked files reuse the previous
+    // sidecar's entries — only the appended batch pays footer reads, and
+    // those at COMMIT time, never at read time
+    val u = new CdcTable(spark, s"$root/u", Seq("id"), retainVersions = 5)
+    u.init((0 until 100).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+      .repartitionByRange(4, col("id")))
+    u.append((100 until 120).map(i => (i.toLong, i * 2L)).toDF("id", "v"))
+    val afterAppend = FileSkipping.statFooterReads.get
+    val (keptU, totalU) = u.scanProfile(Seq(FileSkipping.Range("id", Some(0L), Some(10L))))
+    assert(keptU < totalU)
+    assert(FileSkipping.statFooterReads.get == afterAppend,
+      "append commit must leave a complete sidecar: read pays no footers")
+    // restore re-links the old version: its sidecar carries over entry-for-entry
+    u.append((120 until 130).map(i => (i.toLong, i * 2L)).toDF("id", "v"))
+    val preRestoreReads = FileSkipping.statFooterReads.get
+    u.restore(u.versions.head)
+    u.scanProfile(Seq(FileSkipping.Range("id", Some(0L), Some(10L)))): Unit
+    assert(FileSkipping.statFooterReads.get == preRestoreReads,
+      "restore must rebuild the sidecar from the source version's, footer-free")
+  }
+
   test("string and date stats prune; merge-evolved files lacking the column are kept") {
     val root = tmpDir("skip4")
     val t = clusteredTable(root)
