@@ -110,6 +110,114 @@ object ParityQueries extends QueryPack {
       }
     }
 
+  // LEFT-OUTER join view (the reference's snapshot-export shape: every
+  // source row lands in the sink, sanpshot_script.py:229-233): same
+  // fact/dim churn machinery, but fks are rerouted to NONEXISTENT keys
+  // and dim rows are deleted, so the view must carry null-padded facts —
+  // dangling-fk churn nets to upsert-with-nulls, never a delete.
+  private val joinViewsOuter =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
+  private def joinViewOuter(s: SparkSession, dir: String): CdcTable =
+    memoized(joinViewsOuter)(s, dir) {
+      import graft.ops.JoinView
+      val root = java.nio.file.Files.createTempDirectory("graft_joinview_outer").toString
+      val onCols = Seq("o_custkey" -> "c_custkey")
+      val orders = Tables(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      val fact = new CdcTable(s, s"$root/fact", Seq("o_orderkey"),
+        partitionSource = Some("o_orderdate"), retainVersions = 5)
+      val dim = new CdcTable(s, s"$root/dim", Seq("c_custkey"), retainVersions = 5)
+      val view = new CdcTable(s, s"$root/view", Seq("o_orderkey"), retainVersions = 5)
+      fact.init(orders)
+      dim.init(customer)
+      view.init(JoinView.compute(fact.read, dim.read, onCols, outer = true)
+        .withColumn(JoinView.TsCol, lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))))
+      val (f0, d0) = (fact.currentVersion.get, dim.currentVersion.get)
+      val slot = col("o_orderkey") % 10
+      val fts = lit(java.sql.Timestamp.valueOf("2001-01-02 00:00:00"))
+      // slots 0-2: fk rerouted into the void (outer view keeps them,
+      // null-padded); 3-4: price bump; 5-6: fact delete; 8-9: inserts
+      // under fresh keys
+      val reroutes = orders.filter(slot < 3)
+        .withColumn("o_custkey", col("o_custkey") + lit(900000000L))
+        .withColumn("__op", lit("u"))
+      val ups = orders.filter(slot >= 3 && slot < 5)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.2)
+        .withColumn("__op", lit("u"))
+      val dels = orders.filter(slot >= 5 && slot < 7).withColumn("__op", lit("d"))
+      val ins = orders.filter(slot >= 8)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+        .withColumn("__op", lit("c"))
+      fact.merge(reroutes.unionByName(ups).unionByName(dels).unionByName(ins)
+        .withColumn("f_ts", fts), "f_ts")
+      // dim: every 7th customer vanishes (its facts go null-padded, NOT
+      // deleted), every 5th (surviving) gets a payload update
+      dim.merge(customer.filter(col("c_custkey") % 7 === 0)
+        .withColumn("__op", lit("d"))
+        .unionByName(customer.filter(col("c_custkey") % 7 =!= 0 && col("c_custkey") % 5 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") * 2)
+          .withColumn("__op", lit("u")))
+        .withColumn("d_ts", fts), "d_ts")
+      JoinView.refresh(view, fact, f0, fact.currentVersion.get,
+        dim, d0, dim.currentVersion.get, onCols,
+        java.sql.Timestamp.valueOf("2001-01-03 00:00:00"), outer = true)
+      view
+    }
+
+  // STAR join view: one fact (lineitem) + TWO dimensions (part,
+  // supplier) churning in the SAME refresh window, maintained by ONE
+  // JoinView.refreshStar call — the multi-dimension enrichment shape a
+  // real export pipeline materializes.
+  private val starViews =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
+  private def starView(s: SparkSession, dir: String): CdcTable =
+    memoized(starViews)(s, dir) {
+      import graft.ops.JoinView
+      val root = java.nio.file.Files.createTempDirectory("graft_starview").toString
+      val li = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_shipdate")
+      val part = Tables(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+      val supp = Tables(s, dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+      val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val onP = Seq("l_partkey" -> "p_partkey")
+      val onS = Seq("l_suppkey" -> "s_suppkey")
+      val fact = new CdcTable(s, s"$root/fact", keys,
+        partitionSource = Some("l_shipdate"), retainVersions = 5)
+      val dimP = new CdcTable(s, s"$root/part", Seq("p_partkey"), retainVersions = 5)
+      val dimS = new CdcTable(s, s"$root/supp", Seq("s_suppkey"), retainVersions = 5)
+      val view = new CdcTable(s, s"$root/view", keys, retainVersions = 5)
+      fact.init(li)
+      dimP.init(part)
+      dimS.init(supp)
+      view.init(JoinView.computeStar(fact.read, Seq(dimP.read -> onP, dimS.read -> onS))
+        .withColumn(JoinView.TsCol, lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))))
+      val (f0, p0, s0) = (fact.currentVersion.get, dimP.currentVersion.get, dimS.currentVersion.get)
+      val ts2 = lit(java.sql.Timestamp.valueOf("2001-01-02 00:00:00"))
+      val slot = (col("l_orderkey") + col("l_linenumber")) % 10
+      // fact: price bump slots 0-4, delete slots 5-6
+      fact.merge(li.filter(slot < 5)
+        .withColumn("l_extendedprice", col("l_extendedprice") * 1.1)
+        .withColumn("__op", lit("u"))
+        .unionByName(li.filter(slot >= 5 && slot < 7).withColumn("__op", lit("d")))
+        .withColumn("f_ts", ts2), "f_ts")
+      // part: every 11th deleted (inner star drops its lineitems), every
+      // 3rd surviving repriced; supplier: every 4th rebalanced
+      dimP.merge(part.filter(col("p_partkey") % 11 === 0).withColumn("__op", lit("d"))
+        .unionByName(part.filter(col("p_partkey") % 11 =!= 0 && col("p_partkey") % 3 === 0)
+          .withColumn("p_retailprice", col("p_retailprice") * 1.1)
+          .withColumn("__op", lit("u")))
+        .withColumn("p_ts", ts2), "p_ts")
+      dimS.merge(supp.filter(col("s_suppkey") % 4 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") * 2)
+        .withColumn("__op", lit("u")).withColumn("s_ts", ts2), "s_ts")
+      JoinView.refreshStar(view, fact, f0, fact.currentVersion.get,
+        Seq(JoinView.StarDim(dimP, p0, dimP.currentVersion.get, onP),
+          JoinView.StarDim(dimS, s0, dimS.currentVersion.get, onS)),
+        java.sql.Timestamp.valueOf("2001-01-03 00:00:00"))
+      view
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // incremental JOIN-view maintenance (ops.JoinView): after one churn
@@ -119,6 +227,22 @@ object ParityQueries extends QueryPack {
     "x_join_view_incremental" -> ((s, dir) =>
       joinView(s, dir).read
         .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal")),
+
+    // LEFT-OUTER join view: dangling fks (rerouted into the void) and
+    // dim deletes leave facts in the view NULL-PADDED; only fact deletes
+    // remove view rows. Must equal DuckDB's LEFT JOIN of the replayed
+    // final states.
+    "x_join_view_outer" -> ((s, dir) =>
+      joinViewOuter(s, dir).read
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal")),
+
+    // STAR join view: fact + 2 dims churning in one window, ONE
+    // refreshStar call; must equal DuckDB's 3-way join of the replayed
+    // final states.
+    "x_join_view_star" -> ((s, dir) =>
+      starView(s, dir).read
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice", "p_name", "p_retailprice", "s_name", "s_acctbal")),
 
     // A4 + O1: the flagship compaction — one latest row per key, total
     // order (ts desc, event_id desc). One shuffle on the key.
@@ -389,6 +513,52 @@ object ParityQueries extends QueryPack {
         |)
         |SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, d.c_name, d.c_acctbal
         |FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey""".stripMargin,
+
+    "x_join_view_outer" ->
+      """WITH fact AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 < 3 THEN o_custkey + 900000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 10 IN (3, 4) THEN o_totalprice * 1.2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 NOT IN (5, 6)
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 IN (8, 9)
+        |),
+        |dim AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal * 2
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |)
+        |SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, d.c_name, d.c_acctbal
+        |FROM fact f LEFT JOIN dim d ON f.o_custkey = d.c_custkey""".stripMargin,
+
+    "x_join_view_star" ->
+      """WITH fact AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CASE WHEN (l_orderkey + l_linenumber) % 10 < 5 THEN l_extendedprice * 1.1
+        |         ELSE l_extendedprice END AS l_extendedprice
+        |  FROM lineitem WHERE (l_orderkey + l_linenumber) % 10 NOT IN (5, 6)
+        |),
+        |p AS (
+        |  SELECT p_partkey, p_name,
+        |    CASE WHEN p_partkey % 3 = 0 THEN p_retailprice * 1.1
+        |         ELSE p_retailprice END AS p_retailprice
+        |  FROM part WHERE p_partkey % 11 <> 0
+        |),
+        |s AS (
+        |  SELECT s_suppkey, s_name,
+        |    CASE WHEN s_suppkey % 4 = 0 THEN s_acctbal * 2
+        |         ELSE s_acctbal END AS s_acctbal
+        |  FROM supplier
+        |)
+        |SELECT f.l_orderkey, f.l_linenumber, f.l_partkey, f.l_suppkey,
+        |  f.l_extendedprice, p.p_name, p.p_retailprice, s.s_name, s.s_acctbal
+        |FROM fact f
+        |JOIN p ON f.l_partkey = p.p_partkey
+        |JOIN s ON f.l_suppkey = s.s_suppkey""".stripMargin,
 
     "k_bloom_pruned_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{CdcTable, FileSkipping, JoinView}
+
+/** File-skipping effectiveness probe at a given SF (BASELINE.md's
+  * read-side-skipping row): measures, on a key-clustered versioned copy
+  * of `orders`,
+  *
+  *   1. a selective predicate scan through [[CdcTable.readWhere]]
+  *      (stats-pruned) vs the plain `read.filter` full scan — wall time
+  *      and files opened vs files total;
+  *   2. an incremental JOIN-view refresh window (one changed dimension
+  *      key) with the delta-derived IN-list pruning vs the same refresh
+  *      forced through unpruned snapshot reads — wall time, plus the
+  *      kept/total file counts of the pruned fact and dimension passes.
+  *
+  * The numbers back the r9/r10 design claim that maintenance reads open
+  * only the files the delta's keys can live in; sf0.1 tables are too
+  * small for skipping to move wall time, hence the sf1 point.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf1 SPARK_GRAFT_CPUS=32 \
+  *     sbt "runMain graft.SkipBench /tmp/skipbench"
+  */
+object SkipBench {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/skipbench")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/testdata/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(root))
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // ---- 1. predicate scan: pruned vs full --------------------------------
+    val orders = Tables(spark, sfDir, "orders")
+    val fact = new CdcTable(spark, s"$root/orders", Seq("o_orderkey"), retainVersions = 5)
+    val (_, tInit) = timed(fact.init(orders.repartitionByRange(64, col("o_orderkey"))))
+    m("init_clustered") = tInit
+    val hi = orders.agg(max("o_orderkey")).head.getLong(0)
+    // a ~1%-of-keyspace window
+    val preds = Seq(FileSkipping.Range("o_orderkey", Some(hi / 2), Some(hi / 2 + hi / 100)))
+    val (kept, total) = fact.scanProfile(preds)
+    val (nPruned, tPruned) = timed(fact.readWhere(preds).count())
+    val (nFull, tFull) = timed(
+      fact.read.filter(col("o_orderkey").between(hi / 2, hi / 2 + hi / 100)).count())
+    require(nPruned == nFull, s"pruned scan diverged: $nPruned != $nFull")
+    m("scan_pruned") = tPruned
+    m("scan_full") = tFull
+
+    // ---- 2. join-view refresh: one changed dim key ------------------------
+    val customer = Tables(spark, sfDir, "customer")
+    val dim = new CdcTable(spark, s"$root/customer", Seq("c_custkey"), retainVersions = 5)
+    dim.init(customer.repartitionByRange(16, col("c_custkey")))
+    val onCols = Seq("o_custkey" -> "c_custkey")
+    val view = new CdcTable(spark, s"$root/view", Seq("o_orderkey"), retainVersions = 5)
+    view.init(JoinView.compute(fact.read, dim.read, onCols)
+      .withColumn(JoinView.TsCol, lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))))
+    val (f0, d0) = (fact.currentVersion.get, dim.currentVersion.get)
+    // the delta: ONE dimension key changes
+    val ck = customer.agg(min("c_custkey")).head.getLong(0)
+    dim.merge(customer.filter(col("c_custkey") === ck)
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+      .withColumn("__op", lit("u"))
+      .withColumn("d_ts", lit(java.sql.Timestamp.valueOf("2001-01-02 00:00:00"))), "d_ts")
+    dim.compact(16, clusterBy = Seq("c_custkey")) // re-cluster the merged dim
+    val d2 = dim.currentVersion.get
+
+    var factPreds: Seq[FileSkipping.Pred] = Nil
+    var dimPreds: Seq[FileSkipping.Pred] = Nil
+    val (batchPruned, tRefreshPruned) = timed {
+      val b = JoinView.deltaBatch(
+        fact.changesBetween(f0, f0),
+        preds => { factPreds = preds; fact.readWhereAt(f0, preds) },
+        dim.changesBetween(d0, d2),
+        preds => { dimPreds = preds; dim.readWhereAt(d2, preds) },
+        onCols, Seq("o_orderkey"))
+      b.count()
+    }
+    m("jv_refresh_pruned") = tRefreshPruned
+    val (fKept, fTotal) = fact.scanProfileAt(f0, factPreds)
+    val (dKept, dTotal) = dim.scanProfileAt(d2, dimPreds)
+    val (batchFull, tRefreshFull) = timed {
+      val b = JoinView.deltaBatch(
+        fact.changesBetween(f0, f0), _ => fact.readVersion(f0),
+        dim.changesBetween(d0, d2), _ => dim.readVersion(d2),
+        onCols, Seq("o_orderkey"))
+      b.count()
+    }
+    require(batchPruned == batchFull,
+      s"pruned refresh diverged: $batchPruned != $batchFull rows")
+    m("jv_refresh_full") = tRefreshFull
+
+    val qs = m.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"scan_files":{"kept":$kept,"total":$total},""" +
+      s""""jv_fact_files":{"kept":$fKept,"total":$fTotal},""" +
+      s""""jv_dim_files":{"kept":$dKept,"total":$dTotal},""" +
+      s""""batch_rows":$batchPruned,"timings":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -30,12 +30,22 @@ object Tables {
     * (not just events.ts) gets the repair. One footer read per table
     * load, amortized by the table cache.
     */
-  private def nanosLongCols(spark: SparkSession, file: String): Set[String] = {
+  private def nanosLongCols(spark: SparkSession, file: String): Set[String] = try {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sessionState.newHadoopConf()
+    // a vintage may ship a DIRECTORY-shaped dataset (valid for
+    // spark.read.parquet): all its part files share one writer schema,
+    // so any one data file's footer answers the nanos question
+    val f0 = new java.io.File(file)
+    val target =
+      if (!f0.isDirectory) file
+      else Option(f0.listFiles()).getOrElse(Array.empty)
+        .find(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.getPath)
+        .getOrElse(file) // empty dir: let the open throw into the catch-all
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(file), conf))
+        new org.apache.hadoop.fs.Path(target), conf))
     try {
       import scala.jdk.CollectionConverters._
       reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
@@ -47,6 +57,14 @@ object Tables {
           }) => f.getName
       }.toSet
     } finally reader.close()
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      // degrade to "no nanos repair" rather than failing the whole table
+      // load: a vintage that needs the repair is single-file today, and a
+      // wrong outcome here surfaces immediately as an oracle type mismatch
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"nanos-column sniff of $file failed; assuming no NANOS columns: $e")
+      Set.empty
   }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {

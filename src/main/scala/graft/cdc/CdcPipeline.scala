@@ -34,7 +34,16 @@ final class CdcPipeline(
       * from the table's change data feed (merge -> CDF -> signed-delta
       * refresh, no re-scan) — see [[graft.ops.MaterializedView]].
       */
-    views: Seq[CdcPipeline.ViewSpec] = Nil) {
+    views: Seq[CdcPipeline.ViewSpec] = Nil,
+    /** Incremental JOIN views maintained inside the same flow: after all
+      * of a micro-batch's table merges commit, every registered join
+      * view whose fact or dimension table was touched refreshes through
+      * [[graft.ops.JoinView.refreshStar]] — merge -> CDF -> delta-bounded
+      * restricted recompute, file-skipped snapshot passes. The reference's
+      * stream-maintains-sink shape (incremental_kafka_s3_cdc.py:384-398)
+      * for the enriched-export case.
+      */
+    joinViews: Seq[CdcPipeline.JoinViewSpec] = Nil) {
 
   /** File-backed convenience constructors (the offline default). */
   def this(spark: SparkSession, envelopeDir: String, checkpointDir: String,
@@ -95,6 +104,10 @@ final class CdcPipeline(
             maintainViews(t, table)
         }
       }
+      // join views refresh AFTER every table of the batch has merged, so
+      // a batch carrying both fact and dimension rows refreshes once,
+      // from a consistent pair of committed versions
+      maintainJoinViews(tables.toSet)
     } finally {
       withMeta.unpersist(): Unit
     }
@@ -105,6 +118,79 @@ final class CdcPipeline(
       new graft.ops.MaterializedView(spark, table, vs.viewPath, vs.groupCols, vs.sumCols, vs.extCols)
         .refresh()
     }
+
+  /** Refresh every registered join view one of whose sides the batch
+    * touched. The `_reflected` marker beside the view records the
+    * (fact, dim) versions the view matches; it is (re)written only AFTER
+    * the view's merge commits, so a crash between the two re-applies the
+    * same window on the next batch — idempotent, the refresh batch is a
+    * restricted recompute at the window end, and the view's keyed merge
+    * absorbs the replay. A reflected version that already expired from
+    * the table's retained history falls back to a full re-init at the
+    * current versions (same idempotence argument).
+    */
+  private def maintainJoinViews(touched: Set[String]): Unit =
+    joinViews.filter(j => touched(j.factTable) || touched(j.dimTable)).foreach { j =>
+      import graft.ops.JoinView
+      val fact = new CdcTable(spark, s"$tableRoot/${j.factTable}", j.factKeys)
+      val dim = new CdcTable(spark, s"$tableRoot/${j.dimTable}", j.on.map(_._2))
+      (fact.currentVersion, dim.currentVersion) match {
+        case (Some(fv), Some(dv)) =>
+          val view = new CdcTable(spark, j.viewPath, j.factKeys)
+          val ts = new java.sql.Timestamp(System.currentTimeMillis())
+          // default payload: every dimension column that is neither a
+          // join key nor pipeline meta (__ts_ms etc — the fact side
+          // already carries its own copies; they must not collide)
+          def dimPayload: Seq[String] = j.dimPayload.getOrElse(
+            dim.read.columns.toSeq
+              .filterNot(c => c.startsWith("__") || j.on.map(_._2).contains(c)))
+          def star = Seq(JoinView.StarDim(dim, 0L, dv, j.on, Some(dimPayload)))
+          def bootstrap(): Unit = {
+            val dimProj = dim.readVersion(dv)
+              .select((j.on.map(_._2) ++ dimPayload).distinct.map(org.apache.spark.sql.functions.col): _*)
+            view.init(JoinView.compute(fact.readVersion(fv), dimProj, j.on, j.outer)
+              .withColumn(JoinView.TsCol, lit(ts)))
+            writeReflected(j.viewPath, fv, dv)
+          }
+          def isExpired(e: Throwable): Boolean =
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+              .exists(_.isInstanceOf[java.io.FileNotFoundException])
+          readReflected(j.viewPath) match {
+            case Some((f0, d0)) if f0 == fv && d0 == dv => ()
+            case Some((f0, d0)) =>
+              try {
+                JoinView.refreshStar(view, fact, f0, fv,
+                  star.map(_.copy(fromV = d0)), ts, j.outer)
+                writeReflected(j.viewPath, fv, dv)
+              } catch {
+                case e: Throwable if isExpired(e) => bootstrap()
+              }
+            case None => bootstrap()
+          }
+        case _ => () // a side not ingested yet: nothing to enrich
+      }
+    }
+
+  private def reflectedFile(viewPath: String) =
+    new java.io.File(viewPath, CdcPipeline.ReflectedMarker)
+
+  private def readReflected(viewPath: String): Option[(Long, Long)] = {
+    val f = reflectedFile(viewPath)
+    if (!f.exists()) None
+    else java.nio.file.Files.readString(f.toPath).trim.split(' ') match {
+      case Array(a, b) => scala.util.Try((a.toLong, b.toLong)).toOption
+      case _           => None
+    }
+  }
+
+  private def writeReflected(viewPath: String, fv: Long, dv: Long): Unit = {
+    val f = reflectedFile(viewPath)
+    val tmp = java.nio.file.Paths.get(viewPath, CdcPipeline.ReflectedMarker + ".tmp")
+    java.nio.file.Files.writeString(tmp, s"$fv $dv")
+    java.nio.file.Files.move(tmp, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
 
   /** Run one incremental pass over all currently-available envelope files,
     * then stop (trigger-once semantics). Safe to call repeatedly; each call
@@ -130,4 +216,22 @@ object CdcPipeline {
   final case class ViewSpec(table: String, viewPath: String,
                             groupCols: Seq[String], sumCols: Seq[String],
                             extCols: Seq[String] = Nil)
+
+  /** Declarative JOIN-view registration: maintain at `viewPath` the
+    * enrichment `factTable JOIN dimTable` (`on` pairs fact fk columns
+    * with the dimension's merge keys), keyed by `factKeys`; `outer`
+    * keeps partner-less facts null-padded. `dimPayload` restricts which
+    * dimension columns enrich the view (None = every non-meta,
+    * non-join-key column).
+    */
+  final case class JoinViewSpec(factTable: String, factKeys: Seq[String],
+                                dimTable: String, viewPath: String,
+                                on: Seq[(String, String)],
+                                outer: Boolean = false,
+                                dimPayload: Option[Seq[String]] = None)
+
+  /** Marker file beside a join view recording the `(fact, dim)` versions
+    * it reflects — written only after the view's merge commits.
+    */
+  val ReflectedMarker = "_reflected"
 }

@@ -81,6 +81,57 @@ object EnvelopeCodec {
     )
   }
 
+  /** [[synthesize]] generalized to ANY flat table: the embedded
+    * Kafka-Connect schema derives from the frame's own Spark schema
+    * (int64/int32/double/float/boolean/string; TimestampType rides the
+    * io.debezium.time.Timestamp logical type as epoch millis), the
+    * envelope keys by `pk`, routes by `table`, and takes the op code
+    * (c/u/d) from `opCol` and the event time from `tsCol` (both dropped
+    * from the payload). The multi-table streaming fixture face: fact and
+    * dimension CDC flowing through ONE pipeline.
+    */
+  def synthesizeTable(df: DataFrame, table: String, pk: String,
+                      opCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dataCols = df.columns.filterNot(c => c == opCol || c == tsCol).toSeq
+    def fieldJson(name: String): String = {
+      val opt = name != pk
+      df.schema(name).dataType match {
+        case LongType    => s"""{"field":"$name","type":"int64","optional":$opt}"""
+        case IntegerType => s"""{"field":"$name","type":"int32","optional":$opt}"""
+        case DoubleType  => s"""{"field":"$name","type":"double","optional":$opt}"""
+        case FloatType   => s"""{"field":"$name","type":"float","optional":$opt}"""
+        case BooleanType => s"""{"field":"$name","type":"boolean","optional":$opt}"""
+        case TimestampType =>
+          s"""{"field":"$name","type":"int64","optional":$opt,"name":"io.debezium.time.Timestamp"}"""
+        case _ => s"""{"field":"$name","type":"string","optional":$opt}"""
+      }
+    }
+    val schemaJson =
+      s"""{"type":"struct","fields":[${dataCols.map(fieldJson).mkString(",")},""" +
+        """{"field":"__deleted","type":"string","optional":true}]}"""
+    val payloadCols = dataCols.map { c =>
+      df.schema(c).dataType match {
+        case TimestampType => unix_millis(col(c)).as(c)
+        case _             => col(c)
+      }
+    }
+    val payload = to_json(struct(payloadCols :+
+      when(col(opCol) === "d", "true").otherwise("false").as("__deleted"): _*))
+    val header = (k: String, v: Column) =>
+      struct(lit(k).as("key"), v.cast(BinaryType).as("value"))
+    df.select(
+      to_json(struct(col(pk))).as("key"),
+      concat(lit("""{"schema":""" + schemaJson + ""","payload":"""), payload, lit("}")).as("value"),
+      array(
+        header("table", lit(table)),
+        header("op", col(opCol)),
+        header("source.ts_ms", unix_millis(col(tsCol)).cast(StringType)),
+        header("source.db", lit("oms1"))
+      ).as("headers"),
+      lit(s"source_glaucus1.oms1.$table").as("topic"))
+  }
+
   /** Positional header extraction + metadata casts, mirroring
     * incremental_kafka_s3_cdc.py:376-383: __table, __op, __ts_ms (epoch
     * millis -> timestamp), __db, plus key/value cast to string.

@@ -95,9 +95,12 @@ object FileSkipping {
     * can touch (each branch may constrain several columns). Same
     * conservative direction as everything else: a branch that could
     * match keeps the file. Scope notes: month pruning recurses into
-    * branches (a month survives if any branch allows it), but bloom
-    * filters are consulted only for TOP-LEVEL equality conjuncts —
-    * a point probe inside a disjunct prunes by ranges/nulls alone.
+    * branches (a month survives if any branch allows it); bloom filters
+    * are consulted for TOP-LEVEL equality conjuncts — which includes any
+    * single-column all-equality disjunction (`k = 5 OR k = 9`), because
+    * extraction normalizes those into [[InSet]] ([[predsOf]]/`merged`).
+    * Only a MULTI-column disjunct's point probes prune by ranges/nulls
+    * alone.
     */
   final case class AnyOf(branches: Seq[Seq[Pred]]) extends Pred {
     require(branches.length >= 2, "a one-branch AnyOf is just its conjuncts")
@@ -274,7 +277,12 @@ object FileSkipping {
     * everything minus the files whose stats PROVE no row matches. A file
     * or column without stats is always kept.
     */
-  def prunedFiles(conf: Configuration, dir: File, preds: Seq[Pred]): Seq[File] = {
+  def prunedFiles(conf: Configuration, dir: File, preds0: Seq[Pred]): Seq[File] = {
+    // normalize here too: programmatic callers (join-view deltas pass
+    // AnyOf-of-IN-lists directly, bypassing predsOf) get the same
+    // single-column collapse — and with it the bloom probes — as
+    // Column-extracted predicates
+    val preds = preds0.map(normalized)
     val stats = statsForDir(conf, dir)
     // equality predicates (degenerate ranges, IN sets) that a bloom
     // filter can answer; tested ONLY for files that survived the
@@ -553,12 +561,36 @@ object FileSkipping {
     }
   }
 
+  /** A disjunction of point lookups on ONE column is just an IN list —
+    * normalized so it rides the IN-list pruning path, BLOOM probes
+    * included (a raw [[AnyOf]] prunes by ranges/nulls only, so
+    * `k = 5 OR k = 9` on an unclustered bloom-equipped column would
+    * skip nothing while the semantically identical `k IN (5, 9)`
+    * skips bloom-negative files).
+    */
+  private def normalized(p: Pred): Pred = p match {
+    case AnyOf(bs) =>
+      val points: Seq[Option[(String, Seq[Any])]] = bs.map {
+        case Seq(r: Range) if r.lower.isDefined && r.lower == r.upper =>
+          Some(r.column -> Seq(r.lower.get))
+        case Seq(InSet(c, vs)) => Some(c -> vs)
+        case _                 => None
+      }
+      if (points.forall(_.isDefined) && points.flatten.map(_._1).distinct.sizeIs == 1)
+        InSet(points.flatten.head._1, points.flatten.flatMap(_._2).distinct)
+      else p
+    case other => other
+  }
+
   /** Intersect same-column ranges pairwise where their bounds are
     * orderable (the tighter bound wins — raw values kept, comparison on
     * the normalized domain); unorderable pairs stay separate, which is
-    * still correct under `forall` semantics. Null predicates dedupe.
+    * still correct under `forall` semantics. Null predicates dedupe;
+    * single-column equality-only disjunctions collapse to [[InSet]]
+    * ([[normalized]]).
     */
-  private def merged(ps: Seq[Pred]): Seq[Pred] = {
+  private def merged(ps0: Seq[Pred]): Seq[Pred] = {
+    val ps = ps0.map(normalized)
     def tighter(a: Option[Any], b: Option[Any], wantGreater: Boolean): Option[Option[Any]] =
       (a, b) match {
         case (None, x) => Some(x)

@@ -34,6 +34,34 @@ object IncrementalView {
 
   val CountCol = "n_rows"
 
+  /** Largest dirty-group key set pushed down as file-skipping predicates
+    * on the target-version recompute scan; past the cap the scan falls
+    * back to unpruned (an IN that large prunes little and costs per-file
+    * x per-value driver work — same rationale as [[JoinView.MaxPruneKeys]]).
+    */
+  val MaxPruneKeys = 4096
+
+  /** NULL-SAFE per-column pruning predicates from collected group-key
+    * rows: unlike an equi-join key set ([[JoinView]]), a null group key
+    * names a LEGITIMATE group (groupBy folds all nulls into one), so a
+    * column whose collected values include null must keep the files
+    * holding its null rows — `InSet OR IS NULL`, expressed through the
+    * existing [[FileSkipping.AnyOf]] algebra. Columns stay conjunctive:
+    * a row of any dirty group matches every column's own value-or-null
+    * set.
+    */
+  private def groupKeyPreds(cols: Seq[String],
+                            rows: Array[org.apache.spark.sql.Row]): Seq[FileSkipping.Pred] =
+    cols.zipWithIndex.map { case (c, i) =>
+      val (nulls, vs) = rows.map(_.get(i)).partition(_ == null)
+      (vs.distinct.toSeq, nulls.nonEmpty) match {
+        case (v, false)          => FileSkipping.InSet(c, v)
+        case (Nil, true)         => FileSkipping.IsNull(c)
+        case (v, true)           =>
+          FileSkipping.AnyOf(Seq(Seq(FileSkipping.InSet(c, v)), Seq(FileSkipping.IsNull(c))))
+      }
+    }
+
   private def nn(c: String) = s"__nn_$c"
   private def avgc(c: String) = s"avg_$c"
 
@@ -68,12 +96,33 @@ object IncrementalView {
     * zero vanish, like a recompute would drop them. `tableAt` — the
     * table AT THE TARGET VERSION — is required when `extCols` is
     * non-empty: it serves the group-local recomputes for extrema
-    * invalidated by deletes.
+    * invalidated by deletes. (Unpruned face: the plain DataFrame cannot
+    * skip files; the scan is still semi-join-restricted to the dirty
+    * groups and skipped entirely when none are dirty.)
     */
   def refresh(agg: DataFrame, changes: DataFrame,
               groupCols: Seq[String], sumCols: Seq[String],
-              extCols: Seq[String] = Nil, tableAt: DataFrame = null): DataFrame = {
-    require(extCols.isEmpty || tableAt != null,
+              extCols: Seq[String] = Nil, tableAt: DataFrame = null): DataFrame =
+    refresh(agg, changes, groupCols, sumCols, extCols,
+      if (tableAt == null) null
+      else (_: Seq[FileSkipping.Pred]) => tableAt)
+
+  /** [[refresh]] with a PRUNED target-version scan: `tableFor` produces
+    * the target-version table restricted by file-skipping predicates
+    * (typically `t.readWhereAt(target, preds)`). The preds pushed are
+    * the dirty groups' own key values (capped at [[MaxPruneKeys]], null
+    * group keys handled null-safely), so on a table clustered on the
+    * group columns the delete-invalidated-extremum recompute opens only
+    * the files the dirty groups can live in — and when NO group is
+    * dirty, `tableFor` is never called and the refresh touches no table
+    * file at all. At 100 TB these are THE recurring maintenance scans:
+    * a refresh whose deletes touch 2 groups must not open all 84 months.
+    */
+  def refresh(agg: DataFrame, changes: DataFrame,
+              groupCols: Seq[String], sumCols: Seq[String],
+              extCols: Seq[String],
+              tableFor: Seq[FileSkipping.Pred] => DataFrame): DataFrame = {
+    require(extCols.isEmpty || tableFor != null,
       "min/max maintenance needs the target-version table for delete-invalidated groups")
     val sign = when(
       col(CdcTable.ChangeTypeCol).isin("insert", "update_postimage"), lit(1L))
@@ -134,11 +183,21 @@ object IncrementalView {
       val split = refreshed.localCheckpoint()
       val clean = split.filter(!col("__dirty")).drop("__dirty")
       val dirtyKeys = split.filter(col("__dirty")).select(groupCols.map(col): _*)
-      val semiCond = groupCols.map(k => col(s"t.$k") <=> col(s"k.$k")).reduce(_ && _)
-      val recomputed = compute(
-        tableAt.alias("t").join(dirtyKeys.alias("k"), semiCond, "left_semi"),
-        groupCols, sumCols, extCols)
-      clean.unionByName(recomputed)
+      // the dirty keys drive the pruning predicates — delta-bounded by
+      // group cardinality, collected with the cap (past it, the scan
+      // stays semi-join-restricted but unpruned)
+      val keyRows = dirtyKeys.limit(MaxPruneKeys + 1).collect()
+      if (keyRows.isEmpty) clean // no invalidated extrema: ZERO table scan
+      else {
+        val preds =
+          if (keyRows.length <= MaxPruneKeys) groupKeyPreds(groupCols, keyRows)
+          else Nil
+        val semiCond = groupCols.map(k => col(s"t.$k") <=> col(s"k.$k")).reduce(_ && _)
+        val recomputed = compute(
+          tableFor(preds).alias("t").join(dirtyKeys.alias("k"), semiCond, "left_semi"),
+          groupCols, sumCols, extCols)
+        clean.unionByName(recomputed)
+      }
     }
   }
 }

@@ -6,45 +6,55 @@ import org.apache.spark.sql.functions._
 /** Incremental maintenance of an equi-JOIN materialized view — the
   * missing piece between [[IncrementalView]] (aggregates of ONE table)
   * and what a real pipeline materializes: an enriched fact stream,
-  * `fact JOIN dim`, kept current as BOTH sides merge. The reference
-  * materializes such enrichments by full recompute per batch
-  * (sanpshot_script.py rebuilds its joined exports end-to-end); here
-  * each refresh recomputes ONLY the view rows the change feeds could
-  * have touched:
+  * `fact JOIN dim` (one dimension or a star of several), kept current as
+  * ALL sides merge. The reference materializes such enrichments by full
+  * recompute per batch (sanpshot_script.py rebuilds its joined exports
+  * end-to-end); here each refresh recomputes ONLY the view rows the
+  * change feeds could have touched:
   *
   *  1. affected fact keys = keys in the fact feed, plus facts whose
-  *     foreign key hits a changed dimension key;
+  *     foreign key hits a changed key of ANY dimension;
   *  2. their true end-state rows = the plain join of those facts (at
-  *     the window end) against the dimension window-end snapshot;
+  *     the window end) against every dimension's window-end snapshot;
   *  3. affected keys with no end-state row net to deletes.
   *
   * Because step 2 IS the recompute restricted to the affected keys, the
   * refreshed view provably equals the full recompute: a key outside the
-  * affected set has an unchanged fact row whose partner's payload is
+  * affected set has an unchanged fact row whose partners' payloads are
   * also unchanged. No signed-delta netting is involved, so cancelling
   * change pairs (a fact deleted in the same window its formerly-dangling
   * partner is inserted) cannot resurrect rows.
   *
   * Refresh cost, honestly stated: the change feeds are delta-sized
-  * ([[CdcTable.changesBetween]] prunes to changed months), and each
-  * table snapshot is scanned AT MOST ONCE per refresh, map-side — the
-  * fact scan is a broadcast semi-join against the changed dimension
-  * keys (collapsed entirely by AQE's empty-relation propagation when
-  * the dimension window is empty), and the dimension scan is the step-2
-  * join against the broadcast delta-bounded fact set. Nothing shuffles
-  * at table size. At 100 TB that is one streaming pass over each
-  * table's files per refresh window — the price of not keeping a
-  * foreign-key index — against recompute's scan PLUS table-sized
-  * shuffle and full view rewrite.
+  * ([[CdcTable.changesBetween]] prunes to changed months), and the fact
+  * snapshot's fk-hit probe is a map-side broadcast semi-join per
+  * dimension with a changed delta — over the file-skipped candidate set
+  * when the changed-key sets are small (one [[FileSkipping.AnyOf]]
+  * disjunction covers all dimensions' keys in one pruned scan), skipped
+  * entirely for dimensions whose window is empty. Each dimension's
+  * snapshot pass is the step-2 join against the broadcast delta-bounded
+  * fact set, pruned by the affected foreign keys. Nothing shuffles at
+  * table size. At 100 TB that is a few-files scan per side for the
+  * common small-delta refresh — against recompute's full scans PLUS
+  * table-sized shuffle and full view rewrite.
   *
   * Scope (the canonical fact-enrichment shape, and what makes the view
-  * keyable): the join maps fact-side columns onto the DIMENSION TABLE'S
-  * MERGE KEYS (`on` pairs `(factCol, dimKey)`), so every fact row has
-  * at most one partner and the view is uniquely keyed by the fact
-  * table's own merge keys (assumed non-null, as merge keys are). Fact
-  * and dimension payload columns must not collide; the dimension's
-  * join-key columns are dropped from the view (they duplicate the
-  * fact's foreign key).
+  * keyable): each join maps fact-side columns onto that DIMENSION
+  * TABLE'S MERGE KEYS (`on` pairs `(factCol, dimKey)`), so every fact
+  * row has at most one partner per dimension and the view is uniquely
+  * keyed by the fact table's own merge keys (assumed non-null, as merge
+  * keys are). Fact and dimension payload columns must not collide (nor
+  * two dimensions' payloads with each other); each dimension's join-key
+  * columns are dropped from the view (they duplicate the fact's foreign
+  * key).
+  *
+  * Join flavor: INNER (facts without a full set of partners are absent)
+  * or LEFT OUTER (`outer = true` — every fact row lands in the view,
+  * missing partners null-padded; the reference's snapshot exports are
+  * effectively left joins, every source row reaches the sink,
+  * sanpshot_script.py:229-233). Under outer semantics dangling-fk churn
+  * nets to an upsert-with-nulls, not a delete — only a deleted fact row
+  * deletes a view row.
   *
   * The maintained view itself is a [[CdcTable]] keyed by the fact keys:
   * the refresh batch carries, per affected fact key, an upsert with the
@@ -53,7 +63,7 @@ import org.apache.spark.sql.functions._
   */
 object JoinView {
 
-  /** Synthetic CDC-batch columns emitted by [[deltaBatch]]. */
+  /** Synthetic CDC-batch columns emitted by [[starBatch]]. */
   val OpCol = "__op"
   val TsCol = "__ts"
 
@@ -64,35 +74,67 @@ object JoinView {
     */
   val MaxPruneKeys = 4096
 
-  /** Per-column IN-list predicates from collected key rows: column `i`
-    * of every row against `cols(i)`. Nulls drop — a null key can never
-    * equi-join, so rows carrying one are unreachable by the lookup the
-    * predicates bound. Columns whose values ALL dropped contribute
-    * nothing (`InSet` requires members).
+  /** One dimension of a (star) join view refresh window: its change feed
+    * over the window, a pruned-snapshot reader at the window end, and
+    * the `(factCol, dimKey)` equi-join mapping.
+    */
+  final case class Dim(changes: DataFrame,
+                       newFor: Seq[FileSkipping.Pred] => DataFrame,
+                       on: Seq[(String, String)])
+
+  /** A dimension [[CdcTable]] with its refresh window — the persisted
+    * face [[refreshStar]] consumes. `payload`, when set, restricts the
+    * dimension columns carried into the view (the join keys are always
+    * kept); None carries every column. The projection is what lets a
+    * dimension with audit/meta columns colliding with the fact's (e.g.
+    * both sides of a CDC pipeline carry `__ts_ms`) still enrich it.
+    */
+  final case class StarDim(table: CdcTable, fromV: Long, toV: Long,
+                           on: Seq[(String, String)],
+                           payload: Option[Seq[String]] = None)
+
+  /** Key rows that can actually equi-join: a row carrying a null in ANY
+    * key column matches nothing (equi-joins are null-rejecting), so it
+    * is unreachable by the lookup the predicates bound — dropped BEFORE
+    * building the per-column IN lists, which both tightens the lists and
+    * lets an all-null key set short-circuit to "nothing can match".
+    */
+  private def joinableRows(rows: Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] =
+    rows.filter(r => (0 until r.length).forall(i => !r.isNullAt(i)))
+
+  /** Per-column IN-list predicates from collected (already
+    * null-row-filtered, nonempty) key rows: column `i` of every row
+    * against `cols(i)`.
     */
   private def inSetPreds(cols: Seq[String],
                          rows: Array[org.apache.spark.sql.Row]): Seq[FileSkipping.Pred] =
-    cols.zipWithIndex.flatMap { case (c, i) =>
-      val vs = rows.map(_.get(i)).filter(_ != null).distinct.toSeq
-      if (vs.isEmpty) None else Some(FileSkipping.InSet(c, vs))
+    cols.zipWithIndex.map { case (c, i) =>
+      FileSkipping.InSet(c, rows.map(_.get(i)).distinct.toSeq)
     }
 
   private def cond(a: DataFrame, b: DataFrame, on: Seq[(String, String)]): Column =
     on.map { case (ac, bc) => a(ac) === b(bc) }.reduce(_ && _)
 
-  /** The full (bootstrap) computation: inner equi-join, fact columns
-    * plus the dimension's non-join columns. The refreshed view always
-    * equals this run over the two tables at the refreshed-to versions.
+  /** The full (bootstrap) computation against ONE dimension: equi-join
+    * (inner, or left-outer when `outer`), fact columns plus the
+    * dimension's non-join columns. The refreshed view always equals
+    * this run over the tables at the refreshed-to versions.
     */
-  def compute(fact: DataFrame, dim: DataFrame, on: Seq[(String, String)]): DataFrame = {
+  def compute(fact: DataFrame, dim: DataFrame, on: Seq[(String, String)],
+              outer: Boolean = false): DataFrame = {
     val dimJoinCols = on.map(_._2).toSet
     val payload = dim.columns.filterNot(dimJoinCols.contains).toSeq
     val collide = payload.filter(fact.columns.contains)
     require(collide.isEmpty,
       s"fact and dimension payload columns must not collide: ${collide.mkString(", ")}")
-    fact.join(dim, cond(fact, dim, on), "inner")
+    fact.join(dim, cond(fact, dim, on), if (outer) "left_outer" else "inner")
       .select(fact.columns.toSeq.map(fact(_)) ++ payload.map(dim(_)): _*)
   }
+
+  /** [[compute]] folded across a star of dimensions, left to right. */
+  def computeStar(fact: DataFrame, dims: Seq[(DataFrame, Seq[(String, String)])],
+                  outer: Boolean = false): DataFrame =
+    dims.foldLeft(fact) { case (f, (d, on)) => compute(f, d, on, outer) }
 
   /** The view delta for one refresh window, one CDC row per affected
     * fact key: `__op` = `u` (upsert carrying the current payload) or
@@ -103,13 +145,6 @@ object JoinView {
     *    empty).
     *  - `aNew` / `bNew`: the FACT and DIMENSION tables at the window
     *    END.
-    *
-    * Affected keys are (fact-feed keys) ∪ (end-state facts whose
-    * foreign key matches a changed dimension key); their end-state view
-    * rows come from [[compute]] over exactly those facts, so the batch
-    * is the restricted recompute — upserting an unchanged payload for a
-    * key both feeds touched is possible and harmless (idempotent under
-    * the view's keyed merge).
     */
   def deltaBatch(aChanges: DataFrame, aNew: DataFrame,
                  bChanges: DataFrame, bNew: DataFrame,
@@ -125,14 +160,28 @@ object JoinView {
     * The functions MUST return all rows matching the predicates (any
     * superset restriction of the full snapshot is what a pruned read
     * gives); called with Nil they must return the full snapshot. This is
-    * what turns the two at-most-one-pass-per-snapshot scans into
-    * few-files scans for the common small-delta refresh — at 100 TB the
-    * difference between streaming the table per refresh window and
-    * opening the handful of files the window touched.
+    * what turns the per-snapshot scans into few-files scans for the
+    * common small-delta refresh — at 100 TB the difference between
+    * streaming the table per refresh window and opening the handful of
+    * files the window touched.
     */
   def deltaBatch(aChanges: DataFrame, aNewFor: Seq[FileSkipping.Pred] => DataFrame,
                  bChanges: DataFrame, bNewFor: Seq[FileSkipping.Pred] => DataFrame,
-                 on: Seq[(String, String)], aKeys: Seq[String]): DataFrame = {
+                 on: Seq[(String, String)], aKeys: Seq[String]): DataFrame =
+    starBatch(aChanges, aNewFor, Seq(Dim(bChanges, bNewFor, on)), aKeys)
+
+  /** The general (star) view delta: one fact, any number of dimensions,
+    * inner or left-outer semantics. Cost shape: ONE pruned fact-snapshot
+    * pass per dimension with a non-empty changed-key window (each a
+    * map-side broadcast semi-join over the SAME [[FileSkipping.AnyOf]]-
+    * pruned candidate file set), one pruned pass per dimension for the
+    * step-2 join, and delta-bounded everything else. Dimensions whose
+    * window is empty cost nothing at all.
+    */
+  def starBatch(aChanges: DataFrame, aNewFor: Seq[FileSkipping.Pred] => DataFrame,
+                dims: Seq[Dim], aKeys: Seq[String],
+                outer: Boolean = false): DataFrame = {
+    require(dims.nonEmpty, "a join view needs at least one dimension")
     // the fact feed is used twice (post-images + touched keys) and is a
     // changed-months diff join to recompute — materialize it once
     val aCh = aChanges.localCheckpoint()
@@ -142,53 +191,79 @@ object JoinView {
         .isin("insert", "update_postimage"))
       .drop(CdcTable.ChangeTypeCol)
     val aTouched = aCh.select(aKeys.map(col): _*).distinct()
-    // the changed dimension keys drive BOTH the fk-hit probe and the
-    // fact-snapshot pruning predicates — materialize once, collect with
-    // a cap (delta-bounded; past the cap pruning stops paying anyway)
-    val bKeyDf = bChanges.select(on.map(p => col(p._2)): _*).distinct().localCheckpoint()
-    val bKeyRows = bKeyDf.limit(MaxPruneKeys + 1).collect()
-    // facts (unchanged by the fact feed) whose fk hits a changed dim key:
-    // AT MOST one map-side pass over the fact snapshot — file-skipped to
-    // the changed keys' files when the key set is small, skipped entirely
-    // when it is empty; the changed-key and touched-key sets broadcast.
-    // Renamed probe columns keep the semi-join correlation-safe if fact
-    // and dim share column names.
-    val aNew =
-      if (bKeyRows.isEmpty) aNewFor(Nil).filter(lit(false))
-      else if (bKeyRows.length <= MaxPruneKeys)
-        aNewFor(inSetPreds(on.map(_._1), bKeyRows))
-      else aNewFor(Nil)
-    val bKeyed = on.zipWithIndex.foldLeft(bKeyDf) {
-      case (d, ((_, bc), i)) => d.withColumnRenamed(bc, s"__bk$i")
+    // per dimension: the changed keys drive BOTH the fk-hit probe and
+    // the fact-snapshot pruning predicates — materialize once, collect
+    // with a cap (delta-bounded; past the cap pruning stops paying
+    // anyway). Null-keyed changed rows can never equi-join a fact, so
+    // they are dropped up front; a dimension whose usable key set is
+    // empty (and not over the cap) costs NO fact pass at all.
+    case class DimKeys(dim: Dim, keyDf: DataFrame,
+                       usable: Array[org.apache.spark.sql.Row], overCap: Boolean)
+    val dimKeys = dims.map { d =>
+      val keyDf = d.changes.select(d.on.map(p => col(p._2)): _*).distinct().localCheckpoint()
+      val rows = keyDf.limit(MaxPruneKeys + 1).collect()
+      DimKeys(d, keyDf, joinableRows(rows), rows.length > MaxPruneKeys)
     }
-    val hit = on.zipWithIndex.map { case ((ac, _), i) =>
-      aNew(ac) === bKeyed(s"__bk$i")
-    }.reduce(_ && _)
-    val aDimHit = aNew.join(bKeyed, hit, "left_semi")
-      .join(aTouched, aKeys, "left_anti")
-      .localCheckpoint() // reused below; recomputing = a second fact scan
+    val active = dimKeys.filter(k => k.overCap || k.usable.nonEmpty)
+    // facts (unchanged by the fact feed) whose fk hits a changed dim key:
+    // map-side passes over the fact snapshot — file-skipped to the union
+    // of the changed keys' candidate files when every active key set is
+    // small (one AnyOf disjunction covers all dimensions), skipped
+    // entirely when no dimension changed; the changed-key and
+    // touched-key sets broadcast. Renamed probe columns keep the
+    // semi-joins correlation-safe if fact and dims share column names.
+    val aNew =
+      if (active.isEmpty) aNewFor(Nil).filter(lit(false))
+      else if (active.exists(_.overCap)) aNewFor(Nil)
+      else {
+        val branches = active.map(k => inSetPreds(k.dim.on.map(_._1), k.usable))
+        aNewFor(if (branches.length == 1) branches.head
+                else Seq(FileSkipping.AnyOf(branches)))
+      }
+    val hits = active.map { k =>
+      val bKeyed = k.dim.on.zipWithIndex.foldLeft(k.keyDf) {
+        case (d, ((_, bc), i)) => d.withColumnRenamed(bc, s"__bk$i")
+      }
+      val hit = k.dim.on.zipWithIndex.map { case ((ac, _), i) =>
+        aNew(ac) === bKeyed(s"__bk$i")
+      }.reduce(_ && _)
+      aNew.join(bKeyed, hit, "left_semi")
+    }
+    // a fact hit by two dimensions' deltas is one affected row, not two
+    val aDimHit = (hits match {
+      case Nil      => aNew // already the empty-filtered snapshot
+      case Seq(one) => one
+      case many     => many.reduce(_.unionByName(_)).dropDuplicates(aKeys)
+    }).join(aTouched, aKeys, "left_anti")
+      .localCheckpoint() // reused below; recomputing = extra fact scans
     // end-state fact rows for every affected key that still exists;
     // aPost carries the feed's (union) schema, aDimHit the end-version
-    // schema — null-pad to their union like any evolved read would
-    val factEnd = aPost.unionByName(aDimHit, allowMissingColumns = true)
-    // the dimension snapshot pass reads only files that can hold a
+    // schema — null-pad to their union like any evolved read would.
+    // Checkpointed: the per-dimension fk collects below and the final
+    // compute would otherwise each re-execute the union plan.
+    val factEnd = aPost.unionByName(aDimHit, allowMissingColumns = true).localCheckpoint()
+    // each dimension's snapshot pass reads only files that can hold a
     // partner of an affected fact: the affected fks are delta-bounded,
     // so collect them (same cap) and push them down as IN-list skipping
-    // predicates on the dimension's key columns
-    val fkRows = factEnd.select(on.map(p => col(p._1)): _*).distinct()
-      .limit(MaxPruneKeys + 1).collect()
-    val bNew =
-      if (fkRows.isEmpty) bNewFor(Nil).filter(lit(false))
-      else if (fkRows.length <= MaxPruneKeys)
-        bNewFor(inSetPreds(on.map(_._2), fkRows))
-      else bNewFor(Nil)
+    // predicates on that dimension's key columns. An all-null (or empty)
+    // fk set can join nothing — the pass is skipped outright.
+    val bNews = dims.map { d =>
+      val fkRows = factEnd.select(d.on.map(p => col(p._1)): _*).distinct()
+        .limit(MaxPruneKeys + 1).collect()
+      val usable = joinableRows(fkRows)
+      val bNew =
+        if (fkRows.length > MaxPruneKeys) d.newFor(Nil)
+        else if (usable.isEmpty) d.newFor(Nil).filter(lit(false))
+        else d.newFor(inSetPreds(d.on.map(_._2), usable))
+      (bNew, d.on)
+    }
     // the restricted recompute: exactly the view rows that should exist
-    val current = compute(factEnd, bNew, on).localCheckpoint()
+    val current = computeStar(factEnd, bNews, outer).localCheckpoint()
     val affected = aTouched
       .unionByName(aDimHit.select(aKeys.map(col): _*))
       .distinct()
-    // an affected key with no recomputed row has lost its fact row or
-    // its partner — delete (a no-op if the view never had it)
+    // an affected key with no recomputed row has lost its fact row (or,
+    // inner flavor, a partner) — delete (a no-op if the view never had it)
     val deletes = affected.join(current.select(aKeys.map(col): _*), aKeys, "left_anti")
     current.withColumn(OpCol, lit("u"))
       .unionByName(deletes.withColumn(OpCol, lit("d")), allowMissingColumns = true)
@@ -206,11 +281,48 @@ object JoinView {
     */
   def refresh(view: CdcTable, fact: CdcTable, fromA: Long, toA: Long,
               dim: CdcTable, fromB: Long, toB: Long,
-              on: Seq[(String, String)], refreshTs: java.sql.Timestamp): Unit = {
-    val batch = deltaBatch(
+              on: Seq[(String, String)], refreshTs: java.sql.Timestamp): Unit =
+    refresh(view, fact, fromA, toA, dim, fromB, toB, on, refreshTs, outer = false)
+
+  /** [[refresh]] with an explicit join flavor (`outer = true` keeps
+    * partner-less facts, null-padded).
+    */
+  def refresh(view: CdcTable, fact: CdcTable, fromA: Long, toA: Long,
+              dim: CdcTable, fromB: Long, toB: Long,
+              on: Seq[(String, String)], refreshTs: java.sql.Timestamp,
+              outer: Boolean): Unit =
+    refreshStar(view, fact, fromA, toA, Seq(StarDim(dim, fromB, toB, on)),
+      refreshTs, outer)
+
+  /** Star refresh: one fact window against any number of dimension
+    * windows in ONE batch — fact + N dims churn together, the persisted
+    * view lands equal to the full N-way recompute at the window-end
+    * versions. Every snapshot pass goes through the tables' stats-pruned
+    * version-pinned scans.
+    */
+  def refreshStar(view: CdcTable, fact: CdcTable, fromA: Long, toA: Long,
+                  dims: Seq[StarDim], refreshTs: java.sql.Timestamp,
+                  outer: Boolean = false): Unit = {
+    val batch = starBatch(
       fact.changesBetween(fromA, toA), preds => fact.readWhereAt(toA, preds),
-      dim.changesBetween(fromB, toB), preds => dim.readWhereAt(toB, preds),
-      on, fact.keys)
+      dims.map { d =>
+        // payload projection: applied to BOTH the change feed (changed
+        // keys only need the key columns anyway) and the snapshot pass,
+        // so dropped dimension columns never reach the view. A feed
+        // entry whose diff lies entirely in dropped columns yields a
+        // same-payload upsert — harmless under the keyed merge.
+        val proj: DataFrame => DataFrame = d.payload match {
+          case Some(cs) =>
+            val keep = (d.on.map(_._2) ++ cs).distinct
+            df => df.select(keep.filter(df.columns.contains)
+              .++(Seq(CdcTable.ChangeTypeCol).filter(df.columns.contains))
+              .map(col): _*)
+          case None => identity
+        }
+        Dim(proj(d.table.changesBetween(d.fromV, d.toV)),
+          preds => proj(d.table.readWhereAt(d.toV, preds)), d.on)
+      },
+      fact.keys, outer)
       .withColumn(TsCol, lit(refreshTs))
     view.merge(batch, TsCol)
   }

@@ -80,9 +80,15 @@ final class MaterializedView(
         // while the view commits as `target` — the next refresh would
         // then re-apply that delta on top (double count). Pinning the
         // version keeps refresh exactly version-consistent.
+        // the pruned face: the dirty-group recompute (extrema invalidated
+        // by deletes) scans the target version through the table's
+        // stats-pruned version-pinned reads — on a group-clustered table
+        // it opens only the dirty groups' files, and a refresh with no
+        // dirty group never calls this at all
         try commit(
           IncrementalView.refresh(read, table.changesBetween(r, target),
-            groupCols, sumCols, extCols, table.readVersion(target)),
+            groupCols, sumCols, extCols,
+            (preds: Seq[FileSkipping.Pred]) => table.readWhereAt(target, preds)),
           target)
         catch {
           case e: Throwable if isExpiredBase(e) =>

@@ -315,6 +315,37 @@ class FileSkippingSpec extends SparkSpec {
     assert(t.readWhere(inEq).select("id").as[Long].collect().toSeq == Seq(123L))
   }
 
+  test("a single-column OR of point lookups normalizes to IN and prunes via blooms") {
+    val root = tmpDir("skipanyofbloom")
+    // same decorrelated-pid shape as the bloom fixture: ranges keep
+    // (almost) everything, only the bloom can decide
+    val rows = (0 until 400).map { i =>
+      (i.toLong, (i.toLong * 2654435761L) % 1000000007L, dt(f"1996-${1 + i % 4}%02d-15"))
+    }
+    val t = new CdcTable(spark, s"$root/t", Seq("id"), partitionSource = Some("day"),
+      retainVersions = 5, bloomColumns = Seq("pid"))
+    t.init(rows.toDF("id", "pid", "day").repartition(4))
+    def pid(i: Long) = (i * 2654435761L) % 1000000007L
+    val (a, b) = (pid(123L), pid(77L))
+    // the disjunction must prune exactly like the semantically identical
+    // IN list — bloom probes included
+    val asOr = Seq(FileSkipping.AnyOf(Seq(
+      Seq(FileSkipping.Eq("pid", a)), Seq(FileSkipping.Eq("pid", b)))))
+    val asIn = Seq(FileSkipping.InSet("pid", Seq(a, b)))
+    val (keptOr, totalOr) = t.scanProfile(asOr)
+    assert(t.scanProfile(asIn) == ((keptOr, totalOr)))
+    assert(keptOr < totalOr, s"OR of point probes must bloom-prune: $keptOr of $totalOr")
+    assert(t.readWhere(asOr).select("id").as[Long].collect().toSeq.sorted == Seq(77L, 123L))
+    // the Column face goes through predsOf extraction and lands on the
+    // same normalized InSet
+    assert(t.readFiltered(col("pid") === lit(a) || col("pid") === lit(b))
+      .select("id").as[Long].collect().toSeq.sorted == Seq(77L, 123L))
+    // a MULTI-column disjunction stays conservative (no bloom) but exact
+    val mixed = Seq(FileSkipping.AnyOf(Seq(
+      Seq(FileSkipping.Eq("pid", a)), Seq(FileSkipping.Eq("id", 5L)))))
+    assert(t.readWhere(mixed).select("id").as[Long].collect().toSeq.sorted == Seq(5L, 123L))
+  }
+
   test("IN-list predicates prune via ranges and month manifests, and extract from both faces") {
     val t = clusteredTable(tmpDir("skip12"))
     // two far-apart ids: only their clustered files survive

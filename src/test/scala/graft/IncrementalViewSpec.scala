@@ -113,6 +113,74 @@ class IncrementalViewSpec extends SparkSpec {
     assert(snap(agg).head == (("a", 3L, 31L, Some(31.0 / 3), Some(1L), Some(20L))))
   }
 
+  test("dirty-group recompute scans through pruned reads; a clean refresh never calls tableFor") {
+    import graft.ops.FileSkipping
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", IncrementalView.CountCol, "amt", "min_amt", "max_amt")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+    val path = tmpDir("iviewprune") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), retainVersions = 10)
+    // 200 rows over 8 groups, CLUSTERED by group: 4 files, tight ranges
+    t.init((0L until 200L).map(i => (i, f"g${i % 8}%02d", i))
+      .toDF("id", "grp", "amt")
+      .repartitionByRange(4, col("grp")).sortWithinPartitions("grp"))
+    val v1 = t.currentVersion.get
+    var agg = IncrementalView.compute(t.read, Seq("grp"), Seq("amt"), Seq("amt"))
+    // delete the MAX of exactly one group (id 195 = max of g03)
+    t.delete(col("id") === 195L)
+    val v2 = t.currentVersion.get
+    var calls = 0
+    var got: Seq[FileSkipping.Pred] = null
+    agg = IncrementalView.refresh(agg, t.changesBetween(v1, v2),
+      Seq("grp"), Seq("amt"), Seq("amt"),
+      preds => { calls += 1; got = preds; t.readWhereAt(v2, preds) })
+    // exactly one pruned scan, probing exactly the dirty group...
+    assert(calls == 1)
+    assert(got == Seq(FileSkipping.InSet("grp", Seq("g03"))))
+    // ...which actually skips files on the clustered layout
+    val (kept, total) = t.scanProfileAt(v2, got)
+    assert(total >= 4 && kept < total, s"dirty-group scan must skip: $kept of $total")
+    // and the result is exactly the recompute
+    assert(snap(agg) == snap(IncrementalView.compute(t.read, Seq("grp"), Seq("amt"), Seq("amt"))))
+    // a window with NO invalidated extremum (pure insert inside the
+    // group's range) must never touch the table at all
+    t.merge(Seq((1000L, "g01", 50L, 1L, "c")).toDF("id", "grp", "amt", "ts", "__op"), "ts")
+    val v3 = t.currentVersion.get
+    agg = IncrementalView.refresh(agg, t.changesBetween(v2, v3),
+      Seq("grp"), Seq("amt"), Seq("amt"),
+      preds => { calls += 1; t.readWhereAt(v3, preds) })
+    assert(calls == 1, "clean refresh must not scan the table")
+    assert(snap(agg) == snap(IncrementalView.compute(t.read, Seq("grp"), Seq("amt"), Seq("amt"))))
+  }
+
+  test("a dirty NULL group prunes null-safely (IS NULL rides the predicate) and recomputes exactly") {
+    import graft.ops.FileSkipping
+    val path = tmpDir("iviewnull") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), retainVersions = 10)
+    t.init(Seq(
+      (1L, Option("a"), 10L), (2L, Option("a"), 20L),
+      (3L, Option.empty[String], 30L), (4L, Option.empty[String], 40L))
+      .toDF("id", "grp", "amt"))
+    val v1 = t.currentVersion.get
+    var agg = IncrementalView.compute(t.read, Seq("grp"), Seq("amt"), Seq("amt"))
+    // delete the null group's max AND group a's max in one window: the
+    // pruning predicate must be (grp IN ('a') OR grp IS NULL)
+    t.delete(col("id").isin(2L, 4L))
+    val v2 = t.currentVersion.get
+    var got: Seq[FileSkipping.Pred] = null
+    agg = IncrementalView.refresh(agg, t.changesBetween(v1, v2),
+      Seq("grp"), Seq("amt"), Seq("amt"),
+      preds => { got = preds; t.readWhereAt(v2, preds) })
+    assert(got == Seq(FileSkipping.AnyOf(Seq(
+      Seq(FileSkipping.InSet("grp", Seq("a"))), Seq(FileSkipping.IsNull("grp"))))))
+    val rows = agg.select("grp", "min_amt", "max_amt").collect()
+      .map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq(("<null>", 30L, 30L), ("a", 10L, 10L)))
+  }
+
   test("MaterializedView maintains min/max through the extCols seam") {
     import graft.ops.MaterializedView
     val root = tmpDir("mview5")

@@ -160,6 +160,187 @@ class JoinViewSpec extends SparkSpec {
     assert(view.read.filter(col("id") === 4L).count() == 0)
   }
 
+  test("a small dimension delta file-skips both snapshot passes: kept<total, zero footer reads") {
+    import graft.ops.FileSkipping
+    val root = tmpDir("jvprune")
+    // fact clustered on fk (8 files, tight fk ranges), dim clustered on k
+    val fact = new CdcTable(spark, s"$root/fact", Seq("id"), retainVersions = 10)
+    val dim = new CdcTable(spark, s"$root/dim", Seq("k"), retainVersions = 10)
+    val view = new CdcTable(spark, s"$root/view", Seq("id"), retainVersions = 10)
+    fact.init((0L until 400L).map(i => (i, i % 50L, i * 1.0)).toDF("id", "fk", "amount")
+      .repartitionByRange(8, col("fk")).sortWithinPartitions("fk"))
+    dim.init((0L until 50L).map(k => (k, s"n$k")).toDF("k", "name")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    view.init(JoinView.compute(fact.read, dim.read, on)
+      .withColumn(JoinView.TsCol, lit(ts(1))))
+    val (f0, d0) = (fact.currentVersion.get, dim.currentVersion.get)
+    // one changed dimension key; compaction re-clusters the merged dim
+    // (the merge join hash-shuffles, so without it every file's k range
+    // spans the domain and IN-list pruning has nothing to skip)
+    dim.merge(Seq((10L, "n10b", ts(2), "u")).toDF("k", "name", "d_ts", "__op"), "d_ts")
+    dim.compact(4, clusterBy = Seq("k"))
+    val d2 = dim.currentVersion.get
+    var aPreds: List[Seq[FileSkipping.Pred]] = Nil
+    var bPreds: List[Seq[FileSkipping.Pred]] = Nil
+    val before = FileSkipping.statFooterReads.get()
+    val batch = JoinView.deltaBatch(
+      fact.changesBetween(f0, f0), preds => { aPreds ::= preds; fact.readWhereAt(f0, preds) },
+      dim.changesBetween(d0, d2), preds => { bPreds ::= preds; dim.readWhereAt(d2, preds) },
+      on, Seq("id"))
+    // every snapshot pass executed inside deltaBatch (the localCheckpoints
+    // are eager) and both tables carry write-time sidecars — no footer read
+    assert(FileSkipping.statFooterReads.get() == before,
+      "pruned refresh scans must be served from write-time sidecars")
+    // the derived predicates are exactly the delta's keys...
+    assert(aPreds == List(Seq(FileSkipping.InSet("fk", Seq(10L)))))
+    assert(bPreds == List(Seq(FileSkipping.InSet("k", Seq(10L)))))
+    // ...and they actually skip files on the clustered layouts
+    val (fKept, fTotal) = fact.scanProfileAt(f0, aPreds.head)
+    assert(fTotal >= 8 && fKept < fTotal, s"fact pass must skip: $fKept of $fTotal")
+    val (dKept, dTotal) = dim.scanProfileAt(d2, bPreds.head)
+    assert(dTotal >= 4 && dKept < dTotal, s"dim pass must skip: $dKept of $dTotal")
+    // and the refreshed view is still exactly the recompute
+    view.merge(batch.withColumn(JoinView.TsCol, lit(ts(3))), JoinView.TsCol)
+    assertViewCurrent(view, fact, dim)
+    assert(view.read.filter(col("fk") === 10L).select("name").distinct()
+      .as[String].collect().toSeq == Seq("n10b"))
+  }
+
+  test("left-outer view: partner-less facts survive null-padded; dim churn nets upserts, not deletes") {
+    val root = tmpDir("jvouter")
+    val fact = new CdcTable(spark, s"$root/fact", Seq("id"),
+      partitionSource = Some("day"), retainVersions = 10)
+    val dim = new CdcTable(spark, s"$root/dim", Seq("k"), retainVersions = 10)
+    val view = new CdcTable(spark, s"$root/view", Seq("id"), retainVersions = 10)
+    fact.init(Seq(
+      (1L, 10L, 5.0, dt("1996-01-10")),
+      (2L, 20L, 6.0, dt("1996-02-10")),
+      (3L, 30L, 7.0, dt("1996-03-10")),
+      (4L, 99L, 8.0, dt("1996-01-20")) // dangling fk: IN the outer view, null-padded
+    ).toDF("id", "fk", "amount", "day"))
+    dim.init(Seq((10L, "a", 1L), (20L, "b", 2L), (30L, "c", 3L))
+      .toDF("k", "name", "rating"))
+    view.init(JoinView.compute(fact.read, dim.read, on, outer = true)
+      .withColumn(JoinView.TsCol, lit(ts(1))))
+    assert(view.read.count() == 4)
+    assert(view.read.filter(col("id") === 4L).select("name").head().isNullAt(0))
+    val (f0, d0) = (fact.currentVersion.get, dim.currentVersion.get)
+    // dim delete strips fact 1's partner (null-pad, NOT delete); fact 3
+    // dies; fact 5 inserts with a void fk (null-padded from birth); fact
+    // 2 reroutes onto the deleted key 10 (upsert-with-nulls)
+    dim.merge(Seq((10L, "a", 1L, ts(2), "d")).toDF("k", "name", "rating", "d_ts", "__op"), "d_ts")
+    fact.merge(Seq(
+      (3L, 30L, 7.0, dt("1996-03-10"), ts(2), "d"),
+      (2L, 10L, 6.0, dt("1996-02-10"), ts(2), "u"),
+      (5L, 777L, 9.0, dt("1996-04-05"), ts(2), "c")
+    ).toDF("id", "fk", "amount", "day", "f_ts", "__op"), "f_ts")
+    JoinView.refresh(view, fact, f0, fact.currentVersion.get,
+      dim, d0, dim.currentVersion.get, on, ts(3), outer = true)
+    // equals the fresh left join of the end states
+    val want0 = JoinView.compute(fact.read, dim.read, on, outer = true)
+    val cols = want0.columns.sorted.toSeq
+    val got = view.read.drop(JoinView.TsCol).select(cols.map(col): _*)
+      .orderBy("id").collect().toSeq
+    val want = want0.select(cols.map(col): _*).orderBy("id").collect().toSeq
+    assert(got == want, s"outer view diverged:\n got $got\nwant $want")
+    // the spot shapes: deleted fact gone; everything else present with
+    // nulls where the partner is missing
+    assert(view.read.count() == 4)
+    assert(view.read.filter(col("id") === 3L).count() == 0)
+    Seq(1L, 2L, 4L, 5L).foreach { id =>
+      assert(view.read.filter(col("id") === id).select("name").head().isNullAt(0),
+        s"fact $id must be null-padded")
+    }
+  }
+
+  test("star: fact + two dims churning in one window equals the 3-way recompute") {
+    val root = tmpDir("jvstar")
+    val fact = new CdcTable(spark, s"$root/fact", Seq("id"),
+      partitionSource = Some("day"), retainVersions = 10)
+    val dimA = new CdcTable(spark, s"$root/dimA", Seq("ka"), retainVersions = 10)
+    val dimB = new CdcTable(spark, s"$root/dimB", Seq("kb"), retainVersions = 10)
+    val view = new CdcTable(spark, s"$root/view", Seq("id"), retainVersions = 10)
+    val onA = Seq("fka" -> "ka")
+    val onB = Seq("fkb" -> "kb")
+    fact.init(Seq(
+      (1L, 10L, 100L, 5.0, dt("1996-01-10")),
+      (2L, 20L, 100L, 6.0, dt("1996-02-10")),
+      (3L, 30L, 200L, 7.0, dt("1996-03-10")),
+      (4L, 10L, 200L, 8.0, dt("1996-01-20"))
+    ).toDF("id", "fka", "fkb", "amount", "day"))
+    dimA.init(Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("ka", "aname"))
+    dimB.init(Seq((100L, 1L), (200L, 2L)).toDF("kb", "brate"))
+    val dims0 = Seq(dimA.read -> onA, dimB.read -> onB)
+    view.init(JoinView.computeStar(fact.read, dims0)
+      .withColumn(JoinView.TsCol, lit(ts(1))))
+    assert(view.read.count() == 4)
+    val (f0, a0, b0) = (fact.currentVersion.get, dimA.currentVersion.get, dimB.currentVersion.get)
+    // all three churn in ONE window: dimA updates 10 / deletes 30 (fact 3
+    // drops), dimB updates 200, fact 2 reroutes fka, fact 5 inserts
+    dimA.merge(Seq(
+      (10L, "a2", ts(2), "u"),
+      (30L, "c", ts(2), "d")
+    ).toDF("ka", "aname", "a_ts", "__op"), "a_ts")
+    dimB.merge(Seq((200L, 22L, ts(2), "u")).toDF("kb", "brate", "b_ts", "__op"), "b_ts")
+    fact.merge(Seq(
+      (2L, 10L, 200L, 6.0, dt("1996-02-10"), ts(2), "u"),
+      (5L, 20L, 100L, 9.0, dt("1996-04-05"), ts(2), "c")
+    ).toDF("id", "fka", "fkb", "amount", "day", "f_ts", "__op"), "f_ts")
+    JoinView.refreshStar(view, fact, f0, fact.currentVersion.get,
+      Seq(JoinView.StarDim(dimA, a0, dimA.currentVersion.get, onA),
+        JoinView.StarDim(dimB, b0, dimB.currentVersion.get, onB)),
+      ts(3))
+    val want0 = JoinView.computeStar(fact.read, Seq(dimA.read -> onA, dimB.read -> onB))
+    val cols = want0.columns.sorted.toSeq
+    val got = view.read.drop(JoinView.TsCol).select(cols.map(col): _*)
+      .orderBy("id").collect().toSeq
+    val want = want0.select(cols.map(col): _*).orderBy("id").collect().toSeq
+    assert(got == want, s"star view diverged:\n got $got\nwant $want")
+    // fact 3 lost its dimA partner (inner star): gone; fact 2 carries
+    // BOTH updated payloads (a2 via reroute, rate 22 via dimB update)
+    assert(view.read.filter(col("id") === 3L).count() == 0)
+    val r2 = view.read.filter(col("id") === 2L).select("aname", "brate").head()
+    assert((r2.getString(0), r2.getLong(1)) == (("a2", 22L)))
+    // an empty follow-up window is a no-op
+    val (f1, a1, b1) = (fact.currentVersion.get, dimA.currentVersion.get, dimB.currentVersion.get)
+    JoinView.refreshStar(view, fact, f1, f1,
+      Seq(JoinView.StarDim(dimA, a1, a1, onA), JoinView.StarDim(dimB, b1, b1, onB)), ts(4))
+    val again = view.read.drop(JoinView.TsCol).select(cols.map(col): _*)
+      .orderBy("id").collect().toSeq
+    assert(again == want)
+  }
+
+  test("star, outer flavor: a dim delete null-pads instead of dropping") {
+    val root = tmpDir("jvstarouter")
+    val fact = new CdcTable(spark, s"$root/fact", Seq("id"), retainVersions = 10)
+    val dimA = new CdcTable(spark, s"$root/dimA", Seq("ka"), retainVersions = 10)
+    val dimB = new CdcTable(spark, s"$root/dimB", Seq("kb"), retainVersions = 10)
+    val view = new CdcTable(spark, s"$root/view", Seq("id"), retainVersions = 10)
+    val onA = Seq("fka" -> "ka")
+    val onB = Seq("fkb" -> "kb")
+    fact.init(Seq((1L, 10L, 100L, 5.0), (2L, 20L, 999L, 6.0))
+      .toDF("id", "fka", "fkb", "amount")) // fact 2's fkb dangles from birth
+    dimA.init(Seq((10L, "a"), (20L, "b")).toDF("ka", "aname"))
+    dimB.init(Seq((100L, 1L)).toDF("kb", "brate"))
+    view.init(JoinView.computeStar(fact.read,
+      Seq(dimA.read -> onA, dimB.read -> onB), outer = true)
+      .withColumn(JoinView.TsCol, lit(ts(1))))
+    assert(view.read.count() == 2)
+    val (f0, a0, b0) = (fact.currentVersion.get, dimA.currentVersion.get, dimB.currentVersion.get)
+    dimA.merge(Seq((10L, "a", ts(2), "d")).toDF("ka", "aname", "a_ts", "__op"), "a_ts")
+    JoinView.refreshStar(view, fact, f0, f0,
+      Seq(JoinView.StarDim(dimA, a0, dimA.currentVersion.get, onA),
+        JoinView.StarDim(dimB, b0, b0, onB)),
+      ts(3), outer = true)
+    val want0 = JoinView.computeStar(fact.read,
+      Seq(dimA.read -> onA, dimB.read -> onB), outer = true)
+    val cols = want0.columns.sorted.toSeq
+    assert(view.read.drop(JoinView.TsCol).select(cols.map(col): _*).orderBy("id").collect().toSeq
+      == want0.select(cols.map(col): _*).orderBy("id").collect().toSeq)
+    assert(view.read.count() == 2)
+    assert(view.read.filter(col("id") === 1L).select("aname").head().isNullAt(0))
+  }
+
   test("colliding payload columns fail fast with the projection contract in the message") {
     val (fact, dim, _) = fixture(tmpDir("jv6"))
     val clash = dim.read.withColumn("amount", lit(0.0))

@@ -112,6 +112,70 @@ class StreamingSpec extends SparkSpec {
       t.read.count())
   }
 
+  test("streaming join-view maintenance: fact + dim batches keep the persisted enrichment equal to the recompute") {
+    import graft.ops.{CdcTable, JoinView}
+    val root = tmpDir("cdcjoinview")
+    val envDir = s"$root/env"; val ckpt = s"$root/ckpt"; val tables = s"$root/tables"
+    val jv = CdcPipeline.JoinViewSpec(
+      factTable = "fact", factKeys = Seq("id"), dimTable = "dim",
+      viewPath = s"$root/jview", on = Seq("fk" -> "k"))
+    def factEnv(rows: Seq[(Long, Long, Double, Long, String)]) =
+      EnvelopeCodec.synthesizeTable(
+        rows.map { case (id, fk, amt, ts, op) => (id, fk, amt, new java.sql.Timestamp(ts), op) }
+          .toDF("id", "fk", "amount", "ts", "__op"),
+        table = "fact", pk = "id", opCol = "__op", tsCol = "ts")
+    def dimEnv(rows: Seq[(Long, String, Long, String)]) =
+      EnvelopeCodec.synthesizeTable(
+        rows.map { case (k, name, ts, op) => (k, name, new java.sql.Timestamp(ts), op) }
+          .toDF("k", "name", "ts", "__op"),
+        table = "dim", pk = "k", opCol = "__op", tsCol = "ts")
+    def run(): Unit =
+      new CdcPipeline(spark, new graft.sources.FileEnvelopeSource(envDir), ckpt, tables,
+        joinViews = Seq(jv)).runOnce()
+    def assertViewCurrent(label: String): Unit = {
+      val fact = new CdcTable(spark, s"$tables/fact", Seq("id"))
+      val dim = new CdcTable(spark, s"$tables/dim", Seq("k"))
+      val view = new CdcTable(spark, s"$root/jview", Seq("id"))
+      val dimProj = dim.read.select("k", "name")
+      val want0 = JoinView.compute(fact.read, dimProj, Seq("fk" -> "k"))
+      val cols = want0.columns.sorted.toSeq
+      val got = view.read.drop(JoinView.TsCol).select(cols.map(col): _*)
+        .orderBy("id").collect().toSeq
+      val want = want0.select(cols.map(col): _*).orderBy("id").collect().toSeq
+      assert(got == want, s"$label: streamed view diverged:\n got $got\nwant $want")
+    }
+
+    // run 1: both sides bootstrap in ONE batch -> view bootstraps
+    factEnv(Seq((1L, 10L, 5.0, 1000L, "c"), (2L, 20L, 6.0, 1000L, "c"),
+      (3L, 99L, 7.0, 1000L, "c"))). // dangling fk: absent from the inner view
+      write.mode("append").parquet(envDir)
+    dimEnv(Seq((10L, "a", 1000L, "c"), (20L, "b", 1000L, "c")))
+      .write.mode("append").parquet(envDir)
+    run()
+    assertViewCurrent("bootstrap")
+    assert(new CdcTable(spark, s"$root/jview", Seq("id")).read.count() == 2)
+
+    // run 2: dim update + delete AND fact churn stream together -> one
+    // incremental refresh inside foreachBatch
+    factEnv(Seq((1L, 20L, 50.0, 2000L, "u"), (4L, 10L, 8.0, 2000L, "c")))
+      .write.mode("append").parquet(envDir)
+    dimEnv(Seq((10L, "a2", 2000L, "u"), (20L, "b", 2000L, "d")))
+      .write.mode("append").parquet(envDir)
+    run()
+    assertViewCurrent("churn window")
+    val v = new CdcTable(spark, s"$root/jview", Seq("id")).read
+    // fact 1 moved onto deleted dim 20 -> dropped; fact 4 joined a2
+    assert(v.filter(col("id") === 1L).count() == 0)
+    assert(v.filter(col("id") === 4L).select("name").as[String].head() == "a2")
+
+    // run 3: a dim-only window still refreshes facts through the fk probe
+    dimEnv(Seq((99L, "z", 3000L, "c"))).write.mode("append").parquet(envDir)
+    run()
+    assertViewCurrent("dim-only window")
+    assert(new CdcTable(spark, s"$root/jview", Seq("id")).read
+      .filter(col("id") === 3L).select("name").as[String].head() == "z")
+  }
+
   test("streaming-maintained materialized view: CDF refresh tracks the table across runs") {
     import graft.ops.{CdcTable, IncrementalView}
     val root = tmpDir("cdcview")
