@@ -130,63 +130,69 @@ final class CdcPipeline(
     * current versions (same idempotence argument).
     */
   private def maintainJoinViews(touched: Set[String]): Unit =
-    joinViews.filter(j => touched(j.factTable) || touched(j.dimTable)).foreach { j =>
-      import graft.ops.JoinView
-      val fact = new CdcTable(spark, s"$tableRoot/${j.factTable}", j.factKeys)
-      val dim = new CdcTable(spark, s"$tableRoot/${j.dimTable}", j.on.map(_._2))
-      (fact.currentVersion, dim.currentVersion) match {
-        case (Some(fv), Some(dv)) =>
+    joinViews
+      .filter(j => touched(j.factTable) || j.dims.exists(d => touched(d.table)))
+      .foreach { j =>
+        import graft.ops.JoinView
+        val fact = new CdcTable(spark, s"$tableRoot/${j.factTable}", j.factKeys)
+        val dims = j.dims.map(d =>
+          d -> new CdcTable(spark, s"$tableRoot/${d.table}", d.on.map(_._2)))
+        if (fact.currentVersion.isDefined && dims.forall(_._2.currentVersion.isDefined)) {
+          val fv = fact.currentVersion.get
+          val dvs = dims.map(_._2.currentVersion.get)
           val view = new CdcTable(spark, j.viewPath, j.factKeys)
           val ts = new java.sql.Timestamp(System.currentTimeMillis())
           // default payload: every dimension column that is neither a
           // join key nor pipeline meta (__ts_ms etc — the fact side
           // already carries its own copies; they must not collide)
-          def dimPayload: Seq[String] = j.dimPayload.getOrElse(
-            dim.read.columns.toSeq
-              .filterNot(c => c.startsWith("__") || j.on.map(_._2).contains(c)))
-          def star = Seq(JoinView.StarDim(dim, 0L, dv, j.on, Some(dimPayload)))
+          def payloadOf(d: CdcPipeline.DimSpec, t: CdcTable): Seq[String] =
+            d.payload.getOrElse(t.read.columns.toSeq
+              .filterNot(c => c.startsWith("__") || d.on.map(_._2).contains(c)))
           def bootstrap(): Unit = {
-            val dimProj = dim.readVersion(dv)
-              .select((j.on.map(_._2) ++ dimPayload).distinct.map(org.apache.spark.sql.functions.col): _*)
-            view.init(JoinView.compute(fact.readVersion(fv), dimProj, j.on, j.outer)
-              .withColumn(JoinView.TsCol, lit(ts)))
-            writeReflected(j.viewPath, fv, dv)
+            val joined = dims.zip(dvs).foldLeft(fact.readVersion(fv)) {
+              case (acc, ((d, t), dv)) =>
+                val proj = t.readVersion(dv).select(
+                  (d.on.map(_._2) ++ payloadOf(d, t)).distinct
+                    .map(org.apache.spark.sql.functions.col): _*)
+                JoinView.compute(acc, proj, d.on, j.outer)
+            }
+            view.init(joined.withColumn(JoinView.TsCol, lit(ts)))
+            writeReflected(j.viewPath, fv +: dvs)
           }
           def isExpired(e: Throwable): Boolean =
             Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
               .exists(_.isInstanceOf[java.io.FileNotFoundException])
           readReflected(j.viewPath) match {
-            case Some((f0, d0)) if f0 == fv && d0 == dv => ()
-            case Some((f0, d0)) =>
+            case Some(vs) if vs == fv +: dvs => () // already current
+            case Some(vs) if vs.length == 1 + dims.length =>
               try {
-                JoinView.refreshStar(view, fact, f0, fv,
-                  star.map(_.copy(fromV = d0)), ts, j.outer)
-                writeReflected(j.viewPath, fv, dv)
+                JoinView.refreshStar(view, fact, vs.head, fv,
+                  dims.zip(dvs).zip(vs.tail).map { case (((d, t), dv), d0) =>
+                    JoinView.StarDim(t, d0, dv, d.on, Some(payloadOf(d, t)))
+                  }, ts, j.outer)
+                writeReflected(j.viewPath, fv +: dvs)
               } catch {
                 case e: Throwable if isExpired(e) => bootstrap()
               }
-            case None => bootstrap()
+            case _ => bootstrap() // never reflected, or dim list changed
           }
-        case _ => () // a side not ingested yet: nothing to enrich
+        } // else: a side not ingested yet — nothing to enrich
       }
-    }
 
   private def reflectedFile(viewPath: String) =
     new java.io.File(viewPath, CdcPipeline.ReflectedMarker)
 
-  private def readReflected(viewPath: String): Option[(Long, Long)] = {
+  private def readReflected(viewPath: String): Option[Seq[Long]] = {
     val f = reflectedFile(viewPath)
     if (!f.exists()) None
-    else java.nio.file.Files.readString(f.toPath).trim.split(' ') match {
-      case Array(a, b) => scala.util.Try((a.toLong, b.toLong)).toOption
-      case _           => None
-    }
+    else scala.util.Try(
+      java.nio.file.Files.readString(f.toPath).trim.split(' ').toSeq.map(_.toLong)).toOption
   }
 
-  private def writeReflected(viewPath: String, fv: Long, dv: Long): Unit = {
+  private def writeReflected(viewPath: String, versions: Seq[Long]): Unit = {
     val f = reflectedFile(viewPath)
     val tmp = java.nio.file.Paths.get(viewPath, CdcPipeline.ReflectedMarker + ".tmp")
-    java.nio.file.Files.writeString(tmp, s"$fv $dv")
+    java.nio.file.Files.writeString(tmp, versions.mkString(" "))
     java.nio.file.Files.move(tmp, f.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
@@ -217,18 +223,30 @@ object CdcPipeline {
                             groupCols: Seq[String], sumCols: Seq[String],
                             extCols: Seq[String] = Nil)
 
+  /** One dimension of a registered join view: the ingested table's name,
+    * the `(factCol, dimKey)` join mapping, and an optional payload
+    * restriction (None = every non-meta, non-join-key column).
+    */
+  final case class DimSpec(table: String, on: Seq[(String, String)],
+                           payload: Option[Seq[String]] = None)
+
   /** Declarative JOIN-view registration: maintain at `viewPath` the
-    * enrichment `factTable JOIN dimTable` (`on` pairs fact fk columns
-    * with the dimension's merge keys), keyed by `factKeys`; `outer`
-    * keeps partner-less facts null-padded. `dimPayload` restricts which
-    * dimension columns enrich the view (None = every non-meta,
-    * non-join-key column).
+    * enrichment `factTable JOIN dimTable [JOIN extraDims...]` (`on`
+    * pairs fact fk columns with the dimension's merge keys), keyed by
+    * `factKeys`; `outer` keeps partner-less facts null-padded;
+    * `dimPayload` restricts which dimension columns enrich the view;
+    * `extraDims` turns the view into a STAR — fact + several dimensions
+    * maintained by one refresh per batch.
     */
   final case class JoinViewSpec(factTable: String, factKeys: Seq[String],
                                 dimTable: String, viewPath: String,
                                 on: Seq[(String, String)],
                                 outer: Boolean = false,
-                                dimPayload: Option[Seq[String]] = None)
+                                dimPayload: Option[Seq[String]] = None,
+                                extraDims: Seq[DimSpec] = Nil) {
+    /** All dimensions, primary first. */
+    def dims: Seq[DimSpec] = DimSpec(dimTable, on, dimPayload) +: extraDims
+  }
 
   /** Marker file beside a join view recording the `(fact, dim)` versions
     * it reflects — written only after the view's merge commits.

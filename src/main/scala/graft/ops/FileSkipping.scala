@@ -94,13 +94,13 @@ object FileSkipping {
     * q19-style multi-clause range disjunct prunes the files no branch
     * can touch (each branch may constrain several columns). Same
     * conservative direction as everything else: a branch that could
-    * match keeps the file. Scope notes: month pruning recurses into
-    * branches (a month survives if any branch allows it); bloom filters
-    * are consulted for TOP-LEVEL equality conjuncts — which includes any
-    * single-column all-equality disjunction (`k = 5 OR k = 9`), because
-    * extraction normalizes those into [[InSet]] ([[predsOf]]/`merged`).
-    * Only a MULTI-column disjunct's point probes prune by ranges/nulls
-    * alone.
+    * match keeps the file. Month pruning recurses into branches (a month
+    * survives if any branch allows it), and so do BLOOM probes: an
+    * equality or IN-set inside a branch tests the file's bloom for its
+    * column (`mayMatchWithBlooms`), so an OR of point lookups — same
+    * column (normalized to [[InSet]] by extraction) or different columns
+    * (the star join-view fact probe) — skips files no branch's keys can
+    * live in.
     */
   final case class AnyOf(branches: Seq[Seq[Pred]]) extends Pred {
     require(branches.length >= 2, "a one-branch AnyOf is just its conjuncts")
@@ -284,51 +284,86 @@ object FileSkipping {
     // Column-extracted predicates
     val preds = preds0.map(normalized)
     val stats = statsForDir(conf, dir)
-    // equality predicates (degenerate ranges, IN sets) that a bloom
-    // filter can answer; tested ONLY for files that survived the
-    // range/null pruning and whose sidecar says the column has a bloom
-    val eqs: Seq[(String, Seq[Any])] = preds.collect {
-      case r: Range if r.lower.isDefined && r.lower == r.upper => (r.column, Seq(r.lower.get))
-      case InSet(c, vs) => (c, vs)
-    }
     dataFiles(dir).filter { f =>
       stats.get(f.getName).forall { fs =>
+        // phase 1: pure in-memory stats (ranges/nulls, no I/O); phase 2
+        // re-evaluates the survivors with bloom probes — equality
+        // predicates at the top level AND inside disjunction branches —
+        // opening at most ONE footer per file, and only when a probed
+        // column actually carries a bloom there
         preds.forall(mayMatchFile(fs, _)) && {
-          val testable = eqs.filter { case (c, _) => fs.bloom.contains(c) }
-          testable.isEmpty || bloomMayMatch(conf, new File(dir, f.getName), testable)
+          val prober = new BloomProber(conf, new File(dir, f.getName))
+          try preds.forall(mayMatchWithBlooms(fs, _, prober))
+          finally prober.close()
         }
       }
     }
   }
 
-  /** Can file `file` contain, per `(column, values)` entry, at least one
-    * of the values? One footer open; per predicate the file survives if
-    * ANY row group's bloom may contain ANY of the values (conjuncts must
-    * co-occur in one ROW, so requiring one common row group would
-    * over-prune). A missing bloom, a null read, or a value/physical-type
-    * pair [[bloomHash]] cannot coerce all count as "may contain" —
-    * uncertainty never skips.
+  /** Per-file lazy bloom prober: opens the footer at most once across
+    * any number of probes (memoized per (column, values)), and never
+    * decides on uncertainty — a missing bloom, an unreadable footer, or
+    * a value [[bloomHash]] cannot coerce all answer "may contain". Per
+    * probe the file survives if ANY row group's bloom may contain ANY of
+    * the values (conjuncts must co-occur in one ROW, so requiring one
+    * common row group would over-prune).
     */
-  private def bloomMayMatch(conf: Configuration, file: File,
-                            eqs: Seq[(String, Seq[Any])]): Boolean = {
-    try {
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file.getPath), conf))
-      try {
-        val blocks = reader.getFooter.getBlocks.asScala.toSeq
-        eqs.forall { case (cname, raws) =>
-          blocks.exists { block =>
-            block.getColumns.asScala.find(_.getPath.toDotString == cname) match {
-              case Some(cc) if cc.getBloomFilterOffset >= 0 =>
-                val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
-                bf == null || raws.exists(raw =>
-                  bloomHash(cc.getPrimitiveType, norm(raw), bf).forall(bf.findHash))
-              case _ => true // column absent or bloomless in this row group
+  private final class BloomProber(conf: Configuration, file: File) {
+    private var opened = false
+    private var reader: ParquetFileReader = null
+    private val memo = scala.collection.mutable.Map.empty[(String, Seq[Any]), Boolean]
+
+    def mayContain(column: String, values: Seq[Any]): Boolean =
+      memo.getOrElseUpdate((column, values), {
+        try {
+          if (!opened) {
+            opened = true // one attempt; a failed open keeps every probe true
+            reader = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new HPath(file.getPath), conf))
+          }
+          reader == null || {
+            val blocks = reader.getFooter.getBlocks.asScala.toSeq
+            blocks.exists { block =>
+              block.getColumns.asScala.find(_.getPath.toDotString == column) match {
+                case Some(cc) if cc.getBloomFilterOffset >= 0 =>
+                  val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+                  bf == null || values.exists(raw =>
+                    bloomHash(cc.getPrimitiveType, norm(raw), bf).forall(bf.findHash))
+                case _ => true // column absent or bloomless in this row group
+              }
             }
           }
-        }
-      } finally reader.close()
-    } catch { case NonFatal(_) => true } // unreadable footer: keep, the scan decides
+        } catch { case NonFatal(_) => true } // unreadable footer: keep
+      })
+
+    def close(): Unit =
+      if (reader != null) {
+        try reader.close() catch { case NonFatal(_) => () }
+        reader = null
+      }
   }
+
+  /** [[mayMatchFile]] strengthened with bloom probes, recursively: an
+    * equality (degenerate range) or IN-set on a bloom-equipped column
+    * must also pass the file's bloom — at the TOP LEVEL and inside
+    * [[AnyOf]] branches alike, so a disjunction of point lookups on
+    * different columns (the star join-view fact probe:
+    * `fk1 IN (...) OR fk2 IN (...)`) skips files where NEITHER branch's
+    * keys can live. A branch survives only if BOTH its ranges and its
+    * blooms allow it; same conservative direction everywhere.
+    */
+  private def mayMatchWithBlooms(fs: FileStats, p: Pred, prober: BloomProber): Boolean =
+    p match {
+      case r: Range =>
+        mayMatchFile(fs, r) &&
+          (!(r.lower.isDefined && r.lower == r.upper) ||
+            !fs.bloom.contains(r.column) ||
+            prober.mayContain(r.column, Seq(r.lower.get)))
+      case InSet(c, vs) =>
+        mayMatchFile(fs, p) && (!fs.bloom.contains(c) || prober.mayContain(c, vs))
+      case AnyOf(bs) => bs.exists(_.forall(mayMatchWithBlooms(fs, _, prober)))
+      case other => mayMatchFile(fs, other)
+    }
 
   /** Hash a normalized predicate value the way the writer hashed the
     * column's PHYSICAL values (xxHash over the plain encoding) — None
@@ -562,11 +597,10 @@ object FileSkipping {
   }
 
   /** A disjunction of point lookups on ONE column is just an IN list —
-    * normalized so it rides the IN-list pruning path, BLOOM probes
-    * included (a raw [[AnyOf]] prunes by ranges/nulls only, so
-    * `k = 5 OR k = 9` on an unclustered bloom-equipped column would
-    * skip nothing while the semantically identical `k IN (5, 9)`
-    * skips bloom-negative files).
+    * normalized so `k = 5 OR k = 9` prunes identically to the
+    * semantically equal `k IN (5, 9)` everywhere an [[InSet]] is
+    * consulted (file ranges, month manifests, blooms) and the
+    * equivalence is structural, not re-derived per check site.
     */
   private def normalized(p: Pred): Pred = p match {
     case AnyOf(bs) =>

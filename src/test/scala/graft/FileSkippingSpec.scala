@@ -346,6 +346,40 @@ class FileSkippingSpec extends SparkSpec {
     assert(t.readWhere(mixed).select("id").as[Long].collect().toSeq.sorted == Seq(5L, 123L))
   }
 
+  test("a multi-column OR of point lookups bloom-prunes per branch (the star fact-probe shape)") {
+    val root = tmpDir("skipstarbloom")
+    // two INDEPENDENTLY scrambled lookup columns, both decorrelated from
+    // the layout: ranges keep every file, only the per-branch blooms can
+    // prune the disjunction `pid1 = a OR pid2 = b`
+    val rows = (0 until 400).map { i =>
+      (i.toLong,
+        (i.toLong * 2654435761L) % 1000000007L,
+        (i.toLong * 1099511628211L) % 1000000007L,
+        dt(f"1996-${1 + i % 4}%02d-15"))
+    }
+    val t = new CdcTable(spark, s"$root/t", Seq("id"), partitionSource = Some("day"),
+      retainVersions = 5, bloomColumns = Seq("pid1", "pid2"))
+    t.init(rows.toDF("id", "pid1", "pid2", "day").repartition(4))
+    def p1(i: Long) = (i * 2654435761L) % 1000000007L
+    def p2(i: Long) = (i * 1099511628211L) % 1000000007L
+    val pred = Seq(FileSkipping.AnyOf(Seq(
+      Seq(FileSkipping.Eq("pid1", p1(123L))), Seq(FileSkipping.Eq("pid2", p2(77L))))))
+    val (kept, total) = t.scanProfile(pred)
+    assert(total >= 8, s"fixture should spread over several files, got $total")
+    assert(kept < total, s"per-branch blooms must prune the disjunction: $kept of $total")
+    assert(t.readWhere(pred).select("id").as[Long].collect().toSeq.sorted == Seq(77L, 123L))
+    // same shape through the Column face
+    assert(t.readFiltered(col("pid1") === lit(p1(123L)) || col("pid2") === lit(p2(77L)))
+      .select("id").as[Long].collect().toSeq.sorted == Seq(77L, 123L))
+    // a bloomless twin keeps everything on this predicate but stays exact
+    val t2 = new CdcTable(spark, s"$root/t2", Seq("id"), partitionSource = Some("day"),
+      retainVersions = 5)
+    t2.init(rows.toDF("id", "pid1", "pid2", "day").repartition(4))
+    val (kept2, total2) = t2.scanProfile(pred)
+    assert(kept2 == total2, "without blooms the decorrelated disjunction cannot prune")
+    assert(t2.readWhere(pred).select("id").as[Long].collect().toSeq.sorted == Seq(77L, 123L))
+  }
+
   test("IN-list predicates prune via ranges and month manifests, and extract from both faces") {
     val t = clusteredTable(tmpDir("skip12"))
     // two far-apart ids: only their clustered files survive

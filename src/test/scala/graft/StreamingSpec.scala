@@ -176,6 +176,66 @@ class StreamingSpec extends SparkSpec {
       .filter(col("id") === 3L).select("name").as[String].head() == "z")
   }
 
+  test("streaming star view: fact + two dims through one pipeline, one refresh per batch") {
+    import graft.ops.{CdcTable, JoinView}
+    val root = tmpDir("cdcstarview")
+    val envDir = s"$root/env"; val ckpt = s"$root/ckpt"; val tables = s"$root/tables"
+    val jv = CdcPipeline.JoinViewSpec(
+      factTable = "fact", factKeys = Seq("id"), dimTable = "dimA",
+      viewPath = s"$root/sview", on = Seq("fka" -> "ka"),
+      extraDims = Seq(CdcPipeline.DimSpec("dimB", Seq("fkb" -> "kb"))))
+    def factEnv(rows: Seq[(Long, Long, Long, Double, Long, String)]) =
+      EnvelopeCodec.synthesizeTable(
+        rows.map { case (id, fka, fkb, amt, ts, op) =>
+          (id, fka, fkb, amt, new java.sql.Timestamp(ts), op) }
+          .toDF("id", "fka", "fkb", "amount", "ts", "__op"),
+        table = "fact", pk = "id", opCol = "__op", tsCol = "ts")
+    def dimEnv(tbl: String, kCol: String, rows: Seq[(Long, String, Long, String)]) =
+      EnvelopeCodec.synthesizeTable(
+        rows.map { case (k, v, ts, op) => (k, v, new java.sql.Timestamp(ts), op) }
+          .toDF(kCol, s"${kCol}_name", "ts", "__op"),
+        table = tbl, pk = kCol, opCol = "__op", tsCol = "ts")
+    def run(): Unit =
+      new CdcPipeline(spark, new graft.sources.FileEnvelopeSource(envDir), ckpt, tables,
+        joinViews = Seq(jv)).runOnce()
+    def assertViewCurrent(label: String): Unit = {
+      val fact = new CdcTable(spark, s"$tables/fact", Seq("id"))
+      val dimA = new CdcTable(spark, s"$tables/dimA", Seq("ka"))
+      val dimB = new CdcTable(spark, s"$tables/dimB", Seq("kb"))
+      val view = new CdcTable(spark, s"$root/sview", Seq("id"))
+      val want0 = JoinView.computeStar(fact.read,
+        Seq(dimA.read.select("ka", "ka_name") -> Seq("fka" -> "ka"),
+          dimB.read.select("kb", "kb_name") -> Seq("fkb" -> "kb")))
+      val cols = want0.columns.sorted.toSeq
+      val got = view.read.drop(JoinView.TsCol).select(cols.map(col): _*)
+        .orderBy("id").collect().toSeq
+      val want = want0.select(cols.map(col): _*).orderBy("id").collect().toSeq
+      assert(got == want, s"$label: streamed star diverged:\n got $got\nwant $want")
+    }
+
+    // run 1: all three tables bootstrap in one batch
+    factEnv(Seq((1L, 10L, 100L, 5.0, 1000L, "c"), (2L, 20L, 200L, 6.0, 1000L, "c")))
+      .write.mode("append").parquet(envDir)
+    dimEnv("dimA", "ka", Seq((10L, "a", 1000L, "c"), (20L, "b", 1000L, "c")))
+      .write.mode("append").parquet(envDir)
+    dimEnv("dimB", "kb", Seq((100L, "x", 1000L, "c"), (200L, "y", 1000L, "c")))
+      .write.mode("append").parquet(envDir)
+    run()
+    assertViewCurrent("bootstrap")
+    assert(new CdcTable(spark, s"$root/sview", Seq("id")).read.count() == 2)
+
+    // run 2: BOTH dims churn (update + delete) with a fact insert
+    dimEnv("dimA", "ka", Seq((10L, "a2", 2000L, "u"))).write.mode("append").parquet(envDir)
+    dimEnv("dimB", "kb", Seq((200L, "y", 2000L, "d"))).write.mode("append").parquet(envDir)
+    factEnv(Seq((3L, 20L, 100L, 7.0, 2000L, "c"))).write.mode("append").parquet(envDir)
+    run()
+    assertViewCurrent("dual-dim churn")
+    val v = new CdcTable(spark, s"$root/sview", Seq("id")).read
+    assert(v.filter(col("id") === 2L).count() == 0, "fact 2 lost its dimB partner")
+    val r1 = v.filter(col("id") === 1L).select("ka_name", "kb_name").head()
+    assert((r1.getString(0), r1.getString(1)) == (("a2", "x")))
+  }
+
   test("streaming-maintained materialized view: CDF refresh tracks the table across runs") {
     import graft.ops.{CdcTable, IncrementalView}
     val root = tmpDir("cdcview")
