@@ -195,11 +195,17 @@ object ParityQueries extends QueryPack {
       val (f0, p0, s0) = (fact.currentVersion.get, dimP.currentVersion.get, dimS.currentVersion.get)
       val ts2 = lit(java.sql.Timestamp.valueOf("2001-01-02 00:00:00"))
       val slot = (col("l_orderkey") + col("l_linenumber")) % 10
-      // fact: price bump slots 0-4, delete slots 5-6
-      fact.merge(li.filter(slot < 5)
+      // fact churn confined to a 2-month ship window: the merge rewrites
+      // only those partitions (partition-pruned copy-on-write — the
+      // realistic recent-data churn shape, and what keeps this fixture's
+      // build cost month-bounded instead of table-bounded)
+      val inWin = col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00"))
+      // fact: price bump slots 0-4, delete slots 5-6 (within the window)
+      fact.merge(li.filter(slot < 5 && inWin)
         .withColumn("l_extendedprice", col("l_extendedprice") * 1.1)
         .withColumn("__op", lit("u"))
-        .unionByName(li.filter(slot >= 5 && slot < 7).withColumn("__op", lit("d")))
+        .unionByName(li.filter(slot >= 5 && slot < 7 && inWin).withColumn("__op", lit("d")))
         .withColumn("f_ts", ts2), "f_ts")
       // part: every 11th deleted (inner star drops its lineitems), every
       // 3rd surviving repriced; supplier: every 4th rebalanced
@@ -538,9 +544,15 @@ object ParityQueries extends QueryPack {
     "x_join_view_star" ->
       """WITH fact AS (
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |    CASE WHEN (l_orderkey + l_linenumber) % 10 < 5 THEN l_extendedprice * 1.1
+        |    CASE WHEN (l_orderkey + l_linenumber) % 10 < 5
+        |              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |              AND l_shipdate <  TIMESTAMP '1996-03-01 00:00:00'
+        |         THEN l_extendedprice * 1.1
         |         ELSE l_extendedprice END AS l_extendedprice
-        |  FROM lineitem WHERE (l_orderkey + l_linenumber) % 10 NOT IN (5, 6)
+        |  FROM lineitem
+        |  WHERE NOT ((l_orderkey + l_linenumber) % 10 IN (5, 6)
+        |             AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |             AND l_shipdate <  TIMESTAMP '1996-03-01 00:00:00')
         |),
         |p AS (
         |  SELECT p_partkey, p_name,
