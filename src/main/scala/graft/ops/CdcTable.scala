@@ -565,6 +565,13 @@ final class CdcTable(
     // (a streaming foreachBatch source or a derived churn set would
     // otherwise be recomputed 3x), and it is delta-sized by assumption
     val deduped = Dedup.latestWins(batch, keys, tsCol, tieBreakers).localCheckpoint()
+    // an EMPTY batch is a complete no-op: without this, it would still
+    // burn a version — a full table rewrite on the unpartitioned layout —
+    // for zero row changes (reachable from maintenance refreshes that net
+    // nothing, idempotent replays, and quiet streaming windows). The
+    // isEmpty probe reads the already-materialized checkpoint, not the
+    // caller's plan.
+    if (deduped.isEmpty) return
     // the version this merge reads; the commit reserves expected+1, so a
     // concurrent commit between here and the reservation surfaces as a
     // CommitConflictException instead of a lost update

@@ -19,6 +19,25 @@ class CdcTableSpec extends SparkSpec {
     assert(got == Seq((2L, "b2"), (3L, "c")))
   }
 
+  test("an empty merge batch is a complete no-op: no version burned, no files rewritten") {
+    // unpartitioned: the rewrite would be FULL-table for zero changes
+    val path = tmpDir("cdcempty") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"))
+    t.init(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+    val v1 = t.currentVersion.get
+    t.merge(Seq.empty[(Long, String, Long, String)].toDF("id", "v", "ts", "__op"), "ts")
+    assert(t.currentVersion.contains(v1), "empty merge must not commit")
+    // partitioned: would burn a (metadata-only but pointless) version
+    val p = new CdcTable(spark, tmpDir("cdcemptyp") + "/t", Seq("id"),
+      partitionSource = Some("created_at"))
+    p.init(Seq((1L, "a", ts("2001-01-01 00:00:00"))).toDF("id", "v", "created_at"))
+    val pv1 = p.currentVersion.get
+    p.merge(Seq.empty[(Long, String, java.sql.Timestamp, String)]
+      .toDF("id", "v", "created_at", "__op").withColumn("mts", lit(1L)), "mts")
+    assert(p.currentVersion.contains(pv1), "empty partitioned merge must not commit")
+    assert(t.read.count() == 1 && p.read.count() == 1)
+  }
+
   test("merge is idempotent across restarts (same batch re-applied)") {
     val path = tmpDir("cdctable") + "/t"
     val t = new CdcTable(spark, path, Seq("id"))

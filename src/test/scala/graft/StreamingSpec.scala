@@ -174,6 +174,16 @@ class StreamingSpec extends SparkSpec {
     assertViewCurrent("dim-only window")
     assert(new CdcTable(spark, s"$root/jview", Seq("id")).read
       .filter(col("id") === 3L).select("name").as[String].head() == "z")
+
+    // crash window: the reflected-versions marker is lost after the view
+    // committed (crash between merge and marker write) — the next batch
+    // re-bootstraps idempotently and the view still equals the recompute
+    assert(new java.io.File(s"$root/jview", CdcPipeline.ReflectedMarker).delete())
+    dimEnv(Seq((99L, "z2", 4000L, "u"))).write.mode("append").parquet(envDir)
+    run()
+    assertViewCurrent("marker-crash recovery")
+    assert(new CdcTable(spark, s"$root/jview", Seq("id")).read
+      .filter(col("id") === 3L).select("name").as[String].head() == "z2")
   }
 
   test("streaming star view: fact + two dims through one pipeline, one refresh per batch") {
