@@ -224,7 +224,60 @@ object ParityQueries extends QueryPack {
       view
     }
 
+  // Incrementally-maintained DERIVED table (ops.DerivedView): a chunk
+  // index (doc -> 64-token windows, stride 48 — the x_doc_chunking
+  // transform) kept current from the documents table's change feed.
+  // The churn covers the semantics that break naive maintenance: text
+  // TRUNCATION shrinks a doc's chunk count (stale chunk rows must
+  // delete), text doubling grows it, docs die, fresh docs arrive.
+  private val derivedViews =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
+  private def derivedView(s: SparkSession, dir: String): CdcTable =
+    memoized(derivedViews)(s, dir) {
+      import graft.ops.DerivedView
+      val root = java.nio.file.Files.createTempDirectory("graft_derived").toString
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      def chunks(df: DataFrame): DataFrame = {
+        val w = df.select(col("doc_id"), split(col("text"), "\\s+").as("words"))
+        w.withColumn("chunk_id",
+            explode(sequence(lit(0), ((size(col("words")) - 1) / 48).cast("int"))))
+          .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+            size(slice(col("words"), col("chunk_id") * 48 + 1, lit(64))).cast("long").as("n_tokens"),
+            md5(array_join(slice(col("words"), col("chunk_id") * 48 + 1, lit(64)), " ")).as("chunk_hash"))
+      }
+      val source = new CdcTable(s, s"$root/docs", Seq("doc_id"), retainVersions = 5)
+      val view = new CdcTable(s, s"$root/chunks", Seq("doc_id", "chunk_id"), retainVersions = 5)
+      source.init(docs)
+      view.init(DerivedView.compute(source.read, chunks)
+        .withColumn(DerivedView.TsCol, lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))))
+      val v0 = source.currentVersion.get
+      val slot = col("doc_id") % 10
+      val ts2 = lit(java.sql.Timestamp.valueOf("2001-01-02 00:00:00"))
+      val truncated = array_join(slice(split(col("text"), "\\s+"), 1, 60), " ")
+      source.merge(
+        docs.filter(slot < 3).withColumn("text", truncated).withColumn("__op", lit("u"))
+          .unionByName(docs.filter(slot >= 3 && slot < 5)
+            .withColumn("text", concat(col("text"), lit(" "), col("text")))
+            .withColumn("__op", lit("u")))
+          .unionByName(docs.filter(slot >= 5 && slot < 7).withColumn("__op", lit("d")))
+          .unionByName(docs.filter(slot >= 8)
+            .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+            .withColumn("__op", lit("c")))
+          .withColumn("d_ts", ts2), "d_ts")
+      DerivedView.refresh(view, source, v0, source.currentVersion.get, chunks,
+        java.sql.Timestamp.valueOf("2001-01-03 00:00:00"))
+      view
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // incrementally-maintained derived chunk index: after truncation /
+    // growth / delete / insert churn, the CDF-refreshed chunk table must
+    // equal DuckDB's flat chunking of the replayed final state — stale
+    // chunks of shrunken docs must be GONE, not linger.
+    "x_derived_view_incremental" -> ((s, dir) =>
+      derivedView(s, dir).read
+        .select("doc_id", "chunk_id", "n_tokens", "chunk_hash")),
 
     // incremental JOIN-view maintenance (ops.JoinView): after one churn
     // window on BOTH sides, the delta-refreshed view must equal DuckDB's
@@ -519,6 +572,27 @@ object ParityQueries extends QueryPack {
         |)
         |SELECT f.o_orderkey, f.o_custkey, f.o_totalprice, d.c_name, d.c_acctbal
         |FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey""".stripMargin,
+
+    "x_derived_view_incremental" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 3
+        |         THEN array_to_string(list_slice(string_split_regex(text, '\s+'), 1, 60), ' ')
+        |         WHEN doc_id % 10 IN (3, 4) THEN text || ' ' || text
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 NOT IN (5, 6)
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 10 IN (8, 9)
+        |),
+        |w AS (SELECT doc_id, string_split_regex(text, '\s+') AS words FROM src),
+        |c AS (
+        |  SELECT doc_id, words,
+        |    unnest(generate_series(0, (len(words) - 1) // 48)) AS chunk_id
+        |  FROM w)
+        |SELECT doc_id, chunk_id,
+        |  len(list_slice(words, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_tokens,
+        |  md5(array_to_string(list_slice(words, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_hash
+        |FROM c""".stripMargin,
 
     "x_join_view_outer" ->
       """WITH fact AS (
