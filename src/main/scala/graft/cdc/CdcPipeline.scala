@@ -43,7 +43,16 @@ final class CdcPipeline(
       * stream-maintains-sink shape (incremental_kafka_s3_cdc.py:384-398)
       * for the enriched-export case.
       */
-    joinViews: Seq[CdcPipeline.JoinViewSpec] = Nil) {
+    joinViews: Seq[CdcPipeline.JoinViewSpec] = Nil,
+    /** Incremental DERIVED tables maintained inside the same flow: after
+      * a batch's merges commit, every registered derived view whose
+      * source table was touched refreshes through
+      * [[graft.ops.DerivedView.refresh]] — transform-of-delta upserts
+      * plus shrink-exact deletes, never a source rescan. The chunk /
+      * signature / fingerprint index tables of a training pipeline, kept
+      * current by the ingest itself.
+      */
+    derivedViews: Seq[CdcPipeline.DerivedViewSpec] = Nil) {
 
   /** File-backed convenience constructors (the offline default). */
   def this(spark: SparkSession, envelopeDir: String, checkpointDir: String,
@@ -104,10 +113,11 @@ final class CdcPipeline(
             maintainViews(t, table)
         }
       }
-      // join views refresh AFTER every table of the batch has merged, so
-      // a batch carrying both fact and dimension rows refreshes once,
-      // from a consistent pair of committed versions
+      // join + derived views refresh AFTER every table of the batch has
+      // merged, so a batch carrying both fact and dimension rows
+      // refreshes once, from a consistent set of committed versions
       maintainJoinViews(tables.toSet)
+      maintainDerivedViews(tables.toSet)
     } finally {
       withMeta.unpersist(): Unit
     }
@@ -159,9 +169,6 @@ final class CdcPipeline(
             view.init(joined.withColumn(JoinView.TsCol, lit(ts)))
             writeReflected(j.viewPath, fv +: dvs)
           }
-          def isExpired(e: Throwable): Boolean =
-            Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
-              .exists(_.isInstanceOf[java.io.FileNotFoundException])
           readReflected(j.viewPath) match {
             case Some(vs) if vs == fv +: dvs => () // already current
             case Some(vs) if vs.length == 1 + dims.length =>
@@ -172,12 +179,46 @@ final class CdcPipeline(
                   }, ts, j.outer)
                 writeReflected(j.viewPath, fv +: dvs)
               } catch {
-                case e: Throwable if isExpired(e) => bootstrap()
+                case e: Throwable if isExpiredBase(e) => bootstrap()
               }
             case _ => bootstrap() // never reflected, or dim list changed
           }
         } // else: a side not ingested yet — nothing to enrich
       }
+
+  /** Refresh every registered derived view whose source table the batch
+    * touched — same marker discipline as [[maintainJoinViews]] (written
+    * post-commit, replays idempotent, expired windows re-bootstrap).
+    */
+  private def maintainDerivedViews(touched: Set[String]): Unit =
+    derivedViews.filter(d => touched(d.table)).foreach { d =>
+      import graft.ops.DerivedView
+      val source = new CdcTable(spark, s"$tableRoot/${d.table}", d.tableKeys)
+      source.currentVersion.foreach { sv =>
+        val view = new CdcTable(spark, d.viewPath, d.viewKeys)
+        val ts = new java.sql.Timestamp(System.currentTimeMillis())
+        def bootstrap(): Unit = {
+          view.init(DerivedView.compute(source.readVersion(sv), d.transform)
+            .withColumn(DerivedView.TsCol, lit(ts)))
+          writeReflected(d.viewPath, Seq(sv))
+        }
+        readReflected(d.viewPath) match {
+          case Some(Seq(v0)) if v0 == sv => ()
+          case Some(Seq(v0)) =>
+            try {
+              DerivedView.refresh(view, source, v0, sv, d.transform, ts)
+              writeReflected(d.viewPath, Seq(sv))
+            } catch {
+              case e: Throwable if isExpiredBase(e) => bootstrap()
+            }
+          case _ => bootstrap()
+        }
+      }
+    }
+
+  private def isExpiredBase(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(_.isInstanceOf[java.io.FileNotFoundException])
 
   private def reflectedFile(viewPath: String) =
     new java.io.File(viewPath, CdcPipeline.ReflectedMarker)
@@ -248,8 +289,18 @@ object CdcPipeline {
     def dims: Seq[DimSpec] = DimSpec(dimTable, on, dimPayload) +: extraDims
   }
 
-  /** Marker file beside a join view recording the `(fact, dim)` versions
-    * it reflects — written only after the view's merge commits.
+  /** Declarative DERIVED-view registration: maintain at `viewPath` the
+    * table `transform(source)` keyed by `viewKeys`, refreshed from the
+    * source's change feed after every batch that touches `table`.
+    * `transform` must follow [[graft.ops.DerivedView]]'s row-local
+    * contract.
+    */
+  final case class DerivedViewSpec(table: String, tableKeys: Seq[String],
+                                   viewPath: String, viewKeys: Seq[String],
+                                   transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+
+  /** Marker file beside a maintained view recording the source-table
+    * versions it reflects — written only after the view's merge commits.
     */
   val ReflectedMarker = "_reflected"
 }

@@ -53,8 +53,11 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
   * over INT32/INT64/BINARY/FIXED_LEN_BYTE_ARRAY (as BigDecimal, so
   * money predicates prune). Null counts are kept per column and the row
   * count per file, so `IS NULL` / `IS NOT NULL` predicates prune too.
-  * INT96 timestamps and nested columns carry no stats here and are
-  * simply never pruned on.
+  * Stats are recorded per parquet LEAF under its dotted path, so
+  * struct-field predicates (`Range("s.a", ...)`, `col("s.a")`) prune
+  * nested data like any top-level column. INT96 timestamps carry no
+  * stats and are never pruned on — deliberate: the parquet spec
+  * deprecates INT96 min/max as byte-ordered and untrustworthy.
   *
   * '''Bloom filters for point lookups.''' Min/max ranges only prune when
   * the layout is CLUSTERED on the predicate column; an equality probe on

@@ -380,6 +380,26 @@ class FileSkippingSpec extends SparkSpec {
     assert(t2.readWhere(pred).select("id").as[Long].collect().toSeq.sorted == Seq(77L, 123L))
   }
 
+  test("struct-field predicates prune on the leaf's dotted-path footer stats") {
+    // parquet stats are recorded per LEAF with dotted paths ("s.a"), so a
+    // predicate addressed the same way prunes nested data like any
+    // top-level column — and the residual col("s.a") resolves to the
+    // struct field, keeping the answer exact
+    val root = tmpDir("skipnested")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"), retainVersions = 5)
+    t.init((0L until 100L).map(i => (i, i, s"v$i")).toDF("id", "sa", "sb")
+      .select(col("id"), struct(col("sa").as("a"), col("sb").as("b")).as("s"))
+      .repartitionByRange(4, col("id")))
+    val preds = Seq(FileSkipping.Range("s.a", Some(10L), Some(12L)))
+    val (kept, total) = t.scanProfile(preds)
+    assert(total == 4 && kept < total, s"nested-leaf stats must prune: $kept of $total")
+    assert(t.readWhere(preds).select("id").as[Long].collect().toSeq.sorted == Seq(10L, 11L, 12L))
+    // the Column face: col("s.a") extracts as the dotted path and lands
+    // on the same stats
+    assert(t.readFiltered(col("s.a").between(10L, 12L))
+      .select("id").as[Long].collect().toSeq.sorted == Seq(10L, 11L, 12L))
+  }
+
   test("IN-list predicates prune via ranges and month manifests, and extract from both faces") {
     val t = clusteredTable(tmpDir("skip12"))
     // two far-apart ids: only their clustered files survive

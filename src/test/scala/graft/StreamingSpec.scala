@@ -246,6 +246,53 @@ class StreamingSpec extends SparkSpec {
     assert((r1.getString(0), r1.getString(1)) == (("a2", "x")))
   }
 
+  test("streaming derived view: the chunk index tracks ingested docs, shrink included") {
+    import graft.ops.{CdcTable, DerivedView}
+    import org.apache.spark.sql.DataFrame
+    val root = tmpDir("cdcderived")
+    val envDir = s"$root/env"; val ckpt = s"$root/ckpt"; val tables = s"$root/tables"
+    def chunks(df: DataFrame): DataFrame = {
+      val w = df.select(col("id"), split(col("body"), " ").as("words"))
+      w.withColumn("chunk_id",
+          explode(sequence(lit(0), ((size(col("words")) - 1) / 2).cast("int"))))
+        .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+          array_join(slice(col("words"), col("chunk_id") * 2 + 1, lit(2)), " ").as("chunk"))
+    }
+    val dv = CdcPipeline.DerivedViewSpec("docs", Seq("id"), s"$root/chunks",
+      Seq("id", "chunk_id"), chunks)
+    def docsEnv(rows: Seq[(Long, String, Long, String)]) =
+      EnvelopeCodec.synthesizeTable(
+        rows.map { case (id, body, ts, op) => (id, body, new java.sql.Timestamp(ts), op) }
+          .toDF("id", "body", "ts", "__op"),
+        table = "docs", pk = "id", opCol = "__op", tsCol = "ts")
+    def run(): Unit =
+      new CdcPipeline(spark, new graft.sources.FileEnvelopeSource(envDir), ckpt, tables,
+        derivedViews = Seq(dv)).runOnce()
+    def assertCurrent(label: String): Unit = {
+      val source = new CdcTable(spark, s"$tables/docs", Seq("id"))
+      val view = new CdcTable(spark, s"$root/chunks", Seq("id", "chunk_id"))
+      def rows(df: DataFrame) = df.select("id", "chunk_id", "chunk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(t => (t._1, t._2)).toSeq
+      assert(rows(view.read) == rows(chunks(source.read.select("id", "body"))),
+        s"$label: derived view diverged from recompute")
+    }
+
+    docsEnv(Seq((1L, "a b c d e f", 1000L, "c"), (2L, "g h", 1000L, "c")))
+      .write.mode("append").parquet(envDir)
+    run()
+    assertCurrent("bootstrap")
+    assert(new CdcTable(spark, s"$root/chunks", Seq("id", "chunk_id")).read.count() == 4)
+
+    // doc 1 SHRINKS to one chunk, doc 2 dies, doc 3 arrives
+    docsEnv(Seq((1L, "x y", 2000L, "u"), (2L, "g h", 2000L, "d"), (3L, "m n o p", 2000L, "c")))
+      .write.mode("append").parquet(envDir)
+    run()
+    assertCurrent("churn window")
+    val v = new CdcTable(spark, s"$root/chunks", Seq("id", "chunk_id")).read
+    assert(v.filter(col("id") === 1L).count() == 1, "stale chunks of the shrunk doc must die")
+    assert(v.filter(col("id") === 2L).count() == 0)
+  }
+
   test("streaming-maintained materialized view: CDF refresh tracks the table across runs") {
     import graft.ops.{CdcTable, IncrementalView}
     val root = tmpDir("cdcview")
