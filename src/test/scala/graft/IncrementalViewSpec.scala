@@ -155,6 +155,30 @@ class IncrementalViewSpec extends SparkSpec {
     assert(snap(agg) == snap(IncrementalView.compute(t.read, Seq("grp"), Seq("amt"), Seq("amt"))))
   }
 
+  test("a dirty-group set past the cap falls back to the unpruned scan and stays exact") {
+    import graft.ops.{FileSkipping, IncrementalView => IV}
+    val path = tmpDir("iviewcap") + "/t"
+    val nGroups = IV.MaxPruneKeys + 104 // 4200 dirty groups > the 4096 cap
+    val t = new CdcTable(spark, path, Seq("id"), retainVersions = 10)
+    // two rows per group; deleting the larger invalidates EVERY extremum
+    t.init((0L until (2L * nGroups)).map(i => (i, s"g${i % nGroups}", i))
+      .toDF("id", "grp", "amt"))
+    val v1 = t.currentVersion.get
+    var agg = IV.compute(t.read, Seq("grp"), Seq("amt"), Seq("amt"))
+    t.delete(col("id") >= nGroups.toLong) // the larger member of every group
+    val v2 = t.currentVersion.get
+    var got: Seq[FileSkipping.Pred] = null
+    agg = IV.refresh(agg, t.changesBetween(v1, v2), Seq("grp"), Seq("amt"), Seq("amt"),
+      preds => { got = preds; t.readWhereAt(v2, preds) })
+    assert(got == Nil, "an over-cap dirty set must fall back to the unpruned scan")
+    val want = IV.compute(t.read, Seq("grp"), Seq("amt"), Seq("amt"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "min_amt", "max_amt").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(snap(agg) == snap(want))
+    assert(snap(agg).size == nGroups)
+  }
+
   test("a dirty NULL group prunes null-safely (IS NULL rides the predicate) and recomputes exactly") {
     import graft.ops.FileSkipping
     val path = tmpDir("iviewnull") + "/t"

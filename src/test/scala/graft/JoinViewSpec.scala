@@ -206,6 +206,33 @@ class JoinViewSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("n10b"))
   }
 
+  test("a delta past the IN-list cap falls back to the unpruned scan and stays exact") {
+    import graft.ops.FileSkipping
+    val root = tmpDir("jvcap")
+    val nKeys = JoinView.MaxPruneKeys + 104 // 4200 changed dim keys > the 4096 cap
+    val fact = new CdcTable(spark, s"$root/fact", Seq("id"), retainVersions = 10)
+    val dim = new CdcTable(spark, s"$root/dim", Seq("k"), retainVersions = 10)
+    val view = new CdcTable(spark, s"$root/view", Seq("id"), retainVersions = 10)
+    fact.init((0L until 100L).map(i => (i, i % nKeys.toLong, i * 1.0)).toDF("id", "fk", "amount"))
+    dim.init((0L until nKeys.toLong).map(k => (k, s"n$k")).toDF("k", "name"))
+    view.init(JoinView.compute(fact.read, dim.read, on)
+      .withColumn(JoinView.TsCol, lit(ts(1))))
+    val (f0, d0) = (fact.currentVersion.get, dim.currentVersion.get)
+    // EVERY dim key changes in one window — past the cap
+    dim.merge((0L until nKeys.toLong).map(k => (k, s"m$k")).toDF("k", "name")
+      .withColumn("d_ts", lit(ts(2))).withColumn("__op", lit("u")), "d_ts")
+    val d2 = dim.currentVersion.get
+    var aPreds: List[Seq[FileSkipping.Pred]] = Nil
+    val batch = JoinView.deltaBatch(
+      fact.changesBetween(f0, f0), preds => { aPreds ::= preds; fact.readWhereAt(f0, preds) },
+      dim.changesBetween(d0, d2), preds => dim.readWhereAt(d2, preds),
+      on, Seq("id"))
+    view.merge(batch.withColumn(JoinView.TsCol, lit(ts(3))), JoinView.TsCol)
+    assert(aPreds == List(Nil), "an over-cap key set must fall back to the unpruned scan")
+    assertViewCurrent(view, fact, dim)
+    assert(view.read.filter(col("id") === 7L).select("name").as[String].head() == "m7")
+  }
+
   test("left-outer view: partner-less facts survive null-padded; dim churn nets upserts, not deletes") {
     val root = tmpDir("jvouter")
     val fact = new CdcTable(spark, s"$root/fact", Seq("id"),
