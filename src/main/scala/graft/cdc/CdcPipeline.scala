@@ -150,6 +150,7 @@ final class CdcPipeline(
         if (fact.currentVersion.isDefined && dims.forall(_._2.currentVersion.isDefined)) {
           val fv = fact.currentVersion.get
           val dvs = dims.map(_._2.currentVersion.get)
+          val names = j.factTable +: j.dims.map(_.table)
           val view = new CdcTable(spark, j.viewPath, j.factKeys)
           val ts = new java.sql.Timestamp(System.currentTimeMillis())
           // default payload: every dimension column that is neither a
@@ -167,21 +168,26 @@ final class CdcPipeline(
                 JoinView.compute(acc, proj, d.on, j.outer)
             }
             view.init(joined.withColumn(JoinView.TsCol, lit(ts)))
-            writeReflected(j.viewPath, fv +: dvs)
+            writeReflected(j.viewPath, names.zip(fv +: dvs))
           }
+          // the marker records (table, version) PAIRS and refresh demands
+          // the names line up with the spec: a view whose dimension list
+          // was edited (same arity, different table) must re-bootstrap,
+          // not replay the new table's feed against state built from the
+          // old one
           readReflected(j.viewPath) match {
-            case Some(vs) if vs == fv +: dvs => () // already current
-            case Some(vs) if vs.length == 1 + dims.length =>
+            case Some(vs) if vs == names.zip(fv +: dvs) => () // already current
+            case Some(vs) if vs.map(_._1) == names =>
               try {
-                JoinView.refreshStar(view, fact, vs.head, fv,
-                  dims.zip(dvs).zip(vs.tail).map { case (((d, t), dv), d0) =>
+                JoinView.refreshStar(view, fact, vs.head._2, fv,
+                  dims.zip(dvs).zip(vs.tail).map { case (((d, t), dv), (_, d0)) =>
                     JoinView.StarDim(t, d0, dv, d.on, Some(payloadOf(d, t)))
                   }, ts, j.outer)
-                writeReflected(j.viewPath, fv +: dvs)
+                writeReflected(j.viewPath, names.zip(fv +: dvs))
               } catch {
                 case e: Throwable if isExpiredBase(e) => bootstrap()
               }
-            case _ => bootstrap() // never reflected, or dim list changed
+            case _ => bootstrap() // never reflected, or the table list changed
           }
         } // else: a side not ingested yet — nothing to enrich
       }
@@ -200,18 +206,18 @@ final class CdcPipeline(
         def bootstrap(): Unit = {
           view.init(DerivedView.compute(source.readVersion(sv), d.transform)
             .withColumn(DerivedView.TsCol, lit(ts)))
-          writeReflected(d.viewPath, Seq(sv))
+          writeReflected(d.viewPath, Seq(d.table -> sv))
         }
         readReflected(d.viewPath) match {
-          case Some(Seq(v0)) if v0 == sv => ()
-          case Some(Seq(v0)) =>
+          case Some(Seq((n, v0))) if n == d.table && v0 == sv => ()
+          case Some(Seq((n, v0))) if n == d.table =>
             try {
               DerivedView.refresh(view, source, v0, sv, d.transform, ts)
-              writeReflected(d.viewPath, Seq(sv))
+              writeReflected(d.viewPath, Seq(d.table -> sv))
             } catch {
               case e: Throwable if isExpiredBase(e) => bootstrap()
             }
-          case _ => bootstrap()
+          case _ => bootstrap() // never reflected, or re-pointed at a new source
         }
       }
     }
@@ -223,17 +229,25 @@ final class CdcPipeline(
   private def reflectedFile(viewPath: String) =
     new java.io.File(viewPath, CdcPipeline.ReflectedMarker)
 
-  private def readReflected(viewPath: String): Option[Seq[Long]] = {
+  /** Marker lines are `table:version` pairs; any parse anomaly (old
+    * format, torn write) reads as None and the view re-bootstraps —
+    * idempotent, never wrong.
+    */
+  private def readReflected(viewPath: String): Option[Seq[(String, Long)]] = {
     val f = reflectedFile(viewPath)
     if (!f.exists()) None
     else scala.util.Try(
-      java.nio.file.Files.readString(f.toPath).trim.split(' ').toSeq.map(_.toLong)).toOption
+      java.nio.file.Files.readString(f.toPath).trim.split(' ').toSeq.map { tok =>
+        val i = tok.lastIndexOf(':')
+        require(i > 0)
+        (tok.substring(0, i), tok.substring(i + 1).toLong)
+      }).toOption
   }
 
-  private def writeReflected(viewPath: String, versions: Seq[Long]): Unit = {
+  private def writeReflected(viewPath: String, entries: Seq[(String, Long)]): Unit = {
     val f = reflectedFile(viewPath)
     val tmp = java.nio.file.Paths.get(viewPath, CdcPipeline.ReflectedMarker + ".tmp")
-    java.nio.file.Files.writeString(tmp, versions.mkString(" "))
+    java.nio.file.Files.writeString(tmp, entries.map { case (n, v) => s"$n:$v" }.mkString(" "))
     java.nio.file.Files.move(tmp, f.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
