@@ -29,17 +29,28 @@ def norm(rows):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    report = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        report[name] = rec
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
@@ -49,8 +60,10 @@ def main():
             exp_types = [d[1] for d in con.description]
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
+            rec["err"] = str(e)
             n_fail += 1
             continue
+        rec["spark_rows"], rec["oracle_rows"] = len(got), len(exp)
         # driver sorts columns by name before hashing values
         gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
         ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
@@ -58,20 +71,26 @@ def main():
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1
             continue
+        rec["schema_match"] = True
         g = norm([[r[i] for i in gi] for r in got])
         e = norm([[r[i] for i in ei] for r in exp])
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
             n_fail += 1
             continue
+        rec["rows_match"] = True
         if g != e:
             bad = [(a, b) for a, b in zip(g, e) if a != b][:3]
             print(f"FAIL {name}: values differ, first diffs: {bad}")
             n_fail += 1
             continue
+        rec["hash_match"] = True
         print(f"PASS {name}: {len(g)} rows")
         n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 
