@@ -266,6 +266,61 @@ object SimilarityQueries extends QueryPack {
   private[graft] def adaptiveSimhashBits(n: Long): Int =
     (12 to 20).find(b => n <= (1L << b)).getOrElse(20)
 
+  /** Connected components over an undirected pair list (columns d1, d2)
+    * via iterative min-label propagation with pointer jumping — the
+    * scalable formulation (each round: one equi-join + groupBy, one
+    * label(label) self-join). Returns (node, label) with label = the
+    * component's minimum node id.
+    *
+    * CONVERGES OR THROWS — never returns partial labels: pointer jumping
+    * at least halves every label chain per round, so a component of n
+    * nodes converges within ~log2(n) rounds; the loop runs to
+    * `changed == 0` under a cap of 2*ceil(log2(nodes)) + 8 rounds and
+    * raises IllegalStateException if the cap is ever hit with changes
+    * still flowing (which would indicate a logic bug, not a big graph —
+    * prior behavior silently returned partially-propagated clusters).
+    * localCheckpoint after every round truncates the logical plan:
+    * without it the self-referencing lineage doubles per iteration and
+    * blows up the optimizer (stack overflow by ~round 10).
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    val nodes = labels.count()
+    val maxRounds =
+      2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(nodes, 1L))) + 8
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      if (rounds >= maxRounds) throw new IllegalStateException(
+        s"connectedComponents: not converged after $rounds rounds " +
+          s"($nodes nodes, $changed labels still changing) — " +
+          "pointer-jumping propagation should converge in O(log n); " +
+          "refusing to return partially-propagated cluster labels")
+      // (1) neighbor-min, (2) pointer-jump label(label) — halves the
+      // rounds needed vs pure propagation
+      val byNeighbor = edges
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a").as("node")).agg(min("label").as("nlabel"))
+      val stepped = labels.join(byNeighbor, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val next = stepped
+        .join(stepped.select(col("node").as("label"), col("label").as("jump")),
+          Seq("label"), "left")
+        .select(col("node"), coalesce(col("jump"), col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
   // ANN query set bounded by COUNT, not fraction: the 100 vectors with
   // the smallest salted hash (ties broken by vec_id — a total order, so
   // both engines pick the same rows at any scale factor). |Q| stays 100
@@ -430,38 +485,10 @@ object SimilarityQueries extends QueryPack {
     // O(diameter) rounds, and near-dup components have tiny diameters).
     // Oracle: DuckDB recursive-CTE transitive closure.
     "x_dedup_clusters" -> ((s, dir) => {
-      // localCheckpoint after every round truncates the logical plan —
-      // without it the self-referencing lineage doubles per iteration and
-      // blows up the optimizer (stack overflow by ~round 10).
       val pairs = queries("x_dedup_ngram_jaccard")(s, dir)
         .select("d1", "d2").localCheckpoint()
-      val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-        .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
-        .localCheckpoint()
-      var labels = edges.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 15) {
-        // (1) neighbor-min, (2) pointer-jump label(label) — halves the
-        // rounds needed vs pure propagation
-        val byNeighbor = edges
-          .join(labels.select(col("node").as("b"), col("label")), "b")
-          .groupBy(col("a").as("node")).agg(min("label").as("nlabel"))
-        val stepped = labels.join(byNeighbor, Seq("node"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        val next = stepped
-          .join(stepped.select(col("node").as("label"), col("label").as("jump")),
-            Seq("label"), "left")
-          .select(col("node"), coalesce(col("jump"), col("label")).as("label"))
-          .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-          .filter(col("label") =!= col("old")).count()
-        labels = next
-        rounds += 1
-      }
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
     }),
 
     // SimHash over distinct tokens + banded candidate join, at a
