@@ -91,6 +91,7 @@ final class CdcPipeline(
         keyName match {
           case Some(pk) =>
             val table = new CdcTable(spark, s"$tableRoot/$t", Seq(pk))
+            recordKeys(s"$tableRoot/$t", Seq(pk))
             val payload = decoded
               .drop("__deleted", "__db", "__topic")
             // Tie-break on every non-key payload column: within a key group
@@ -109,6 +110,7 @@ final class CdcPipeline(
           case None =>
             // keyless tables degrade to append (reference K3)
             val table = new CdcTable(spark, s"$tableRoot/$t", Nil)
+            recordKeys(s"$tableRoot/$t", Nil)
             table.append(decoded.drop("__deleted", "__db", "__topic", "__op"))
             maintainViews(t, table)
         }
@@ -122,6 +124,48 @@ final class CdcPipeline(
       withMeta.unpersist(): Unit
     }
   }
+
+  /** Record the merge-key columns this pipeline ingests `tablePath` with
+    * (the PK sniffed from the envelope key JSON; empty = keyless) so view
+    * registrations can be validated against the table's ACTUAL row
+    * identity — a view spec joining a dimension on a non-PK column would
+    * otherwise diff the change feed under the wrong identity and silently
+    * maintain a wrong view.
+    */
+  private def recordKeys(tablePath: String, keys: Seq[String]): Unit = {
+    val f = new java.io.File(tablePath, CdcPipeline.KeysMarker)
+    val content = keys.mkString("\n")
+    if (!f.exists() ||
+        java.nio.file.Files.readString(f.toPath) != content) {
+      new java.io.File(tablePath).mkdirs()
+      val tmp = java.nio.file.Paths.get(tablePath, CdcPipeline.KeysMarker + ".tmp")
+      java.nio.file.Files.writeString(tmp, content)
+      java.nio.file.Files.move(tmp, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+  }
+
+  private def recordedKeys(tablePath: String): Option[Seq[String]] = {
+    val f = new java.io.File(tablePath, CdcPipeline.KeysMarker)
+    if (!f.exists()) None
+    else Some(java.nio.file.Files.readString(f.toPath)
+      .linesIterator.filter(_.nonEmpty).toSeq)
+  }
+
+  /** Fail fast when a view spec's key columns disagree with the keys the
+    * pipeline actually ingests that table with (no-op for tables this
+    * pipeline has not recorded — externally-built tables are the caller's
+    * contract).
+    */
+  private def validateKeys(viewPath: String, table: String, specKeys: Seq[String]): Unit =
+    recordedKeys(s"$tableRoot/$table").foreach { actual =>
+      require(actual == specKeys,
+        s"view $viewPath: table $table is ingested with merge keys " +
+          s"${actual.mkString("[", ",", "]")} but the view spec uses " +
+          s"${specKeys.mkString("[", ",", "]")} — refreshing would diff rows " +
+          "under the wrong identity and silently produce a wrong view")
+    }
 
   private def maintainViews(tableName: String, table: CdcTable): Unit =
     views.filter(_.table == tableName).foreach { vs =>
@@ -144,6 +188,8 @@ final class CdcPipeline(
       .filter(j => touched(j.factTable) || j.dims.exists(d => touched(d.table)))
       .foreach { j =>
         import graft.ops.JoinView
+        validateKeys(j.viewPath, j.factTable, j.factKeys)
+        j.dims.foreach(d => validateKeys(j.viewPath, d.table, d.on.map(_._2)))
         val fact = new CdcTable(spark, s"$tableRoot/${j.factTable}", j.factKeys)
         val dims = j.dims.map(d =>
           d -> new CdcTable(spark, s"$tableRoot/${d.table}", d.on.map(_._2)))
@@ -185,7 +231,12 @@ final class CdcPipeline(
                   }, ts, j.outer)
                 writeReflected(j.viewPath, names.zip(fv +: dvs))
               } catch {
-                case e: Throwable if isExpiredBase(e) => bootstrap()
+                case e: Throwable
+                    if isExpiredBase(e, (fact +: dims.map(_._2)).map(_.path)) =>
+                  CdcPipeline.log.warn(
+                    s"join view ${j.viewPath}: reflected window expired from " +
+                      "retained history, falling back to full re-bootstrap", e)
+                  bootstrap()
               }
             case _ => bootstrap() // never reflected, or the table list changed
           }
@@ -199,6 +250,7 @@ final class CdcPipeline(
   private def maintainDerivedViews(touched: Set[String]): Unit =
     derivedViews.filter(d => touched(d.table)).foreach { d =>
       import graft.ops.DerivedView
+      validateKeys(d.viewPath, d.table, d.tableKeys)
       val source = new CdcTable(spark, s"$tableRoot/${d.table}", d.tableKeys)
       source.currentVersion.foreach { sv =>
         val view = new CdcTable(spark, d.viewPath, d.viewKeys)
@@ -215,39 +267,71 @@ final class CdcPipeline(
               DerivedView.refresh(view, source, v0, sv, d.transform, ts)
               writeReflected(d.viewPath, Seq(d.table -> sv))
             } catch {
-              case e: Throwable if isExpiredBase(e) => bootstrap()
+              case e: Throwable if isExpiredBase(e, Seq(source.path)) =>
+                CdcPipeline.log.warn(
+                  s"derived view ${d.viewPath}: reflected version expired from " +
+                    "retained history, falling back to full re-bootstrap", e)
+                bootstrap()
             }
           case _ => bootstrap() // never reflected, or re-pointed at a new source
         }
       }
     }
 
-  private def isExpiredBase(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
-      .exists(_.isInstanceOf[java.io.FileNotFoundException])
+  /** True only when the failure traces to EXPIRED RETAINED HISTORY of one
+    * of the view's SOURCE tables: either the dedicated
+    * [[CdcTable.ExpiredVersionException]] (thrown eagerly by
+    * manifest/readVersion/changesBetween when the version is gone), or —
+    * for the lazy-plan race where a concurrent expire() deletes version
+    * files between plan build and write action, which Spark surfaces as
+    * its own wrapped FileNotFoundException — an FNF whose message names
+    * one of the source tables' paths. A transient FNF from an unrelated
+    * cause (lost shuffle/temp file, the view's own files) propagates
+    * instead of silently degrading every refresh to a full re-bootstrap.
+    */
+  private def isExpiredBase(e: Throwable, sourcePaths: Seq[String]): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+      case _: CdcTable.ExpiredVersionException => true
+      case f: java.io.FileNotFoundException =>
+        sourcePaths.exists(p => Option(f.getMessage).exists(_.contains(p)))
+      case _ => false
+    }
 
   private def reflectedFile(viewPath: String) =
     new java.io.File(viewPath, CdcPipeline.ReflectedMarker)
 
-  /** Marker lines are `table:version` pairs; any parse anomaly (old
-    * format, torn write) reads as None and the view re-bootstraps —
-    * idempotent, never wrong.
+  /** Marker entries are `table:version` LINES — one per line, so a table
+    * name may contain spaces (or colons: the version is split off the
+    * LAST colon); only line separators are unrepresentable and rejected
+    * at write time. Any parse anomaly (the pre-r11 space-separated
+    * format with 2+ entries, a torn write) reads as None or as a
+    * non-matching name list and the view re-bootstraps ONCE — idempotent,
+    * never wrong, and never a silent per-batch re-bootstrap loop.
     */
-  private def readReflected(viewPath: String): Option[Seq[(String, Long)]] = {
+  private[graft] def readReflected(viewPath: String): Option[Seq[(String, Long)]] = {
     val f = reflectedFile(viewPath)
     if (!f.exists()) None
-    else scala.util.Try(
-      java.nio.file.Files.readString(f.toPath).trim.split(' ').toSeq.map { tok =>
-        val i = tok.lastIndexOf(':')
-        require(i > 0)
-        (tok.substring(0, i), tok.substring(i + 1).toLong)
-      }).toOption
+    else scala.util.Try {
+      val entries = java.nio.file.Files.readString(f.toPath)
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq.map { tok =>
+          val i = tok.lastIndexOf(':')
+          require(i > 0)
+          (tok.substring(0, i), tok.substring(i + 1).toLong)
+        }
+      require(entries.nonEmpty)
+      entries
+    }.toOption
   }
 
-  private def writeReflected(viewPath: String, entries: Seq[(String, Long)]): Unit = {
+  private[graft] def writeReflected(viewPath: String, entries: Seq[(String, Long)]): Unit = {
+    entries.foreach { case (n, _) =>
+      require(!n.exists(c => c == '\n' || c == '\r'),
+        s"table name ${n.replace("\n", "\\n").replace("\r", "\\r")} contains a " +
+          s"line separator — unrepresentable in the ${CdcPipeline.ReflectedMarker} marker")
+    }
     val f = reflectedFile(viewPath)
     val tmp = java.nio.file.Paths.get(viewPath, CdcPipeline.ReflectedMarker + ".tmp")
-    java.nio.file.Files.writeString(tmp, entries.map { case (n, v) => s"$n:$v" }.mkString(" "))
+    java.nio.file.Files.writeString(tmp, entries.map { case (n, v) => s"$n:$v" }.mkString("\n"))
     java.nio.file.Files.move(tmp, f.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
@@ -269,6 +353,8 @@ final class CdcPipeline(
 }
 
 object CdcPipeline {
+  private[cdc] val log = org.slf4j.LoggerFactory.getLogger(classOf[CdcPipeline])
+
   /** Declarative view registration for the pipeline: maintain at
     * `viewPath` the per-`groupCols` count/sum/avg aggregate of ingested
     * table `table` (sums and avgs over `sumCols`, min/max over
@@ -317,4 +403,9 @@ object CdcPipeline {
     * versions it reflects — written only after the view's merge commits.
     */
   val ReflectedMarker = "_reflected"
+
+  /** Marker file beside an ingested table recording the merge-key columns
+    * the pipeline routes it through (one per line; empty file = keyless).
+    */
+  val KeysMarker = "_table_keys"
 }

@@ -43,8 +43,11 @@ object CdcMerge {
     * O(|table|) network per merge at 100 TB. The general (schema-soft-
     * drop) path keeps the full-outer form.
     */
-  def merge(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+  def merge(existing0: DataFrame, updates0: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "keyless tables append instead of merging (reference K3)")
+    // type-widening evolution: a column present on both sides at widenable
+    // types merges at the union type; incompatible pairs reject loudly
+    val (existing, updates) = SchemaEvolution.reconcileTypes(existing0, updates0)
     val eCols = existing.columns.filterNot(keys.contains).toSeq
     val uCols = updates.columns.filterNot(c => keys.contains(c) || c == OpColumn).toSeq
     if (eCols.forall(uCols.contains)) {
@@ -101,11 +104,12 @@ object CdcMerge {
     * full-outer copy-on-write shape — the guard is one more per-row
     * predicate, no extra shuffle.
     */
-  def mergeGuarded(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+  def mergeGuarded(existing0: DataFrame, updates0: DataFrame, keys: Seq[String],
                    tsCol: String): DataFrame = {
     require(keys.nonEmpty, "keyless tables append instead of merging (reference K3)")
-    require(existing.columns.contains(tsCol) && updates.columns.contains(tsCol),
+    require(existing0.columns.contains(tsCol) && updates0.columns.contains(tsCol),
       s"both sides must carry the guard timestamp column $tsCol")
+    val (existing, updates) = SchemaEvolution.reconcileTypes(existing0, updates0)
     val eCols = existing.columns.filterNot(keys.contains).toSeq
     val uCols = updates.columns.filterNot(c => keys.contains(c) || c == OpColumn).toSeq
     val outCols = (eCols ++ uCols.filterNot(eCols.contains)).toSeq

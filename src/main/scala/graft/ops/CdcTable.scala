@@ -125,7 +125,7 @@ final class CdcTable(
   def manifest(v: Long): Seq[(String, String)] = {
     val f = manifestFile(v)
     if (!f.exists())
-      throw new java.io.FileNotFoundException(s"version $v of $path is expired or never existed")
+      throw new ExpiredVersionException(s"version $v of $path is expired or never existed")
     Files.readAllLines(f.toPath).asScala.toSeq.filter(_.nonEmpty).map { l =>
       val i = l.indexOf('\t')
       (l.substring(0, i), l.substring(i + 1))
@@ -336,7 +336,7 @@ final class CdcTable(
     case None =>
       val d = versionDir(v)
       if (!d.exists())
-        throw new java.io.FileNotFoundException(s"version $v of $path is expired or never existed")
+        throw new ExpiredVersionException(s"version $v of $path is expired or never existed")
       spark.read.option("mergeSchema", "true").parquet(d.getPath)
   }
 
@@ -510,7 +510,8 @@ final class CdcTable(
     * time travel, and a crashed append leaves only a pointer-unreachable
     * orphan that [[expire]] collects.
     */
-  def append(df: DataFrame): Unit = {
+  def append(df0: DataFrame): Unit = {
+    val df = alignAppendTypes(df0)
     partitionSource match {
       case Some(_) =>
         exists: Unit // legacy hive-at-root guard (throws); bootstrap on a truly-empty dir is fine
@@ -543,12 +544,52 @@ final class CdcTable(
     case None      => df
   }
 
+  /** Align an appended batch to the CURRENT stored column types: a
+    * NARROWER batch column upcasts losslessly to the stored type; a
+    * WIDER or incompatible batch column rejects loudly — append cannot
+    * evolve column types (the unpartitioned layout hard-links prior
+    * files beside the new ones, and parquet schema merging cannot
+    * reconcile e.g. int files with long files in one directory). Widen
+    * through [[merge]] (which rewrites at the union type) or an explicit
+    * migration.
+    */
+  private def alignAppendTypes(df: DataFrame): DataFrame = currentVersion match {
+    case None => df
+    case Some(v) =>
+      val curT = readAt(v).schema.map(f => f.name -> f.dataType).toMap
+      val bad = scala.collection.mutable.Buffer.empty[String]
+      val out = df.schema.fields.foldLeft(df) { (d, f) =>
+        curT.get(f.name) match {
+          case Some(t) if t != f.dataType =>
+            SchemaEvolution.widenedType(t, f.dataType) match {
+              case Some(w) if w == t => d.withColumn(f.name, col(f.name).cast(t))
+              case _ =>
+                bad += s"${f.name}: table ${t.simpleString}, batch ${f.dataType.simpleString}"
+                d
+            }
+          case _ => d
+        }
+      }
+      require(bad.isEmpty,
+        s"append to $path cannot evolve column types (${bad.mkString("; ")}) — " +
+          "widening evolves through merge(); incompatible changes need an explicit migration")
+      out
+  }
+
   // ----------------------------------------------------------------- merge
 
   /** MERGE a raw CDC batch: latest-wins dedup on (keys, tsCol), then
     * join-based upsert/delete, rewriting only touched partitions (or
     * committing one new full version). Idempotent: re-applying the same
     * batch is a no-op.
+    *
+    * An EMPTY batch (zero rows after dedup) is a COMPLETE no-op: no
+    * version is burned, and — deliberate semantics change vs pre-r10
+    * builds — no schema evolution happens either. A zero-row batch that
+    * carries new columns does NOT widen the table schema; evolve through
+    * [[SchemaEvolution]] (or the first non-empty batch carrying the
+    * column) instead of relying on evolve-via-empty-batch. The isEmpty
+    * probe costs one driver job over the already-checkpointed batch.
     */
   def merge(batch: DataFrame, tsCol: String, tieBreakers: Seq[String] = Nil): Unit = {
     if (!exists) {
@@ -749,16 +790,25 @@ final class CdcTable(
       .flatMap(_.fields).filterNot(_.name == PartCol)
     val allCols = (oldDf.columns ++ newDf.columns ++ recorded.map(_.name)).distinct.toIndexedSeq
     // null-pad missing columns TYPED (from whichever version has them) so
-    // the o-row and n-row structs below are union-compatible
+    // the o-row and n-row structs below are union-compatible; a column
+    // whose type WIDENED between the versions (int->long merge evolution)
+    // resolves to the union type and both sides cast to it — the feed's
+    // pre- and post-image structs must agree exactly
     val typeOf = (recorded.map(f => f.name -> f.dataType) ++
-      (oldDf.schema ++ newDf.schema).map(f => f.name -> f.dataType)).toMap
+      (oldDf.schema ++ newDf.schema).map(f => f.name -> f.dataType))
+      .foldLeft(Map.empty[String, org.apache.spark.sql.types.DataType]) {
+        case (m, (n2, t)) => m.updated(n2,
+          m.get(n2).flatMap(SchemaEvolution.widenedType(_, t)).getOrElse(t))
+      }
     // presence marker that survives the outer join where a key value could
     // be null; suffixed until it collides with no user column
     val present = Iterator.iterate("__present")(_ + "_").find(!allCols.contains(_)).get
     def align(df: DataFrame): DataFrame =
-      df.select(allCols.map(c =>
-        if (df.columns.contains(c)) col(c) else lit(null).cast(typeOf(c)).as(c)): _*)
-        .withColumn(present, lit(true))
+      df.select(allCols.map { c =>
+        if (!df.columns.contains(c)) lit(null).cast(typeOf(c)).as(c)
+        else if (df.schema(c).dataType != typeOf(c)) col(c).cast(typeOf(c)).as(c)
+        else col(c)
+      }: _*).withColumn(present, lit(true))
     val o = align(oldDf).alias("o")
     val n = align(newDf).alias("n")
     val joinCond = keys.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
@@ -813,7 +863,7 @@ final class CdcTable(
         // trick as append's carry-over) — no data copy
         val src = versionDir(v)
         if (!src.exists())
-          throw new java.io.FileNotFoundException(s"version $v of $path is expired or never existed")
+          throw new ExpiredVersionException(s"version $v of $path is expired or never existed")
         reserveOrConflict(next)
         Option(src.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
@@ -959,6 +1009,17 @@ object CdcTable {
     * advanced mid-commit): re-read and retry — [[CdcTable.mergeWithRetry]].
     */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** The requested version has expired from the table's retained history
+    * (or never existed). Extends FileNotFoundException so pre-existing
+    * catch sites keep working, but maintenance fallbacks (view
+    * re-bootstrap on expired base) should match THIS type — a generic
+    * FNF from an unrelated cause (lost shuffle file, the view's own
+    * files) must not silently convert an incremental refresh into a full
+    * recompute.
+    */
+  final class ExpiredVersionException(msg: String)
+    extends java.io.FileNotFoundException(msg)
 
   /** Derived hive partition column (month bucket of the source ts col). */
   val PartCol = "__part_month"

@@ -311,15 +311,31 @@ object JoinView {
         // so dropped dimension columns never reach the view. A feed
         // entry whose diff lies entirely in dropped columns yields a
         // same-payload upsert — harmless under the keyed merge.
+        val feed = d.table.changesBetween(d.fromV, d.toV)
+        // a configured payload column must exist SOMEWHERE in the window
+        // (the feed carries the union schema of both versions, so a
+        // column mid-evolution still passes); a name in no version is a
+        // typo that would otherwise be silently dropped from the view
+        d.payload.foreach { cs =>
+          val missing = cs.filterNot(feed.columns.contains)
+          require(missing.isEmpty,
+            s"star dimension payload columns ${missing.mkString("[", ",", "]")} " +
+              s"do not exist in the dimension's schema over window " +
+              s"v${d.fromV}->v${d.toV} (${feed.columns.mkString(", ")}) — a " +
+              "misspelled payload column would silently vanish from the view")
+        }
         val proj: DataFrame => DataFrame = d.payload match {
           case Some(cs) =>
             val keep = (d.on.map(_._2) ++ cs).distinct
+            // per-DataFrame filter stays: the toV snapshot may not carry a
+            // column that only the window's FROM side held (evolution) —
+            // validated above, so anything filtered here is that case
             df => df.select(keep.filter(df.columns.contains)
               .++(Seq(CdcTable.ChangeTypeCol).filter(df.columns.contains))
               .map(col): _*)
           case None => identity
         }
-        Dim(proj(d.table.changesBetween(d.fromV, d.toV)),
+        Dim(proj(feed),
           preds => proj(d.table.readWhereAt(d.toV, preds)), d.on)
       },
       fact.keys, outer)

@@ -68,12 +68,20 @@ final class MaterializedView(
       case Some(r) if r < target && table.keys.nonEmpty && hasCurrentSchema =>
         // the try covers commit() too: the incremental plan is lazy, so a
         // concurrent expire() of base version r can surface the missing
-        // files either at plan-build time (changesBetween throws directly)
-        // or only when the write action executes inside commit() — Spark
-        // then wraps the FileNotFoundException, so walk the cause chain.
+        // files either at plan-build time (changesBetween throws the
+        // dedicated ExpiredVersionException directly) or only when the
+        // write action executes inside commit() — Spark then wraps its
+        // own FileNotFoundException, so walk the cause chain, but accept
+        // a generic FNF only when it names the SOURCE table's path: an
+        // unrelated transient FNF must propagate, not silently degrade
+        // every refresh to a full recompute.
         def isExpiredBase(e: Throwable): Boolean =
-          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
-            .exists(_.isInstanceOf[java.io.FileNotFoundException])
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+            case _: CdcTable.ExpiredVersionException => true
+            case f: java.io.FileNotFoundException =>
+              Option(f.getMessage).exists(_.contains(table.path))
+            case _ => false
+          }
         // readVersion(target), NOT table.read: read re-resolves the
         // current pointer at action time, so a concurrent commit past
         // `target` would recompute dirty groups from a NEWER snapshot

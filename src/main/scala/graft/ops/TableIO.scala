@@ -1,0 +1,136 @@
+package graft.ops
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Commit-protocol metadata I/O seam for [[CdcTable]] — the same seam
+  * discipline [[graft.sources.EnvelopeSource]] applies to reads, applied
+  * to the table's COMMIT path: pointer publish, version reservation,
+  * manifest/schema sidecar read/write, commit-dir listing, carry-over
+  * linking, history GC. The DATA path (parquet read/write) already goes
+  * through Spark's Hadoop filesystem layer and is object-store-ready;
+  * this trait is what frees the commit protocol from its POSIX
+  * assumptions for the reference's S3/MinIO deployment target
+  * (incremental_kafka_s3_cdc.py:28-35).
+  *
+  * Mapping to an object store (an `S3TableIO` would implement):
+  *
+  *   - `writeAtomic` (the `_current` pointer publish — the ONE primitive
+  *     whose atomicity the whole protocol rests on) -> conditional PUT
+  *     (If-Match on the pointer object's ETag / If-None-Match for the
+  *     first commit), the same primitive Delta-on-S3 and Iceberg REST
+  *     catalogs use; stores without conditional PUT need a coordinating
+  *     catalog (DynamoDB lock table, Iceberg catalog) — exactly the
+  *     reference's setup, where the Iceberg CATALOG owns the pointer.
+  *   - `createDirExclusive` (version reservation) -> If-None-Match PUT
+  *     of a `vNNNNNNNN/_reserved` marker object.
+  *   - `linkOrCopy` (carry-over of unchanged files) -> server-side COPY
+  *     (S3 CopyObject is metadata-only within a bucket), or — better at
+  *     scale — a manifest-level carry that never touches the objects;
+  *     the partitioned layout already does the latter (untouched months
+  *     are manifest POINTER copies, no file operation at all).
+  *   - `list`/`exists`/`readString` -> LIST/HEAD/GET; `lastModified` ->
+  *     the object's Last-Modified header.
+  *   - `deleteRecursively` -> prefix delete (versioned-bucket lifecycle
+  *     rules are the production-grade variant).
+  *
+  * All paths are plain strings (the local implementation treats them as
+  * filesystem paths; an object-store one as key prefixes).
+  */
+trait TableIO {
+  import TableIO.Entry
+
+  def exists(path: String): Boolean
+  /** File content as a string; the caller has checked existence. */
+  def readString(path: String): String
+  /** Non-empty lines of a text file. */
+  def readLines(path: String): Seq[String]
+  /** Plain (non-atomic) write, parents created. */
+  def writeString(path: String, content: String): Unit
+  /** ATOMIC publish: readers see the old content or the new, never a
+    * torn write — temp + rename locally, conditional PUT on a store.
+    */
+  def writeAtomic(path: String, content: String): Unit
+  def mkdirs(path: String): Unit
+  /** Atomically claim a directory; false when it already exists — the
+    * version-reservation primitive (at most one claimant wins).
+    */
+  def createDirExclusive(path: String): Boolean
+  /** Children of a directory (empty when absent). */
+  def list(path: String): Seq[Entry]
+  def lastModified(path: String): Long
+  /** Carry an immutable file to a new location without rewriting data:
+    * hard link locally, server-side copy on a store.
+    */
+  def linkOrCopy(src: String, dst: String): Unit
+  def copy(src: String, dst: String): Unit
+  def deleteRecursively(path: String): Unit
+}
+
+object TableIO {
+  /** A directory child: bare name + kind. */
+  final case class Entry(name: String, isDir: Boolean)
+}
+
+/** POSIX-filesystem implementation — the offline/local default. Rename
+  * is atomic, mkdir is exclusive, hard links are free: the strongest
+  * (and cheapest) version of every primitive.
+  */
+object LocalTableIO extends TableIO {
+  import TableIO.Entry
+
+  def exists(path: String): Boolean = new File(path).exists()
+
+  def readString(path: String): String = Files.readString(Paths.get(path))
+
+  def readLines(path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(Paths.get(path)).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  def writeString(path: String, content: String): Unit = {
+    Option(new File(path).getParentFile).foreach(_.mkdirs())
+    Files.writeString(Paths.get(path), content): Unit
+  }
+
+  def writeAtomic(path: String, content: String): Unit = {
+    val target = Paths.get(path)
+    Option(target.getParent).foreach(p => Files.createDirectories(p): Unit)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  def mkdirs(path: String): Unit = { new File(path).mkdirs(): Unit }
+
+  def createDirExclusive(path: String): Boolean = {
+    Option(new File(path).getParentFile).foreach(_.mkdirs())
+    try { Files.createDirectory(Paths.get(path)); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
+  def list(path: String): Seq[Entry] =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .map(f => Entry(f.getName, f.isDirectory)).toSeq
+
+  def lastModified(path: String): Long = new File(path).lastModified()
+
+  def linkOrCopy(src: String, dst: String): Unit = {
+    Option(new File(dst).getParentFile).foreach(_.mkdirs())
+    Files.createLink(Paths.get(dst), Paths.get(src)): Unit
+  }
+
+  def copy(src: String, dst: String): Unit = {
+    Option(new File(dst).getParentFile).foreach(_.mkdirs())
+    Files.copy(Paths.get(src), Paths.get(dst),
+      StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  def deleteRecursively(path: String): Unit = {
+    val f = new File(path)
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(c => deleteRecursively(c.getPath)))
+    f.delete(): Unit
+  }
+}

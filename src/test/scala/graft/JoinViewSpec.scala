@@ -376,4 +376,30 @@ class JoinViewSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("amount"))
   }
+
+  test("a misspelled star-dim payload column fails fast instead of silently vanishing from the view") {
+    val root = tmpDir("jvbadpayload")
+    val fact = new CdcTable(spark, s"$root/fact", Seq("id"), retainVersions = 10)
+    val dim = new CdcTable(spark, s"$root/dim", Seq("ka"), retainVersions = 10)
+    val view = new CdcTable(spark, s"$root/view", Seq("id"), retainVersions = 10)
+    fact.init(Seq((1L, 10L, 5.0)).toDF("id", "fka", "amount"))
+    dim.init(Seq((10L, "a")).toDF("ka", "aname"))
+    view.init(JoinView.compute(fact.read, dim.read, Seq("fka" -> "ka"))
+      .withColumn(JoinView.TsCol, lit(ts(1))))
+    val (f0, d0) = (fact.currentVersion.get, dim.currentVersion.get)
+    dim.merge(Seq((10L, "a2", ts(2), "u")).toDF("ka", "aname", "d_ts", "__op"), "d_ts")
+    val e = intercept[IllegalArgumentException] {
+      JoinView.refreshStar(view, fact, f0, f0,
+        Seq(JoinView.StarDim(dim, d0, dim.currentVersion.get,
+          Seq("fka" -> "ka"), payload = Some(Seq("anme")))), // typo'd column
+        ts(3))
+    }
+    assert(e.getMessage.contains("anme"))
+    // the correctly-spelled payload still works
+    JoinView.refreshStar(view, fact, f0, f0,
+      Seq(JoinView.StarDim(dim, d0, dim.currentVersion.get,
+        Seq("fka" -> "ka"), payload = Some(Seq("aname")))), ts(3))
+    assert(view.read.filter(col("id") === 1L).select("aname")
+      .as[String].head() == "a2")
+  }
 }

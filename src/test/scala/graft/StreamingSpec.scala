@@ -186,6 +186,52 @@ class StreamingSpec extends SparkSpec {
       .filter(col("id") === 3L).select("name").as[String].head() == "z2")
   }
 
+  test("_reflected marker roundtrips names with spaces/colons; rejects line separators; old format re-bootstraps") {
+    val root = tmpDir("reflmarker")
+    val p = new CdcPipeline(spark, new graft.sources.FileEnvelopeSource(s"$root/env"),
+      s"$root/ckpt", s"$root/tables")
+    val viewPath = s"$root/view"
+    assert(new java.io.File(viewPath).mkdirs())
+    val entries = Seq("my fact" -> 3L, "dim:with:colons" -> 5L)
+    p.writeReflected(viewPath, entries)
+    assert(p.readReflected(viewPath).contains(entries))
+    intercept[IllegalArgumentException](
+      p.writeReflected(viewPath, Seq("bad\nname" -> 1L)))
+    // a pre-r11 space-separated multi-entry marker must parse as None or a
+    // non-matching name list (one re-bootstrap), never as a wrong window
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(viewPath, CdcPipeline.ReflectedMarker), "a:3 b:5")
+    val old = p.readReflected(viewPath)
+    assert(old.forall(_.map(_._1) != Seq("a", "b")))
+  }
+
+  test("join view registered on a non-PK dim column fails fast, never silently maintains a wrong view") {
+    val root = tmpDir("cdcbadkeys")
+    val envDir = s"$root/env"; val ckpt = s"$root/ckpt"; val tables = s"$root/tables"
+    // 'name' is a payload column — the dim's sniffed PK is 'k'
+    val bad = CdcPipeline.JoinViewSpec(
+      factTable = "fact", factKeys = Seq("id"), dimTable = "dim",
+      viewPath = s"$root/jview", on = Seq("fk" -> "name"))
+    EnvelopeCodec.synthesizeTable(
+      Seq((1L, 10L, new java.sql.Timestamp(1000L), "c"))
+        .toDF("id", "fk", "ts", "__op"),
+      table = "fact", pk = "id", opCol = "__op", tsCol = "ts")
+      .write.mode("append").parquet(envDir)
+    EnvelopeCodec.synthesizeTable(
+      Seq((10L, "a", new java.sql.Timestamp(1000L), "c"))
+        .toDF("k", "name", "ts", "__op"),
+      table = "dim", pk = "k", opCol = "__op", tsCol = "ts")
+      .write.mode("append").parquet(envDir)
+    val e = intercept[Exception] {
+      new CdcPipeline(spark, new graft.sources.FileEnvelopeSource(envDir), ckpt, tables,
+        joinViews = Seq(bad)).runOnce()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(t => t.isInstanceOf[IllegalArgumentException] &&
+        t.getMessage.contains("merge keys")),
+      s"expected the key-mismatch IllegalArgumentException, got $e")
+  }
+
   test("streaming star view: fact + two dims through one pipeline, one refresh per batch") {
     import graft.ops.{CdcTable, JoinView}
     val root = tmpDir("cdcstarview")
