@@ -1,9 +1,6 @@
 package graft.ops
 
 import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -71,7 +68,15 @@ final class CdcTable(
       * blooms for equality predicates in [[readWhere]]/[[readFiltered]]).
       * Pick the lookup keys a consumer probes by; empty = no blooms.
       */
-    val bloomColumns: Seq[String] = Nil) {
+    val bloomColumns: Seq[String] = Nil,
+    /** Commit-protocol metadata I/O ([[TableIO]]): pointer publish,
+      * version reservation, manifest/sidecar read/write, listing, GC.
+      * The local-FS default keeps today's behavior; an object-store
+      * implementation swaps in here without touching the protocol — see
+      * the S3 mapping on the trait. The DATA path (parquet read/write)
+      * always goes through Spark's Hadoop FS layer, not this.
+      */
+    val io: TableIO = LocalTableIO) {
 
   import CdcTable._
 
@@ -85,14 +90,14 @@ final class CdcTable(
 
   /** Latest committed version, if any. */
   def currentVersion: Option[Long] =
-    if (!pointer.exists()) None
-    else Some(Files.readString(pointer.toPath).trim.stripPrefix("v").toLong)
+    if (!io.exists(pointer.getPath)) None
+    else Some(io.readString(pointer.getPath).trim.stripPrefix("v").toLong)
 
   /** All committed versions still on disk, oldest first. */
   def versions: Seq[Long] =
-    Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d{8}"))
-      .map(_.getName.stripPrefix("v").toLong).sorted.toSeq
+    io.list(path)
+      .filter(e => e.isDir && e.name.matches("v\\d{8}"))
+      .map(_.name.stripPrefix("v").toLong).sorted
 
   /** Pointer-based existence, with a loud failure for pre-versioning
     * layouts: a directory holding hive partition dirs or bare parquet at
@@ -100,11 +105,11 @@ final class CdcTable(
     * bootstrapping a fresh table beside it would orphan the old rows.
     */
   private def exists: Boolean =
-    if (pointer.exists()) true
+    if (io.exists(pointer.getPath)) true
     else {
-      val legacy = Option(new File(path).listFiles()).getOrElse(Array.empty)
-        .exists(f => (f.isDirectory && f.getName.contains("=")) ||
-          (f.isFile && f.getName.endsWith(".parquet")))
+      val legacy = io.list(path)
+        .exists(e => (e.isDir && e.name.contains("=")) ||
+          (!e.isDir && e.name.endsWith(".parquet")))
       if (legacy)
         throw new IllegalStateException(
           s"$path holds a pre-versioning (hive-at-root) table: no $CurrentPointer " +
@@ -124,18 +129,18 @@ final class CdcTable(
     */
   def manifest(v: Long): Seq[(String, String)] = {
     val f = manifestFile(v)
-    if (!f.exists())
+    if (!io.exists(f.getPath))
       throw new ExpiredVersionException(s"version $v of $path is expired or never existed")
-    Files.readAllLines(f.toPath).asScala.toSeq.filter(_.nonEmpty).map { l =>
+    io.readLines(f.getPath).map { l =>
       val i = l.indexOf('\t')
       (l.substring(0, i), l.substring(i + 1))
     }
   }
 
   private def writeManifest(v: Long, entries: Seq[(String, String)]): Unit = {
-    versionDir(v).mkdirs()
-    Files.writeString(manifestFile(v).toPath,
-      entries.map { case (m, d) => s"$m\t$d" }.mkString("\n")): Unit
+    io.mkdirs(versionDir(v).getPath)
+    io.writeString(manifestFile(v).getPath,
+      entries.map { case (m, d) => s"$m\t$d" }.mkString("\n"))
   }
 
   private def relDir(v: Long, month: String): String = f"c$v%08d/$PartCol=$month"
@@ -156,9 +161,9 @@ final class CdcTable(
     val picked = months.fold(entries)(ms => entries.filter(e => ms.contains(e._1)))
     if (picked.isEmpty) {
       val f = schemaFile(at)
-      if (f.exists()) {
+      if (io.exists(f.getPath)) {
         val schema = org.apache.spark.sql.types.DataType
-          .fromJson(Files.readString(f.toPath))
+          .fromJson(io.readString(f.getPath))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         return spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -196,7 +201,7 @@ final class CdcTable(
     require(partitionSource.isDefined, "readMonths requires a partitioned table")
     val cur = currentOrThrow
     val entries = manifest(cur).filter(e => months.contains(e._1))
-    if (entries.isEmpty && schemaFile(cur).exists())
+    if (entries.isEmpty && io.exists(schemaFile(cur).getPath))
       // typed empty from the schema sidecar — zero file listing/footers
       readParts(Nil, None, cur).drop(PartCol)
     else if (entries.isEmpty) readAt(cur).filter(lit(false))
@@ -324,9 +329,9 @@ final class CdcTable(
     */
   private def schemaAt(v: Long): Option[org.apache.spark.sql.types.StructType] = {
     val f = schemaFile(v)
-    if (!f.exists()) None
+    if (!io.exists(f.getPath)) None
     else scala.util.Try(org.apache.spark.sql.types.DataType
-      .fromJson(Files.readString(f.toPath))
+      .fromJson(io.readString(f.getPath))
       .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
   }
 
@@ -335,7 +340,7 @@ final class CdcTable(
     case Some(_) => readParts(manifest(v), None, v).drop(PartCol)
     case None =>
       val d = versionDir(v)
-      if (!d.exists())
+      if (!io.exists(d.getPath))
         throw new ExpiredVersionException(s"version $v of $path is expired or never existed")
       spark.read.option("mergeSchema", "true").parquet(d.getPath)
   }
@@ -352,9 +357,8 @@ final class CdcTable(
     * writer — live or crashed — already holds it.
     */
   private def reserve(next: Long): Boolean = {
-    new File(path).mkdirs()
-    try { Files.createDirectory(versionDir(next).toPath); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    io.mkdirs(path)
+    io.createDirExclusive(versionDir(next).getPath)
   }
 
   private def reserveOrConflict(next: Long): Unit =
@@ -372,10 +376,7 @@ final class CdcTable(
     if (currentVersion.exists(_ >= next))
       throw new CommitConflictException(
         s"pointer of $path moved past v$next during commit")
-    val tmp = Paths.get(path, s"$CurrentPointer.tmp")
-    Files.writeString(tmp, f"v$next%08d")
-    Files.move(tmp, pointer.toPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    io.writeAtomic(pointer.getPath, f"v$next%08d")
     expire()
   }
 
@@ -428,9 +429,9 @@ final class CdcTable(
     writer(df).mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(commitDir(next).getPath)
     // the hive directory names ARE the months actually written — no
     // second evaluation of df's plan needed
-    val outMonths = Option(commitDir(next).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
-      .map(_.getName.stripPrefix(s"$PartCol=")).toSeq.sorted
+    val outMonths = io.list(commitDir(next).getPath)
+      .filter(e => e.isDir && e.name.startsWith(s"$PartCol="))
+      .map(_.name.stripPrefix(s"$PartCol=")).sorted
     // write-time stats sidecars for exactly the directories this commit
     // produced (carried months keep theirs — the dirs are immutable)
     locally {
@@ -453,7 +454,7 @@ final class CdcTable(
     val priorFields = expected.flatMap(schemaAt).map(_.fields).getOrElse(Array.empty)
     val unionSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields ++ priorFields.filterNot(f => df.columns.contains(f.name)))
-    Files.writeString(schemaFile(next).toPath, unionSchema.json): Unit
+    io.writeString(schemaFile(next).getPath, unionSchema.json)
     commitPointer(next)
   }
 
@@ -474,15 +475,16 @@ final class CdcTable(
     */
   def expire(): Unit = currentVersion.foreach { cur =>
     val live = versions.filter(_ <= cur).takeRight(retainVersions).toSet + cur
-    versions.filter(v => v <= cur && !live.contains(v)).foreach(v => rm(versionDir(v)))
+    versions.filter(v => v <= cur && !live.contains(v))
+      .foreach(v => io.deleteRecursively(versionDir(v).getPath))
     if (partitionSource.isDefined) {
-      val referenced = live.filter(v => manifestFile(v).exists())
+      val referenced = live.filter(v => io.exists(manifestFile(v).getPath))
         .flatMap(v => manifest(v).map(_._2.takeWhile(_ != '/')))
-      Option(new File(path).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.matches("c\\d{8}"))
-        .filter(f => f.getName.stripPrefix("c").toLong <= cur)
-        .filterNot(f => referenced.contains(f.getName))
-        .foreach(rm)
+      io.list(path)
+        .filter(e => e.isDir && e.name.matches("c\\d{8}"))
+        .filter(e => e.name.stripPrefix("c").toLong <= cur)
+        .filterNot(e => referenced.contains(e.name))
+        .foreach(e => io.deleteRecursively(new File(path, e.name).getPath))
     }
   }
 
@@ -523,9 +525,10 @@ final class CdcTable(
           val next = cur + 1
           reserveOrConflict(next)
           val nd = versionDir(next)
-          Option(versionDir(cur).listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-            .foreach(f => Files.createLink(nd.toPath.resolve(f.getName), f.toPath): Unit)
+          io.list(versionDir(cur).getPath)
+            .filter(e => !e.isDir && !e.name.startsWith("_") && !e.name.startsWith("."))
+            .foreach(e => io.linkOrCopy(new File(versionDir(cur), e.name).getPath,
+              new File(nd, e.name).getPath))
           writer(df).mode(SaveMode.Append).parquet(nd.getPath)
           // sidecar: carried (hard-linked, byte-identical, same names)
           // files reuse the previous version's stats; only the appended
@@ -684,13 +687,14 @@ final class CdcTable(
           attempt += 1
           if (attempt >= maxTries) throw e
           val nxt = currentVersion.getOrElse(0L) + 1
-          val sig = (nxt, versionDir(nxt).lastModified())
+          val sig = (nxt, io.lastModified(versionDir(nxt).getPath))
           if (!observed.contains(sig)) { observed = Some(sig); observedAt = attempt }
           Thread.sleep(sleepMs)
           if (attempt == maxTries - 1 && attempt - observedAt >= 1 &&
               currentVersion.getOrElse(0L) + 1 == nxt &&
-              versionDir(nxt).lastModified() == sig._2)
-            rm(versionDir(nxt)) // stale for the whole observed backoff: presumed dead
+              io.lastModified(versionDir(nxt).getPath) == sig._2)
+            // stale for the whole observed backoff: presumed dead
+            io.deleteRecursively(versionDir(nxt).getPath)
       }
     }
   }
@@ -855,19 +859,20 @@ final class CdcTable(
         val entries = manifest(v)
         reserveOrConflict(next)
         writeManifest(next, entries)
-        if (schemaFile(v).exists())
-          Files.copy(schemaFile(v).toPath, schemaFile(next).toPath): Unit
+        if (io.exists(schemaFile(v).getPath))
+          io.copy(schemaFile(v).getPath, schemaFile(next).getPath)
         commitPointer(next)
       case None =>
         // hard-link the restored version's files (same metadata-only
         // trick as append's carry-over) — no data copy
         val src = versionDir(v)
-        if (!src.exists())
+        if (!io.exists(src.getPath))
           throw new ExpiredVersionException(s"version $v of $path is expired or never existed")
         reserveOrConflict(next)
-        Option(src.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-          .foreach(f => Files.createLink(versionDir(next).toPath.resolve(f.getName), f.toPath): Unit)
+        io.list(src.getPath)
+          .filter(e => !e.isDir && !e.name.startsWith("_") && !e.name.startsWith("."))
+          .foreach(e => io.linkOrCopy(new File(src, e.name).getPath,
+            new File(versionDir(next), e.name).getPath))
         // every restored file is a hard link of the source version under
         // the same name — its sidecar carries over stat-for-stat
         val conf = spark.sessionState.newHadoopConf()
@@ -936,8 +941,7 @@ final class CdcTable(
     */
   def liveFileCounts: Map[String, Int] = {
     def parquetFiles(dir: File): Int =
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      io.list(dir.getPath).count(e => !e.isDir && e.name.endsWith(".parquet"))
     partitionSource match {
       case Some(_) =>
         manifest(currentOrThrow).groupBy(_._1).view
@@ -996,10 +1000,6 @@ final class CdcTable(
       }
     }
 
-  private def rm(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete(): Unit
-  }
 }
 
 object CdcTable {
