@@ -120,10 +120,52 @@ object SkipBench {
     val (fKept, fTotal) = fact.scanProfileAt(f0, factPreds)
     val (dKept, dTotal) = dim.scanProfileAt(d2, dimPreds)
 
+    // ---- 3. z-order vs linear layout: files opened under a 2-dim box ------
+    // the same orders rows compacted two ways; the probe is a box
+    // predicate selective on BOTH dims (~1/8 of each dimension's range).
+    // A linear (x, y) sort is tight on x only; Morton clustering is
+    // tight-ish on both, so it opens fewer files — the compact(zorderBy)
+    // claim measured at sf scale.
+    val ckHi = orders.agg(max("o_custkey")).head.getLong(0)
+    val (pLo, pHi) = {
+      val r = orders.agg(min("o_totalprice"), max("o_totalprice")).head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val box = Seq(
+      FileSkipping.Range("o_custkey", Some(ckHi / 2), Some(ckHi / 2 + ckHi / 8)),
+      FileSkipping.Range("o_totalprice", Some(pLo), Some(pLo + (pHi - pLo) / 8)))
+    def layout(name: String, zorder: Boolean): (CdcTable, Double) = {
+      val t = new CdcTable(spark, s"$root/$name", Seq("o_orderkey"), retainVersions = 5)
+      t.init(orders)
+      val (_, tc) = timed(
+        if (zorder) t.compact(target = 64, zorderBy = Seq("o_custkey", "o_totalprice"))
+        else t.compact(target = 64, clusterBy = Seq("o_custkey", "o_totalprice")))
+      (t, tc)
+    }
+    val (zt, tZCompact) = layout("orders_z", zorder = true)
+    val (lt, tLCompact) = layout("orders_lin", zorder = false)
+    m("zorder_compact") = tZCompact
+    m("linear_compact") = tLCompact
+    val (zBoxKept, zBoxTotal) = zt.scanProfile(box)
+    val (lBoxKept, lBoxTotal) = lt.scanProfile(box)
+    val (nZ, tZScan) = bestOf2(zt.readWhere(box).count())
+    val (nL, tLScan) = bestOf2(lt.readWhere(box).count())
+    require(nZ == nL, s"z-order scan diverged: $nZ != $nL")
+    m("zorder_box_scan") = tZScan
+    m("linear_box_scan") = tLScan
+    // trailing-dim-only probe: the case a linear sort cannot skip at all
+    val yOnly = Seq(box(1))
+    val (zyKept, _) = zt.scanProfile(yOnly)
+    val (lyKept, _) = lt.scanProfile(yOnly)
+
     val qs = m.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     println(s"""{"scan_files":{"kept":$kept,"total":$total},""" +
       s""""jv_fact_files":{"kept":$fKept,"total":$fTotal},""" +
       s""""jv_dim_files":{"kept":$dKept,"total":$dTotal},""" +
+      s""""zorder_box_files":{"kept":$zBoxKept,"total":$zBoxTotal},""" +
+      s""""linear_box_files":{"kept":$lBoxKept,"total":$lBoxTotal},""" +
+      s""""trailing_dim_files":{"zorder":$zyKept,"linear":$lyKept},""" +
+      s""""box_rows":$nZ,""" +
       s""""batch_rows":$batchPruned,"timings":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -888,24 +888,64 @@ final class CdcTable(
     * optionally RE-CLUSTERS while compacting: rows land range-ordered on
     * the named columns within each month, so every rewritten file covers
     * a tight value range and [[FileSkipping]] stats prune predicate scans
-    * on those columns — the OPTIMIZE ZORDER/SORT BY maintenance move, at
-    * zero extra cost beyond the rewrite compaction already pays.
+    * on those columns — the OPTIMIZE SORT BY maintenance move, at zero
+    * extra cost beyond the rewrite compaction already pays. A linear sort
+    * is tight only on its LEADING column; `zorderBy` instead
+    * Morton-clusters ([[ZOrder]]) the named dimensions so every rewritten
+    * file covers a small hyper-rectangle of the dimension space — stats
+    * prune scans filtered on ANY of the z-ordered columns (the OPTIMIZE
+    * ZORDER move). Dimensions are bucketized from their observed min/max
+    * (one extra aggregate over the compaction input, which the rewrite
+    * reads anyway); numeric and timestamp columns qualify.
     */
-  def compact(target: Int = 1, clusterBy: Seq[String] = Nil): Unit = {
+  def compact(target: Int = 1, clusterBy: Seq[String] = Nil,
+              zorderBy: Seq[String] = Nil): Unit = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "pick linear clusterBy OR multi-dim zorderBy, not both")
     val expected = currentOrThrow
     partitionSource match {
       case Some(_) =>
         val months = allMonths(Some(expected))
         val all = readParts(manifest(expected), None, expected)
-        commitPartitioned(compactShape(all, months.size, target, clusterBy),
-          replaced = months, Some(expected))
+        val shaped =
+          if (zorderBy.nonEmpty) zorderShape(all, months.size, target, zorderBy, Some(PartCol))
+          else compactShape(all, months.size, target, clusterBy)
+        commitPartitioned(shaped, replaced = months, Some(expected))
       case None =>
         val base = readAt(expected)
         val shaped =
-          if (clusterBy.isEmpty) base.repartition(target)
+          if (zorderBy.nonEmpty) zorderShape(base, 1, target, zorderBy, None)
+          else if (clusterBy.isEmpty) base.repartition(target)
           else base.repartitionByRange(math.max(1, target), clusterBy.map(col): _*)
             .sortWithinPartitions(clusterBy.map(col): _*)
         commitFull(shaped, Some(expected))
+    }
+  }
+
+  /** Z-order compaction shape: bucketize each dimension into
+    * `[0, 2^bits)` from its observed min/max, interleave into one Morton
+    * key, range-partition (+ month first on the partitioned layout) and
+    * locally sort by it. A constant or all-null dimension degenerates to
+    * bucket 0 and simply stops discriminating — never an error.
+    */
+  private def zorderShape(df: DataFrame, months: Int, target: Int,
+                          zorderBy: Seq[String], part: Option[String]): DataFrame = {
+    val bits = math.min(16, 62 / zorderBy.size)
+    val aggs = zorderBy.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bucketized = zorderBy.zipWithIndex.map { case (c, i) =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1) ||
+          !(row.getDouble(2 * i + 1) > row.getDouble(2 * i))) lit(0L)
+      else ZOrder.bucketize(col(c).cast("double"),
+        row.getDouble(2 * i), row.getDouble(2 * i + 1), 1 << bits)
+    }
+    val key = ZOrder.interleave(bits, bucketized: _*)
+    val n = math.max(1, months * target)
+    part match {
+      case Some(p) =>
+        df.repartitionByRange(n, col(p), key).sortWithinPartitions(col(p), key)
+      case None => df.repartitionByRange(n, key).sortWithinPartitions(key)
     }
   }
 

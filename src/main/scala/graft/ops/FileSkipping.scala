@@ -56,8 +56,18 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
   * Stats are recorded per parquet LEAF under its dotted path, so
   * struct-field predicates (`Range("s.a", ...)`, `col("s.a")`) prune
   * nested data like any top-level column. INT96 timestamps carry no
-  * stats and are never pruned on — deliberate: the parquet spec
-  * deprecates INT96 min/max as byte-ordered and untrustworthy.
+  * stats and are never pruned on — FORMAL WONTFIX (r11), for two
+  * reasons that together close the question: (1) unreachable from this
+  * engine's own tables — every CdcTable data file is written by Spark
+  * 4's parquet writer, which emits INT64 timestamps (INT96 exists only
+  * in externally-written legacy files, which the versioned layout never
+  * contains); (2) untrustworthy by spec — INT96 min/max compare as
+  * unsigned byte strings of a (nanos-of-day, julian-day) encoding whose
+  * byte order does NOT follow timestamp order, which is why parquet-mr
+  * itself refuses to surface INT96 statistics (PARQUET-1065) and there
+  * is no writer-metadata signal that could make them trustworthy.
+  * Legacy-parquet workloads therefore lose skipping on such columns,
+  * never correctness: statless columns always keep the file.
   *
   * '''Bloom filters for point lookups.''' Min/max ranges only prune when
   * the layout is CLUSTERED on the predicate column; an equality probe on

@@ -52,6 +52,49 @@ class ZOrderSpec extends SparkSpec {
     } finally z.unpersist()
   }
 
+  test("compact(zorderBy) makes files skippable on BOTH dims; linear clusterBy only on the leading one") {
+    import spark.implicits._
+    import graft.ops.{CdcTable, FileSkipping}
+    val grid = spark
+      .range(128L * 128L)
+      .select(col("id").as("id"),
+        (col("id") / 128).cast("long").as("x"), (col("id") % 128).cast("long").as("y"))
+      .orderBy(hash(col("x"), col("y")))
+    val root = tmpDir("zcompact")
+
+    def keptUnder(t: CdcTable, preds: Seq[FileSkipping.Pred]): (Int, Int) = t.scanProfile(preds)
+    // a 2-dim box predicate: 1/8 of x-space and 1/8 of y-space
+    val box = Seq(
+      FileSkipping.Range("x", Some(0L), Some(15L)),
+      FileSkipping.Range("y", Some(0L), Some(15L)))
+
+    val zt = new CdcTable(spark, s"$root/z", Seq("id"), retainVersions = 5)
+    zt.init(grid)
+    zt.compact(target = 16, zorderBy = Seq("x", "y"))
+    val (zKept, zTotal) = keptUnder(zt, box)
+
+    val lt = new CdcTable(spark, s"$root/l", Seq("id"), retainVersions = 5)
+    lt.init(grid)
+    lt.compact(target = 16, clusterBy = Seq("x", "y")) // linear: tight on x only
+    val (lKept, lTotal) = keptUnder(lt, box)
+
+    // content is unchanged by either layout
+    assert(zt.read.count() == 128L * 128L && lt.read.count() == 128L * 128L)
+    assert(zt.readWhere(box).count() == lt.readWhere(box).count())
+    // the box touches 1/64 of the space: the z-ordered table opens a
+    // small fraction of its files; the linear layout prunes on x alone
+    // (>= its x share) and cannot use y at all
+    assert(zTotal >= 8 && lTotal >= 8, s"want real file counts, got $zTotal/$lTotal")
+    assert(zKept < lKept,
+      s"z-order must open fewer files under the 2-dim box: $zKept/$zTotal vs $lKept/$lTotal")
+    // and on the TRAILING dim alone the linear layout keeps everything
+    val yOnly = Seq(FileSkipping.Range("y", Some(0L), Some(15L)))
+    val (zyKept, _) = keptUnder(zt, yOnly)
+    val (lyKept, _) = keptUnder(lt, yOnly)
+    assert(zyKept < lyKept,
+      s"z-order must skip on the trailing dim: $zyKept vs $lyKept of $lTotal")
+  }
+
   test("interleave places bits as documented and bucketize clamps") {
     import spark.implicits._
     // x=3 (bits 0,1), y=1 (bit 0): key = x0<<0 | y0<<1 | x1<<2 = 1 + 2 + 4
