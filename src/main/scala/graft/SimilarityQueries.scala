@@ -491,6 +491,41 @@ object SimilarityQueries extends QueryPack {
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
     }),
 
+    // Survivorship: every near-dup cluster elects ONE canonical document
+    // — highest composite quality score (the x_quality_score formula),
+    // ties to the smallest doc_id — and the rest are marked dropped.
+    // Scale shape: the ranking window runs ONLY over cluster-labeled
+    // docs (the tiny near-dup subset — the clusters table comes from the
+    // band-prefiltered edge pipeline, so it is O(dups), not O(corpus));
+    // the corpus-sized side is a broadcast anti-join against that small
+    // label table, so no window function ever touches the full corpus.
+    "x_dedup_survivorship" -> ((s, dir) => {
+      queries("x_dedup_clusters")(s, dir).createOrReplaceTempView("dup_clusters")
+      Tables(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(
+        """WITH q AS (
+          |  SELECT doc_id,
+          |    0.5 * (CAST(size(array_distinct(split(text, '\\s+'))) AS DOUBLE) / size(split(text, '\\s+')))
+          |      + 0.3 * (1.0 - CAST(size(filter(split(text, '\\s+'), x -> x IN ('the','a','of','and'))) AS DOUBLE) / size(split(text, '\\s+')))
+          |      + 0.2 * least(CAST(size(split(text, '\\s+')) AS DOUBLE) / 50.0, 1.0) AS quality_score
+          |  FROM documents),
+          |labeled AS (
+          |  SELECT q.doc_id, c.cluster_id, q.quality_score
+          |  FROM q JOIN dup_clusters c ON c.doc_id = q.doc_id),
+          |ranked AS (
+          |  SELECT doc_id, cluster_id, quality_score,
+          |    row_number() OVER (PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id) AS rk,
+          |    count(*) OVER (PARTITION BY cluster_id) AS sz
+          |  FROM labeled)
+          |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+          |  CAST(sz AS BIGINT) AS cluster_size, quality_score, rk = 1 AS kept
+          |FROM ranked
+          |UNION ALL
+          |SELECT q.doc_id, q.doc_id AS cluster_id, CAST(1 AS BIGINT) AS cluster_size,
+          |  q.quality_score, true AS kept
+          |FROM q LEFT ANTI JOIN dup_clusters c ON c.doc_id = q.doc_id""".stripMargin)
+    }),
+
     // SimHash over distinct tokens + banded candidate join, at a
     // corpus-adaptive operating point (adaptiveSimhashBits): 3 bands of
     // b bits each over a 3b-bit signature, b = smallest in [12, 20] with
@@ -919,6 +954,46 @@ object SimilarityQueries extends QueryPack {
          |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM closure GROUP BY a""".stripMargin,
+
+    "x_dedup_survivorship" ->
+      s"""WITH RECURSIVE $duckShingles,
+         |$duckBandCand,
+         |prs AS (
+         |  SELECT p.d1, p.d2 FROM (
+         |    SELECT c.d1, c.d2, count(*) AS inter
+         |    FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle_h = a.shingle_h
+         |    GROUP BY c.d1, c.d2) p
+         |  JOIN n n1 ON n1.doc_id = p.d1 JOIN n n2 ON n2.doc_id = p.d2
+         |  WHERE CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) >= 0.8),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
+         |closure(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+         |clusters AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |  FROM closure GROUP BY a),
+         |q AS (
+         |  SELECT doc_id,
+         |    0.5 * (CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE) / len(string_split_regex(text, '\\s+')))
+         |      + 0.3 * (1.0 - CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ('the','a','of','and'))) AS DOUBLE) / len(string_split_regex(text, '\\s+')))
+         |      + 0.2 * least(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) / 50.0, 1.0) AS quality_score
+         |  FROM documents),
+         |labeled AS (
+         |  SELECT q.doc_id, c.cluster_id, q.quality_score
+         |  FROM q JOIN clusters c ON c.doc_id = q.doc_id),
+         |ranked AS (
+         |  SELECT doc_id, cluster_id, quality_score,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY cluster_id) AS sz
+         |  FROM labeled)
+         |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+         |  CAST(sz AS BIGINT) AS cluster_size, quality_score, rk = 1 AS kept
+         |FROM ranked
+         |UNION ALL
+         |SELECT q.doc_id, q.doc_id AS cluster_id, CAST(1 AS BIGINT) AS cluster_size,
+         |  q.quality_score, TRUE AS kept
+         |FROM q WHERE q.doc_id NOT IN (SELECT doc_id FROM clusters)""".stripMargin,
 
     // the band width mirrors the Spark side's integer-exact adaptive
     // rule (adaptiveSimhashBits: smallest b in [12,20] with n <= 2^b,

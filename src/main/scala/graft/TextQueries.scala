@@ -97,6 +97,36 @@ object TextQueries extends QueryPack {
          |  min(doc_id) AS first_doc
          |FROM assigned GROUP BY shard""".stripMargin)),
 
+    // Sequence packing for pretraining, GPT-style concat-and-chop: per
+    // shard, documents concatenate into one token stream (cumulative sum
+    // over a deterministic doc order) and the stream is chopped into
+    // fixed 2048-token context windows, so a document occupies the bin
+    // span [first_bin, last_bin] and may cross a window boundary — the
+    // packing rule GPT-family pipelines actually use (the
+    // boundary-respecting first-fit variant is a sequential recurrence
+    // per shard, deliberately not modeled here). Scale shape: ONE window
+    // cumsum hash-partitioned by shard — no global sort, no recurrence;
+    // at 100 TB each shard's running offset is an independent partition
+    // of the window, and the bin ids are pure integer arithmetic on it.
+    "x_sequence_packing" -> ((s, dir) => run(s, dir,
+      """WITH t AS (
+        |  SELECT doc_id, pmod(doc_id, 8) AS shard,
+        |    size(split(text, '\\s+')) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(start_tok + n_tokens AS BIGINT) AS end_tok,
+        |  CAST(start_tok DIV 2048 AS BIGINT) AS first_bin,
+        |  CAST((start_tok + n_tokens - 1) DIV 2048 AS BIGINT) AS last_bin,
+        |  start_tok DIV 2048 <> (start_tok + n_tokens - 1) DIV 2048 AS spans_boundary
+        |FROM packed""".stripMargin)),
+
     // Equal-frequency bucketing (NTILE) — the declared exact BASELINE,
     // kept deliberately: its global ORDER BY funnels one partition
     // (PlanAuditSpec asserts exactly that), which is the anti-pattern its
@@ -253,6 +283,25 @@ object TextQueries extends QueryPack {
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  min(doc_id) AS first_doc
          |FROM assigned GROUP BY shard""".stripMargin,
+
+    "x_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(string_split_regex(text, '\s+')) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(start_tok + n_tokens AS BIGINT) AS end_tok,
+        |  CAST(start_tok // 2048 AS BIGINT) AS first_bin,
+        |  CAST((start_tok + n_tokens - 1) // 2048 AS BIGINT) AS last_bin,
+        |  start_tok // 2048 <> (start_tok + n_tokens - 1) // 2048 AS spans_boundary
+        |FROM packed""".stripMargin,
 
     "x_ntile_bucketing" ->
       """WITH b AS (

@@ -134,3 +134,123 @@ object LocalTableIO extends TableIO {
     f.delete(): Unit
   }
 }
+
+/** Object-store-semantics implementation: every primitive is restricted
+  * to what S3-class stores actually provide — GET/PUT/LIST/COPY/DELETE
+  * with per-key atomicity — so running the commit protocol through this
+  * implementation PROVES the protocol never leans on a POSIX-only
+  * primitive. Specifically:
+  *
+  *   - NO rename: [[writeAtomic]] is a plain whole-object PUT, made
+  *     atomic per key (a reader sees the old object or the new, never a
+  *     torn write) exactly as a store's per-key linearization guarantees.
+  *     The protocol's safety must come from the reservation chain — a
+  *     writer publishes version v only after reading pointer v-1, so
+  *     pointer PUTs are ordered by happens-before, and [[writeLog]] lets
+  *     a test ASSERT the pointer history really was monotonic.
+  *   - NO exclusive mkdir: [[createDirExclusive]] is an If-None-Match
+  *     PUT of a `_reserved` marker object under the claimed prefix (the
+  *     underscore name keeps it invisible to parquet readers and to the
+  *     carry-over listings, which skip `_`/`.` files). Reclaiming a
+  *     crashed reservation deletes the prefix, marker included, so
+  *     takeover-then-re-reserve works unchanged.
+  *   - NO hard links: [[linkOrCopy]] degrades to server-side COPY
+  *     (CopyObject is metadata-speed within a bucket).
+  *   - NO directory mtime: [[lastModified]] of a prefix is the max
+  *     Last-Modified over its direct children (one LIST) — the progress
+  *     signal mergeWithRetry's crashed-writer takeover polls.
+  *
+  * Objects are backed by the local filesystem (the DATA path writes
+  * parquet through Spark's Hadoop layer into the same tree, as it would
+  * through s3a), but no code path here renames, links, or relies on
+  * directory atomicity. A real `S3TableIO` binds these same semantics to
+  * the store's conditional PUT (If-None-Match for the marker; the plain
+  * PUT for the pointer, whose ordering the reservation chain already
+  * guarantees).
+  */
+final class ObjectStoreSimTableIO extends TableIO {
+  import TableIO.Entry
+
+  /** Per-key monitor: the stand-in for the store's per-key atomicity. */
+  private val keyLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    keyLocks.computeIfAbsent(new File(path).getAbsolutePath, _ => new Object)
+
+  /** Every atomic PUT in arrival order — (key, content); lets a spec
+    * assert protocol-level invariants (e.g. pointer monotonicity) that
+    * the POSIX implementation gets for free from rename.
+    */
+  val writeLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+
+  private val ReservedMarker = "_reserved"
+
+  def exists(path: String): Boolean = new File(path).exists()
+
+  def readString(path: String): String = lockFor(path).synchronized {
+    Files.readString(Paths.get(path))
+  }
+
+  def readLines(path: String): Seq[String] =
+    readString(path).linesIterator.filter(_.nonEmpty).toSeq
+
+  def writeString(path: String, content: String): Unit = {
+    Option(new File(path).getParentFile).foreach(_.mkdirs())
+    lockFor(path).synchronized {
+      Files.writeString(Paths.get(path), content): Unit
+    }
+  }
+
+  // plain PUT under the key's monitor — no temp file, no rename
+  def writeAtomic(path: String, content: String): Unit = {
+    Option(new File(path).getParentFile).foreach(_.mkdirs())
+    lockFor(path).synchronized {
+      Files.writeString(Paths.get(path), content): Unit
+      writeLog.add((new File(path).getAbsolutePath, content)): Unit
+    }
+  }
+
+  def mkdirs(path: String): Unit = { new File(path).mkdirs(): Unit }
+
+  // If-None-Match PUT of the reservation marker: first claimant wins
+  def createDirExclusive(path: String): Boolean = {
+    val marker = new File(path, ReservedMarker)
+    lockFor(marker.getPath).synchronized {
+      if (marker.exists()) false
+      else {
+        new File(path).mkdirs()
+        Files.writeString(marker.toPath, ""): Unit
+        true
+      }
+    }
+  }
+
+  def list(path: String): Seq[Entry] =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .map(f => Entry(f.getName, f.isDirectory)).toSeq
+
+  // prefix Last-Modified: max over direct children (one LIST), never a
+  // directory mtime — prefixes have no metadata of their own on a store
+  def lastModified(path: String): Long = {
+    val f = new File(path)
+    if (!f.exists()) 0L
+    else if (!f.isDirectory) f.lastModified()
+    else Option(f.listFiles()).getOrElse(Array.empty)
+      .foldLeft(0L)((m, c) => math.max(m, c.lastModified()))
+  }
+
+  // server-side COPY, never a hard link
+  def linkOrCopy(src: String, dst: String): Unit = copy(src, dst)
+
+  def copy(src: String, dst: String): Unit = {
+    Option(new File(dst).getParentFile).foreach(_.mkdirs())
+    Files.copy(Paths.get(src), Paths.get(dst),
+      StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  def deleteRecursively(path: String): Unit = {
+    val f = new File(path)
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(c => deleteRecursively(c.getPath)))
+    f.delete(): Unit
+  }
+}

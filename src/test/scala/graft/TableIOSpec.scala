@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{CdcTable, LocalTableIO, TableIO}
+import graft.ops.{CdcTable, LocalTableIO, ObjectStoreSimTableIO, TableIO}
 
 /** The commit-protocol metadata seam (r11): every pointer publish,
   * reservation, manifest read/write, listing, carry-over link and GC of a
@@ -71,5 +71,101 @@ class TableIOSpec extends SparkSpec {
     assert(io.calls("readLines") >= 2, s"manifest reads: ${io.calls}")
     assert(io.calls("writeAtomic") >= 3, s"pointer publishes: ${io.calls}")
     assert(io.calls("list") >= 3, s"commit-dir listings: ${io.calls}")
+  }
+
+  // ------------------------------------------------- object-store semantics
+
+  test("object-store primitives: full unpartitioned lifecycle without rename, links, or exclusive mkdir") {
+    val io = new ObjectStoreSimTableIO
+    val t = new CdcTable(spark, tmpDir("oss1") + "/t", Seq("id"),
+      retainVersions = 2, io = io)
+    t.init(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.merge(Seq((2L, "b2", ts(2), "u"), (3L, "c", ts(2), "c"))
+      .toDF("id", "v", "ts", "__op"), "ts")
+    t.append(Seq((9L, "z", ts(3)): (Long, String, java.sql.Timestamp))
+      .toDF("id", "v", "ts"))
+    // time travel works over COPY-carried (not hard-linked) versions
+    val beforeAppend = t.currentVersion.get - 1
+    assert(t.readVersion(beforeAppend).count() == 3)
+    t.restore(beforeAppend)
+    val got = t.read.select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // every pointer PUT was monotonically increasing — the invariant
+    // POSIX rename gave for free, now guaranteed by the reservation chain
+    val pointerPuts = io.writeLog.toArray(Array.empty[(String, String)])
+      .filter(_._1.endsWith("_current")).map(_._2.stripPrefix("v").toLong)
+    assert(pointerPuts.sameElements(pointerPuts.sorted), s"pointer history: ${pointerPuts.toSeq}")
+    assert(pointerPuts.distinct.length == pointerPuts.length, s"duplicate publish: ${pointerPuts.toSeq}")
+  }
+
+  test("object-store primitives: partitioned lifecycle with schema evolution, compaction and GC") {
+    val io = new ObjectStoreSimTableIO
+    val t = new CdcTable(spark, tmpDir("oss2") + "/t", Seq("id"),
+      partitionSource = Some("created"), retainVersions = 2, io = io)
+    t.init(Seq(
+      (1L, 10, java.sql.Timestamp.valueOf("2000-01-05 00:00:00")),
+      (2L, 20, java.sql.Timestamp.valueOf("2000-02-05 00:00:00"))
+    ).toDF("id", "qty", "created"))
+    // evolve: a merge batch carrying a new column widens the schema
+    t.merge(Seq((2L, 21, java.sql.Timestamp.valueOf("2000-02-06 00:00:00"), "x", ts(2), "u"))
+      .toDF("id", "qty", "created", "tag", "ts", "__op"), "ts")
+    t.compact()
+    (3 to 6).foreach { i =>
+      t.merge(Seq((i.toLong, i * 10, java.sql.Timestamp.valueOf(f"2000-02-0$i 00:00:00"), s"t$i", ts(i), "c"))
+        .toDF("id", "qty", "created", "tag", "ts", "__op"), "ts")
+    }
+    val m = t.read.select("id", "qty", "tag").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(m(1L) == ((10, null)) && m(2L) == ((21, "x")) && m(5L) == ((50, "t5")))
+    // expiry GC'd old versions through prefix deletes (no rmdir semantics)
+    assert(t.versions.size <= 3, s"versions: ${t.versions}")
+    // CDF still serves from retained history
+    val cur = t.currentVersion.get
+    assert(t.changesBetween(cur - 1, cur).count() >= 1)
+  }
+
+  test("object-store primitives: concurrent writers race through marker reservations; no update lost") {
+    val io = new ObjectStoreSimTableIO
+    val path = tmpDir("ossrace") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), io = io)
+    t.init(Seq((0L, "seed", 0L)).toDF("id", "v", "ts"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = (1 to 4).map { w =>
+      scala.concurrent.Future {
+        // each writer its own table handle (own cached state), same store
+        val mine = new CdcTable(spark, path, Seq("id"), io = io)
+        mine.mergeWithRetry(
+          Seq((w.toLong, s"w$w", 1L, "c")).toDF("id", "v", "ts", "__op"),
+          "ts", maxTries = 30, sleepMs = 200L)
+      }
+    }
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    val ids = t.read.select("id").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L, 2L, 3L, 4L), s"lost update: $ids")
+    // the four committed versions published in strictly increasing order
+    val puts = io.writeLog.toArray(Array.empty[(String, String)])
+      .filter(_._1.endsWith("_current")).map(_._2.stripPrefix("v").toLong)
+    assert(puts.sameElements(puts.sorted) && puts.distinct.length == puts.length,
+      s"pointer history: ${puts.toSeq}")
+  }
+
+  test("object-store primitives: crashed reservation is taken over via prefix Last-Modified polling") {
+    val io = new ObjectStoreSimTableIO
+    val path = tmpDir("osscrash") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), io = io)
+    t.init(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+    // a writer reserved v2 then died: marker object exists, no progress
+    val dead = new java.io.File(path, f"v${2L}%08d")
+    assert(io.createDirExclusive(dead.getPath))
+    Thread.sleep(1100) // let the marker's Last-Modified age past a poll tick
+    t.mergeWithRetry(Seq((2L, "b", 2L, "c")).toDF("id", "v", "ts", "__op"),
+      "ts", maxTries = 4, sleepMs = 300L)
+    assert(t.read.count() == 2)
+    assert(t.currentVersion.contains(2L))
   }
 }
