@@ -151,7 +151,12 @@ object IndexQueries extends QueryPack {
     * names prefixed, so several codebooks coexist in one statement —
     * product quantization trains one per subspace.
     */
-  private def sparkKmeansFor(p: String, vtab: String, k: Int = 16): String =
+  /** Exposed to [[graft.ops.IvfIndex]], whose codebook training must be
+    * THIS exact deterministic recipe (same seeds, same two Lloyd rounds)
+    * so an incrementally-maintained index is comparable row-for-row with
+    * the query-pack's one-shot training.
+    */
+  private[graft] def sparkKmeansFor(p: String, vtab: String, k: Int = 16): String =
     s"""${p}sd AS (SELECT vec_id, qe, ${h64("concat('seed_', vec_id)")} AS hv
        |  FROM $vtab ORDER BY hv, vec_id LIMIT $k),
        |${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) - 1 AS BIGINT) AS cid, qe AS ce FROM ${p}sd),
@@ -347,7 +352,50 @@ object IndexQueries extends QueryPack {
        |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
        |  FROM pairs)""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Incrementally-maintained IVF index (ops.IvfIndex): codebook trained
+  // ONCE on the bootstrap snapshot (the sparkKmeansFor recipe, so it
+  // matches DuckDB's re-derivation exactly), lists kept current from
+  // the vector table's change feed through one churn window — updates
+  // that move vectors between lists, deletes, fresh inserts. The oracle
+  // trains on the ORIGINAL embeddings table (the bootstrap state) and
+  // assigns the replayed post-churn state: maintained must equal that
+  // recompute row-for-row.
+  // ------------------------------------------------------------------
+  private val ivfIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ops.IvfIndex]
+
+  private def maintainedIvf(s: SparkSession, dir: String): graft.ops.IvfIndex =
+    ivfIndexes.synchronized {
+      ivfIndexes.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      ivfIndexes.getOrElseUpdate((s, dir), {
+        import org.apache.spark.sql.functions._
+        val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+        val embsDf = Tables(s, dir, "embeddings")
+        val source = new graft.ops.CdcTable(s, s"$root/vectors", Seq("vec_id"), retainVersions = 5)
+        source.init(embsDf)
+        val idx = new graft.ops.IvfIndex(s, s"$root/ivf", k = 16)
+        idx.build(source)
+        val slot = col("vec_id") % 10
+        source.merge(
+          embsDf.filter(slot < 2)
+            .withColumn("embedding", reverse(col("embedding")))
+            .withColumn("__op", lit("u"))
+            .unionByName(embsDf.filter(slot === 2 || slot === 3).withColumn("__op", lit("d")))
+            .unionByName(embsDf.filter(slot >= 8)
+              .withColumn("vec_id", col("vec_id") + lit(1000000000L))
+              .withColumn("__op", lit("c")))
+            .withColumn("v_ts", lit(java.sql.Timestamp.valueOf("2001-01-02 00:00:00"))),
+          "v_ts")
+        idx.refresh(source)
+        idx
+      })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_ann_index_incremental" -> ((s, dir) =>
+      maintainedIvf(s, dir).lists.read.select("vec_id", "cid")),
 
     // k-means-trained IVF ANN: top-5 by exact cosine within the nprobe=3
     // probed lists. The trained-quantizer upgrade of x_ann_ivf (whose
@@ -590,6 +638,23 @@ object IndexQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    // trains on the bootstrap state (the unmodified embeddings table),
+    // then assigns the replayed post-churn state against that frozen
+    // codebook — the maintained lists must equal this recompute
+    "x_ann_index_incremental" ->
+      s"""WITH $duckQuantV,
+         |${duckKmeansFor("ivf_", "v", 16)},
+         |src AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 10 < 2 THEN list_reverse(embedding) ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 10 NOT IN (2, 3)
+         |  UNION ALL
+         |  SELECT vec_id + 1000000000, embedding FROM embeddings WHERE vec_id % 10 IN (8, 9)),
+         |q2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qe FROM src),
+         |${duckAssign("af2", "ivf_c2", "q2")}
+         |SELECT vec_id, cid FROM af2""".stripMargin,
+
     "x_ann_ivf_kmeans" ->
       s"""WITH $duckQuantV,
          |$duckKmeansScored
