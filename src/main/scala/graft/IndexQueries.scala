@@ -392,10 +392,53 @@ object IndexQueries extends QueryPack {
       })
     }
 
+  /** Cell count for semantic dedup: smallest power of two in [16, 4096]
+    * keeping expected cell occupancy <= 64 vectors — so within-cell pair
+    * generation stays O(n x 64) at ANY corpus size (SemDeDup's k ~ n
+    * scaling rule), instead of O(n^2 / 16) at a frozen k. Integer-exact;
+    * the DuckDB oracle computes the identical rule from its own count(*).
+    */
+  private[graft] def adaptiveCells(n: Long): Int =
+    (4 to 12).map(1 << _).find(k => n <= 64L * k).getOrElse(4096)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "x_ann_index_incremental" -> ((s, dir) =>
       maintainedIvf(s, dir).lists.read.select("vec_id", "cid")),
+
+    // SemDeDup-style semantic dedup: k-means cells (corpus-adaptive k,
+    // adaptiveCells) bound pair generation to within-cell candidates;
+    // cosine edges >= 0.4 over the quantized vectors; connected
+    // components pick ONE representative (min vec_id) per semantic
+    // group. Never an all-pairs step: candidates are a cid-equality
+    // self-join with O(64) expected occupancy per cell, and the only
+    // corpus-wide operations are the broadcast centroid assignment and
+    // a broadcast anti-join for singletons.
+    "x_dedup_semantic" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val k = adaptiveCells(Tables.rowCount(s, dir, "embeddings"))
+      graft.functions.VectorFunctions.register(s)
+      Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      trainedView(s, dir, "sem_cells")(
+        s"WITH $sparkQuantV,\n${sparkKmeansFor("sem_", "v", k)}\nSELECT vec_id, cid FROM sem_af")
+      val edges = s.sql(
+        s"""WITH $sparkQuantV,
+           |pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+           |  FROM sem_cells a JOIN sem_cells b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+           |SELECT p.d1, p.d2
+           |FROM pairs p JOIN v x ON x.vec_id = p.d1 JOIN v y ON y.vec_id = p.d2
+           |WHERE CAST(dot_i64(x.qe, y.qe) AS DOUBLE)
+           |  / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) >= 0.4""".stripMargin)
+        .localCheckpoint()
+      SimilarityQueries.connectedComponents(edges)
+        .select(col("node").as("vec_id"), col("label").as("rep_id"))
+        .createOrReplaceTempView("sem_comp")
+      s.sql(
+        """SELECT vec_id, rep_id, vec_id = rep_id AS kept FROM sem_comp
+          |UNION ALL
+          |SELECT e.vec_id, e.vec_id AS rep_id, true AS kept
+          |FROM embeddings e LEFT ANTI JOIN sem_comp c ON c.vec_id = e.vec_id""".stripMargin)
+    }),
 
     // k-means-trained IVF ANN: top-5 by exact cosine within the nprobe=3
     // probed lists. The trained-quantizer upgrade of x_ann_ivf (whose
@@ -638,6 +681,41 @@ object IndexQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    // same adaptiveCells rule from DuckDB's own count(*) (ks CTE); the
+    // seed pick is the window-filter twin of Spark's ORDER BY/LIMIT
+    "x_dedup_semantic" ->
+      s"""WITH RECURSIVE $duckQuantV,
+         |ks AS (SELECT COALESCE(MIN(1::BIGINT << e), 4096) AS k
+         |  FROM (SELECT unnest(generate_series(4, 12)) AS e), (SELECT count(*) AS n FROM embeddings)
+         |  WHERE n <= 64 * (1::BIGINT << e)),
+         |sem_sd AS (SELECT vec_id, qe, hv FROM (
+         |  SELECT vec_id, qe, ${duckH64("'seed_' || vec_id::VARCHAR")} AS hv,
+         |    row_number() OVER (ORDER BY ${duckH64("'seed_' || vec_id::VARCHAR")}, vec_id) AS rnk
+         |  FROM v) WHERE rnk <= (SELECT k FROM ks)),
+         |sem_c0 AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) - 1 AS BIGINT) AS cid, qe AS ce FROM sem_sd),
+         |${duckAssign("sem_a1", "sem_c0")},
+         |${duckUpdate("sem_e1", "sem_m1", "sem_c1", "sem_a1")},
+         |${duckAssign("sem_a2", "sem_c1")},
+         |${duckUpdate("sem_e2", "sem_m2", "sem_c2", "sem_a2")},
+         |${duckAssign("sem_af", "sem_c2")},
+         |pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM sem_af a JOIN sem_af b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |e0 AS (
+         |  SELECT p.d1, p.d2
+         |  FROM pairs p JOIN v x ON x.vec_id = p.d1 JOIN v y ON y.vec_id = p.d2
+         |  WHERE CAST(CAST(list_dot_product(x.qe::DOUBLE[], y.qe::DOUBLE[]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) >= 0.4),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM e0 UNION SELECT d2, d1 FROM e0),
+         |closure(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+         |comp AS (SELECT a AS vec_id, least(a, min(b)) AS rep_id FROM closure GROUP BY a)
+         |SELECT vec_id, rep_id, vec_id = rep_id AS kept FROM comp
+         |UNION ALL
+         |SELECT e.vec_id, e.vec_id AS rep_id, TRUE AS kept
+         |FROM embeddings e WHERE e.vec_id NOT IN (SELECT vec_id FROM comp)""".stripMargin,
 
     // trains on the bootstrap state (the unmodified embeddings table),
     // then assigns the replayed post-churn state against that frozen
