@@ -52,7 +52,17 @@ final class CdcPipeline(
       * signature / fingerprint index tables of a training pipeline, kept
       * current by the ingest itself.
       */
-    derivedViews: Seq[CdcPipeline.DerivedViewSpec] = Nil) {
+    derivedViews: Seq[CdcPipeline.DerivedViewSpec] = Nil,
+    /** ANN indexes maintained inside the same flow: after a batch's
+      * merges commit, every registered index whose vector table was
+      * touched catches up through [[graft.ops.IvfIndex.refresh]] —
+      * assign(delta) against the frozen codebook, never a rebuild. The
+      * first touching batch trains the codebook ([[graft.ops.IvfIndex
+      * .build]]); an expired refresh window falls back to
+      * [[graft.ops.IvfIndex.rebootstrap]] (same codebook, snapshot
+      * re-assign), logged.
+      */
+    annIndexes: Seq[CdcPipeline.AnnIndexSpec] = Nil) {
 
   /** File-backed convenience constructors (the offline default). */
   def this(spark: SparkSession, envelopeDir: String, checkpointDir: String,
@@ -120,6 +130,7 @@ final class CdcPipeline(
       // refreshes once, from a consistent set of committed versions
       maintainJoinViews(tables.toSet)
       maintainDerivedViews(tables.toSet)
+      maintainAnnIndexes(tables.toSet)
     } finally {
       withMeta.unpersist(): Unit
     }
@@ -242,6 +253,32 @@ final class CdcPipeline(
           }
         } // else: a side not ingested yet — nothing to enrich
       }
+
+  /** Catch up every registered ANN index whose vector table the batch
+    * touched. The index keeps its own `_indexed_version` marker (written
+    * post-commit by IvfIndex itself), so the discipline matches the view
+    * markers: replays are idempotent no-ops, a crash between merge and
+    * marker re-runs one delta-sized refresh, and an expired window
+    * degrades to a snapshot re-assign under the SAME frozen codebook —
+    * assignments stay comparable across the fallback.
+    */
+  private def maintainAnnIndexes(touched: Set[String]): Unit =
+    annIndexes.filter(a => touched(a.table)).foreach { a =>
+      validateKeys(a.indexPath, a.table, a.tableKeys)
+      val source = new CdcTable(spark, s"$tableRoot/${a.table}", a.tableKeys)
+      source.currentVersion.foreach { _ =>
+        val idx = new graft.ops.IvfIndex(spark, a.indexPath, a.k)
+        if (!idx.exists) idx.build(source)
+        else try idx.refresh(source)
+        catch {
+          case e: Throwable if isExpiredBase(e, Seq(source.path)) =>
+            CdcPipeline.log.warn(
+              s"ann index ${a.indexPath}: reflected version expired from " +
+                "retained history, re-assigning the snapshot under the frozen codebook", e)
+            idx.rebootstrap(source)
+        }
+      }
+    }
 
   /** Refresh every registered derived view whose source table the batch
     * touched — same marker discipline as [[maintainJoinViews]] (written
@@ -398,6 +435,14 @@ object CdcPipeline {
   final case class DerivedViewSpec(table: String, tableKeys: Seq[String],
                                    viewPath: String, viewKeys: Seq[String],
                                    transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+
+  /** Declarative ANN-index registration: maintain at `indexPath` an
+    * [[graft.ops.IvfIndex]] over `table` (which must expose the index's
+    * expected `vec_id` key and `embedding` vector column), trained on the
+    * first touching batch and thereafter refreshed at change-feed cost.
+    */
+  final case class AnnIndexSpec(table: String, tableKeys: Seq[String],
+                                indexPath: String, k: Int = 16)
 
   /** Marker file beside a maintained view recording the source-table
     * versions it reflects — written only after the view's merge commits.

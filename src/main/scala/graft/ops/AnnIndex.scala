@@ -65,9 +65,22 @@ final class IvfIndex(
   /** Source-table version the lists currently reflect. */
   def indexedVersion: Long = io.readString(markerFile).trim.toLong
 
-  private def quantized(src: DataFrame): DataFrame =
-    src.withColumn("qe",
+  /** Whether [[build]] has run (the codebook sidecar exists). */
+  def exists: Boolean = io.exists(centroidsFile)
+
+  private def quantized(src: DataFrame): DataFrame = {
+    // a vector column arriving through a MySQL-shaped CDC envelope is a
+    // JSON string (the wire has no array type); parse it back before
+    // quantizing so the same index serves both ingest paths
+    val vec = src.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        from_json(col("embedding"),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+      case _ => col("embedding")
+    }
+    src.withColumn("embedding", vec).withColumn("qe",
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))"))
+  }
 
   /** Train the codebook on the source snapshot and bootstrap the lists
     * as assign(snapshot); records the reflected source version.
@@ -118,6 +131,27 @@ final class IvfIndex(
         new java.sql.Timestamp(0L))
       io.writeAtomic(markerFile, to.toString)
     }
+  }
+
+  /** Re-derive the lists from the CURRENT source snapshot under the
+    * EXISTING frozen codebook — the recovery path when the refresh
+    * window's base version has expired from retained history (the lists
+    * stay comparable with every previously served result, because the
+    * codebook never changes outside an explicit [[build]]). One
+    * assign(snapshot) pass merged through the lists table: stale keys
+    * delete, everything else upserts.
+    */
+  def rebootstrap(source: CdcTable): Unit = {
+    val v = source.currentVersion.getOrElse(return)
+    val cur = assign(source.read).localCheckpoint()
+    val stale = lists.read.select("vec_id")
+      .join(cur.select("vec_id"), Seq("vec_id"), "left_anti")
+    val batch = cur.withColumn(DerivedView.OpCol, lit("u"))
+      .unionByName(stale.withColumn(DerivedView.OpCol, lit("d")),
+        allowMissingColumns = true)
+      .withColumn(DerivedView.TsCol, lit(new java.sql.Timestamp(0L)))
+    lists.merge(batch, DerivedView.TsCol)
+    io.writeAtomic(markerFile, v.toString)
   }
 
   /** Cluster the list files by cid so each probe's equality filter

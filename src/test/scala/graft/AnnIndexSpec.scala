@@ -50,6 +50,29 @@ class AnnIndexSpec extends SparkSpec {
     assert(listRows(idx.lists.read) == listRows(idx.assign(src.read)))
   }
 
+  test("lists stay equal to the rebuild across several successive churn windows") {
+    val src = new CdcTable(spark, tmpDir("ivfsrc3") + "/t", Seq("vec_id"), retainVersions = 8)
+    src.init(Tables(spark, sf, "embeddings"))
+    val idx = new IvfIndex(spark, tmpDir("ivfidx3"), k = 8)
+    idx.build(src)
+    val donors = src.read.orderBy("vec_id").limit(6).collect()
+    val emb = (i: Int) => donors(i).getSeq[Float](donors(i).fieldIndex("embedding"))
+    val maxId = src.read.agg(max("vec_id")).as[Long].head()
+    // window w: insert one, update one (rotating donor vectors), delete one
+    (1 to 3).foreach { w =>
+      src.merge(Seq(
+        (maxId + w, emb(w - 1), 0, w.toLong, "c"),
+        (donors(w - 1).getLong(0), emb(w + 2), 0, w.toLong, "u"),
+        (donors(w + 2).getLong(0), emb(w + 2), 0, w.toLong, "d"))
+        .toDF("vec_id", "embedding", "label", "ts", "__op")
+        .withColumn("embedding", col("embedding").cast("array<float>")), "ts")
+      idx.refresh(src)
+      assert(listRows(idx.lists.read) == listRows(idx.assign(src.read)),
+        s"maintained != rebuilt after window $w")
+      assert(idx.indexedVersion == src.currentVersion.get)
+    }
+  }
+
   test("probing every list returns the exact brute-force top-k; clustered lists prune files per probe") {
     val src = new CdcTable(spark, tmpDir("ivfsrc2") + "/t", Seq("vec_id"))
     src.init(Tables(spark, sf, "embeddings"))

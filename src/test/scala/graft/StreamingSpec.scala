@@ -339,6 +339,53 @@ class StreamingSpec extends SparkSpec {
     assert(v.filter(col("id") === 2L).count() == 0)
   }
 
+  test("streaming-maintained ANN index: frozen codebook, lists track the vector table across runs") {
+    import graft.ops.{CdcTable, IvfIndex}
+    import org.apache.spark.sql.DataFrame
+    val root = tmpDir("cdcann")
+    val envDir = s"$root/env"; val ckpt = s"$root/ckpt"; val tables = s"$root/tables"
+    val spec = CdcPipeline.AnnIndexSpec("vectors", Seq("vec_id"), s"$root/ivf", k = 4)
+    def vecEnv(rows: Seq[(Long, Seq[Float], Long, String)]) =
+      EnvelopeCodec.synthesizeTable(
+        rows.map { case (id, e, ts, op) => (id, e, new java.sql.Timestamp(ts), op) }
+          .toDF("vec_id", "embedding", "ts", "__op"),
+        table = "vectors", pk = "vec_id", opCol = "__op", tsCol = "ts")
+    def run(): Unit =
+      new CdcPipeline(spark, new graft.sources.FileEnvelopeSource(envDir), ckpt, tables,
+        annIndexes = Seq(spec)).runOnce()
+    def emb(seed: Int): Seq[Float] =
+      (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toFloat)
+    def assertCurrent(label: String): Unit = {
+      val source = new CdcTable(spark, s"$tables/vectors", Seq("vec_id"))
+      val idx = new IvfIndex(spark, s"$root/ivf", k = 4)
+      def rows(df: DataFrame) = df.select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows(idx.lists.read) ==
+        rows(idx.assign(source.read.select("vec_id", "embedding"))),
+        s"$label: maintained lists diverged from the snapshot re-assign")
+    }
+
+    // run 1: bootstrap trains the codebook and assigns the snapshot
+    vecEnv((1L to 12L).map(i => (i, emb(i.toInt), 1000L, "c")))
+      .write.mode("append").parquet(envDir)
+    run()
+    assertCurrent("bootstrap")
+    val codebook = new IvfIndex(spark, s"$root/ivf", k = 4).centroids
+      .map { case (cid, ce) => (cid, ce.toSeq) }
+
+    // run 2: two vectors move in space, one dies, one arrives
+    vecEnv(Seq((3L, emb(99), 2000L, "u"), (5L, emb(100), 2000L, "u"),
+      (7L, emb(7), 2000L, "d"), (20L, emb(20), 2000L, "c")))
+      .write.mode("append").parquet(envDir)
+    run()
+    assertCurrent("churn window")
+    val idx = new IvfIndex(spark, s"$root/ivf", k = 4)
+    assert(idx.centroids.map { case (cid, ce) => (cid, ce.toSeq) } == codebook,
+      "streaming refresh must never retrain the codebook")
+    assert(idx.lists.read.filter(col("vec_id") === 7L).count() == 0)
+    assert(idx.lists.read.count() == 12) // 12 - 1 dead + 1 new
+  }
+
   test("streaming-maintained materialized view: CDF refresh tracks the table across runs") {
     import graft.ops.{CdcTable, IncrementalView}
     val root = tmpDir("cdcview")
