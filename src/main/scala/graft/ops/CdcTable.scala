@@ -122,6 +122,66 @@ final class CdcTable(
     currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $path"))
 
+  // --------------------------------------------------- CHECK constraints
+
+  private def constraintsFile = new File(path, ConstraintsName)
+
+  /** Declared row invariants, name -> predicate SQL (empty when none). */
+  def constraints: Seq[(String, String)] =
+    if (!io.exists(constraintsFile.getPath)) Nil
+    else io.readLines(constraintsFile.getPath).map { l =>
+      val i = l.indexOf('\t')
+      (l.substring(0, i), l.substring(i + 1))
+    }
+
+  /** Declare a CHECK constraint (`ALTER TABLE ... ADD CONSTRAINT`):
+    * every future commit rejects — loudly, before any version is
+    * reserved — when a written row evaluates the predicate to FALSE
+    * (NULL passes, SQL CHECK semantics). Existing rows must already
+    * satisfy it, so readers can rely on the invariant over the whole
+    * table from the moment the call returns. Persisted beside the table
+    * (survives handle restarts, applies to every writer).
+    */
+  def addConstraint(name: String, predicate: String): Unit = {
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n'),
+      s"constraint name must be non-empty without tab/newline: '$name'")
+    require(constraints.forall(_._1 != name), s"constraint $name already exists")
+    if (exists) {
+      val bad = read.filter(!coalesce(expr(predicate), lit(true))).limit(3).collect()
+      if (bad.nonEmpty)
+        throw new ConstraintViolationException(
+          s"cannot add CHECK constraint $name ($predicate) to $path: existing rows " +
+            s"violate it, e.g. ${bad.mkString("; ")}")
+    }
+    io.writeAtomic(constraintsFile.getPath,
+      (constraints :+ (name -> predicate))
+        .map { case (n, p) => s"$n\t$p" }.mkString("\n"))
+  }
+
+  /** Remove a CHECK constraint; unknown names reject loudly. */
+  def dropConstraint(name: String): Unit = {
+    val kept = constraints.filterNot(_._1 == name)
+    require(kept.size < constraints.size, s"no CHECK constraint named $name on $path")
+    io.writeAtomic(constraintsFile.getPath,
+      kept.map { case (n, p) => s"$n\t$p" }.mkString("\n"))
+  }
+
+  /** Reject `df` when any row violates a declared constraint — called at
+    * the head of both commit funnels, BEFORE version reservation, so a
+    * bad batch burns nothing and surfaces no conflict to other writers.
+    * Cost: one filter+limit job per constraint over the commit's rewrite
+    * set (delta-sized on the partitioned layout's untouched months by
+    * construction — they are never part of `df`).
+    */
+  private def enforceConstraints(df: DataFrame): Unit =
+    constraints.foreach { case (name, predicate) =>
+      val bad = df.filter(!coalesce(expr(predicate), lit(true))).limit(3).collect()
+      if (bad.nonEmpty)
+        throw new ConstraintViolationException(
+          s"CHECK constraint $name ($predicate) on $path violated by " +
+            s"${bad.mkString("; ")}")
+    }
+
   // ------------------------------------------------- manifests (partitioned)
 
   /** Version manifest: `(month, commit-relative data dir)` lines. A month
@@ -376,9 +436,57 @@ final class CdcTable(
     if (currentVersion.exists(_ >= next))
       throw new CommitConflictException(
         s"pointer of $path moved past v$next during commit")
+    // operation provenance beside the version's own metadata: written
+    // BEFORE the pointer flips, so a published version always carries
+    // its record and a crashed commit's orphan record dies with its dir
+    io.writeString(new File(versionDir(next), CommitInfoName).getPath,
+      s"$pendingOp\t${System.currentTimeMillis()}")
     io.writeAtomic(pointer.getPath, f"v$next%08d")
     expire()
   }
+
+  // The operation name the NEXT commit records (DESCRIBE HISTORY
+  // provenance). Instance-local like the rest of a table handle's
+  // in-flight commit state: concurrent writers hold separate handles
+  // (the optimistic protocol assumes that already).
+  private var pendingOp: String = "WRITE"
+  private def withOp[A](op: String)(body: => A): A = {
+    val prev = pendingOp
+    pendingOp = op
+    try body finally pendingOp = prev
+  }
+
+  /** One row per retained version, newest first: operation, commit
+    * timestamp, data-file count — the table's `DESCRIBE HISTORY` face.
+    * Metadata-only (pointer + sidecar reads, one listing per version;
+    * partitioned versions count their manifests' referenced dirs).
+    */
+  def history: DataFrame = {
+    val sq = spark
+    import sq.implicits._
+    versions.reverse.map { v =>
+      val (op, ts) = {
+        val f = new File(versionDir(v), CommitInfoName)
+        if (!io.exists(f.getPath)) (null: String, null: java.lang.Long)
+        else io.readString(f.getPath).trim.split('\t') match {
+          case Array(o, t) => (o, java.lang.Long.valueOf(t.toLong))
+          case _ => (null: String, null: java.lang.Long)
+        }
+      }
+      val files =
+        if (manifestExists(v))
+          manifest(v).map(_._2).distinct
+            .map(rel => dataFileCount(new File(path, rel))).sum
+        else dataFileCount(versionDir(v))
+      (v, op, ts, files.toLong)
+    }.toDF("version", "operation", "ts_millis", "num_files")
+  }
+
+  private def manifestExists(v: Long): Boolean =
+    io.exists(manifestFile(v).getPath)
+
+  private def dataFileCount(dir: File): Long =
+    io.list(dir.getPath).count(e => !e.isDir && e.name.endsWith(".parquet")).toLong
 
   /** Unpartitioned commit: write `df` as the version after `expected`
     * (into the reserved — therefore fresh and exclusively owned —
@@ -401,6 +509,7 @@ final class CdcTable(
     )((w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
 
   private def commitFull(df: DataFrame, expected: Option[Long]): Unit = {
+    enforceConstraints(df)
     val next = expected.getOrElse(0L) + 1
     reserveOrConflict(next)
     writer(df).mode(SaveMode.Append).parquet(versionDir(next).getPath)
@@ -419,6 +528,7 @@ final class CdcTable(
     */
   private def commitPartitioned(
       df: DataFrame, replaced: Set[String], expected: Option[Long]): Unit = {
+    enforceConstraints(df)
     val next = expected.getOrElse(0L) + 1
     // claim the version BEFORE materializing data: the reservation owns
     // the commit-dir number too, so the Overwrite below can only clobber
@@ -489,7 +599,7 @@ final class CdcTable(
   }
 
   /** Initialize (overwrite) the table with `df` as a new version. */
-  def init(df: DataFrame): Unit = {
+  def init(df: DataFrame): Unit = withOp("CREATE") {
     val expected = currentVersion
     partitionSource match {
       case Some(_) =>
@@ -512,7 +622,7 @@ final class CdcTable(
     * time travel, and a crashed append leaves only a pointer-unreachable
     * orphan that [[expire]] collects.
     */
-  def append(df0: DataFrame): Unit = {
+  def append(df0: DataFrame): Unit = withOp("APPEND") {
     val df = alignAppendTypes(df0)
     partitionSource match {
       case Some(_) =>
@@ -521,6 +631,7 @@ final class CdcTable(
       case None =>
         if (!exists) init(df)
         else {
+          enforceConstraints(df)
           val cur = currentOrThrow
           val next = cur + 1
           reserveOrConflict(next)
@@ -594,7 +705,7 @@ final class CdcTable(
     * column) instead of relying on evolve-via-empty-batch. The isEmpty
     * probe costs one driver job over the already-checkpointed batch.
     */
-  def merge(batch: DataFrame, tsCol: String, tieBreakers: Seq[String] = Nil): Unit = {
+  def merge(batch: DataFrame, tsCol: String, tieBreakers: Seq[String] = Nil): Unit = withOp("MERGE") {
     if (!exists) {
       // first batch bootstraps the table (CREATE TABLE path, K6)
       val deduped = Dedup.latestWins(batch, keys, tsCol, tieBreakers)
@@ -717,18 +828,18 @@ final class CdcTable(
     // reject loudly even when the predicate matches nothing
     val bad = set.keySet -- read.columns.toSet
     require(bad.isEmpty, s"UPDATE assigns unknown columns: ${bad.mkString(", ")}")
-    rewrite(condition) { df =>
+    withOp("UPDATE")(rewrite(condition) { df =>
       df.select(df.columns.toIndexedSeq.map { c =>
         set.get(c).map(e => when(condition, e).otherwise(col(c)).as(c)).getOrElse(col(c))
       }: _*)
-    }
+    })
   }
 
   /** Predicate DELETE (copy-on-write twin of [[update]]): matching rows
     * vanish; partitioned tables rewrite only the months holding matches.
     */
   def delete(condition: org.apache.spark.sql.Column): Unit =
-    rewrite(condition)(_.filter(!coalesce(condition, lit(false))))
+    withOp("DELETE")(rewrite(condition)(_.filter(!coalesce(condition, lit(false)))))
 
   /** Shared COW core: find the partitions `condition` touches, apply
     * `transform` to just their rows, commit. `transform` must preserve
@@ -846,7 +957,7 @@ final class CdcTable(
     * re-materializes through the normal commit path, so the usual
     * crash-safety and conflict rules apply.
     */
-  def restore(v: Long): Unit = {
+  def restore(v: Long): Unit = withOp("RESTORE") {
     val expected = currentOrThrow
     if (v == expected) return
     val next = expected + 1
@@ -899,7 +1010,7 @@ final class CdcTable(
     * reads anyway); numeric and timestamp columns qualify.
     */
   def compact(target: Int = 1, clusterBy: Seq[String] = Nil,
-              zorderBy: Seq[String] = Nil): Unit = {
+              zorderBy: Seq[String] = Nil): Unit = withOp("COMPACT") {
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "pick linear clusterBy OR multi-dim zorderBy, not both")
     val expected = currentOrThrow
@@ -1074,6 +1185,18 @@ object CdcTable {
     * of a version whose manifest holds no live months.
     */
   val SchemaName = "_schema.json"
+
+  /** Per-version operation-provenance sidecar: `op TAB tsMillis`. */
+  val CommitInfoName = "_commit_info"
+
+  /** Table-root CHECK-constraint registry: `name TAB predicate` lines. */
+  val ConstraintsName = "_constraints"
+
+  /** A commit (or constraint declaration) found rows violating a
+    * declared CHECK constraint; nothing was committed.
+    */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalArgumentException(msg)
 
   /** Change-data-feed tag column emitted by [[CdcTable.changesBetween]]:
     * insert / delete / update_preimage / update_postimage.

@@ -36,6 +36,7 @@ object Dml {
     */
   final case class Insert(target: String, columns: Seq[String],
                           values: Option[String], select: Option[String]) extends Stmt
+  final case class DescribeHistory(target: String) extends Stmt
 
   private val UpdateRe =
     raw"(?is)^\s*UPDATE\s+(\S+)\s+SET\s+(.+?)\s*$$".r
@@ -47,6 +48,8 @@ object Dml {
     raw"(?is)^\s*INSERT\s+INTO\s+([^\s(]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*(\(.+?)\s*$$".r
   private val InsertSelectRe =
     raw"(?is)^\s*INSERT\s+INTO\s+([^\s(]+)\s*(?:\(([^)]*)\)\s*)?(SELECT\b.+?)\s*$$".r
+  private val DescHistRe =
+    raw"(?is)^\s*DESCRIBE\s+HISTORY\s+(\S+)\s*$$".r
   private val WhereRe = raw"(?is)^WHERE\s+(.+)$$".r
   private val AssignRe = raw"(?s)^\s*(\w+)\s*=\s*(.+)$$".r
   private val IdentRe = raw"(?s)^\w+$$".r
@@ -144,10 +147,12 @@ object Dml {
       Insert(target, parseColumnList(cols), Some(tuples.trim), None)
     case InsertSelectRe(target, cols, select) =>
       Insert(target, parseColumnList(cols), None, Some(select.trim))
+    case DescHistRe(target) => DescribeHistory(target)
     case _ =>
       throw new IllegalArgumentException(
         "unsupported statement (expected UPDATE <t> SET ... [WHERE ...], " +
-          "DELETE FROM <t> [WHERE ...], or INSERT INTO <t> [(cols)] VALUES ... | SELECT ...)")
+          "DELETE FROM <t> [WHERE ...], INSERT INTO <t> [(cols)] VALUES ... | SELECT ..., " +
+          "or DESCRIBE HISTORY <t>)")
   }
 
   private def parseColumnList(cols: String): Seq[String] = {
@@ -243,7 +248,24 @@ object Dml {
                 .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
         }
         table.append(aligned)
+      case DescribeHistory(_) =>
+        throw new IllegalArgumentException(
+          "DESCRIBE HISTORY is a read statement — run it through Dml.query")
     }
     table
+  }
+
+  /** Read-side statement face: `DESCRIBE HISTORY <t>` returns the
+    * table's commit log ([[CdcTable.history]] — one row per retained
+    * version, newest first: version, operation, ts_millis, num_files).
+    */
+  def query(spark: SparkSession, sql: String, tablePath: String => String,
+            keys: Seq[String], partitionSource: Option[String] = None)
+      : org.apache.spark.sql.DataFrame = parse(sql) match {
+    case DescribeHistory(target) =>
+      new CdcTable(spark, tablePath(target), keys, partitionSource).history
+    case other =>
+      throw new IllegalArgumentException(
+        s"${other.getClass.getSimpleName} mutates the table — run it through Dml.execute")
   }
 }

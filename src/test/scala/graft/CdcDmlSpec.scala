@@ -227,6 +227,18 @@ class CdcDmlSpec extends SparkSpec {
 
     intercept[IllegalArgumentException](graft.ops.Dml.parse("TRUNCATE TABLE t"))
     intercept[IllegalArgumentException](graft.ops.Dml.parse("UPDATE t SET WHERE x = 1"))
+
+    // DESCRIBE HISTORY: the statements above left an auditable commit log
+    val h = graft.ops.Dml.query(spark, "DESCRIBE HISTORY t", n => s"$root/$n", Seq("id"))
+      .select("operation").as[String].collect().toSeq
+    // the CREATE version has aged past the default retention window; the
+    // log covers exactly the retained (time-travelable) history
+    assert(h.reverse == Seq("UPDATE", "DELETE", "UPDATE"), h)
+    // read statements reject through execute, write statements through query
+    intercept[IllegalArgumentException](graft.ops.Dml.execute(spark,
+      "DESCRIBE HISTORY t", n => s"$root/$n", Seq("id")))
+    intercept[IllegalArgumentException](graft.ops.Dml.query(spark,
+      "DELETE FROM t WHERE amt > 30", n => s"$root/$n", Seq("id")))
   }
 
   test("statement-level INSERT appends through a new versioned commit") {

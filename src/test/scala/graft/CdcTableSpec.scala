@@ -38,6 +38,80 @@ class CdcTableSpec extends SparkSpec {
     assert(t.read.count() == 1 && p.read.count() == 1)
   }
 
+  test("commit history records operation provenance per retained version, newest first") {
+    val path = tmpDir("cdchistory") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), retainVersions = 10)
+    t.init(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+    t.merge(Seq((2L, "b", 2L, "c")).toDF("id", "v", "ts", "__op"), "ts")
+    t.append(Seq((9L, "z", 3L): (Long, String, Long)).toDF("id", "v", "ts"))
+    t.update(col("id") === 2L, Map("v" -> lit("b2")))
+    t.delete(col("id") === 9L)
+    t.compact()
+    t.restore(t.currentVersion.get - 1)
+    val h = t.history.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.isNullAt(2), r.getLong(3)))
+    assert(h.map(_._1).toSeq == h.map(_._1).sortBy(-_).toSeq, "newest first")
+    assert(h.reverse.map(_._2).toSeq ==
+      Seq("CREATE", "MERGE", "APPEND", "UPDATE", "DELETE", "COMPACT", "RESTORE"))
+    assert(h.forall(r => !r._3 && r._4 >= 1), s"ts/files missing: ${h.toSeq}")
+    // partitioned layout records provenance too (manifest-based file counts)
+    val p = new CdcTable(spark, tmpDir("cdchistp") + "/t", Seq("id"),
+      partitionSource = Some("created"))
+    p.init(Seq((1L, 1, ts("2001-01-05 00:00:00"))).toDF("id", "qty", "created"))
+    p.merge(Seq((2L, 2, ts("2001-02-05 00:00:00"), ts("2001-02-05 00:00:00"), "c"))
+      .toDF("id", "qty", "created", "mts", "__op"), "mts")
+    val ph = p.history.collect().map(r => (r.getString(1), r.getLong(3)))
+    assert(ph.reverse.map(_._1).toSeq == Seq("CREATE", "MERGE"))
+    assert(ph.forall(_._2 >= 1))
+  }
+
+  test("CHECK constraints: violating commits reject before any version is reserved; NULL passes") {
+    import graft.ops.CdcTable.ConstraintViolationException
+    val path = tmpDir("cdccheck") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"))
+    t.init(Seq((1L, "a", 10L)).toDF("id", "v", "amt"))
+    t.addConstraint("amt_nonneg", "amt >= 0")
+    val v1 = t.currentVersion.get
+    // a violating merge burns nothing
+    intercept[ConstraintViolationException] {
+      t.merge(Seq((2L, "b", -5L, 2L, "c")).toDF("id", "v", "amt", "ts", "__op"), "ts")
+    }
+    assert(t.currentVersion.contains(v1), "violating merge must not commit")
+    assert(t.read.count() == 1)
+    // NULL evaluates to pass (SQL CHECK semantics); valid rows commit
+    t.merge(Seq((3L, "c", null.asInstanceOf[java.lang.Long], 2L, "c"))
+      .toDF("id", "v", "amt", "ts", "__op"), "ts")
+    t.append(Seq((4L, "d", 7L): (Long, String, Long)).toDF("id", "v", "amt"))
+    assert(t.read.count() == 3)
+    // violating append rejects too
+    intercept[ConstraintViolationException] {
+      t.append(Seq((5L, "e", -1L): (Long, String, Long)).toDF("id", "v", "amt"))
+    }
+    // a second writer handle sees the persisted constraint
+    intercept[ConstraintViolationException] {
+      new CdcTable(spark, path, Seq("id"))
+        .append(Seq((6L, "f", -2L): (Long, String, Long)).toDF("id", "v", "amt"))
+    }
+    // declaring a constraint existing rows violate rejects the declaration
+    intercept[ConstraintViolationException](t.addConstraint("amt_big", "amt >= 100"))
+    assert(t.constraints.map(_._1) == Seq("amt_nonneg"))
+    // dropped constraint stops gating; unknown drop rejects
+    t.dropConstraint("amt_nonneg")
+    t.append(Seq((5L, "e", -1L): (Long, String, Long)).toDF("id", "v", "amt"))
+    assert(t.read.count() == 4)
+    intercept[IllegalArgumentException](t.dropConstraint("nope"))
+    // partitioned layout enforces through its commit funnel too
+    val p = new CdcTable(spark, tmpDir("cdccheckp") + "/t", Seq("id"),
+      partitionSource = Some("created"))
+    p.init(Seq((1L, 1, ts("2002-01-05 00:00:00"))).toDF("id", "qty", "created"))
+    p.addConstraint("qty_pos", "qty > 0")
+    intercept[ConstraintViolationException] {
+      p.merge(Seq((2L, 0, ts("2002-01-06 00:00:00"), ts("2002-01-06 00:00:00"), "c"))
+        .toDF("id", "qty", "created", "mts", "__op"), "mts")
+    }
+    assert(p.read.count() == 1)
+  }
+
   test("merge is idempotent across restarts (same batch re-applied)") {
     val path = tmpDir("cdctable") + "/t"
     val t = new CdcTable(spark, path, Seq("id"))
