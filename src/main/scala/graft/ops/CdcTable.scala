@@ -568,6 +568,84 @@ final class CdcTable(
     commitPointer(next)
   }
 
+  /** Metadata-speed snapshot clone: materialize the CURRENT version at
+    * `destPath` as a fresh single-version table whose data files are
+    * carried via [[TableIO.linkOrCopy]] — hard links locally, server-side
+    * COPY on an object store — so no row is read or rewritten through
+    * Spark. Unlike a Delta SHALLOW CLONE, the result is SELF-CONTAINED:
+    * it references only files under its own root, so either table's
+    * expiry/GC/compaction can never invalidate the other (the
+    * shallow-clone footgun this deliberately avoids); locally the links
+    * share blocks, so the clone is still metadata-cost. Stats sidecars
+    * carry over entry-for-entry (same bytes, same names — zero footer
+    * reads on the clone's first pruned scan); declared CHECK constraints
+    * copy; history starts with one CLONE record. The dev/test-snapshot
+    * operation: cloning a 100 TB table costs one metadata pass.
+    */
+  def cloneTo(destPath: String): CdcTable = withOp("CLONE") {
+    val v = currentOrThrow
+    require(!io.exists(new File(destPath, CurrentPointer).getPath),
+      s"clone destination $destPath already holds a table")
+    val dest = new CdcTable(spark, destPath, keys, partitionSource,
+      retainVersions, autoCompactMaxFiles, bloomColumns, io)
+    val conf = spark.sessionState.newHadoopConf()
+    dest.io.mkdirs(destPath)
+    require(dest.reserve(1L), s"clone destination $destPath already reserved")
+    partitionSource match {
+      case Some(_) =>
+        // a month spanning several source commit dirs folds into ONE dest
+        // month dir (the hive layout readParts expects); file names get a
+        // source-commit prefix only when needed for uniqueness, and the
+        // stats sidecar entries remap to the new names — still zero
+        // footer reads on the clone
+        val entries = manifest(v).groupBy(_._1).toSeq.sortBy(_._1).map { case (m, es) =>
+          val dstRel = dest.relDir(1L, m)
+          val dst = new File(destPath, dstRel)
+          val multi = es.size > 1
+          val reuse = es.flatMap { case (_, rel) =>
+            val src = new File(path, rel)
+            val prefix = if (multi) rel.takeWhile(_ != '/') + "_" else ""
+            val srcStats = FileSkipping.statsForDir(conf, src)
+            io.list(src.getPath)
+              .filter(e => !e.isDir && !e.name.startsWith("_") && !e.name.startsWith("."))
+              .flatMap { e =>
+                val dstName = prefix + e.name
+                io.linkOrCopy(new File(src, e.name).getPath,
+                  new File(dst, dstName).getPath)
+                srcStats.get(e.name).map(dstName -> _)
+              }
+          }.toMap
+          FileSkipping.writeStatsNow(conf, dst, reuse = reuse)
+          (m, dstRel)
+        }
+        dest.writeManifest(1L, entries)
+        schemaAt(v).foreach(sc =>
+          dest.io.writeString(dest.schemaFile(1L).getPath, sc.json))
+      case None =>
+        val src = versionDir(v)
+        io.list(src.getPath)
+          .filter(e => !e.isDir && !e.name.startsWith("_") && !e.name.startsWith("."))
+          .foreach(e => io.linkOrCopy(new File(src, e.name).getPath,
+            new File(dest.versionDir(1L), e.name).getPath))
+        FileSkipping.writeStatsNow(conf, dest.versionDir(1L),
+          reuse = FileSkipping.statsForDir(conf, src))
+        if (io.exists(schemaFile(v).getPath))
+          io.copy(schemaFile(v).getPath, dest.schemaFile(1L).getPath)
+    }
+    constraints.foreach { case (n, p) => dest.addConstraintUnchecked(n, p) }
+    dest.pendingOp = "CLONE"
+    dest.commitPointer(1L)
+    dest
+  }
+
+  /** Constraint carry-over for [[cloneTo]]: the source table already
+    * guarantees the invariant over exactly these rows.
+    */
+  private def addConstraintUnchecked(name: String, predicate: String): Unit =
+    io.writeAtomic(constraintsFile.getPath,
+      (constraints :+ (name -> predicate))
+        .map { case (n, p) => s"$n\t$p" }.mkString("\n"))
+
   /** Drop expired history: version directories at or below the pointer
     * that fall outside the newest `retainVersions`, then — partitioned
     * layout — any commit directory at or below the pointer that no

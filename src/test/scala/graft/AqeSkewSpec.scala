@@ -13,27 +13,25 @@ import org.apache.spark.sql.functions._
   * touch (aggregations, broadcast-ineligible shapes).
   */
 class AqeSkewSpec extends SparkSpec {
-  import spark.implicits._
 
   test("AQE splits a skewed sort-merge join and preserves the exact result") {
+    // ISOLATED session: suites run in parallel over one shared
+    // SparkContext, and these conf mutations (AQE coalescing, 8KB
+    // advisory partitions, broadcast off) would change the FILE COUNTS
+    // other suites' compactions produce mid-flight. newSession() forks
+    // the SQLConf while sharing the context — mutations stay local.
+    val spark = this.spark.newSession()
+    import spark.implicits._
     val conf = spark.conf
-    val saved = Seq(
-      "spark.sql.adaptive.enabled",
-      "spark.sql.adaptive.skewJoin.enabled",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.autoBroadcastJoinThreshold"
-    ).map(k => k -> conf.getOption(k))
-    try {
-      conf.set("spark.sql.adaptive.enabled", "true")
-      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
-      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
-      // force a sort-merge join: broadcast would dodge the skew entirely
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    // force a sort-merge join: broadcast would dodge the skew entirely
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
+    locally {
       // ~90% of the big side lands on key 7
       val big = spark.range(0, 200000)
         .select(when($"id" % 10 < 9, 7L).otherwise($"id" % 100).as("k"),
@@ -64,9 +62,6 @@ class AqeSkewSpec extends SparkSpec {
         .agg(count(lit(1)).as("n"), sum($"payload").as("s"))
         .as[(Long, Long)].collect().toSeq
       assert((n, s) == (n2, s2))
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None)    => conf.unset(k)
     }
   }
 }

@@ -9,9 +9,13 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * pre-bucket once, join many times shuffle-free.
   */
 class BucketingSpec extends SparkSpec {
-  import spark.implicits._
 
   test("bucketed-bucketed equi-join plans without a shuffle exchange") {
+    // isolated session (suites run in parallel over one SparkContext):
+    // disabling broadcast on the SHARED conf would flip join strategies
+    // under other suites' plan assertions mid-flight
+    val spark = this.spark.newSession()
+    import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
     spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

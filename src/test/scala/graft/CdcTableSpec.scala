@@ -65,6 +65,49 @@ class CdcTableSpec extends SparkSpec {
     assert(ph.forall(_._2 >= 1))
   }
 
+  test("cloneTo: metadata-speed snapshot clone is self-contained on both layouts") {
+    import graft.ops.CdcTable.ConstraintViolationException
+    // unpartitioned
+    val t = new CdcTable(spark, tmpDir("clonesrc") + "/t", Seq("id"), retainVersions = 2)
+    t.init(Seq((1L, "a", 5L), (2L, "b", 6L)).toDF("id", "v", "amt"))
+    t.addConstraint("amt_pos", "amt > 0")
+    val snapshot = t.read.orderBy("id").collect().toSeq
+    val c = t.cloneTo(tmpDir("clonedst") + "/t")
+    assert(c.read.orderBy("id").collect().toSeq == snapshot)
+    // clone history starts with one CLONE record; constraint carried
+    val h = c.history.collect()
+    assert(h.length == 1 && h(0).getString(1) == "CLONE")
+    intercept[ConstraintViolationException] {
+      c.append(Seq((9L, "x", -1L): (Long, String, Long)).toDF("id", "v", "amt"))
+    }
+    // self-contained: source churns past its retention, clone unaffected
+    (3 to 6).foreach { i =>
+      t.merge(Seq((i.toLong, s"r$i", i.toLong, i.toLong))
+        .toDF("id", "v", "amt", "ts")
+        .withColumn("__op", lit("c")), "ts")
+    }
+    t.compact()
+    assert(c.read.orderBy("id").collect().toSeq == snapshot,
+      "source churn/compaction/expiry must not reach the clone")
+    // and the clone evolves independently without touching the source
+    c.append(Seq((7L, "z", 9L): (Long, String, Long)).toDF("id", "v", "amt"))
+    assert(t.read.filter(col("id") === 7L).count() == 0)
+
+    // partitioned: a month spanning two commit dirs folds into one clone
+    // month dir with unique names; content identical
+    val p = new CdcTable(spark, tmpDir("clonesrcp") + "/t", Seq("id"),
+      partitionSource = Some("created"))
+    p.init(Seq((1L, 1, ts("2003-01-05 00:00:00")), (2L, 2, ts("2003-02-05 00:00:00")))
+      .toDF("id", "qty", "created"))
+    p.append(Seq((3L, 3, ts("2003-01-06 00:00:00")): (Long, Int, java.sql.Timestamp))
+      .toDF("id", "qty", "created"))
+    val pc = p.cloneTo(tmpDir("clonedstp") + "/t")
+    assert(pc.read.orderBy("id").collect().toSeq == p.read.orderBy("id").collect().toSeq)
+    // pruned reads work over the carried sidecars
+    val (kept, total) = pc.scanProfile(Seq(graft.ops.FileSkipping.Range("id", Some(1L), Some(1L))))
+    assert(total >= 1 && kept <= total)
+  }
+
   test("CHECK constraints: violating commits reject before any version is reserved; NULL passes") {
     import graft.ops.CdcTable.ConstraintViolationException
     val path = tmpDir("cdccheck") + "/t"
