@@ -11,6 +11,7 @@ object Bench {
       // month bucketing are session-zone-dependent — benched plans must
       // be the very plans the oracles verified
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()

@@ -23,6 +23,7 @@ object CdcScaleBench {
       // UTC like Verify/specs: CdcTable's month bucketing uses the
       // session zone — benched partitioning must match the verified one
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()

@@ -387,6 +387,26 @@ object ParityQueries extends QueryPack {
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_lookup")
     }),
 
+    // K10, the metadata-aggregate face: COUNT(*), a windowed COUNT and
+    // MIN/MAX answered from the commit's stats sidecars alone — the
+    // Iceberg/Delta manifest-count analogue. The full count and the
+    // min/max fold open ZERO data files at any table size; the windowed
+    // count reads only the boundary files the predicate's edges cut
+    // through (interior files contribute their recorded row counts) —
+    // CdcTableSpec asserts those profiles, this oracle proves the values
+    // equal DuckDB's full-scan aggregates exactly.
+    "k_metadata_agg" -> ((s, dir) => {
+      val (t, _) = skipTable(s, dir)
+      val all = t.countWhere(Nil)
+      val win = t.countWhere(Seq(FileSkipping.Range("o_orderkey", Some(1000L), Some(5000L))))
+      val (lo, hi) = t.minMaxFromStats("o_orderkey")
+        .getOrElse(throw new IllegalStateException(
+          "metadata min/max must be provable on a freshly committed table"))
+      import s.implicits._
+      Seq((all, win, lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+        .toDF("cnt_all", "cnt_win", "lo", "hi")
+    }),
+
     // J3 + P5: anti-join restartability — rows whose key is NOT in the
     // already-processed set (the reference's insert_log skip).
     "j3_anti_join_watermark" -> ((s, dir) => {
@@ -553,6 +573,12 @@ object ParityQueries extends QueryPack {
         |WHERE o_orderkey BETWEEN 2000 AND 6000
         |  AND (o_orderkey <= 2500 OR o_orderkey >= 5500)
         |  AND o_note IS NOT NULL AND o_orderstatus <> 'P'""".stripMargin,
+
+    "k_metadata_agg" ->
+      """SELECT count(*) AS cnt_all,
+        |  count(*) FILTER (WHERE o_orderkey BETWEEN 1000 AND 5000) AS cnt_win,
+        |  min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |FROM orders""".stripMargin,
 
     "x_join_view_incremental" ->
       """WITH fact AS (

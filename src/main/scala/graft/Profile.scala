@@ -19,6 +19,7 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       // UTC like Verify/Bench: profiled plans must match the verified ones
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()

@@ -13,6 +13,13 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOTE: deliberately NOT setting spark.sql.parquet.outputTimestampType
+      // here — the RESULT dumps below must stay INT96 so DuckDB reads them
+      // as naive timestamps matching its own oracle output (TIMESTAMP_MICROS
+      // carries isAdjustedToUTC and would surface as TIMESTAMPTZ, failing
+      // the driver's value compare on every timestamp column). CdcTable
+      // forces INT64 around its own data writes internally, so table-file
+      // stats completeness does not depend on this session conf.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -331,6 +331,56 @@ final class CdcTable(
   /** [[scanProfile]] at a pinned version (the audit face for
     * version-pinned maintenance scans).
     */
+  /** Exact `read.filter(preds).count()` answered from METADATA where
+    * provable — the Iceberg/Delta manifest-count analogue. Files whose
+    * stats prove every row matches ([[FileSkipping.mustMatchFile]])
+    * contribute their sidecar row counts without being opened; only
+    * boundary files — where a predicate edge cuts through a file's
+    * [min, max] — are scanned, with the residual filter, so the answer
+    * always equals the full filtered scan. With no predicates this is a
+    * pure metadata COUNT(*): one sidecar read per data directory and
+    * zero data I/O, whatever the table size — on a clustered layout a
+    * selective range count opens only the two edge files at 100 TB
+    * exactly as at 100 MB.
+    */
+  def countWhere(preds: Seq[FileSkipping.Pred] = Nil): Long =
+    countWhereProfile(preds).count
+
+  /** [[countWhere]] plus the audit trail specs assert on. */
+  def countWhereProfile(preds: Seq[FileSkipping.Pred]): CdcTable.CountProfile = {
+    val cur = currentOrThrow
+    val conf = spark.sessionState.newHadoopConf()
+    val classified = scanDirs(cur, preds).map(FileSkipping.classifiedFiles(conf, _, preds))
+    val full = classified.flatMap(_._1)
+    val partial = classified.flatMap(_._2)
+    val allFiles = scanDirs(cur, Nil)
+      .map(FileSkipping.prunedFiles(conf, _, Nil).size).sum
+    val scanned =
+      if (partial.isEmpty) 0L
+      else {
+        val residual = preds.map(FileSkipping.residualOf)
+          .reduceOption(_ && _).getOrElse(lit(true))
+        spark.read.option("mergeSchema", "true").parquet(partial.map(_.getPath): _*)
+          .filter(residual).count()
+      }
+    CdcTable.CountProfile(full.map(_._2).sum + scanned, full.size, partial.size,
+      allFiles - full.size - partial.size)
+  }
+
+  /** Metadata-only MIN/MAX of `column` at the current version: the fold
+    * of per-file sidecar ranges ([[FileSkipping.minMaxOfDirs]]), in the
+    * stat domain (integers as Long, timestamps as epoch micros,
+    * dates/strings as String, decimals as java BigDecimal). None
+    * whenever the fold is not PROVABLE (a non-empty file without stats
+    * for the column, torn ranges, unorderable values, or an all-null
+    * column) — callers fall back to `read.agg(min, max)`; a defined
+    * answer is exact and costs zero data I/O.
+    */
+  def minMaxFromStats(column: String): Option[(Any, Any)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    FileSkipping.minMaxOfDirs(conf, scanDirs(currentOrThrow, Nil), column)
+  }
+
   def scanProfileAt(v: Long, preds: Seq[FileSkipping.Pred]): (Int, Int) = {
     val conf = spark.sessionState.newHadoopConf()
     val dirs = scanDirs(v, preds)
@@ -496,6 +546,31 @@ final class CdcTable(
     * writer's update (the read-version and the commit base are the same
     * version by construction).
     */
+  /** Runs `body` (a parquet write action) with INT64 timestamp output
+    * (`TIMESTAMP_MICROS`) forced for the duration. Spark's DEFAULT
+    * `spark.sql.parquet.outputTimestampType` is the legacy INT96, whose
+    * byte-string statistics do not order like timestamps (PARQUET-1065)
+    * and are therefore never written — an INT96-written timestamp column
+    * silently loses ALL min/max file skipping ([[FileSkipping]]) and
+    * metadata-answered counts ([[countWhere]]). Forcing INT64 here makes
+    * every data file this table commits stats-complete regardless of the
+    * hosting session's conf. The conf is session-scoped, so a
+    * concurrently PLANNED write elsewhere in the session may also pick
+    * up MICROS (harmless: it only gains stats) or, on the restore race,
+    * the session default (stats absent → pruning conservatively keeps —
+    * never a wrong answer).
+    */
+  private def withInt64Timestamps[A](body: => A): A = {
+    val k = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None    => spark.conf.unset(k)
+    }
+  }
+
   /** `df.write` with the table's bloom-filter options applied: parquet
     * sizes each column's bloom adaptively from the row group's actual
     * distinct count, bounded so metadata stays metadata-scale.
@@ -512,7 +587,9 @@ final class CdcTable(
     enforceConstraints(df)
     val next = expected.getOrElse(0L) + 1
     reserveOrConflict(next)
-    writer(df).mode(SaveMode.Append).parquet(versionDir(next).getPath)
+    withInt64Timestamps {
+      writer(df).mode(SaveMode.Append).parquet(versionDir(next).getPath)
+    }
     // stats sidecar at write time: the footers just materialized and are
     // cache-hot — the first pruned read must not pay a metadata storm
     FileSkipping.writeStatsNow(spark.sessionState.newHadoopConf(), versionDir(next))
@@ -536,7 +613,9 @@ final class CdcTable(
     // `expected` is the version df/carried were derived from — reserving
     // expected+1 makes read-base and commit-base the same version.
     reserveOrConflict(next)
-    writer(df).mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(commitDir(next).getPath)
+    withInt64Timestamps {
+      writer(df).mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(commitDir(next).getPath)
+    }
     // the hive directory names ARE the months actually written — no
     // second evaluation of df's plan needed
     val outMonths = io.list(commitDir(next).getPath)
@@ -718,7 +797,9 @@ final class CdcTable(
             .filter(e => !e.isDir && !e.name.startsWith("_") && !e.name.startsWith("."))
             .foreach(e => io.linkOrCopy(new File(versionDir(cur), e.name).getPath,
               new File(nd, e.name).getPath))
-          writer(df).mode(SaveMode.Append).parquet(nd.getPath)
+          withInt64Timestamps {
+            writer(df).mode(SaveMode.Append).parquet(nd.getPath)
+          }
           // sidecar: carried (hard-linked, byte-identical, same names)
           // files reuse the previous version's stats; only the appended
           // batch's fresh files pay a footer read — at commit time
@@ -1233,6 +1314,17 @@ final class CdcTable(
 
 object CdcTable {
   private[ops] val log = org.slf4j.LoggerFactory.getLogger(classOf[CdcTable])
+
+  /** How a metadata-answered COUNT ([[CdcTable.countWhereProfile]]) was
+    * assembled: `fullFiles` contributed their sidecar row counts without
+    * being opened, `scannedFiles` boundary files were actually read,
+    * `prunedFiles` were never touched (stats-pruned files plus whole
+    * months the manifest excluded). `scannedFiles == 0` is the pure
+    * metadata path — the count cost O(manifest + sidecars), zero data
+    * I/O, at any table size.
+    */
+  final case class CountProfile(count: Long, fullFiles: Int,
+                                scannedFiles: Int, prunedFiles: Int)
 
   /** Another writer holds the version this commit needs (or the pointer
     * advanced mid-commit): re-read and retry — [[CdcTable.mergeWithRetry]].

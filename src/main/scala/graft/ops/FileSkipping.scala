@@ -58,16 +58,21 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
   * nested data like any top-level column. INT96 timestamps carry no
   * stats and are never pruned on — FORMAL WONTFIX (r11), for two
   * reasons that together close the question: (1) unreachable from this
-  * engine's own tables — every CdcTable data file is written by Spark
-  * 4's parquet writer, which emits INT64 timestamps (INT96 exists only
-  * in externally-written legacy files, which the versioned layout never
-  * contains); (2) untrustworthy by spec — INT96 min/max compare as
-  * unsigned byte strings of a (nanos-of-day, julian-day) encoding whose
-  * byte order does NOT follow timestamp order, which is why parquet-mr
-  * itself refuses to surface INT96 statistics (PARQUET-1065) and there
-  * is no writer-metadata signal that could make them trustworthy.
-  * Legacy-parquet workloads therefore lose skipping on such columns,
-  * never correctness: statless columns always keep the file.
+  * engine's own tables — NOT because of Spark's defaults (Spark's
+  * default `spark.sql.parquet.outputTimestampType` is still the legacy
+  * INT96, discovered the hard way in r11 when a freshly-committed
+  * timestamp column arrived stats-less), but because [[CdcTable]]
+  * forces `TIMESTAMP_MICROS` around every data write
+  * (`withInt64Timestamps`), so every file the versioned layout commits
+  * is INT64 and stats-complete; INT96 remains only in externally
+  * written legacy files. (2) untrustworthy by spec — INT96 min/max
+  * compare as unsigned byte strings of a (nanos-of-day, julian-day)
+  * encoding whose byte order does NOT follow timestamp order, which is
+  * why parquet-mr itself refuses to surface INT96 statistics
+  * (PARQUET-1065) and there is no writer-metadata signal that could
+  * make them trustworthy. Legacy-parquet workloads therefore lose
+  * skipping on such columns, never correctness: statless columns always
+  * keep the file.
   *
   * '''Bloom filters for point lookups.''' Min/max ranges only prune when
   * the layout is CLUSTERED on the predicate column; an equality probe on
@@ -429,6 +434,99 @@ object FileSkipping {
     case IsNull(c)    => fs.cols.get(c).forall(st => !st.nulls.contains(0L))
     case NotNull(c)   => fs.cols.get(c).forall(st => !st.nulls.contains(fs.rows))
     case AnyOf(bs)    => bs.exists(_.forall(mayMatchFile(fs, _)))
+  }
+
+  /** Does EVERY row of a file with stats `fs` provably satisfy `p`?
+    * The dual of [[mayMatchFile]] with the OPPOSITE conservative
+    * direction: any uncertainty answers false, demoting the file to a
+    * scan — so a metadata-answered aggregate is exact by construction,
+    * never optimistic. Null semantics drive the extra conditions: a
+    * comparison/IN predicate is never satisfied by a null row, so those
+    * require a recorded ZERO null count, not just a covering range; an
+    * absent column entry (no stats) proves nothing. An empty file
+    * vacuously matches (and contributes zero rows either way).
+    */
+  def mustMatchFile(fs: FileStats, p: Pred): Boolean = fs.rows == 0L || (p match {
+    case r: Range => fs.cols.get(r.column).exists(mustMatch(_, r))
+    case InSet(c, vs) =>
+      // provable only in the degenerate single-valued file: min == max
+      // and that one value is in the set (and no nulls)
+      fs.cols.get(c).exists(st => st.nulls.contains(0L) && ((st.min, st.max) match {
+        case (Some(mn), Some(mx)) =>
+          statEq(mn, mx).contains(true) && vs.exists(v => statEq(norm(v), mn).contains(true))
+        case _ => false
+      }))
+    case IsNull(c)  => fs.cols.get(c).exists(_.nulls.contains(fs.rows))
+    case NotNull(c) => fs.cols.get(c).exists(_.nulls.contains(0L))
+    case AnyOf(bs)  => bs.exists(_.forall(mustMatchFile(fs, _)))
+  })
+
+  /** Every row satisfies range `r`: zero nulls and the file's whole
+    * [min, max] lies inside the predicate bounds — both comparisons must
+    * be ORDERABLE (cmpLt defined), unknown demotes to a scan.
+    */
+  private def mustMatch(st: ColStat, r: Range): Boolean =
+    st.nulls.contains(0L) && ((st.min, st.max) match {
+      case (Some(mn), Some(mx)) =>
+        r.lower.map(norm).forall(lo => cmpLt(mn, lo).contains(false)) &&
+          r.upper.map(norm).forall(hi => cmpLt(hi, mx).contains(false))
+      case _ => false
+    })
+
+  private def statEq(a: Any, b: Any): Option[Boolean] =
+    for { lt <- cmpLt(a, b); gt <- cmpLt(b, a) } yield !lt && !gt
+
+  /** Classify `dir`'s data files against `preds` for metadata-answered
+    * aggregation: `(full, partial)` where full files provably have EVERY
+    * row satisfying every predicate (each paired with its sidecar row
+    * count — a COUNT needs no data I/O for them) and partial files may
+    * hold both matching and non-matching rows and must be scanned with
+    * the residual filter. `full ++ partial` is exactly
+    * [[prunedFiles]]'s survivor set, so the split only ever refines a
+    * correct scan, never changes its answer.
+    */
+  def classifiedFiles(conf: Configuration, dir: File,
+                      preds0: Seq[Pred]): (Seq[(File, Long)], Seq[File]) = {
+    val preds = preds0.map(normalized)
+    val stats = statsForDir(conf, dir)
+    val (full, partial) = prunedFiles(conf, dir, preds0).partition { f =>
+      stats.get(f.getName).exists(fs => preds.forall(mustMatchFile(fs, _)))
+    }
+    (full.map(f => f -> stats(f.getName).rows), partial)
+  }
+
+  /** Metadata-only MIN/MAX of `column` across `dirs`' sidecars: the fold
+    * of per-file ranges, in the stat domain ([[norm]]: integers as Long,
+    * timestamps as epoch micros, dates/strings as String, decimals as
+    * java BigDecimal). Defined only when the fold is PROVABLE: every
+    * non-empty file must carry stats for the column (all-null files
+    * contribute nothing, like SQL MIN/MAX), every recorded range must be
+    * two-sided, and all values mutually orderable — anything else
+    * answers None and the caller falls back to a scan. None likewise
+    * when every file is all-null (SQL would answer NULL; a scan says so
+    * authoritatively).
+    */
+  def minMaxOfDirs(conf: Configuration, dirs: Seq[File], column: String): Option[(Any, Any)] = {
+    val live = dirs.flatMap(d => statsForDir(conf, d).values).filter(_.rows > 0L)
+    val sts = live.map(_.cols.get(column))
+    if (sts.exists(_.isEmpty)) None
+    else {
+      val known = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+      var provable = true
+      sts.flatten.foreach {
+        case ColStat(Some(mn), Some(mx), _) => known += ((mn, mx))
+        case ColStat(None, None, _)         => () // all-null file: contributes nothing
+        case _                              => provable = false // torn stats
+      }
+      if (!provable || known.isEmpty) None
+      else {
+        final class Unorderable extends RuntimeException
+        def lt(a: Any, b: Any): Boolean = cmpLt(a, b).getOrElse(throw new Unorderable)
+        try Some((known.map(_._1).reduce((a, b) => if (lt(b, a)) b else a),
+                  known.map(_._2).reduce((a, b) => if (lt(a, b)) b else a)))
+        catch { case _: Unorderable => None }
+      }
+    }
   }
 
   /** The Catalyst predicate equivalent to `p` — what a pruned scan

@@ -38,6 +38,62 @@ class CdcTableSpec extends SparkSpec {
     assert(t.read.count() == 1 && p.read.count() == 1)
   }
 
+  test("metadata aggregates: COUNT/MIN/MAX from sidecars, boundary files demoted to scans") {
+    import graft.ops.FileSkipping.{Range, NotNull, IsNull}
+    val t = new CdcTable(spark, tmpDir("cdcmeta") + "/t", Seq("id"))
+    // 4 range-clustered files over ids 1..1000; v null for the top quarter
+    t.init(spark.range(1, 1001).toDF("id")
+      .withColumn("v", when(col("id") <= 750L, concat(lit("v"), col("id"))))
+      .repartitionByRange(4, col("id")))
+
+    // pure metadata COUNT(*): every file counted from its sidecar rows
+    val all = t.countWhereProfile(Nil)
+    assert(all == CdcTable.CountProfile(1000L, 4, 0, 0), s"got $all")
+
+    // a window cutting through file interiors: edges scan, the rest counts blind
+    val cut = t.countWhereProfile(Seq(Range("id", Some(100L), Some(900L))))
+    assert(cut.count == 801L, s"got $cut")
+    assert(cut.scannedFiles >= 1 && cut.fullFiles >= 1 && cut.scannedFiles <= 2,
+      s"only edge files may scan: $cut")
+
+    // a window aligned with the whole domain: still zero data I/O
+    val aligned = t.countWhereProfile(Seq(Range("id", Some(1L), Some(1000L))))
+    assert(aligned == CdcTable.CountProfile(1000L, 4, 0, 0), s"got $aligned")
+
+    // a window outside the domain: everything pruned, nothing opened
+    val none = t.countWhereProfile(Seq(Range("id", Some(5000L), None)))
+    assert(none == CdcTable.CountProfile(0L, 0, 0, 4), s"got $none")
+
+    // null-sensitive counts stay exact: all-null and no-null files answer
+    // from metadata, the mixed boundary file scans
+    val nn = t.countWhereProfile(Seq(NotNull("v")))
+    assert(nn.count == 750L && nn.scannedFiles <= 1, s"got $nn")
+    assert(t.countWhere(Seq(IsNull("v"))) == 250L)
+    // conjunction with a range predicate over the null boundary
+    assert(t.countWhere(Seq(Range("id", Some(700L), Some(800L)), NotNull("v"))) == 51L)
+
+    // min/max fold: exact and metadata-only for both the clustered long
+    // and the (scattered) string column; all-null → None (scan fallback)
+    assert(t.minMaxFromStats("id").contains((1L, 1000L)))
+    val vAgg = t.read.agg(min("v"), max("v")).head
+    assert(t.minMaxFromStats("v").contains((vAgg.getString(0), vAgg.getString(1))))
+    val tNull = new CdcTable(spark, tmpDir("cdcmetanull") + "/t", Seq("id"))
+    tNull.init(Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("id", "w"))
+    assert(tNull.minMaxFromStats("w").isEmpty)
+
+    // partitioned table: month pruning shows up as pruned files and the
+    // in-month count still answers from metadata
+    val p = new CdcTable(spark, tmpDir("cdcmetap") + "/t", Seq("id"),
+      partitionSource = Some("created"))
+    p.init(Seq((1L, ts("2001-01-05 00:00:00")), (2L, ts("2001-01-20 00:00:00")),
+      (3L, ts("2001-02-05 00:00:00"))).toDF("id", "created"))
+    val janOnly = p.countWhereProfile(Seq(Range("created",
+      Some(ts("2001-01-01 00:00:00")), Some(ts("2001-01-31 23:59:59")))))
+    assert(janOnly.count == 2L && janOnly.scannedFiles == 0 && janOnly.prunedFiles >= 1,
+      s"got $janOnly")
+  }
+
   test("commit history records operation provenance per retained version, newest first") {
     val path = tmpDir("cdchistory") + "/t"
     val t = new CdcTable(spark, path, Seq("id"), retainVersions = 10)

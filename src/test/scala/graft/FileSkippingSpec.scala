@@ -14,6 +14,27 @@ class FileSkippingSpec extends SparkSpec {
 
   private def dt(s: String) = java.sql.Date.valueOf(s)
 
+  test("timestamp columns prune: CdcTable writes force INT64 so timestamp stats exist") {
+    // Spark's DEFAULT parquet outputTimestampType is legacy INT96, which
+    // carries no usable statistics — this layout only skips because
+    // CdcTable forces TIMESTAMP_MICROS around its write actions. A
+    // regression back to INT96 keeps every file below and fails here.
+    val t = new CdcTable(spark, tmpDir("skipts") + "/t", Seq("id"))
+    t.init(spark.range(0, 400).toDF("id")
+      .withColumn("at", timestamp_seconds(lit(1700000000L) + col("id") * 3600))
+      .repartitionByRange(4, col("at")))
+    val pred = Seq(FileSkipping.Range("at",
+      Some(java.time.Instant.ofEpochSecond(1700000000L + 390 * 3600)), None))
+    val (kept, total) = t.scanProfile(pred)
+    assert(total == 4 && kept == 1, s"timestamp stats must prune: kept $kept of $total")
+    assert(t.readWhere(pred).count() == 10L)
+    // and the metadata count path gets timestamps too: interior files
+    // count blind, only the boundary file scans
+    val prof = t.countWhereProfile(Seq(FileSkipping.Range("at",
+      Some(java.time.Instant.ofEpochSecond(1700000000L + 150 * 3600)), None)))
+    assert(prof.count == 250L && prof.fullFiles >= 2 && prof.scannedFiles <= 1, s"got $prof")
+  }
+
   /** 4 months x rows clustered on id: repartitionByRange gives each month
     * dir several files with tight, disjoint id ranges — the layout a
     * clustered 100 TB table has and skipping thrives on.
