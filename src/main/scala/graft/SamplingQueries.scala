@@ -142,6 +142,32 @@ object SamplingQueries extends QueryPack {
         |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
         |FROM r CROSS JOIN d""".stripMargin)),
 
+    // Temperature-smoothed mixture sampling (the multilingual-pretraining
+    // recipe: sampling weight ∝ count^alpha with alpha = 1/2, flattening
+    // the head so low-resource strata are upsampled relative to their
+    // corpus share). Weights quantize through floor(sqrt(c) * 1000) —
+    // sqrt is IEEE-exact and the product of two correctly-rounded ops is
+    // deterministic cross-engine — then the 20k budget apportions by
+    // largest remainder in pure integers, so quotas sum to the budget
+    // EXACTLY. sample_rate_permille = quota relative to stratum size
+    // shows the flattening: small langs rate up, big langs rate down.
+    // Scale shape: one groupBy to the stratum table, then window work
+    // bounded by the stratum COUNT, never the corpus.
+    "x_temperature_mixture" -> ((s, dir) => docs(s, dir,
+      """WITH g AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |w AS (SELECT lang, c,
+        |  CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS wt FROM g),
+        |t AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+        |q AS (SELECT lang, c, wt, (20000 * wt) DIV tw AS base,
+        |  (20000 * wt) % tw AS rem FROM w CROSS JOIN t),
+        |d AS (SELECT CAST(20000 - sum(base) AS BIGINT) AS deficit FROM q),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, lang) AS BIGINT) AS rk FROM q)
+        |SELECT lang, CAST(c AS BIGINT) AS n_docs, wt AS weight_milli,
+        |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota,
+        |  CAST(1000 * (base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END) DIV c AS BIGINT)
+        |    AS sample_rate_permille
+        |FROM r CROSS JOIN d""".stripMargin)),
+
     // Gap-based event debounce: within each (user, event_type) stream,
     // an event is kept only when more than 10 s passed since the
     // previous event (the sensor/telemetry de-noising pass; the batch
@@ -292,6 +318,21 @@ object SamplingQueries extends QueryPack {
         |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source) AS rk FROM q)
         |SELECT lang, source, CAST(c AS BIGINT) AS n_docs,
         |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r CROSS JOIN d""".stripMargin,
+
+    "x_temperature_mixture" ->
+      """WITH g AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |w AS (SELECT lang, c,
+        |  CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS wt FROM g),
+        |t AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+        |q AS (SELECT lang, c, wt, (20000 * wt) // tw AS base,
+        |  (20000 * wt) % tw AS rem FROM w CROSS JOIN t),
+        |d AS (SELECT CAST(20000 - sum(base) AS BIGINT) AS deficit FROM q),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, lang) AS BIGINT) AS rk FROM q)
+        |SELECT lang, CAST(c AS BIGINT) AS n_docs, wt AS weight_milli,
+        |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota,
+        |  CAST(1000 * (base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END) // c AS BIGINT)
+        |    AS sample_rate_permille
         |FROM r CROSS JOIN d""".stripMargin,
 
     "x_event_debounce" ->
