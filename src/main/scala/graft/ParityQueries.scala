@@ -63,6 +63,26 @@ object ParityQueries extends QueryPack {
       (t, minKey)
     }
 
+  // a versioned orders copy that takes two overlapping MERGE-ON-READ
+  // deletes and a keyless append, once per (session, sfDir) — the
+  // deletion-vector oracle fixture (deterministic modulo/range gates so
+  // DuckDB replays the identical edits)
+  private val dvTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
+  private def dvTable(s: SparkSession, dir: String): CdcTable =
+    memoized(dvTables)(s, dir) {
+      val root = java.nio.file.Files.createTempDirectory("graft_dv").toString
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val base = Tables(s, dir, "orders").select(cols.map(col): _*)
+      val t = new CdcTable(s, s"$root/orders", keys = Seq("o_orderkey"))
+      t.init(base.repartitionByRange(8, col("o_orderkey")))
+      t.deleteVectored(col("o_orderkey").between(2000L, 4000L))
+      t.deleteVectored(col("o_orderkey") % 10 === 3L) // overlaps the range
+      t.append(base.filter(col("o_orderkey") % 13 === 5)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      t
+    }
+
   // an incrementally-maintained `orders JOIN customer` enrichment view
   // (ops.JoinView) per (session, sfDir): fact and dim each take one
   // deterministic merge batch (modulo-gated so DuckDB can replay it),
@@ -387,6 +407,14 @@ object ParityQueries extends QueryPack {
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_lookup")
     }),
 
+    // K10/K2, merge-on-read DELETE: two overlapping vectored deletes (the
+    // union must not double-delete) followed by an append whose
+    // hard-linked carry must keep the vector live — the read equals
+    // DuckDB's replay of the same delete-then-append arithmetic. The
+    // table rewrites ZERO data files for the deletes (DeletionVectorSpec
+    // asserts the file-level invariants; this oracle proves the values).
+    "k_dv_delete" -> ((s, dir) => dvTable(s, dir).read),
+
     // K10, the metadata-aggregate face: COUNT(*), a windowed COUNT and
     // MIN/MAX answered from the commit's stats sidecars alone — the
     // Iceberg/Delta manifest-count analogue. The full count and the
@@ -573,6 +601,15 @@ object ParityQueries extends QueryPack {
         |WHERE o_orderkey BETWEEN 2000 AND 6000
         |  AND (o_orderkey <= 2500 OR o_orderkey >= 5500)
         |  AND o_note IS NOT NULL AND o_orderstatus <> 'P'""".stripMargin,
+
+    "k_dv_delete" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders)
+        |SELECT * FROM base
+        |WHERE NOT (o_orderkey BETWEEN 2000 AND 4000) AND NOT (o_orderkey % 10 = 3)
+        |UNION ALL
+        |SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM base WHERE o_orderkey % 13 = 5""".stripMargin,
 
     "k_metadata_agg" ->
       """SELECT count(*) AS cnt_all,

@@ -239,12 +239,25 @@ final class CdcTable(
     // sf0.1, not the data volume). Union-by-name across commit dirs keeps
     // additive schema evolution working; manifest-level month pruning is
     // preserved because only the picked month directories are listed.
-    picked.groupBy(_._2.takeWhile(_ != '/')).toSeq.sortBy(_._1).map { case (cdir, es) =>
-      spark.read.option("mergeSchema", "true")
+    // deletion vector: the per-row (file, idx) identity must project at
+    // SCAN level (before the union strips `_metadata`); one anti-join
+    // applies after the union
+    val dv = dvAt(at)
+    val unioned = picked.groupBy(_._2.takeWhile(_ != '/')).toSeq.sortBy(_._1).map { case (cdir, es) =>
+      val base = spark.read.option("mergeSchema", "true")
         .option("basePath", new File(path, cdir).getPath)
         .parquet(es.map(e => new File(path, e._2).getPath): _*)
         .withColumn(PartCol, col(PartCol).cast("string"))
+      if (dv.isEmpty) base
+      else base.withColumn(DvSubCol, dvSubExpr)
+        .withColumn(DvFileCol, col("_metadata.file_name"))
+        .withColumn(DvIdxCol, col("_metadata.row_index"))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+    dv.fold(unioned)(d =>
+      unioned.join(d.select(col("sub").as(DvSubCol), col("file").as(DvFileCol),
+          col("idx").as(DvIdxCol)),
+          Seq(DvSubCol, DvFileCol, DvIdxCol), "left_anti")
+        .drop(DvSubCol, DvFileCol, DvIdxCol))
   }
 
   // ----------------------------------------------------------------- reads
@@ -295,7 +308,8 @@ final class CdcTable(
       .reduceOption(_ && _).getOrElse(lit(true))
     if (kept.isEmpty) readAt(v).filter(lit(false))
     else {
-      val df = spark.read.option("mergeSchema", "true").parquet(kept.map(_.getPath): _*)
+      val df = applyDv(
+        spark.read.option("mergeSchema", "true").parquet(kept.map(_.getPath): _*), v)
         .filter(residual)
       if (df.columns.contains(PartCol)) df.drop(PartCol) else df
     }
@@ -315,7 +329,8 @@ final class CdcTable(
     val kept = scanDirs(cur, ranges).flatMap(FileSkipping.prunedFiles(conf, _, ranges))
     if (kept.isEmpty) readAt(cur).filter(lit(false))
     else {
-      val df = spark.read.option("mergeSchema", "true").parquet(kept.map(_.getPath): _*)
+      val df = applyDv(
+        spark.read.option("mergeSchema", "true").parquet(kept.map(_.getPath): _*), cur)
         .filter(pred)
       if (df.columns.contains(PartCol)) df.drop(PartCol) else df
     }
@@ -355,15 +370,25 @@ final class CdcTable(
     val partial = classified.flatMap(_._2)
     val allFiles = scanDirs(cur, Nil)
       .map(FileSkipping.prunedFiles(conf, _, Nil).size).sum
+    // deletion vector: a full-match file's LIVE count is its recorded
+    // rows minus its vector count (every deleted position was one of the
+    // file's rows, all of which match) — still pure sidecar metadata;
+    // partial files scan vector-applied like any other read
+    val dvCount = dvSummary(cur).map { case (d, f, c) => (dvSubOf(d), f) -> c }.toMap
+    val metaRows = full.map { case (f, rows) =>
+      val sub = if (partitionSource.isDefined) f.getParentFile.getName else ""
+      rows - dvCount.getOrElse((sub, f.getName), 0L)
+    }.sum
     val scanned =
       if (partial.isEmpty) 0L
       else {
         val residual = preds.map(FileSkipping.residualOf)
           .reduceOption(_ && _).getOrElse(lit(true))
-        spark.read.option("mergeSchema", "true").parquet(partial.map(_.getPath): _*)
+        applyDv(
+          spark.read.option("mergeSchema", "true").parquet(partial.map(_.getPath): _*), cur)
           .filter(residual).count()
       }
-    CdcTable.CountProfile(full.map(_._2).sum + scanned, full.size, partial.size,
+    CdcTable.CountProfile(metaRows + scanned, full.size, partial.size,
       allFiles - full.size - partial.size)
   }
 
@@ -377,8 +402,15 @@ final class CdcTable(
     * answer is exact and costs zero data I/O.
     */
   def minMaxFromStats(column: String): Option[(Any, Any)] = {
-    val conf = spark.sessionState.newHadoopConf()
-    FileSkipping.minMaxOfDirs(conf, scanDirs(currentOrThrow, Nil), column)
+    val cur = currentOrThrow
+    // a deletion vector may have deleted exactly the extremum row, so a
+    // vectored version's ranges cannot prove MIN/MAX — scan fallback
+    // until a rewrite (compact/merge) materializes the vector away
+    if (hasDv(cur)) None
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      FileSkipping.minMaxOfDirs(conf, scanDirs(cur, Nil), column)
+    }
   }
 
   def scanProfileAt(v: Long, preds: Seq[FileSkipping.Pred]): (Int, Int) = {
@@ -452,7 +484,7 @@ final class CdcTable(
       val d = versionDir(v)
       if (!io.exists(d.getPath))
         throw new ExpiredVersionException(s"version $v of $path is expired or never existed")
-      spark.read.option("mergeSchema", "true").parquet(d.getPath)
+      applyDv(spark.read.option("mergeSchema", "true").parquet(d.getPath), v)
   }
 
   private def readAt(v: Long): DataFrame = {
@@ -631,6 +663,10 @@ final class CdcTable(
     val carried = expected.map(manifest).getOrElse(Nil)
       .filterNot { case (m, _) => replaced.contains(m) }
     writeManifest(next, carried ++ outMonths.map(m => m -> relDir(next, m)))
+    // deletion vector: entries for carried dirs survive (their files are
+    // the same bytes); entries for replaced months fall away — those
+    // files were rewritten from a vector-applied read
+    expected.foreach(carryDv(_, next, keepDirs = carried.map(_._2).toSet))
     // schema sidecar: the TABLE's schema as of this version — this
     // commit's write schema unioned with the previous version's recorded
     // schema, matching what a mergeSchema read over every month's files
@@ -677,6 +713,10 @@ final class CdcTable(
         // source-commit prefix only when needed for uniqueness, and the
         // stats sidecar entries remap to the new names — still zero
         // footer reads on the clone
+        // (src dir rel -> (dst dir rel, file-name prefix)) — the same
+        // mapping the stats remap uses, reused below for the deletion
+        // vector (its entries reference files by dir + name)
+        val dirMap = scala.collection.mutable.Map.empty[String, (String, String)]
         val entries = manifest(v).groupBy(_._1).toSeq.sortBy(_._1).map { case (m, es) =>
           val dstRel = dest.relDir(1L, m)
           val dst = new File(destPath, dstRel)
@@ -684,6 +724,7 @@ final class CdcTable(
           val reuse = es.flatMap { case (_, rel) =>
             val src = new File(path, rel)
             val prefix = if (multi) rel.takeWhile(_ != '/') + "_" else ""
+            dirMap(rel) = (dstRel, prefix)
             val srcStats = FileSkipping.statsForDir(conf, src)
             io.list(src.getPath)
               .filter(e => !e.isDir && !e.name.startsWith("_") && !e.name.startsWith("."))
@@ -700,6 +741,32 @@ final class CdcTable(
         dest.writeManifest(1L, entries)
         schemaAt(v).foreach(sc =>
           dest.io.writeString(dest.schemaFile(1L).getPath, sc.json))
+        // deletion vector: entries remap with the same (dir, prefix) the
+        // data files did; the parquet rewrites through Spark only when a
+        // file name actually changed (multi-commit month folding)
+        val sum = dvSummary(v)
+        if (sum.nonEmpty) {
+          val remapped = sum.map { case (d, f, c) =>
+            val (nd, pre) = dirMap(d); (nd, pre + f, c)
+          }
+          if (remapped.map(_._2) == sum.map(_._2)) {
+            io.list(dvDir(v).getPath).filter(!_.isDir).foreach(e =>
+              io.linkOrCopy(new File(dvDir(v), e.name).getPath,
+                new File(dest.dvDir(1L), e.name).getPath))
+          } else {
+            // rename keyed by (sub, file): a write task emits same-named
+            // files into several month dirs, so file name alone is not a
+            // join identity. The month-dir sub is IDENTICAL in the dest
+            // (months fold under the same __part_month= name).
+            val ren = sum.map { case (d, f, _) => (dvSubOf(d), f, dirMap(d)._2 + f) }
+            val sq = spark
+            import sq.implicits._
+            dvAt(v).get.join(ren.toDF("sub", "file", "nf"), Seq("sub", "file"))
+              .select(col("sub"), col("nf").as("file"), col("idx"))
+              .coalesce(1).write.parquet(dest.dvDir(1L).getPath)
+          }
+          dest.writeDvSummary(1L, remapped)
+        }
       case None =>
         val src = versionDir(v)
         io.list(src.getPath)
@@ -710,6 +777,14 @@ final class CdcTable(
           reuse = FileSkipping.statsForDir(conf, src))
         if (io.exists(schemaFile(v).getPath))
           io.copy(schemaFile(v).getPath, dest.schemaFile(1L).getPath)
+        // file names carry unchanged; only the dir component renames
+        if (hasDv(v)) {
+          io.list(dvDir(v).getPath).filter(!_.isDir).foreach(e =>
+            io.linkOrCopy(new File(dvDir(v), e.name).getPath,
+              new File(dest.dvDir(1L), e.name).getPath))
+          dest.writeDvSummary(1L,
+            dvSummary(v).map { case (_, f, c) => ("v00000001", f, c) })
+        }
     }
     constraints.foreach { case (n, p) => dest.addConstraintUnchecked(n, p) }
     dest.pendingOp = "CLONE"
@@ -806,6 +881,8 @@ final class CdcTable(
           val conf = spark.sessionState.newHadoopConf()
           FileSkipping.writeStatsNow(conf, nd,
             reuse = FileSkipping.statsForDir(conf, versionDir(cur)))
+          // carried (hard-linked) files keep their deleted positions
+          carryDv(cur, next, keepDirs = Set(f"v$cur%08d"), renameDir = _ => f"v$next%08d")
           commitPointer(next)
         }
     }
@@ -969,6 +1046,257 @@ final class CdcTable(
     }
   }
 
+  // ------------------------------------------------------- deletion vectors
+
+  private def dvDir(v: Long) = new File(versionDir(v), DeletesName)
+  private def dvSummaryFile(v: Long) = new File(versionDir(v), DeletesSummaryName)
+
+  /** Per-file deleted-position counts recorded at version `v`:
+    * `(data dir rel path, file name, count)` — the metadata face of the
+    * deletion vector (driver-side, bounded by files-with-deletes).
+    * Empty when the version carries no vector. Public observability:
+    * "how much merge-on-read debt does this table carry" is the number a
+    * maintenance policy watches to schedule a materializing compact.
+    */
+  def dvSummary(v: Long): Seq[(String, String, Long)] =
+    if (!io.exists(dvSummaryFile(v).getPath)) Nil
+    else io.readLines(dvSummaryFile(v).getPath).map { l =>
+      val p = l.split('\t')
+      (p(0), p(1), p(2).toLong)
+    }
+
+  private def hasDv(v: Long): Boolean = io.exists(dvSummaryFile(v).getPath)
+
+  /** The deletion vector of version `v` as a DataFrame
+    * `(sub, file, idx)`: row positions (parquet row index within the
+    * named data file) that are DELETED as of `v`. None when the version
+    * has no vector.
+    */
+  private def dvAt(v: Long): Option[DataFrame] =
+    if (!hasDv(v)) None
+    else Some(spark.read.parquet(dvDir(v).getPath))
+
+  /** The carry-stable sub-directory discriminator of a data file's
+    * identity. File NAMES are not table-unique on the partitioned
+    * layout: one write task emits a same-named part file into EVERY
+    * month dir its rows hit, so a (file, idx) match alone would delete
+    * row idx of the wrong month's twin. The month dir name
+    * (`__part_month=...`) disambiguates and survives every carry (a
+    * manifest re-point keeps the commit dir verbatim; across commits the
+    * writer UUID differs). Unpartitioned versions hold ONE dir whose
+    * files are name-unique, and the dir itself renames on hard-link
+    * carry — so the discriminator there is the empty string.
+    */
+  private def dvSubOf(dirRel: String): String =
+    if (partitionSource.isDefined) dirRel.substring(dirRel.lastIndexOf('/') + 1) else ""
+
+  private def dvSubExpr: org.apache.spark.sql.Column =
+    if (partitionSource.isDefined)
+      element_at(split(col("_metadata.file_path"), "/"), -2)
+    else lit("")
+
+  /** Filter version `v`'s deletion vector out of a RAW file scan (the
+    * `_metadata` struct must still be resolvable — call this before any
+    * join/aggregation, which every raw-scan site below does). The vector
+    * is a plain (sub, file name, row index) anti-join: at 100 TB its
+    * size is bounded by rows deleted since those files were last
+    * rewritten, so Catalyst/AQE broadcast it in the common case and
+    * degrade to a shuffle join only if a table somehow accretes a huge
+    * vector — correct either way, and compaction resets it to zero.
+    */
+  private def applyDv(raw: DataFrame, v: Long): DataFrame = dvAt(v) match {
+    case None => raw
+    case Some(dv) =>
+      raw.withColumn(DvSubCol, dvSubExpr)
+        .withColumn(DvFileCol, col("_metadata.file_name"))
+        .withColumn(DvIdxCol, col("_metadata.row_index"))
+        .join(dv.select(col("sub").as(DvSubCol), col("file").as(DvFileCol),
+            col("idx").as(DvIdxCol)),
+          Seq(DvSubCol, DvFileCol, DvIdxCol), "left_anti")
+        .drop(DvSubCol, DvFileCol, DvIdxCol)
+  }
+
+  private def writeDvSummary(v: Long, rows: Seq[(String, String, Long)]): Unit =
+    io.writeAtomic(dvSummaryFile(v).getPath,
+      rows.sortBy(r => (r._1, r._2))
+        .map { case (d, f, c) => s"$d\t$f\t$c" }.mkString("\n"))
+
+  /** Carry version `from`'s deletion vector to reserved version `to`.
+    * `keepDirs` = the data dirs `to` still references (entries for
+    * replaced/dropped dirs fall away — their files were rewritten with
+    * the deletes applied); `renameDir` remaps surviving dir names (the
+    * unpartitioned layout re-links data files into the new version dir,
+    * so the dir component changes while file names stay). When every
+    * entry survives, the vector's parquet files LINK (metadata-only);
+    * a partial carry rewrites the (small) vector through Spark.
+    */
+  private def carryDv(from: Long, to: Long, keepDirs: Set[String],
+                      renameDir: String => String = identity): Unit = {
+    val sum = dvSummary(from)
+    if (sum.isEmpty) return
+    val kept = sum.filter(e => keepDirs.contains(e._1))
+    if (kept.isEmpty) return
+    if (kept.size == sum.size) {
+      io.list(dvDir(from).getPath).filter(!_.isDir).foreach(e =>
+        io.linkOrCopy(new File(dvDir(from), e.name).getPath,
+          new File(dvDir(to), e.name).getPath))
+    } else {
+      val keepKeys = kept.map(e => s"${dvSubOf(e._1)}/${e._2}")
+      dvAt(from).get
+        .filter(concat(col("sub"), lit("/"), col("file")).isin(keepKeys: _*))
+        .coalesce(1).write.parquet(dvDir(to).getPath)
+    }
+    writeDvSummary(to, kept.map { case (d, f, c) => (renameDir(d), f, c) })
+  }
+
+  /** The data directories of version `v` as (rel path, dir). */
+  private def dataDirsAt(v: Long): Seq[(String, File)] = partitionSource match {
+    case Some(_) => manifest(v).map(e => e._2 -> new File(path, e._2))
+    case None    => Seq(f"v$v%08d" -> versionDir(v))
+  }
+
+  /** Predicate DELETE, MERGE-ON-READ: instead of rewriting every file
+    * holding a match (copy-on-write [[delete]]), record the matching
+    * rows' (file, row position) in a deletion vector committed WITH the
+    * new version; reads anti-join the vector out. Deleting 100 rows from
+    * a 100 TB table writes kilobytes — data files carry forward
+    * untouched (hard links / manifest re-point), prior versions stay
+    * byte-immutable for time travel, and [[compact]] (or any
+    * copy-on-write rewrite touching the files) materializes the vector
+    * away. The Delta deletion-vector / Iceberg v2 position-delete
+    * analogue, on the same atomic-pointer commit protocol.
+    *
+    * Semantics match [[delete]] exactly: rows where `condition` is true
+    * vanish from reads; a no-match delete burns no version; deleting an
+    * already-vector-deleted row again is a no-op (the vector is built
+    * from the VISIBLE rows). Interactions: file-skipping stats still
+    * prune conservatively (a vector only shrinks a file's live content);
+    * [[countWhere]] subtracts per-file vector counts so metadata counts
+    * stay exact; [[minMaxFromStats]] refuses (a vector may have deleted
+    * the extremum row); [[changesBetween]] sees vector deletes because
+    * both snapshots read vector-applied (its month pruning consults the
+    * vector summaries).
+    */
+  def deleteVectored(condition: org.apache.spark.sql.Column): Unit = withOp("DELETE") {
+    val cur = currentOrThrow
+    val dirs = dataDirsAt(cur)
+    if (dirs.isEmpty) return
+    val scans = dirs.map { case (rel, d) =>
+      spark.read.option("mergeSchema", "true").parquet(d.getPath)
+        .withColumn(DvDirCol, lit(rel))
+        .withColumn(DvSubCol, lit(dvSubOf(rel)))
+        .withColumn(DvFileCol, col("_metadata.file_name"))
+        .withColumn(DvIdxCol, col("_metadata.row_index"))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val matchedAll = scans.filter(coalesce(condition, lit(false)))
+      .select(col(DvDirCol).as("dir"), col(DvSubCol).as("sub"),
+        col(DvFileCol).as("file"), col(DvIdxCol).as("idx"))
+    // visible rows only: positions already in the vector stay single
+    val matched = (dvAt(cur) match {
+      case None     => matchedAll
+      case Some(dv) => matchedAll.join(dv, Seq("sub", "file", "idx"), "left_anti")
+    }).localCheckpoint()
+    val perFile = matched.groupBy("dir", "file").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    if (perFile.isEmpty) return // no matches: no version burned
+    val next = cur + 1
+    reserveOrConflict(next)
+    // carry the DATA untouched: the whole point
+    partitionSource match {
+      case Some(_) =>
+        writeManifest(next, manifest(cur))
+        if (io.exists(schemaFile(cur).getPath))
+          io.copy(schemaFile(cur).getPath, schemaFile(next).getPath)
+      case None =>
+        io.list(versionDir(cur).getPath)
+          .filter(e => !e.isDir && !e.name.startsWith("_") && !e.name.startsWith("."))
+          .foreach(e => io.linkOrCopy(new File(versionDir(cur), e.name).getPath,
+            new File(versionDir(next), e.name).getPath))
+        val conf = spark.sessionState.newHadoopConf()
+        FileSkipping.writeStatsNow(conf, versionDir(next),
+          reuse = FileSkipping.statsForDir(conf, versionDir(cur)))
+    }
+    // vector = previous vector ∪ fresh positions; summary merges counts.
+    // The unpartitioned dir component renames with the version; file
+    // names (the join identity) are carry-stable.
+    val renamed: String => String = partitionSource match {
+      case Some(_) => identity
+      case None    => _ => f"v$next%08d"
+    }
+    val fresh = matched.drop("dir")
+    val newDv = dvAt(cur).fold(fresh)(_.unionByName(fresh))
+    newDv.coalesce(1).write.parquet(dvDir(next).getPath)
+    val merged = (dvSummary(cur).map { case (d, f, c) => (renamed(d), f, c) } ++
+      perFile.map { case (d, f, c) => (renamed(d), f, c) })
+      .groupBy(e => (e._1, e._2)).map { case ((d, f), es) => (d, f, es.map(_._3).sum) }
+      .toSeq
+    writeDvSummary(next, merged)
+    commitPointer(next)
+  }
+
+  /** Materialize the deletion vector NOW, rewriting ONLY the files that
+    * carry deleted positions: vectored files re-write without their
+    * deleted rows, every other data file carries forward untouched
+    * (hard link / manifest re-point — partitioned tables rewrite only
+    * the months holding vectored dirs). The targeted counterpart of a
+    * full [[compact]]: merge-on-read debt clears at cost proportional to
+    * the DEBT-CARRYING files, not the table. No vector → no-op, no
+    * version burned.
+    */
+  def materializeDeletes(): Unit = withOp("MATERIALIZE") {
+    val cur = currentOrThrow
+    val sum = dvSummary(cur)
+    if (sum.isEmpty) return
+    partitionSource match {
+      case Some(_) =>
+        val vectoredDirs = sum.map(_._1).toSet
+        val entries = manifest(cur)
+        val months = entries.filter(e => vectoredDirs.contains(e._2)).map(_._1).toSet
+        val existing = readParts(entries, Some(months), cur).drop(PartCol)
+        commitPartitioned(withPart(existing), replaced = months, Some(cur))
+      case None =>
+        val vd = versionDir(cur)
+        val vectored = sum.map(_._2).toSet
+        val next = cur + 1
+        reserveOrConflict(next)
+        val nd = versionDir(next)
+        val carried = io.list(vd.getPath)
+          .filter(e => !e.isDir && !e.name.startsWith("_") && !e.name.startsWith(".") &&
+            !vectored.contains(e.name))
+        carried.foreach(e => io.linkOrCopy(new File(vd, e.name).getPath,
+          new File(nd, e.name).getPath))
+        val rewritten = applyDv(spark.read.option("mergeSchema", "true")
+          .parquet(vectored.toSeq.sorted.map(f => new File(vd, f).getPath): _*), cur)
+        withInt64Timestamps {
+          writer(rewritten).mode(SaveMode.Append).parquet(nd.getPath)
+        }
+        val conf = spark.sessionState.newHadoopConf()
+        FileSkipping.writeStatsNow(conf, nd,
+          reuse = FileSkipping.statsForDir(conf, vd).view
+            .filterKeys(!vectored.contains(_)).toMap)
+        // vectored files were rewritten: no vector carries
+        commitPointer(next)
+    }
+  }
+
+  /** Debt-policy face of [[materializeDeletes]]: materialize when the
+    * vector holds more than `maxRatio` of the table's recorded rows
+    * (both numbers pure sidecar metadata). Returns whether it ran — the
+    * table-services hook a maintenance loop calls after vectored
+    * deletes, like [[compactIfNeeded]] after appends.
+    */
+  def materializeDeletesIfNeeded(maxRatio: Double = 0.05): Boolean = {
+    val cur = currentOrThrow
+    val debt = dvSummary(cur).map(_._3).sum
+    if (debt == 0L) return false
+    val conf = spark.sessionState.newHadoopConf()
+    val recorded = dataDirsAt(cur)
+      .map(d => FileSkipping.statsForDir(conf, d._2).values.map(_.rows).sum).sum
+    val run = recorded > 0L && debt.toDouble / recorded > maxRatio
+    if (run) materializeDeletes()
+    run
+  }
+
   // ------------------------------------------------------------- DML / CDF
 
   /** Predicate UPDATE (copy-on-write, the reference's
@@ -1051,8 +1379,22 @@ final class CdcTable(
       case Some(_) =>
         val om = manifest(fromV).groupMap(_._1)(_._2)
         val nm = manifest(toV).groupMap(_._1)(_._2)
+        // a month whose dir set is identical can still differ through its
+        // DELETION VECTOR (a vectored delete re-points the manifest
+        // unchanged). Per surviving dir the vector only GROWS (entries
+        // drop only when the dir itself is replaced — a manifest change),
+        // so comparing per-dir summary counts detects every difference.
+        def dvByDir(v: Long): Map[String, Long] =
+          dvSummary(v).groupBy(_._1).map { case (d, es) => d -> es.map(_._3).sum }
+        val odv = dvByDir(fromV)
+        val ndv = dvByDir(toV)
+        def monthOf(dir: String) = dir.substring(dir.indexOf('=') + 1)
+        val dvChanged = (odv.keySet ++ ndv.keySet)
+          .filter(d => odv.getOrElse(d, 0L) != ndv.getOrElse(d, 0L))
+          .map(monthOf)
         val changed = (om.keySet ++ nm.keySet)
-          .filter(m => om.get(m).map(_.toSet) != nm.get(m).map(_.toSet))
+          .filter(m => dvChanged.contains(m) ||
+            om.get(m).map(_.toSet) != nm.get(m).map(_.toSet))
         (readParts(manifest(fromV).filter(e => changed(e._1)), None, fromV).drop(PartCol),
           readParts(manifest(toV).filter(e => changed(e._1)), None, toV).drop(PartCol))
       case None => (readAt(fromV), readAt(toV))
@@ -1131,6 +1473,9 @@ final class CdcTable(
         writeManifest(next, entries)
         if (io.exists(schemaFile(v).getPath))
           io.copy(schemaFile(v).getPath, schemaFile(next).getPath)
+        // a restored version resurrects WITH its deletion vector — the
+        // restored content is version v's VISIBLE rows
+        carryDv(v, next, keepDirs = entries.map(_._2).toSet)
         commitPointer(next)
       case None =>
         // hard-link the restored version's files (same metadata-only
@@ -1148,6 +1493,7 @@ final class CdcTable(
         val conf = spark.sessionState.newHadoopConf()
         FileSkipping.writeStatsNow(conf, versionDir(next),
           reuse = FileSkipping.statsForDir(conf, src))
+        carryDv(v, next, keepDirs = Set(f"v$v%08d"), renameDir = _ => f"v$next%08d")
         commitPointer(next)
     }
   }
@@ -1372,6 +1718,25 @@ object CdcTable {
     * insert / delete / update_preimage / update_postimage.
     */
   val ChangeTypeCol = "_change_type"
+
+  /** Deletion-vector parquet dir name inside a version dir ("_"-prefixed:
+    * invisible to Spark's data-file discovery and to the data-file
+    * carry-over loops).
+    */
+  val DeletesName = "_deletes.parquet"
+
+  /** Deletion-vector metadata sidecar: one `dir \t file \t count` line
+    * per data file with deleted positions. The summary is the
+    * AUTHORITATIVE presence marker (written last on the vector path) and
+    * serves every driver-side use — metadata count subtraction, CDF
+    * month pruning, carry filtering — without opening the vector parquet.
+    */
+  val DeletesSummaryName = "_deletes_summary.tsv"
+
+  private[ops] val DvDirCol = "__dv_dir"
+  private[ops] val DvSubCol = "__dv_sub"
+  private[ops] val DvFileCol = "__dv_file"
+  private[ops] val DvIdxCol = "__dv_idx"
 
   /** The reference's partition-column heuristic
     * (incremental_kafka_s3_cdc.py:212-213): a non-nullable date/timestamp
