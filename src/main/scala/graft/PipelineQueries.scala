@@ -218,6 +218,34 @@ object PipelineQueries extends QueryPack {
     // declaratively from raw history (the batch face of ops.Scd2.apply).
     // Two windows over one shuffle on user_id; (ts, event_id) is a unique
     // total order so change detection and interval ends are deterministic.
+    // Distribution-drift audit between two corpus slices (baseline =
+    // even event ids, candidate = odd — the deterministic stand-in for
+    // "last week vs this week"): per event type, value histograms in ten
+    // fixed buckets, integer permille shares, and the total-variation
+    // distance between the two distributions in permille — the
+    // input-drift gate a training pipeline runs before ingesting a new
+    // crawl. Pure integer arithmetic end-to-end (shares are 1000*c DIV
+    // total), so both engines derive identical values; scale shape: two
+    // combine-friendly groupBys bounded by (type x 10 buckets).
+    "x_distribution_drift" -> ((s, dir) => events(s, dir,
+      """WITH j AS (
+        |  SELECT event_type, event_id % 2 AS half,
+        |    CAST(least(floor(value / 10), 9) AS BIGINT) AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT event_type, half, count(*) AS tot FROM j GROUP BY event_type, half),
+        |c AS (SELECT event_type, half, b, count(*) AS c FROM j GROUP BY event_type, half, b),
+        |sh AS (SELECT c.event_type, c.b, c.half, (1000 * c.c) DIV t.tot AS share
+        |       FROM c JOIN t ON t.event_type = c.event_type AND t.half = c.half),
+        |p AS (SELECT event_type, b,
+        |    sum(CASE WHEN half = 0 THEN share ELSE 0 END) AS s0,
+        |    sum(CASE WHEN half = 1 THEN share ELSE 0 END) AS s1
+        |  FROM sh GROUP BY event_type, b)
+        |SELECT event_type,
+        |  CAST(sum(abs(s0 - s1)) DIV 2 AS BIGINT) AS tvd_permille,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(max(abs(s0 - s1)) AS BIGINT) AS worst_bucket_permille
+        |FROM p GROUP BY event_type""".stripMargin)),
+
     "x_scd2_history" -> ((s, dir) => events(s, dir,
       """WITH s AS (
         |  SELECT user_id, event_type AS state, ts, event_id,
@@ -328,6 +356,25 @@ object PipelineQueries extends QueryPack {
         |SELECT prev_t, next_t, CAST(n AS BIGINT) AS n,
         |  CAST(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_t) AS DOUBLE) AS DOUBLE) AS p_next
         |FROM pairs""".stripMargin,
+
+    "x_distribution_drift" ->
+      """WITH j AS (
+        |  SELECT event_type, event_id % 2 AS half,
+        |    CAST(least(floor(value / 10), 9) AS BIGINT) AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT event_type, half, count(*) AS tot FROM j GROUP BY event_type, half),
+        |c AS (SELECT event_type, half, b, count(*) AS c FROM j GROUP BY event_type, half, b),
+        |sh AS (SELECT c.event_type, c.b, c.half, (1000 * c.c) // t.tot AS share
+        |       FROM c JOIN t ON t.event_type = c.event_type AND t.half = c.half),
+        |p AS (SELECT event_type, b,
+        |    sum(CASE WHEN half = 0 THEN share ELSE 0 END) AS s0,
+        |    sum(CASE WHEN half = 1 THEN share ELSE 0 END) AS s1
+        |  FROM sh GROUP BY event_type, b)
+        |SELECT event_type,
+        |  CAST(sum(abs(s0 - s1)) // 2 AS BIGINT) AS tvd_permille,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(max(abs(s0 - s1)) AS BIGINT) AS worst_bucket_permille
+        |FROM p GROUP BY event_type""".stripMargin,
 
     "x_scd2_history" ->
       """WITH s AS (

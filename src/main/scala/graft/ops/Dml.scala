@@ -197,10 +197,16 @@ object Dml {
   /** Execute `sql` against the [[CdcTable]] at `tablePath(targetName)`.
     * `keys`/`partitionSource` carry the table's layout metadata (a real
     * catalog would store them; the path contract mirrors
-    * [[MergeInto.execute]]).
+    * [[MergeInto.execute]]). `vectoredDeletes` is the table-property
+    * analogue of Delta's `delta.enableDeletionVectors`: DELETE
+    * statements route to the merge-on-read
+    * [[CdcTable.deleteVectored]] instead of the copy-on-write rewrite —
+    * identical visible semantics, kilobytes written instead of
+    * rewritten files.
     */
   def execute(spark: SparkSession, sql: String, tablePath: String => String,
-              keys: Seq[String], partitionSource: Option[String] = None): CdcTable = {
+              keys: Seq[String], partitionSource: Option[String] = None,
+              vectoredDeletes: Boolean = false): CdcTable = {
     val stmt = parse(sql)
     val table = new CdcTable(spark, tablePath(stmt.target), keys, partitionSource)
     stmt match {
@@ -208,7 +214,8 @@ object Dml {
         table.update(where.map(expr).getOrElse(lit(true)),
           set.map { case (c, e) => c -> expr(e) }.toMap)
       case Delete(_, where) =>
-        table.delete(where.map(expr).getOrElse(lit(true)))
+        val cond = where.map(expr).getOrElse(lit(true))
+        if (vectoredDeletes) table.deleteVectored(cond) else table.delete(cond)
       case Insert(_, cols, values, select) =>
         val incoming = (values, select) match {
           case (Some(tuples), _) =>

@@ -225,6 +225,15 @@ class CdcDmlSpec extends SparkSpec {
     graft.ops.Dml.execute(spark, "UPDATE t SET amt = 0", n => s"$root/$n", Seq("id"))
     assert(t.read.select("amt").as[Long].collect().toSeq.forall(_ == 0L))
 
+    // vectoredDeletes routes a DELETE statement merge-on-read: same
+    // visible result, data files carried instead of rewritten
+    val mor = new CdcTable(spark, s"$root/m", Seq("id"))
+    mor.init(Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "amt"))
+    graft.ops.Dml.execute(spark, "DELETE FROM m WHERE amt >= 2",
+      n => s"$root/$n", Seq("id"), vectoredDeletes = true)
+    assert(mor.read.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(mor.dvSummary(mor.currentVersion.get).map(_._3).sum == 2L)
+
     intercept[IllegalArgumentException](graft.ops.Dml.parse("TRUNCATE TABLE t"))
     intercept[IllegalArgumentException](graft.ops.Dml.parse("UPDATE t SET WHERE x = 1"))
 
