@@ -35,6 +35,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!read.contains("l_comment") && !read.contains("l_orderkey"))
   }
 
+  test("deletion-vector anti-join does not block pushdown: residual filters reach the scan") {
+    // the vector wraps every read in a left_anti join — Catalyst must
+    // still push the residual range THROUGH the join's left side into
+    // the parquet scan, or a vectored table silently loses row-group
+    // pruning on every predicate read at 100 TB
+    import org.apache.spark.sql.functions._
+    val t = new graft.ops.CdcTable(spark,
+      tmpDir("dvpush") + "/t", Seq("id"))
+    t.init(spark.range(1, 10001).toDF("id").withColumn("v", col("id") * 2)
+      .repartitionByRange(4, col("id")))
+    t.deleteVectored(col("id") === 5L)
+    val p = t.readWhere(Seq(graft.ops.FileSkipping.Range("id", Some(100L), Some(200L))))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(id,100)") && p.contains("LessThanOrEqual(id,200)"),
+      s"range must push through the DV anti-join into the scan:\n$p")
+  }
+
   test("scale-safe bucketing has no global sort; the ntile baseline funnels one partition") {
     // the sketch-based form assigns buckets with no Window operator and
     // no global-sort exchange anywhere in the plan; the exact-ntile
