@@ -218,6 +218,33 @@ object TextQueries extends QueryPack {
     // deterministic "decode" features (real decode is a mapPartitions stub
     // — see multimodal.MultimodalSpec). Binary round-trips through the
     // engine; features derive from bytes only.
+    // Multimodal AUDIO, decoded for REAL through the JDK's
+    // javax.sound.sampled codec: a deterministic 16-bit PCM signal
+    // synthesizes per doc, encodes as WAV, and every feature comes from
+    // AudioSystem's DECODED sample stream — the oracle computes the
+    // identical integers straight from the synthesis formula, so a hash
+    // match proves a lossless codec round-trip, not a header sniff.
+    // Partition-local mapPartitions, no shuffle; at 100 TB this is the
+    // audio-featurization pass riding the first scan.
+    "x_multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") % 17 === 0).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val samples = Array.tabulate(800) { i =>
+              (((id * 7919L + i.toLong * 104729L) % 65536L) - 32768L).toShort
+            }
+            val wav = graft.multimodal.Multimodal.encodeWav(samples, 8000)
+            val f = graft.multimodal.Multimodal.decodeAudio(wav).getOrElse(
+              throw new IllegalStateException(s"WAV for doc $id failed to decode"))
+            (id, f.sampleRate, f.channels, f.frames, f.rms, f.peak, wav.length.toLong)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "channels", "n_frames", "rms", "peak", "wav_bytes")
+    }),
+
     "x_multimodal_features" -> ((s, dir) => run(s, dir,
       """WITH blobs AS (
         |  SELECT doc_id, source, encode(text, 'UTF-8') AS payload, length(text) AS meta_len FROM documents)
@@ -346,6 +373,19 @@ object TextQueries extends QueryPack {
         |  FROM f)
         |SELECT lang, word, freq, rnk
         |FROM r WHERE rnk <= 10""".stripMargin,
+
+    "x_multimodal_audio" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 0),
+        |s AS (SELECT doc_id, unnest(generate_series(0, 799)) AS i FROM ids),
+        |v AS (SELECT doc_id, ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS x FROM s)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(floor(sqrt(CAST(sum(x * x) // count(*) AS DOUBLE))) AS BIGINT) AS rms,
+        |  CAST(max(abs(x)) AS BIGINT) AS peak,
+        |  CAST(44 + 2 * count(*) AS BIGINT) AS wav_bytes
+        |FROM v GROUP BY doc_id""".stripMargin,
 
     "x_multimodal_features" ->
       """SELECT doc_id, source,

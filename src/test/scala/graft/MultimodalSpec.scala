@@ -93,6 +93,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out.meta_len == out.payload.length.toLong)
   }
 
+  test("real WAV decode: features come from the decoded PCM stream and match the source samples") {
+    val samples = Array.tabulate(1000)(i => (((i * 104729) % 65536) - 32768).toShort)
+    val wav = Multimodal.encodeWav(samples, 16000)
+    assert(wav.length == 44 + 2 * samples.length, "canonical RIFF header + PCM16 data")
+    val Some(f) = Multimodal.decodeAudio(wav)
+    assert(f.sampleRate == 16000L && f.channels == 1L && f.frames == 1000L)
+    val sumSq = samples.map(s => s.toLong * s.toLong).sum
+    assert(f.rms == math.sqrt((sumSq / samples.length).toDouble).toLong)
+    assert(f.peak == samples.map(s => math.abs(s.toLong)).max,
+      "statistics must derive from the decoded samples, not the header")
+    // junk and image payloads are not audio
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Multimodal.decodeAudio(Multimodal.encodePng(8, 8, 1L)).isEmpty)
+  }
+
   test("resize applies the same kind gate as extractFeatures: non-image rows never enter the codec") {
     val png = Multimodal.encodePng(16, 10, seed = 3L)
     val media = Seq(Multimodal.MediaRow(1L, "audio", png, 0L)).toDS()
