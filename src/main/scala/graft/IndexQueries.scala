@@ -594,6 +594,39 @@ object IndexQueries extends QueryPack {
     // times corpus-wide. Per doc: segment count, duplicated-segment
     // count/fraction, and the keep verdict. One map-side-combinable
     // groupBy on the hash + one equi-join back — no shuffle of text.
+    // Boilerplate stripping (the Common-Crawl header/footer cleaning
+    // pass): a segment appearing in >= 30% of its SOURCE's documents is
+    // sitewide boilerplate; the cleaned document is rebuilt from the
+    // surviving segments in order and value-checked by md5 — so the
+    // oracle proves the RECONSTRUCTION, not just the counts. Integer
+    // permille threshold; scale shape: segment DF is a map-side-combined
+    // groupBy on (source, segment), the rebuild one ordered
+    // collect_list per doc — no window over the corpus, no self-join
+    // beyond the segment-flag equi-join.
+    "x_boilerplate_strip" -> ((s, dir) => docs(s, dir,
+      """WITH w AS (
+        |  SELECT doc_id, source, split(text, '\\s+') AS words
+        |  FROM documents WHERE size(split(text, '\\s+')) >= 8),
+        |seg AS (
+        |  SELECT doc_id, source, s.k AS k, s.seg AS segment FROM (
+        |    SELECT doc_id, source, explode(transform(sequence(0, size(words) DIV 8 - 1),
+        |      k -> struct(k AS k, concat_ws(' ', slice(words, k * 8 + 1, 8)) AS seg))) AS s
+        |    FROM w)),
+        |df AS (SELECT source, segment, count(DISTINCT doc_id) AS docs_with
+        |       FROM seg GROUP BY source, segment),
+        |nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM seg GROUP BY source),
+        |flag AS (SELECT df.source, df.segment,
+        |    (1000 * df.docs_with) DIV nd.n_docs >= 300 AS boiler
+        |  FROM df JOIN nd ON nd.source = df.source)
+        |SELECT seg.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN flag.boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  md5(array_join(transform(
+        |    array_sort(collect_list(CASE WHEN NOT flag.boiler THEN struct(seg.k, seg.segment) END)),
+        |    x -> x.segment), ' ')) AS stripped_hash
+        |FROM seg JOIN flag ON flag.source = seg.source AND flag.segment = seg.segment
+        |GROUP BY seg.doc_id""".stripMargin)),
+
     "x_line_dedup" -> ((s, dir) => docs(s, dir,
       s"""WITH w AS (
          |  SELECT doc_id, split(text, '\\\\s+') AS words
@@ -865,8 +898,31 @@ object IndexQueries extends QueryPack {
          |  CAST((sum(nrm) - 2 * sum(xc) + count(*) * max(cc)) // count(*) AS BIGINT) AS inertia_per_member
          |FROM j GROUP BY cid""".stripMargin,
 
+    "x_boilerplate_strip" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS words
+        |  FROM documents WHERE len(string_split_regex(text, '\s+')) >= 8),
+        |seg AS (
+        |  SELECT doc_id, source, i AS k,
+        |    array_to_string(list_slice(words, i * 8 + 1, i * 8 + 8), ' ') AS segment
+        |  FROM (SELECT doc_id, source, words,
+        |          unnest(generate_series(0, len(words) // 8 - 1)) AS i FROM w)),
+        |df AS (SELECT source, segment, count(DISTINCT doc_id) AS docs_with
+        |       FROM seg GROUP BY source, segment),
+        |nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM seg GROUP BY source),
+        |flag AS (SELECT df.source, df.segment,
+        |    (1000 * df.docs_with) // nd.n_docs >= 300 AS boiler
+        |  FROM df JOIN nd ON nd.source = df.source)
+        |SELECT seg.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(CASE WHEN flag.boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  md5(coalesce(string_agg(seg.segment, ' ' ORDER BY seg.k)
+        |    FILTER (WHERE NOT flag.boiler), '')) AS stripped_hash
+        |FROM seg JOIN flag ON flag.source = seg.source AND flag.segment = seg.segment
+        |GROUP BY seg.doc_id""".stripMargin,
+
     "x_line_dedup" ->
-      s"""WITH w AS (
+s"""WITH w AS (
          |  SELECT doc_id, string_split_regex(text, '\\s+') AS words
          |  FROM documents WHERE len(string_split_regex(text, '\\s+')) >= 8),
          |idx AS (SELECT doc_id, words, unnest(generate_series(0, len(words) // 8 - 1)) AS k FROM w),
