@@ -37,6 +37,15 @@ object Dml {
   final case class Insert(target: String, columns: Seq[String],
                           values: Option[String], select: Option[String]) extends Stmt
   final case class DescribeHistory(target: String) extends Stmt
+  /** `OPTIMIZE t [ZORDER BY (a, b)]` — compaction, optionally
+    * Morton-clustered ([[CdcTable.compact]]); the Delta maintenance
+    * statement shape.
+    */
+  final case class Optimize(target: String, zorderBy: Seq[String]) extends Stmt
+  /** `VACUUM t` — expire retained history and GC unreferenced data
+    * ([[CdcTable.expire]]).
+    */
+  final case class Vacuum(target: String) extends Stmt
 
   private val UpdateRe =
     raw"(?is)^\s*UPDATE\s+(\S+)\s+SET\s+(.+?)\s*$$".r
@@ -50,6 +59,10 @@ object Dml {
     raw"(?is)^\s*INSERT\s+INTO\s+([^\s(]+)\s*(?:\(([^)]*)\)\s*)?(SELECT\b.+?)\s*$$".r
   private val DescHistRe =
     raw"(?is)^\s*DESCRIBE\s+HISTORY\s+(\S+)\s*$$".r
+  private val OptimizeRe =
+    raw"(?is)^\s*OPTIMIZE\s+([^\s(]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?$$".r
+  private val VacuumRe =
+    raw"(?is)^\s*VACUUM\s+(\S+)\s*$$".r
   private val WhereRe = raw"(?is)^WHERE\s+(.+)$$".r
   private val AssignRe = raw"(?s)^\s*(\w+)\s*=\s*(.+)$$".r
   private val IdentRe = raw"(?s)^\w+$$".r
@@ -148,17 +161,22 @@ object Dml {
     case InsertSelectRe(target, cols, select) =>
       Insert(target, parseColumnList(cols), None, Some(select.trim))
     case DescHistRe(target) => DescribeHistory(target)
+    case OptimizeRe(target, zcols) =>
+      val cols = parseColumnList(zcols)
+      require(zcols == null || cols.nonEmpty, "ZORDER BY needs at least one column")
+      Optimize(target, cols)
+    case VacuumRe(target) => Vacuum(target)
     case _ =>
       throw new IllegalArgumentException(
         "unsupported statement (expected UPDATE <t> SET ... [WHERE ...], " +
           "DELETE FROM <t> [WHERE ...], INSERT INTO <t> [(cols)] VALUES ... | SELECT ..., " +
-          "or DESCRIBE HISTORY <t>)")
+          "DESCRIBE HISTORY <t>, OPTIMIZE <t> [ZORDER BY (cols)], or VACUUM <t>)")
   }
 
   private def parseColumnList(cols: String): Seq[String] = {
     val out = Option(cols).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    out.foreach(c => require(IdentRe.matches(c), s"malformed INSERT column name: $c"))
-    require(out.distinct.size == out.size, "INSERT column list has duplicates")
+    out.foreach(c => require(IdentRe.matches(c), s"malformed column name: $c"))
+    require(out.distinct.size == out.size, "column list has duplicates")
     out
   }
 
@@ -216,6 +234,9 @@ object Dml {
       case Delete(_, where) =>
         val cond = where.map(expr).getOrElse(lit(true))
         if (vectoredDeletes) table.deleteVectored(cond) else table.delete(cond)
+      case Optimize(_, zcols) =>
+        if (zcols.isEmpty) table.compact() else table.compact(zorderBy = zcols)
+      case Vacuum(_) => table.expire()
       case Insert(_, cols, values, select) =>
         val incoming = (values, select) match {
           case (Some(tuples), _) =>

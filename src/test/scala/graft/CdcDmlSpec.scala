@@ -234,6 +234,16 @@ class CdcDmlSpec extends SparkSpec {
     assert(mor.read.select("id").as[Long].collect().toSeq == Seq(1L))
     assert(mor.dvSummary(mor.currentVersion.get).map(_._3).sum == 2L)
 
+    // OPTIMIZE folds the versions' files down; VACUUM expires history
+    val opt = new CdcTable(spark, s"$root/o", Seq("id"), retainVersions = 2)
+    opt.init(spark.range(1, 101).toDF("id").withColumn("x", col("id") % 7)
+      .withColumn("y", col("id") % 11).repartition(6))
+    graft.ops.Dml.execute(spark, "OPTIMIZE o ZORDER BY (x, y)", n => s"$root/$n", Seq("id"))
+    assert(opt.read.count() == 100L)
+    graft.ops.Dml.execute(spark, "VACUUM o", n => s"$root/$n", Seq("id"))
+    assert(opt.versions.size <= 2, "VACUUM must expire history beyond retention")
+    intercept[IllegalArgumentException](graft.ops.Dml.parse("OPTIMIZE o ZORDER BY ()"))
+
     intercept[IllegalArgumentException](graft.ops.Dml.parse("TRUNCATE TABLE t"))
     intercept[IllegalArgumentException](graft.ops.Dml.parse("UPDATE t SET WHERE x = 1"))
 
