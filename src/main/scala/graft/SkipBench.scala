@@ -159,6 +159,17 @@ object SkipBench {
     val (zyKept, _) = zt.scanProfile(yOnly)
     val (lyKept, _) = lt.scanProfile(yOnly)
 
+    // ---- 4. metadata-answered aggregates: files opened vs a scan ----------
+    // COUNT over the same ~1%-of-keyspace window: the scan opens `kept`
+    // files; the metadata count opens only the BOUNDARY files the window's
+    // edges cut through, and COUNT(*)/MIN/MAX open zero
+    val cntProfile = fact.countWhereProfile(preds)
+    val (nCnt, tMetaCount) = bestOf2(fact.countWhere(preds))
+    require(nCnt == nFull, s"metadata count diverged: $nCnt != $nFull")
+    val (_, tMetaAll) = bestOf2(fact.countWhere(Nil))
+    m("count_meta_window") = tMetaCount
+    m("count_meta_all") = tMetaAll
+
     val qs = m.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     println(s"""{"scan_files":{"kept":$kept,"total":$total},""" +
       s""""jv_fact_files":{"kept":$fKept,"total":$fTotal},""" +
@@ -167,6 +178,8 @@ object SkipBench {
       s""""linear_box_files":{"kept":$lBoxKept,"total":$lBoxTotal},""" +
       s""""trailing_dim_files":{"zorder":$zyKept,"linear":$lyKept},""" +
       s""""box_rows":$nZ,""" +
+      s""""count_files":{"full":${cntProfile.fullFiles},"scanned":${cntProfile.scannedFiles},""" +
+      s""""pruned":${cntProfile.prunedFiles}},""" +
       s""""batch_rows":$batchPruned,"timings":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -46,6 +46,12 @@ object Dml {
     * ([[CdcTable.expire]]).
     */
   final case class Vacuum(target: String) extends Stmt
+  /** `TABLE t VERSION AS OF n` — time-travel read ([[CdcTable.readVersion]]). */
+  final case class TableAsOf(target: String, version: Long) extends Stmt
+  /** `RESTORE t TO VERSION AS OF n` — rollback-as-new-version
+    * ([[CdcTable.restore]]).
+    */
+  final case class Restore(target: String, version: Long) extends Stmt
 
   private val UpdateRe =
     raw"(?is)^\s*UPDATE\s+(\S+)\s+SET\s+(.+?)\s*$$".r
@@ -63,6 +69,10 @@ object Dml {
     raw"(?is)^\s*OPTIMIZE\s+([^\s(]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?$$".r
   private val VacuumRe =
     raw"(?is)^\s*VACUUM\s+(\S+)\s*$$".r
+  private val AsOfRe =
+    raw"(?is)^\s*TABLE\s+(\S+)\s+VERSION\s+AS\s+OF\s+(\d+)\s*$$".r
+  private val RestoreRe =
+    raw"(?is)^\s*RESTORE\s+(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$$".r
   private val WhereRe = raw"(?is)^WHERE\s+(.+)$$".r
   private val AssignRe = raw"(?s)^\s*(\w+)\s*=\s*(.+)$$".r
   private val IdentRe = raw"(?s)^\w+$$".r
@@ -166,11 +176,14 @@ object Dml {
       require(zcols == null || cols.nonEmpty, "ZORDER BY needs at least one column")
       Optimize(target, cols)
     case VacuumRe(target) => Vacuum(target)
+    case AsOfRe(target, v) => TableAsOf(target, v.toLong)
+    case RestoreRe(target, v) => Restore(target, v.toLong)
     case _ =>
       throw new IllegalArgumentException(
         "unsupported statement (expected UPDATE <t> SET ... [WHERE ...], " +
           "DELETE FROM <t> [WHERE ...], INSERT INTO <t> [(cols)] VALUES ... | SELECT ..., " +
-          "DESCRIBE HISTORY <t>, OPTIMIZE <t> [ZORDER BY (cols)], or VACUUM <t>)")
+          "DESCRIBE HISTORY <t>, OPTIMIZE <t> [ZORDER BY (cols)], VACUUM <t>, " +
+          "TABLE <t> VERSION AS OF <n>, or RESTORE <t> TO VERSION AS OF <n>)")
   }
 
   private def parseColumnList(cols: String): Seq[String] = {
@@ -237,6 +250,10 @@ object Dml {
       case Optimize(_, zcols) =>
         if (zcols.isEmpty) table.compact() else table.compact(zorderBy = zcols)
       case Vacuum(_) => table.expire()
+      case Restore(_, v) => table.restore(v)
+      case _: TableAsOf =>
+        throw new IllegalArgumentException(
+          "TABLE ... VERSION AS OF is a read — run it through Dml.query")
       case Insert(_, cols, values, select) =>
         val incoming = (values, select) match {
           case (Some(tuples), _) =>
@@ -292,6 +309,8 @@ object Dml {
       : org.apache.spark.sql.DataFrame = parse(sql) match {
     case DescribeHistory(target) =>
       new CdcTable(spark, tablePath(target), keys, partitionSource).history
+    case TableAsOf(target, v) =>
+      new CdcTable(spark, tablePath(target), keys, partitionSource).readVersion(v)
     case other =>
       throw new IllegalArgumentException(
         s"${other.getClass.getSimpleName} mutates the table — run it through Dml.execute")

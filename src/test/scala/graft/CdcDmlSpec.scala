@@ -244,6 +244,18 @@ class CdcDmlSpec extends SparkSpec {
     assert(opt.versions.size <= 2, "VACUUM must expire history beyond retention")
     intercept[IllegalArgumentException](graft.ops.Dml.parse("OPTIMIZE o ZORDER BY ()"))
 
+    // time travel reads and RESTORE through the statement surface
+    val tt = new CdcTable(spark, s"$root/tt", Seq("id"), retainVersions = 5)
+    tt.init(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+    tt.merge(Seq((2L, "b", 2L, "c")).toDF("id", "v", "ts", "__op"), "ts")
+    assert(graft.ops.Dml.query(spark, "TABLE tt VERSION AS OF 1",
+      n => s"$root/$n", Seq("id")).count() == 1L)
+    graft.ops.Dml.execute(spark, "RESTORE tt TO VERSION AS OF 1",
+      n => s"$root/$n", Seq("id"))
+    assert(tt.read.select("id").as[Long].collect().toSeq == Seq(1L))
+    intercept[IllegalArgumentException](
+      graft.ops.Dml.execute(spark, "TABLE tt VERSION AS OF 1", n => s"$root/$n", Seq("id")))
+
     intercept[IllegalArgumentException](graft.ops.Dml.parse("TRUNCATE TABLE t"))
     intercept[IllegalArgumentException](graft.ops.Dml.parse("UPDATE t SET WHERE x = 1"))
 
