@@ -136,6 +136,38 @@ final class CdcPipeline(
     }
   }
 
+  /** Out-of-band ERASURE (the GDPR right-to-be-forgotten shape): delete
+    * every row matching `condition` from the named ingested table as a
+    * merge-on-read vector commit ([[CdcTable.deleteVectored]] — data
+    * files untouched, kilobytes written) and propagate the deletion
+    * through EVERY artifact registered over it — materialized views,
+    * join views on either side, derived index tables, ANN indexes — in
+    * this one call. The next micro-batch would pick the delete up
+    * anyway (every maintenance path consumes the change feed), but
+    * erasure must not wait on ingest traffic arriving.
+    *
+    * Retention caveat, deliberately NOT automated: prior retained
+    * versions still hold the rows for time travel until the retention
+    * window passes and [[CdcTable.expire]] collects them — full
+    * physical erasure is `erase` + the table's normal expiry cycle
+    * (plus a [[CdcTable.materializeDeletes]] to clear the vector), and
+    * retention policy is the operator's contract, not this method's.
+    */
+  def erase(tableName: String, condition: org.apache.spark.sql.Column): Unit = {
+    val path = s"$tableRoot/$tableName"
+    val keys = recordedKeys(path).getOrElse(throw new IllegalArgumentException(
+      s"unknown table $tableName — erase() targets tables this pipeline has ingested"))
+    require(keys.nonEmpty,
+      s"erasure needs a keyed table ($tableName is append-only — no row identity to diff " +
+        "through the maintenance paths)")
+    val table = new CdcTable(spark, path, keys)
+    table.deleteVectored(condition)
+    maintainViews(tableName, table)
+    maintainJoinViews(Set(tableName))
+    maintainDerivedViews(Set(tableName))
+    maintainAnnIndexes(Set(tableName))
+  }
+
   /** Record the merge-key columns this pipeline ingests `tablePath` with
     * (the PK sniffed from the envelope key JSON; empty = keyless) so view
     * registrations can be validated against the table's ACTUAL row

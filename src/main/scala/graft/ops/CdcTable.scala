@@ -818,7 +818,11 @@ final class CdcTable(
   def expire(): Unit = currentVersion.foreach { cur =>
     val live = versions.filter(_ <= cur).takeRight(retainVersions).toSet + cur
     versions.filter(v => v <= cur && !live.contains(v))
-      .foreach(v => io.deleteRecursively(versionDir(v).getPath))
+      .foreach { v =>
+        io.deleteRecursively(versionDir(v).getPath)
+        if (io.exists(dvVersionDir(v).getPath))
+          io.deleteRecursively(dvVersionDir(v).getPath)
+      }
     if (partitionSource.isDefined) {
       val referenced = live.filter(v => io.exists(manifestFile(v).getPath))
         .flatMap(v => manifest(v).map(_._2.takeWhile(_ != '/')))
@@ -1048,8 +1052,17 @@ final class CdcTable(
 
   // ------------------------------------------------------- deletion vectors
 
-  private def dvDir(v: Long) = new File(versionDir(v), DeletesName)
-  private def dvSummaryFile(v: Long) = new File(versionDir(v), DeletesSummaryName)
+  // The vector lives OUTSIDE the data directories (`path/dv/vNNNNNNNN/`)
+  // so no data-path listing ever sees it: an underscore-prefixed sidecar
+  // inside the version dir also works, but Spark 4 then logs a spurious
+  // "All paths were ignored" warning on every vector read (the top-level
+  // input path trips the hidden-name filter even though the read
+  // succeeds) — a side location avoids both the noise and the reliance
+  // on that ambiguous behavior. Lifecycle matches the version dirs:
+  // written before the pointer commit, expired with its version.
+  private def dvVersionDir(v: Long) = new File(path, f"dv/v$v%08d")
+  private def dvDir(v: Long) = new File(dvVersionDir(v), DeletesName)
+  private def dvSummaryFile(v: Long) = new File(dvVersionDir(v), DeletesSummaryName)
 
   /** Per-file deleted-position counts recorded at version `v`:
     * `(data dir rel path, file name, count)` — the metadata face of the
@@ -1719,19 +1732,17 @@ object CdcTable {
     */
   val ChangeTypeCol = "_change_type"
 
-  /** Deletion-vector parquet dir name inside a version dir ("_"-prefixed:
-    * invisible to Spark's data-file discovery and to the data-file
-    * carry-over loops).
-    */
-  val DeletesName = "_deletes.parquet"
+  /** Deletion-vector parquet dir name inside `path/dv/vNNNNNNNN/`. */
+  val DeletesName = "deletes.parquet"
 
-  /** Deletion-vector metadata sidecar: one `dir \t file \t count` line
-    * per data file with deleted positions. The summary is the
-    * AUTHORITATIVE presence marker (written last on the vector path) and
-    * serves every driver-side use — metadata count subtraction, CDF
-    * month pruning, carry filtering — without opening the vector parquet.
+  /** Deletion-vector metadata sidecar (same dir): one
+    * `dir \t file \t count` line per data file with deleted positions.
+    * The summary is the AUTHORITATIVE presence marker (written last on
+    * the vector path) and serves every driver-side use — metadata count
+    * subtraction, CDF month pruning, carry filtering — without opening
+    * the vector parquet.
     */
-  val DeletesSummaryName = "_deletes_summary.tsv"
+  val DeletesSummaryName = "deletes_summary.tsv"
 
   private[ops] val DvDirCol = "__dv_dir"
   private[ops] val DvSubCol = "__dv_sub"

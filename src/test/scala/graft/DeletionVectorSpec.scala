@@ -47,7 +47,8 @@ class DeletionVectorSpec extends SparkSpec {
     val v2 = new File(s"$root/mor/v00000002")
     assert(dataFiles(v1.getPath) == dataFiles(v2.getPath),
       "vectored delete must not rewrite data files")
-    assert(new File(v2, CdcTable.DeletesName).isDirectory)
+    assert(new File(s"$root/mor/dv/v00000002", CdcTable.DeletesName).isDirectory)
+    assert(mor.dvSummary(2L).nonEmpty)
 
     // overlapping second delete: union, no double entries, count exact
     mor.deleteVectored(col("id").between(250L, 400L))
@@ -73,8 +74,7 @@ class DeletionVectorSpec extends SparkSpec {
     assert(mor.read.orderBy("id").as[(Long, String)].collect().toSeq ==
       cow.read.orderBy("id").as[(Long, String)].collect().toSeq)
     val vc = mor.currentVersion.get
-    assert(!new File(s"$root/mor/v" + f"$vc%08d", CdcTable.DeletesSummaryName).exists(),
-      "compaction must materialize the vector away")
+    assert(mor.dvSummary(vc).isEmpty, "compaction must materialize the vector away")
     assert(mor.minMaxFromStats("id").isDefined)
   }
 
@@ -100,7 +100,15 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.read.orderBy("id").as[(Long, String, Long)].collect().toSeq ==
       Seq((1L, "a", 1L), (3L, "c2", 5L), (4L, "d", 5L)))
     val cur = t.currentVersion.get
-    assert(!new File(s"$root/t/v" + f"$cur%08d", CdcTable.DeletesSummaryName).exists())
+    assert(t.dvSummary(cur).isEmpty)
+
+    // expiry collects the expired versions' vector dirs alongside
+    t.expire()
+    val dvRoot = new File(s"$root/t/dv")
+    val liveDv = Option(dvRoot.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
+    val liveVersions = t.versions.map(v => f"v$v%08d").toSet
+    assert(liveDv.subsetOf(liveVersions),
+      s"expired vector dirs must be collected: dv=$liveDv versions=$liveVersions")
   }
 
   test("partitioned: vectored delete re-points the manifest, CDF sees it, CoW update interacts") {

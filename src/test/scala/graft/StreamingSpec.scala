@@ -112,6 +112,40 @@ class StreamingSpec extends SparkSpec {
       t.read.count())
   }
 
+  test("erase propagates through the registered views without waiting for a micro-batch") {
+    import graft.ops.{CdcTable, IncrementalView, MaterializedView}
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("cdcerase")
+    val envDir = s"$root/env"; val ckpt = s"$root/ckpt"; val tables = s"$root/tables"
+    val spec = CdcPipeline.ViewSpec("events", s"$root/view", Seq("event_type"), Seq("user_id"))
+    envelopesFor(0 until 60, 1700000000000L, "auto").write.mode("append").parquet(envDir)
+    val pipeline = new CdcPipeline(spark, envDir, ckpt, tables, views = Seq(spec))
+    pipeline.runOnce()
+
+    val t = new CdcTable(spark, s"$tables/events", Seq("event_id"))
+    val mv = new MaterializedView(spark, t, s"$root/view", Seq("event_type"), Seq("user_id"))
+    val before = t.read.count()
+    val victim = t.read.agg(min("user_id")).head.getLong(0)
+    val nVictim = t.read.filter(col("user_id") === victim).count()
+    assert(nVictim > 0)
+
+    // no new envelopes arrive: erase must still land in table AND view
+    pipeline.erase("events", col("user_id") === victim)
+    assert(t.read.count() == before - nVictim)
+    assert(t.read.filter(col("user_id") === victim).isEmpty)
+    assert(t.dvSummary(t.currentVersion.get).map(_._3).sum == nVictim,
+      "erase must be a merge-on-read vector commit, not a rewrite")
+    assert(mv.reflectedVersion.contains(t.currentVersion.get),
+      "the registered view must reflect the erasure immediately")
+    val want = IncrementalView.compute(t.read, Seq("event_type"), Seq("user_id"))
+      .orderBy("event_type").collect().toSeq
+    assert(mv.read.select(want.head.schema.fieldNames.map(col): _*)
+      .orderBy("event_type").collect().toSeq == want)
+
+    // unknown and keyless targets reject loudly
+    intercept[IllegalArgumentException](pipeline.erase("nope", lit(true)))
+  }
+
   test("streaming join-view maintenance: fact + dim batches keep the persisted enrichment equal to the recompute") {
     import graft.ops.{CdcTable, JoinView}
     val root = tmpDir("cdcjoinview")
