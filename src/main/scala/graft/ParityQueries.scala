@@ -83,6 +83,21 @@ object ParityQueries extends QueryPack {
       t
     }
 
+  // a month-partitioned orders copy with a 1998-01 retention cut applied
+  // metadata-only, once per (session, sfDir) — the dropMonths oracle fixture
+  private val ttlTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
+  private def ttlTable(s: SparkSession, dir: String): CdcTable =
+    memoized(ttlTables)(s, dir) {
+      val root = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+      val t = new CdcTable(s, s"$root/orders", keys = Seq("o_orderkey"),
+        partitionSource = Some("o_orderdate"))
+      t.init(Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
+      t.retainMonthsFrom("1998-01"): Unit
+      t
+    }
+
   // an incrementally-maintained `orders JOIN customer` enrichment view
   // (ops.JoinView) per (session, sfDir): fact and dim each take one
   // deterministic merge batch (modulo-gated so DuckDB can replay it),
@@ -407,6 +422,16 @@ object ParityQueries extends QueryPack {
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_lookup")
     }),
 
+    // K10, metadata-only retention: a month-partitioned orders table
+    // applies a retention cut — every month before 1998-01 leaves the
+    // table as a pure MANIFEST edit (no data file read or written, the
+    // DROP PARTITION analogue); the visible content must equal DuckDB's
+    // timestamp filter exactly. The data stays on disk for time travel
+    // until expiry GC (DeletionVectorSpec-style invariants in
+    // CdcTableSpec cover the file-level claims).
+    "k_ttl_drop" -> ((s, dir) => ttlTable(s, dir).read
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")),
+
     // K10/K2, merge-on-read DELETE: two overlapping vectored deletes (the
     // union must not double-delete) followed by an append whose
     // hard-linked carry must keep the vector live — the read equals
@@ -601,6 +626,10 @@ object ParityQueries extends QueryPack {
         |WHERE o_orderkey BETWEEN 2000 AND 6000
         |  AND (o_orderkey <= 2500 OR o_orderkey >= 5500)
         |  AND o_note IS NOT NULL AND o_orderstatus <> 'P'""".stripMargin,
+
+    "k_ttl_drop" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
 
     "k_dv_delete" ->
       """WITH base AS (

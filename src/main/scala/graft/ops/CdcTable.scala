@@ -824,13 +824,29 @@ final class CdcTable(
           io.deleteRecursively(dvVersionDir(v).getPath)
       }
     if (partitionSource.isDefined) {
-      val referenced = live.filter(v => io.exists(manifestFile(v).getPath))
-        .flatMap(v => manifest(v).map(_._2.takeWhile(_ != '/')))
+      // GC at MONTH-DIR granularity, not just whole commit dirs: a
+      // dropMonths retention cut unlists a month whose commit dir the
+      // kept months still reference — once no retained manifest names
+      // the month's rel path, its subdir frees even though its commit
+      // dir survives (retention that never frees storage isn't
+      // retention). A commit dir with no referenced months at all still
+      // goes wholesale.
+      val referencedDirs = live.filter(v => io.exists(manifestFile(v).getPath))
+        .flatMap(v => manifest(v).map(_._2))
+      val referencedCommits = referencedDirs.map(_.takeWhile(_ != '/'))
       io.list(path)
         .filter(e => e.isDir && e.name.matches("c\\d{8}"))
         .filter(e => e.name.stripPrefix("c").toLong <= cur)
-        .filterNot(e => referenced.contains(e.name))
-        .foreach(e => io.deleteRecursively(new File(path, e.name).getPath))
+        .foreach { e =>
+          if (!referencedCommits.contains(e.name))
+            io.deleteRecursively(new File(path, e.name).getPath)
+          else
+            io.list(new File(path, e.name).getPath)
+              .filter(s => s.isDir && s.name.startsWith(s"$PartCol="))
+              .filterNot(s => referencedDirs.contains(s"${e.name}/${s.name}"))
+              .foreach(s => io.deleteRecursively(
+                new File(new File(path, e.name), s.name).getPath))
+        }
     }
   }
 
@@ -1245,6 +1261,46 @@ final class CdcTable(
       .toSeq
     writeDvSummary(next, merged)
     commitPointer(next)
+  }
+
+  /** METADATA-ONLY partition drop: commit a new version whose manifest
+    * simply omits the named months — terabytes of expired data leave the
+    * visible table without reading or writing one data file (the
+    * `ALTER TABLE DROP PARTITION` / log-retention analogue; a predicate
+    * [[delete]] would copy-on-write REWRITE months it can instead just
+    * unlist, and even [[deleteVectored]] pays a find-the-rows scan).
+    * Prior versions keep the months for time travel until [[expire]]'s
+    * GC collects the then-unreferenced commit dirs; the change feed
+    * reports the dropped rows as ordinary deletes (the dropped months'
+    * dir sets differ between the versions). Unknown month names are
+    * ignored and a drop that removes nothing burns no version, so
+    * retention re-runs are idempotent.
+    */
+  def dropMonths(months: Set[String]): Unit = withOp("DROP_PARTITIONS") {
+    require(partitionSource.isDefined, "dropMonths needs a partitioned table")
+    val cur = currentOrThrow
+    val (dropped, kept) = manifest(cur).partition(e => months.contains(e._1))
+    if (dropped.isEmpty) return
+    val next = cur + 1
+    reserveOrConflict(next)
+    writeManifest(next, kept)
+    if (io.exists(schemaFile(cur).getPath))
+      io.copy(schemaFile(cur).getPath, schemaFile(next).getPath)
+    carryDv(cur, next, keepDirs = kept.map(_._2).toSet)
+    commitPointer(next)
+  }
+
+  /** Month-granular retention policy: drop every month strictly BEFORE
+    * `keepFrom` (`yyyy-MM`, the inclusive lower bound of the kept
+    * range). Returns the dropped month names. `yyyy-MM` sorts
+    * lexically, so the cut is a string compare over the manifest —
+    * metadata-scale like [[dropMonths]] itself.
+    */
+  def retainMonthsFrom(keepFrom: String): Set[String] = {
+    require(keepFrom.matches("\\d{4}-\\d{2}"), s"keepFrom must be yyyy-MM: $keepFrom")
+    val old = manifest(currentOrThrow).map(_._1).filter(_ < keepFrom).toSet
+    dropMonths(old)
+    old
   }
 
   /** Materialize the deletion vector NOW, rewriting ONLY the files that

@@ -94,6 +94,48 @@ class CdcTableSpec extends SparkSpec {
       s"got $janOnly")
   }
 
+  test("dropMonths: retention is a manifest edit — no data touched, time travel intact, CDF sees it") {
+    val root = tmpDir("cdcttl")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"), partitionSource = Some("created"),
+      retainVersions = 8)
+    t.init(Seq(
+      (1L, ts("2001-01-05 00:00:00")), (2L, ts("2001-02-05 00:00:00")),
+      (3L, ts("2001-03-05 00:00:00")), (4L, ts("2001-03-20 00:00:00")))
+      .toDF("id", "created"))
+    val v1 = t.currentVersion.get
+    val before = t.manifest(v1).toMap
+
+    val dropped = t.retainMonthsFrom("2001-03")
+    assert(dropped == Set("2001-01", "2001-02"))
+    assert(t.read.orderBy("id").select("id").as[Long].collect().toSeq == Seq(3L, 4L))
+    val v2 = t.currentVersion.get
+    // kept months re-point at the SAME dirs; dropped dirs still on disk
+    // (time travel) until GC
+    assert(t.manifest(v2).toMap == before.filterKeys(_ >= "2001-03").toMap)
+    assert(new java.io.File(s"$root/t/${before("2001-01")}").isDirectory,
+      "dropped month's data must survive for retained versions")
+    assert(t.readVersion(v1).count() == 4L)
+
+    // the change feed reports the dropped rows as plain deletes
+    val feed = t.changesBetween(v1, v2)
+      .select("id", CdcTable.ChangeTypeCol).as[(Long, String)].collect().toSet
+    assert(feed == Set((1L, "delete"), (2L, "delete")), s"got $feed")
+
+    // idempotent re-run burns no version; unpartitioned tables reject
+    t.retainMonthsFrom("2001-03"): Unit
+    assert(t.currentVersion.contains(v2))
+    val u = new CdcTable(spark, s"$root/u", Seq("id"))
+    u.init(Seq((1L, 1L)).toDF("id", "v"))
+    intercept[IllegalArgumentException](u.dropMonths(Set("2001-01")))
+
+    // after expiry pushes v1 out of retention, GC collects the dropped dirs
+    val keep = new CdcTable(spark, s"$root/t", Seq("id"), partitionSource = Some("created"),
+      retainVersions = 1)
+    keep.expire()
+    assert(!new java.io.File(s"$root/t/${before("2001-01")}").exists(),
+      "unreferenced dropped-month dirs must be collected once out of retention")
+  }
+
   test("commit history records operation provenance per retained version, newest first") {
     val path = tmpDir("cdchistory") + "/t"
     val t = new CdcTable(spark, path, Seq("id"), retainVersions = 10)
