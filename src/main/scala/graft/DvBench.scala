@@ -72,12 +72,38 @@ object DvBench {
     val t1 = System.nanoTime()
     mor.deleteVectored(pred)
     val morSec = (System.nanoTime() - t1) / 1e9
-    val morBytes = freshBytes(vdir(mor, 1), vdir(mor, 2))
+    // the vector lives under path/dv/vNNNNNNNN — count it as the commit's
+    // fresh bytes (the data dir itself is all hard links)
+    val morBytes = freshBytes(vdir(mor, 1), vdir(mor, 2)) +
+      dirBytes(new java.io.File(mor.path, "dv/v00000002"))
 
     val same = mor.read.count() == cow.read.count()
+
+    // ---- partitioned retention: CoW month delete vs metadata-only drop --
+    // the log-retention shape: every month before the cutoff leaves the
+    // table. The predicate delete scans + rewrites; dropMonths edits the
+    // manifest.
+    def mkPart(name: String): graft.ops.CdcTable = {
+      val t = new graft.ops.CdcTable(spark, s"$root/$name", Seq("o_orderkey"),
+        partitionSource = Some("o_orderdate"))
+      t.init(orders)
+      t
+    }
+    val cutoff = "1998-01"
+    val cowP = mkPart("cow_part")
+    val t2 = System.nanoTime()
+    cowP.delete(col("o_orderdate") < lit(java.sql.Timestamp.valueOf(s"$cutoff-01 00:00:00")))
+    val cowTtlSec = (System.nanoTime() - t2) / 1e9
+    val ttlP = mkPart("ttl_part")
+    val t3 = System.nanoTime()
+    ttlP.retainMonthsFrom(cutoff): Unit
+    val ttlSec = (System.nanoTime() - t3) / 1e9
+    val ttlSame = ttlP.read.count() == cowP.read.count()
+
     println(s"""{"bench":"dv_delete","sf":"$sfDir","rows":$n,""" +
       s""""cow_sec":$cowSec,"cow_bytes":$cowBytes,""" +
-      s""""mor_sec":$morSec,"mor_bytes":$morBytes,"counts_match":$same}""")
+      s""""mor_sec":$morSec,"mor_bytes":$morBytes,"counts_match":$same,""" +
+      s""""ttl_cow_sec":$cowTtlSec,"ttl_meta_sec":$ttlSec,"ttl_match":$ttlSame}""")
     spark.stop()
   }
 }
