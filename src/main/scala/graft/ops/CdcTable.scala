@@ -1225,6 +1225,9 @@ final class CdcTable(
       case None     => matchedAll
       case Some(dv) => matchedAll.join(dv, Seq("sub", "file", "idx"), "left_anti")
     }).localCheckpoint()
+    // driver-side but BOUNDED: one row per (dir, file) holding a deleted
+    // position — at most the table's file count, the same scale as the
+    // stats sidecars the driver already handles
     val perFile = matched.groupBy("dir", "file").count()
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     if (perFile.isEmpty) return // no matches: no version burned

@@ -65,4 +65,18 @@ class CountPropSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: pruned read == filtered scan row-for-row for arbitrary predicates") {
+    val prop = Prop.forAll(predGen) { preds =>
+      val residual = preds.map(FileSkipping.residualOf).reduce(_ && _)
+      val want = table.read.filter(residual)
+        .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head
+      val got = table.readWhere(preds)
+        .agg(count(lit(1)), coalesce(sum(col("id")), lit(0L))).head
+      if (got != want) println(s"MISMATCH preds=$preds got=$got want=$want")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
