@@ -46,6 +46,12 @@ object Dml {
     * ([[CdcTable.expire]]).
     */
   final case class Vacuum(target: String) extends Stmt
+  /** `SELECT COUNT(*) FROM t [WHERE ...]` — metadata-answered when the
+    * condition is exactly skip-expressible
+    * ([[FileSkipping.predsOfExact]]), scan fallback otherwise; always
+    * the exact count.
+    */
+  final case class CountStar(target: String, where: Option[String]) extends Stmt
   /** `TABLE t VERSION AS OF n` — time-travel read ([[CdcTable.readVersion]]). */
   final case class TableAsOf(target: String, version: Long) extends Stmt
   /** `RESTORE t TO VERSION AS OF n` — rollback-as-new-version
@@ -71,6 +77,8 @@ object Dml {
     raw"(?is)^\s*VACUUM\s+(\S+)\s*$$".r
   private val AsOfRe =
     raw"(?is)^\s*TABLE\s+(\S+)\s+VERSION\s+AS\s+OF\s+(\d+)\s*$$".r
+  private val CountRe =
+    raw"(?is)^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+(\S+)(\s.*?)?\s*$$".r
   private val RestoreRe =
     raw"(?is)^\s*RESTORE\s+(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$$".r
   private val WhereRe = raw"(?is)^WHERE\s+(.+)$$".r
@@ -177,6 +185,13 @@ object Dml {
       Optimize(target, cols)
     case VacuumRe(target) => Vacuum(target)
     case AsOfRe(target, v) => TableAsOf(target, v.toLong)
+    case CountRe(target, rest) =>
+      Option(rest).map(_.trim).filter(_.nonEmpty) match {
+        case None => CountStar(target, None)
+        case Some(WhereRe(cond)) => CountStar(target, Some(cond.trim))
+        case Some(other) =>
+          throw new IllegalArgumentException(s"unsupported COUNT clause: $other")
+      }
     case RestoreRe(target, v) => Restore(target, v.toLong)
     case _ =>
       throw new IllegalArgumentException(
@@ -311,6 +326,18 @@ object Dml {
       new CdcTable(spark, tablePath(target), keys, partitionSource).history
     case TableAsOf(target, v) =>
       new CdcTable(spark, tablePath(target), keys, partitionSource).readVersion(v)
+    case CountStar(target, where) =>
+      val table = new CdcTable(spark, tablePath(target), keys, partitionSource)
+      val n = where match {
+        case None => table.countWhere(Nil) // pure metadata
+        case Some(w) =>
+          val cond = expr(w)
+          FileSkipping.predsOfExact(cond) match {
+            case Some(preds) => table.countWhere(preds) // metadata + boundary scans
+            case None        => table.read.filter(cond).count() // not exactly skip-expressible
+          }
+      }
+      spark.range(1).select(lit(n).as("count"))
     case other =>
       throw new IllegalArgumentException(
         s"${other.getClass.getSimpleName} mutates the table — run it through Dml.execute")

@@ -707,6 +707,74 @@ object FileSkipping {
     }
   }
 
+  /** STRICT extraction for metadata-answered aggregates
+    * ([[CdcTable.countWhere]]): Some(preds) only when EVERY conjunct of
+    * `pred` is EXACTLY expressible — equality, inclusive bounds
+    * (`>=`/`<=`/BETWEEN), all-literal IN, IS [NOT] NULL, composed with
+    * AND. No relaxation is permitted, unlike [[predsOf]]: the caller
+    * counts full-match files BLIND from their sidecar row counts instead
+    * of re-filtering them, so a strict bound (`a > 5` would have to
+    * relax to `>= 5`), an OR, a function call, or an unextractable
+    * literal all answer None and the caller falls back to a scan —
+    * never a wrong count. Expects the resolved-shape parse tree
+    * `expr(...)` produces.
+    */
+  def predsOfExact(pred: org.apache.spark.sql.Column): Option[Seq[Pred]] = {
+    import expressions._
+    def attr(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litOf(x: Expression): Option[Any] = x match {
+      case Literal(v, dt) if v != null => dt match {
+        case org.apache.spark.sql.types.StringType => Some(v.toString)
+        case org.apache.spark.sql.types.DateType =>
+          Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+        case org.apache.spark.sql.types.TimestampType => Some(v.asInstanceOf[Long])
+        case _: org.apache.spark.sql.types.DecimalType =>
+          Some(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal)
+        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+          Some(v.asInstanceOf[Number].longValue)
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+          Some(v.asInstanceOf[Number].doubleValue)
+        case _ => None
+      }
+      case _ => None
+    }
+    def eq(a: Expression, b: Expression): Option[Seq[Pred]] =
+      (for { c <- attr(a); v <- litOf(b) } yield Seq(Range(c, Some(v), Some(v)): Pred))
+        .orElse(for { c <- attr(b); v <- litOf(a) } yield Seq(Range(c, Some(v), Some(v)): Pred))
+    def bound(a: Expression, b: Expression, aLower: Boolean): Option[Seq[Pred]] =
+      (for { c <- attr(a); v <- litOf(b) } yield Seq(
+        (if (aLower) Range(c, Some(v), None) else Range(c, None, Some(v))): Pred))
+        .orElse(for { c <- attr(b); v <- litOf(a) } yield Seq(
+          (if (aLower) Range(c, None, Some(v)) else Range(c, Some(v), None)): Pred))
+    def walk(e: Expression): Option[Seq[Pred]] = e match {
+      case And(l, r) => for { a <- walk(l); b <- walk(r) } yield a ++ b
+      case EqualTo(a, b) => eq(a, b)
+      case GreaterThanOrEqual(a, b) => bound(a, b, aLower = true)
+      case LessThanOrEqual(a, b)    => bound(a, b, aLower = false)
+      case expressions.IsNull(a)    => attr(a).map(c => Seq(FileSkipping.IsNull(c): Pred))
+      case expressions.IsNotNull(a) => attr(a).map(c => Seq(NotNull(c): Pred))
+      case expressions.In(v, list) if list.nonEmpty =>
+        (attr(v), list.map(litOf)) match {
+          case (Some(c), ls) if ls.forall(_.isDefined) =>
+            Some(Seq(FileSkipping.InSet(c, ls.map(_.get)): Pred))
+          case _ => None
+        }
+      case _ => None // strict: anything else defeats the blind count
+    }
+    // deliberately NOT merged(): bound intersection keeps only the
+    // tightest ORDERABLE bounds, which for a pathological mixed-type
+    // conjunction could drop a constraint — fatal for a blind count.
+    // Conjunct lists are correct as-is (mustMatch/mayMatch are ∀/∃ over
+    // them); merging only adds prune power the count path can live
+    // without.
+    walk(org.apache.spark.sql.graft.ColumnExpr.expression(pred))
+  }
+
   /** A disjunction of point lookups on ONE column is just an IN list —
     * normalized so `k = 5 OR k = 9` prunes identically to the
     * semantically equal `k IN (5, 9)` everywhere an [[InSet]] is

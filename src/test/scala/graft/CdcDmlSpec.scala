@@ -244,6 +244,26 @@ class CdcDmlSpec extends SparkSpec {
     assert(opt.versions.size <= 2, "VACUUM must expire history beyond retention")
     intercept[IllegalArgumentException](graft.ops.Dml.parse("OPTIMIZE o ZORDER BY ()"))
 
+    // SELECT COUNT(*): metadata-answered when exactly skip-expressible,
+    // scan fallback (same answer) otherwise
+    val ct = new CdcTable(spark, s"$root/ct", Seq("id"))
+    ct.init(spark.range(1, 1001).toDF("id")
+      .withColumn("v", when(col("id") % 4 =!= 0, concat(lit("v"), col("id"))))
+      .repartitionByRange(4, col("id"))) // tight per-file id ranges
+    def count(sql: String): Long =
+      graft.ops.Dml.query(spark, sql, n => s"$root/$n", Seq("id")).head.getLong(0)
+    assert(count("SELECT COUNT(*) FROM ct") == 1000L)
+    assert(count("SELECT count(*) FROM ct WHERE id >= 100 AND id <= 599") == 500L)
+    assert(count("SELECT COUNT(*) FROM ct WHERE v IS NULL") == 250L)
+    assert(count("SELECT COUNT(*) FROM ct WHERE id IN (1, 500, 999, 5000)") == 3L)
+    // strict bound / function shapes are NOT exactly skip-expressible:
+    // the extractor refuses and the scan fallback still answers exactly
+    assert(graft.ops.FileSkipping.predsOfExact(expr("id > 100")).isEmpty)
+    assert(graft.ops.FileSkipping.predsOfExact(expr("length(v) = 3")).isEmpty)
+    assert(count("SELECT COUNT(*) FROM ct WHERE id > 100") == 900L)
+    // 743: the 7 non-null single-digit ids ("v1".."v9") have length 2
+    assert(count("SELECT COUNT(*) FROM ct WHERE length(v) >= 3") == 743L)
+
     // time travel reads and RESTORE through the statement surface
     val tt = new CdcTable(spark, s"$root/tt", Seq("id"), retainVersions = 5)
     tt.init(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
