@@ -413,6 +413,36 @@ final class CdcTable(
     }
   }
 
+  /** Metadata column profile at the current version: one row per column
+    * with total rows, null count, and the min/max fold — everything from
+    * the commit stats sidecars, zero data I/O (the DESCRIBE-statistics
+    * face; the scanning twin is the `x_data_profile` query). Null count
+    * is None when any file failed to record one; min/max are None
+    * whenever [[minMaxFromStats]] would refuse (all-null column, torn
+    * stats, or a live deletion vector). Values are rendered as strings
+    * in the stat domain — this is an observability surface, not an
+    * oracle-compared query.
+    */
+  def describeStats: DataFrame = {
+    val cur = currentOrThrow
+    val conf = spark.sessionState.newHadoopConf()
+    val dirs = scanDirs(cur, Nil)
+    val stats = dirs.flatMap(d => FileSkipping.statsForDir(conf, d).values)
+    val sq = spark
+    import sq.implicits._
+    val rows = stats.map(_.rows).sum
+    val cols = stats.flatMap(_.cols.keys).distinct.sorted
+    val vectored = hasDv(cur)
+    cols.map { c =>
+      val nulls =
+        if (stats.exists(s => s.rows > 0 && !s.cols.get(c).flatMap(_.nulls).isDefined)) None
+        else Some(stats.flatMap(_.cols.get(c).flatMap(_.nulls)).sum)
+      val mm = if (vectored) None
+        else FileSkipping.minMaxOfDirs(conf, dirs, c)
+      (c, rows, nulls, mm.map(_._1.toString), mm.map(_._2.toString))
+    }.toDF("column", "rows", "nulls", "min", "max")
+  }
+
   def scanProfileAt(v: Long, preds: Seq[FileSkipping.Pred]): (Int, Int) = {
     val conf = spark.sessionState.newHadoopConf()
     val dirs = scanDirs(v, preds)

@@ -82,6 +82,13 @@ class CdcTableSpec extends SparkSpec {
       .toDF("id", "w"))
     assert(tNull.minMaxFromStats("w").isEmpty)
 
+    // metadata column profile: rows/nulls/min/max straight off the
+    // sidecars, zero data files opened
+    val prof = t.describeStats.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.get(2), r.get(3), r.get(4))).toMap
+    assert(prof("id") == ((1000L, 0L, "1", "1000")))
+    assert(prof("v")._1 == 1000L && prof("v")._2 == 250L)
+
     // partitioned table: month pruning shows up as pruned files and the
     // in-month count still answers from metadata
     val p = new CdcTable(spark, tmpDir("cdcmetap") + "/t", Seq("id"),
