@@ -625,6 +625,38 @@ object SimilarityQueries extends QueryPack {
          |  aggregate(slice(qe, 1, 8), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS head8_sum
          |FROM q""".stripMargin)),
 
+    // Embedding hygiene audit — the validation pass a vector pipeline
+    // runs BEFORE indexing: per label, dimension consistency, zero
+    // vectors (an upstream encoder failure mode), dead dimensions per
+    // vector, and norm² outliers (> 30% off the label's mean norm² —
+    // truncated/duplicated payloads). All exact integers over the
+    // quantized embeddings: norm² via dot_i64, the mean via integer DIV,
+    // the outlier rule a cross-multiplication — no division, no libm, no
+    // overflow (|dev|·10 stays far inside BIGINT at any corpus size).
+    // One combine-friendly groupBy on label; nothing is all-pairs.
+    "x_vector_hygiene" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuant,
+         |per AS (
+         |  SELECT vec_id, label, CAST(size(qe) AS BIGINT) AS n_dims,
+         |    dot_i64(qe, qe) AS nrm2,
+         |    CAST(size(filter(qe, x -> x = 0)) AS BIGINT) AS n_zero_dims
+         |  FROM q),
+         |m AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+         |    CAST(min(n_dims) AS BIGINT) AS min_dims,
+         |    CAST(max(n_dims) AS BIGINT) AS max_dims,
+         |    CAST(sum(CASE WHEN nrm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors,
+         |    CAST(sum(nrm2) DIV count(*) AS BIGINT) AS mean_norm2,
+         |    CAST(sum(n_zero_dims) AS BIGINT) AS total_zero_dims
+         |  FROM per GROUP BY label)
+         |SELECT m.label, m.n_vectors, m.min_dims = m.max_dims AS dims_consistent,
+         |  m.n_zero_vectors, m.mean_norm2, m.total_zero_dims,
+         |  CAST(sum(CASE WHEN abs(per.nrm2 - m.mean_norm2) * 10 > m.mean_norm2 * 3
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_outliers
+         |FROM per JOIN m ON m.label = per.label
+         |GROUP BY m.label, m.n_vectors, m.min_dims, m.max_dims, m.n_zero_vectors,
+         |  m.mean_norm2, m.total_zero_dims""".stripMargin)),
+
     // Brute-force cosine top-10 per query vector — the declared
     // correctness/ground-truth BASELINE for the ANN family, kept
     // deliberately exact (O(|Q| * n) with |Q| fixed at 100 by qsel).
@@ -882,6 +914,29 @@ object SimilarityQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_vector_hygiene" ->
+      s"""WITH $duckQuant,
+         |per AS (
+         |  SELECT vec_id, label, CAST(len(qe) AS BIGINT) AS n_dims,
+         |    CAST(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]) AS BIGINT) AS nrm2,
+         |    CAST(len(list_filter(qe, x -> x = 0)) AS BIGINT) AS n_zero_dims
+         |  FROM q),
+         |m AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+         |    CAST(min(n_dims) AS BIGINT) AS min_dims,
+         |    CAST(max(n_dims) AS BIGINT) AS max_dims,
+         |    CAST(sum(CASE WHEN nrm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors,
+         |    CAST(sum(nrm2) // count(*) AS BIGINT) AS mean_norm2,
+         |    CAST(sum(n_zero_dims) AS BIGINT) AS total_zero_dims
+         |  FROM per GROUP BY label)
+         |SELECT m.label, m.n_vectors, m.min_dims = m.max_dims AS dims_consistent,
+         |  m.n_zero_vectors, m.mean_norm2, m.total_zero_dims,
+         |  CAST(sum(CASE WHEN abs(per.nrm2 - m.mean_norm2) * 10 > m.mean_norm2 * 3
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_outliers
+         |FROM per JOIN m ON m.label = per.label
+         |GROUP BY m.label, m.n_vectors, m.min_dims, m.max_dims, m.n_zero_vectors,
+         |  m.mean_norm2, m.total_zero_dims""".stripMargin,
 
     "x_dedup_incremental" ->
       s"""WITH $duckShingles,
