@@ -169,6 +169,35 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.countWhere(Nil) == 2L)
   }
 
+  test("vector survives schema evolution: an evolving merge in another month keeps deletes exact") {
+    val root = tmpDir("dvevo")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"), partitionSource = Some("created"),
+      retainVersions = 8)
+    t.init(Seq(
+      (1L, ts("2001-01-05 00:00:00"), 1L), (2L, ts("2001-01-20 00:00:00"), 1L),
+      (3L, ts("2001-02-05 00:00:00"), 1L)).toDF("id", "created", "mts"))
+    t.deleteVectored(col("id") === 1L)
+    val vDel = t.currentVersion.get
+
+    // an EVOLVING merge (new column `extra`) into the OTHER month: the
+    // January vector must carry; reads union-by-name across old files
+    // (no `extra`) and new ones WITH the vector anti-join applied
+    t.merge(Seq((4L, ts("2001-02-25 00:00:00"), 2L, "c", "x4"))
+      .toDF("id", "created", "mts", "__op", "extra"), "mts")
+    val got = t.read.orderBy("id").select("id", "extra")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got == Seq((2L, None), (3L, None), (4L, Some("x4"))), s"got $got")
+    assert(t.dvSummary(t.currentVersion.get).map(_._3).sum == 1L,
+      "the untouched month's vector must carry through the evolving merge")
+
+    // CDF across the evolution window: the vectored delete and the
+    // evolved insert both appear, typed + null-padded
+    val feed = t.changesBetween(vDel - 1, t.currentVersion.get)
+      .select(col("id"), col(CdcTable.ChangeTypeCol), col("extra"))
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(feed == Set((1L, "delete", None), (4L, "insert", Some("x4"))), s"got $feed")
+  }
+
   test("clone carries the vector (folded multi-commit months included)") {
     val root = tmpDir("dvclone")
     // unpartitioned
