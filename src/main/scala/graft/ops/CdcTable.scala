@@ -507,6 +507,20 @@ final class CdcTable(
       .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
   }
 
+  /** One row per live month at the current version — `(month, dir,
+    * files)`, month-sorted: the SHOW PARTITIONS face. Metadata-only
+    * (manifest + per-dir listings). A month spanning several commit dirs
+    * before compaction contributes one row per dir.
+    */
+  def partitions: DataFrame = {
+    require(partitionSource.isDefined, "SHOW PARTITIONS needs a partitioned table")
+    val sq = spark
+    import sq.implicits._
+    manifest(currentOrThrow).sortBy(e => (e._1, e._2))
+      .map { case (m, rel) => (m, rel, dataFileCount(new File(path, rel))) }
+      .toDF("month", "dir", "files")
+  }
+
   /** Time travel: read a specific retained version. */
   def readVersion(v: Long): DataFrame = partitionSource match {
     case Some(_) => readParts(manifest(v), None, v).drop(PartCol)

@@ -52,6 +52,10 @@ object Dml {
     * the exact count.
     */
   final case class CountStar(target: String, where: Option[String]) extends Stmt
+  /** `SHOW PARTITIONS t` — the manifest's month list with per-month data
+    * dir and file counts; metadata-only.
+    */
+  final case class ShowPartitions(target: String) extends Stmt
   /** `TABLE t VERSION AS OF n` — time-travel read ([[CdcTable.readVersion]]). */
   final case class TableAsOf(target: String, version: Long) extends Stmt
   /** `RESTORE t TO VERSION AS OF n` — rollback-as-new-version
@@ -79,6 +83,8 @@ object Dml {
     raw"(?is)^\s*TABLE\s+(\S+)\s+VERSION\s+AS\s+OF\s+(\d+)\s*$$".r
   private val CountRe =
     raw"(?is)^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+(\S+)(\s.*?)?\s*$$".r
+  private val ShowPartsRe =
+    raw"(?is)^\s*SHOW\s+PARTITIONS\s+(\S+)\s*$$".r
   private val RestoreRe =
     raw"(?is)^\s*RESTORE\s+(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$$".r
   private val WhereRe = raw"(?is)^WHERE\s+(.+)$$".r
@@ -193,6 +199,7 @@ object Dml {
           throw new IllegalArgumentException(s"unsupported COUNT clause: $other")
       }
     case RestoreRe(target, v) => Restore(target, v.toLong)
+    case ShowPartsRe(target) => ShowPartitions(target)
     case _ =>
       throw new IllegalArgumentException(
         "unsupported statement (expected UPDATE <t> SET ... [WHERE ...], " +
@@ -326,6 +333,8 @@ object Dml {
       new CdcTable(spark, tablePath(target), keys, partitionSource).history
     case TableAsOf(target, v) =>
       new CdcTable(spark, tablePath(target), keys, partitionSource).readVersion(v)
+    case ShowPartitions(target) =>
+      new CdcTable(spark, tablePath(target), keys, partitionSource).partitions
     case CountStar(target, where) =>
       val table = new CdcTable(spark, tablePath(target), keys, partitionSource)
       val n = where match {

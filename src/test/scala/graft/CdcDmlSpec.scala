@@ -244,6 +244,15 @@ class CdcDmlSpec extends SparkSpec {
     assert(opt.versions.size <= 2, "VACUUM must expire history beyond retention")
     intercept[IllegalArgumentException](graft.ops.Dml.parse("OPTIMIZE o ZORDER BY ()"))
 
+    // SHOW PARTITIONS: the manifest's live months with file counts
+    val sp = new CdcTable(spark, s"$root/sp", Seq("id"), partitionSource = Some("created"))
+    sp.init(Seq((1L, ts("2001-01-05 00:00:00")), (2L, ts("2001-02-05 00:00:00")))
+      .toDF("id", "created"))
+    val parts = graft.ops.Dml.query(spark, "SHOW PARTITIONS sp",
+      n => s"$root/$n", Seq("id"), Some("created"))
+      .select("month", "files").as[(String, Long)].collect().toSeq
+    assert(parts.map(_._1) == Seq("2001-01", "2001-02") && parts.forall(_._2 >= 1L))
+
     // SELECT COUNT(*): metadata-answered when exactly skip-expressible,
     // scan fallback (same answer) otherwise
     val ct = new CdcTable(spark, s"$root/ct", Seq("id"))
