@@ -277,6 +277,37 @@ class DeletionVectorSpec extends SparkSpec {
     assert(mv.reflectedVersion.contains(t.currentVersion.get))
   }
 
+  test("concurrent merges and vectored deletes interleave safely under the retry protocol") {
+    import graft.ops.Retry
+    val t1 = new CdcTable(spark, tmpDir("dvrace") + "/t", Seq("id"), retainVersions = 30)
+    t1.init(spark.range(1, 101).toDF("id")
+      .withColumn("v", lit("init")).withColumn("ts", lit(0L)))
+    val t2 = new CdcTable(spark, t1.path, Seq("id"), retainVersions = 30)
+
+    // writer A upserts fresh keys; writer B vector-deletes a DISJOINT
+    // fixed set — the final state is schedule-independent, so any lost
+    // update or resurrected delete is visible. Every commit races
+    // through reserveOrConflict; Retry rides the conflicts out (each
+    // attempt re-reads the current version, so a retried op always
+    // applies against the winner's state).
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def spawn(body: => Unit) = new Thread(() =>
+      try body catch { case e: Throwable => errs.add(e): Unit })
+    val a = spawn((1 to 5).foreach { b =>
+      Retry.withRetries(40, 25L)()(t1.merge(
+        Seq((200L + b, s"m$b", b.toLong, "c")).toDF("id", "v", "ts", "__op"), "ts"))
+    })
+    val bThread = spawn((1 to 5).foreach { d =>
+      Retry.withRetries(40, 25L)()(t2.deleteVectored(col("id") === d.toLong))
+    })
+    a.start(); bThread.start(); a.join(60000); bThread.join(60000)
+    assert(errs.isEmpty, s"concurrent ops must all land: ${errs.toArray.toSeq}")
+
+    val ids = t1.read.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == ((6L to 100L) ++ (201L to 205L)),
+      s"lost update or resurrected delete: ${ids.take(10)}... n=${ids.size}")
+  }
+
   test("metadata count profile under a vector: full files subtract, boundary files scan applied") {
     val t = new CdcTable(spark, tmpDir("dvcount") + "/t", Seq("id"))
     t.init(spark.range(1, 1001).toDF("id").repartitionByRange(4, col("id")))
