@@ -669,6 +669,10 @@ final class CdcTable(
     // stats sidecar at write time: the footers just materialized and are
     // cache-hot — the first pruned read must not pay a metadata storm
     FileSkipping.writeStatsNow(spark.sessionState.newHadoopConf(), versionDir(next))
+    // schema sidecar on the unpartitioned layout too: metadata consumers
+    // (append type alignment, typed empties) must not pay a mergeSchema
+    // inference over the data files just to learn the column types
+    io.writeString(schemaFile(next).getPath, df.schema.json)
     commitPointer(next)
   }
 
@@ -945,6 +949,13 @@ final class CdcTable(
           val conf = spark.sessionState.newHadoopConf()
           FileSkipping.writeStatsNow(conf, nd,
             reuse = FileSkipping.statsForDir(conf, versionDir(cur)))
+          // schema sidecar: carried columns ∪ the batch's (a batch can add
+          // columns; alignAppendTypes already rejected type changes)
+          val priorFields = schemaAt(cur).map(_.fields).getOrElse(Array.empty)
+          io.writeString(schemaFile(next).getPath,
+            org.apache.spark.sql.types.StructType(
+              priorFields ++ df.schema.fields.filterNot(f =>
+                priorFields.exists(_.name == f.name))).json)
           // carried (hard-linked) files keep their deleted positions
           carryDv(cur, next, keepDirs = Set(f"v$cur%08d"), renameDir = _ => f"v$next%08d")
           commitPointer(next)
@@ -970,7 +981,11 @@ final class CdcTable(
   private def alignAppendTypes(df: DataFrame): DataFrame = currentVersion match {
     case None => df
     case Some(v) =>
-      val curT = readAt(v).schema.map(f => f.name -> f.dataType).toMap
+      // the schema sidecar spares a per-append mergeSchema inference over
+      // the data files (measured: it dominated CdcScaleBench's append
+      // step); the relation-based fallback covers pre-sidecar tables
+      val curT = schemaAt(v).map(_.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(readAt(v).schema.map(f => f.name -> f.dataType).toMap)
       val bad = scala.collection.mutable.Buffer.empty[String]
       val out = df.schema.fields.foldLeft(df) { (d, f) =>
         curT.get(f.name) match {
@@ -1291,6 +1306,8 @@ final class CdcTable(
         val conf = spark.sessionState.newHadoopConf()
         FileSkipping.writeStatsNow(conf, versionDir(next),
           reuse = FileSkipping.statsForDir(conf, versionDir(cur)))
+        if (io.exists(schemaFile(cur).getPath))
+          io.copy(schemaFile(cur).getPath, schemaFile(next).getPath)
     }
     // vector = previous vector ∪ fresh positions; summary merges counts.
     // The unpartitioned dir component renames with the version; file
@@ -1390,6 +1407,8 @@ final class CdcTable(
         FileSkipping.writeStatsNow(conf, nd,
           reuse = FileSkipping.statsForDir(conf, vd).view
             .filterKeys(!vectored.contains(_)).toMap)
+        if (io.exists(schemaFile(cur).getPath))
+          io.copy(schemaFile(cur).getPath, schemaFile(next).getPath)
         // vectored files were rewritten: no vector carries
         commitPointer(next)
     }
@@ -1609,6 +1628,8 @@ final class CdcTable(
         val conf = spark.sessionState.newHadoopConf()
         FileSkipping.writeStatsNow(conf, versionDir(next),
           reuse = FileSkipping.statsForDir(conf, src))
+        if (io.exists(schemaFile(v).getPath))
+          io.copy(schemaFile(v).getPath, schemaFile(next).getPath)
         carryDv(v, next, keepDirs = Set(f"v$v%08d"), renameDir = _ => f"v$next%08d")
         commitPointer(next)
     }
