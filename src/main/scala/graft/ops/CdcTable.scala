@@ -705,8 +705,24 @@ final class CdcTable(
     // produced (carried months keep theirs — the dirs are immutable)
     locally {
       val conf = spark.sessionState.newHadoopConf()
-      outMonths.foreach(m =>
-        FileSkipping.writeStatsNow(conf, new File(commitDir(next), s"$PartCol=$m")))
+      // month dirs are independent: bound-parallel like the per-file
+      // footer reads inside writeStatsNow (a hot commit writes dozens of
+      // months; serial sidecar emission was visible commit wall time)
+      if (outMonths.size <= 1)
+        outMonths.foreach(m =>
+          FileSkipping.writeStatsNow(conf, new File(commitDir(next), s"$PartCol=$m")))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, outMonths.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(outMonths.map { m =>
+            (() => FileSkipping.writeStatsNow(conf,
+              new File(commitDir(next), s"$PartCol=$m"))):
+              java.util.concurrent.Callable[Unit]
+          }.asJava).asScala.foreach(_.get())
+        } finally pool.shutdown()
+      }
     }
     val carried = expected.map(manifest).getOrElse(Nil)
       .filterNot { case (m, _) => replaced.contains(m) }

@@ -201,9 +201,27 @@ object FileSkipping {
   def writeStatsNow(conf: Configuration, dir: File,
                     reuse: Map[String, FileStats] = Map.empty): Unit =
     try {
-      val stats = dataFiles(dir).map { f =>
-        f.getName -> reuse.getOrElse(f.getName, footerStats(conf, f))
-      }.toMap
+      // footer reads fan out over a bounded local pool: a big commit
+      // writes many files per dir and the reads are independent —
+      // serial driver-side I/O was the measurable part of commit wall
+      // time in CdcScaleBench's init/merge steps
+      val files = dataFiles(dir)
+      val fresh = files.filterNot(f => reuse.contains(f.getName))
+      val computed: Map[String, FileStats] =
+        if (fresh.size <= 1) fresh.map(f => f.getName -> footerStats(conf, f)).toMap
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(8, fresh.size))
+          try {
+            import scala.jdk.CollectionConverters._
+            pool.invokeAll(fresh.map { f =>
+              (() => f.getName -> footerStats(conf, f)):
+                java.util.concurrent.Callable[(String, FileStats)]
+            }.asJava).asScala.map(_.get()).toMap
+          } finally pool.shutdown()
+        }
+      val stats = files.map(f =>
+        f.getName -> reuse.getOrElse(f.getName, computed(f.getName))).toMap
       writeSidecar(new File(dir, SidecarName), stats)
     } catch {
       case NonFatal(e) =>
