@@ -132,6 +132,33 @@ object EnvelopeCodec {
       lit(s"source_glaucus1.oms1.$table").as("topic"))
   }
 
+  /** The OUTBOUND half of the codec: encode a change feed
+    * ([[graft.ops.CdcTable.changesBetween]] / a [[graft.cdc.ChangeFeed]]
+    * window) as Debezium-shaped envelopes — insert→c,
+    * update_postimage→u, delete→d, preimages dropped (the wire format
+    * carries post-state + op). Composed with the decode side this
+    * REPLICATES a table to another cluster through the same envelope
+    * bus the engine ingests: feed → encodeFeed → transport → pipeline →
+    * replica, with the cursor's at-least-once redelivery collapsing to
+    * exactly-once under the replica's idempotent latest-wins merge.
+    * `tsMs` orders the windows on the wire (monotonic per window — the
+    * feed's `toVersion` is the natural choice); within one window a
+    * key appears at most once (the feed is a keyed diff), so any
+    * tie-break is moot.
+    */
+  def encodeFeed(changes: DataFrame, table: String, pk: String,
+                 tsMs: Column): DataFrame = {
+    val ct = graft.ops.CdcTable.ChangeTypeCol
+    val ops = changes.filter(col(ct) =!= "update_preimage")
+      .withColumn("__op",
+        when(col(ct) === "insert", "c")
+          .when(col(ct) === "update_postimage", "u")
+          .otherwise("d"))
+      .withColumn("__feed_ts", timestamp_millis(tsMs))
+      .drop(ct)
+    synthesizeTable(ops, table, pk, "__op", "__feed_ts")
+  }
+
   /** Positional header extraction + metadata casts, mirroring
     * incremental_kafka_s3_cdc.py:376-383: __table, __op, __ts_ms (epoch
     * millis -> timestamp), __db, plus key/value cast to string.
