@@ -274,6 +274,67 @@ object OlapQueries extends QueryPack {
         Seq("o_orderkey", "o_totalprice"), "o_orderkey")
     }),
 
+    // Range (interval x point) join (ops.RangeJoin): every event within
+    // 12 hours AFTER each error event of the same user — bucketized
+    // equi-join on (user, 12h-bucket) + residual band, never the
+    // quadratic per-key pair blow-up Catalyst would plan for the raw
+    // band predicate. Oracle: DuckDB's native inequality (IE) join.
+    "x_range_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val intervals = ev.filter(col("event_type") === "error").select(
+        col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 12 HOURS")).as("win_end"))
+      val points = ev.select(
+        col("user_id"), col("ts").as("f_ts"),
+        col("event_id").as("f_event_id"), col("value").as("f_value"))
+      val pairs = graft.ops.RangeJoin.intervalJoin(
+        intervals, points, Seq("user_id"),
+        "win_start", "win_end", "f_ts",
+        bucketMicros = 12L * 3600 * 1000000,
+        includeStart = false, includeEnd = true)
+      val agg = pairs.groupBy("error_id", "user_id").agg(
+        count(col("f_event_id")).as("n_follow"),
+        expr("CAST(SUM(CAST(f_value AS DECIMAL(12,2))) AS DOUBLE)").as("follow_value"),
+        min(col("f_ts")).as("first_follow_ts"))
+      intervals.select("error_id", "user_id")
+        .join(agg, Seq("error_id", "user_id"), "left")
+        .select(col("error_id"), col("user_id"),
+          coalesce(col("n_follow"), lit(0L)).as("n_follow"),
+          col("follow_value"), col("first_follow_ts"))
+    }),
+
+    // Point-in-time join: each event looks up the order state VALID at
+    // its timestamp — intervals are [o_orderdate, min(next order,
+    // +30 days)), so a probe landing in a coverage gap gets NULL state
+    // (what distinguishes PIT from plain as-of). Runs at as-of cost: the
+    // single-shuffle union+window carry plus one validity post-check —
+    // the interval side never explodes and no band predicate reaches the
+    // join planner. Oracle: DuckDB inequality LEFT JOIN against the same
+    // interval table (disjoint intervals -> at most one match per probe).
+    "x_pit_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        expr("timestamp'1995-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, (event_id * 97) % 200000000)").as("ts2"))
+      val dedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val nxt = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+      val iv = Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(dedup)).filter(col("rn") === 1)
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("valid_from"),
+          col("o_orderkey"), col("o_totalprice"))
+        .withColumn("valid_to", least(lead(col("valid_from"), 1).over(nxt),
+          col("valid_from") + expr("INTERVAL 30 DAYS")))
+      val joined = graft.ops.AsOfJoin.asofJoin(e, iv, "user_id", "ts2", "valid_from",
+        Seq("o_orderkey", "o_totalprice", "valid_to"), "o_orderkey")
+      val live = col("valid_to") > col("ts2")
+      joined.select(col("event_id"), col("user_id"), col("ts2"),
+        when(live, col("o_orderkey")).as("o_orderkey"),
+        when(live, col("o_totalprice")).as("o_totalprice"))
+    }),
+
     // NOT EXISTS (anti join through a subquery, P5/J3's SQL face).
     "q_not_exists" -> ((s, dir) => sql(s, dir,
       """SELECT s_suppkey, s_name FROM supplier
@@ -939,6 +1000,33 @@ object OlapQueries extends QueryPack {
         |SELECT e.event_id, e.user_id, e.ts2, od.o_orderkey, od.o_totalprice
         |FROM e ASOF LEFT JOIN od
         |  ON e.user_id = od.user_id AND e.ts2 <= od.o_orderdate""".stripMargin,
+
+    "x_range_join" ->
+      """WITH e AS (SELECT * FROM events WHERE event_type = 'error')
+        |SELECT e.event_id AS error_id, e.user_id,
+        |  count(x.event_id) AS n_follow,
+        |  CAST(SUM(CAST(x.value AS DECIMAL(12,2))) AS DOUBLE) AS follow_value,
+        |  min(x.ts) AS first_follow_ts
+        |FROM e LEFT JOIN events x
+        |  ON x.user_id = e.user_id AND x.ts > e.ts AND x.ts <= e.ts + INTERVAL 12 HOUR
+        |GROUP BY e.event_id, e.user_id""".stripMargin,
+
+    "x_pit_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    TIMESTAMP '1995-01-01 00:00:00' + INTERVAL ((event_id * 97) % 200000000) SECOND AS ts2
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, valid_from, o_orderkey, o_totalprice,
+        |    least(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
+        |          valid_from + INTERVAL 30 DAY) AS valid_to
+        |  FROM (
+        |    SELECT o_custkey AS user_id, o_orderdate AS valid_from, o_orderkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts2, iv.o_orderkey, iv.o_totalprice
+        |FROM e LEFT JOIN iv
+        |  ON e.user_id = iv.user_id AND e.ts2 >= iv.valid_from AND e.ts2 < iv.valid_to""".stripMargin,
 
     "q11_important_stock" ->
       s"""WITH $duckPartsupp,

@@ -762,14 +762,31 @@ final class CdcTable(
     * operation: cloning a 100 TB table costs one metadata pass.
     */
   def cloneTo(destPath: String): CdcTable = withOp("CLONE") {
-    val v = currentOrThrow
+    currentOrThrow: Unit
     require(!io.exists(new File(destPath, CurrentPointer).getPath),
       s"clone destination $destPath already holds a table")
     val dest = new CdcTable(spark, destPath, keys, partitionSource,
       retainVersions, autoCompactMaxFiles, bloomColumns, io)
-    val conf = spark.sessionState.newHadoopConf()
     dest.io.mkdirs(destPath)
     require(dest.reserve(1L), s"clone destination $destPath already reserved")
+    linkStateInto(dest, 1L)
+    constraints.foreach { case (n, p) => dest.addConstraintUnchecked(n, p) }
+    dest.pendingOp = "CLONE"
+    dest.commitPointer(1L)
+    dest
+  }
+
+  /** Hard-link THIS table's current state — data files, stats + schema
+    * sidecars, deletion vector — into version `destV` of `dest`, which
+    * the caller must have already reserved. Metadata-speed: no data
+    * bytes move except a DV parquet rewrite when month folding renames
+    * files. Shared by [[cloneTo]] (fresh destination, destV = 1) and
+    * [[publish]] (the branch fast-forwards its parent, destV = parent
+    * head + 1). The caller owns the pointer commit.
+    */
+  private def linkStateInto(dest: CdcTable, destV: Long): Unit = {
+    val v = currentOrThrow
+    val conf = spark.sessionState.newHadoopConf()
     partitionSource match {
       case Some(_) =>
         // a month spanning several source commit dirs folds into ONE dest
@@ -782,8 +799,8 @@ final class CdcTable(
         // vector (its entries reference files by dir + name)
         val dirMap = scala.collection.mutable.Map.empty[String, (String, String)]
         val entries = manifest(v).groupBy(_._1).toSeq.sortBy(_._1).map { case (m, es) =>
-          val dstRel = dest.relDir(1L, m)
-          val dst = new File(destPath, dstRel)
+          val dstRel = dest.relDir(destV, m)
+          val dst = new File(dest.path, dstRel)
           val multi = es.size > 1
           val reuse = es.flatMap { case (_, rel) =>
             val src = new File(path, rel)
@@ -802,9 +819,9 @@ final class CdcTable(
           FileSkipping.writeStatsNow(conf, dst, reuse = reuse)
           (m, dstRel)
         }
-        dest.writeManifest(1L, entries)
+        dest.writeManifest(destV, entries)
         schemaAt(v).foreach(sc =>
-          dest.io.writeString(dest.schemaFile(1L).getPath, sc.json))
+          dest.io.writeString(dest.schemaFile(destV).getPath, sc.json))
         // deletion vector: entries remap with the same (dir, prefix) the
         // data files did; the parquet rewrites through Spark only when a
         // file name actually changed (multi-commit month folding)
@@ -816,7 +833,7 @@ final class CdcTable(
           if (remapped.map(_._2) == sum.map(_._2)) {
             io.list(dvDir(v).getPath).filter(!_.isDir).foreach(e =>
               io.linkOrCopy(new File(dvDir(v), e.name).getPath,
-                new File(dest.dvDir(1L), e.name).getPath))
+                new File(dest.dvDir(destV), e.name).getPath))
           } else {
             // rename keyed by (sub, file): a write task emits same-named
             // files into several month dirs, so file name alone is not a
@@ -827,34 +844,122 @@ final class CdcTable(
             import sq.implicits._
             dvAt(v).get.join(ren.toDF("sub", "file", "nf"), Seq("sub", "file"))
               .select(col("sub"), col("nf").as("file"), col("idx"))
-              .coalesce(1).write.parquet(dest.dvDir(1L).getPath)
+              .coalesce(1).write.parquet(dest.dvDir(destV).getPath)
           }
-          dest.writeDvSummary(1L, remapped)
+          dest.writeDvSummary(destV, remapped)
         }
       case None =>
         val src = versionDir(v)
         io.list(src.getPath)
           .filter(e => !e.isDir && !e.name.startsWith("_") && !e.name.startsWith("."))
           .foreach(e => io.linkOrCopy(new File(src, e.name).getPath,
-            new File(dest.versionDir(1L), e.name).getPath))
-        FileSkipping.writeStatsNow(conf, dest.versionDir(1L),
+            new File(dest.versionDir(destV), e.name).getPath))
+        FileSkipping.writeStatsNow(conf, dest.versionDir(destV),
           reuse = FileSkipping.statsForDir(conf, src))
         if (io.exists(schemaFile(v).getPath))
-          io.copy(schemaFile(v).getPath, dest.schemaFile(1L).getPath)
+          io.copy(schemaFile(v).getPath, dest.schemaFile(destV).getPath)
         // file names carry unchanged; only the dir component renames
         if (hasDv(v)) {
           io.list(dvDir(v).getPath).filter(!_.isDir).foreach(e =>
             io.linkOrCopy(new File(dvDir(v), e.name).getPath,
-              new File(dest.dvDir(1L), e.name).getPath))
-          dest.writeDvSummary(1L,
-            dvSummary(v).map { case (_, f, c) => ("v00000001", f, c) })
+              new File(dest.dvDir(destV), e.name).getPath))
+          dest.writeDvSummary(destV,
+            dvSummary(v).map { case (_, f, c) => (f"v$destV%08d", f, c) })
         }
     }
-    constraints.foreach { case (n, p) => dest.addConstraintUnchecked(n, p) }
-    dest.pendingOp = "CLONE"
-    dest.commitPointer(1L)
-    dest
   }
+
+  // --------------------------------------------- WAP branches (write-audit-publish)
+
+  private def branchesRoot = new File(path, BranchesDir)
+  private def branchDir(name: String) = new File(branchesRoot, name)
+  private def forkFile(name: String) = new File(branchDir(name), ForkMarker)
+
+  /** Names of live branches of this table, sorted. */
+  def branches: Seq[String] =
+    if (!io.exists(branchesRoot.getPath)) Nil
+    else io.list(branchesRoot.getPath).filter(_.isDir).map(_.name).sorted
+
+  /** Fork a BRANCH off the current version — the write-audit-publish
+    * staging pattern of the reference's Iceberg deployment (branch,
+    * write the risky batch there, audit it, then [[publish]] atomically
+    * or [[dropBranch]] silently): a metadata-speed clone under
+    * `path/_branches/name` plus a fork marker recording the version it
+    * forked from. The branch is a full [[CdcTable]] — every operator
+    * (merge, DML, evolution, compaction, time travel) works on it, and
+    * NOTHING a branch writer does is visible to readers of this table
+    * until publish. Data files hard-link, so a branch costs metadata
+    * until it actually rewrites something.
+    */
+  def createBranch(name: String): CdcTable = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"branch name '$name' — use [A-Za-z0-9._-], starting alphanumeric")
+    require(!io.exists(new File(branchDir(name), CurrentPointer).getPath),
+      s"branch $name of $path already exists")
+    val forkV = currentOrThrow
+    val b = cloneTo(branchDir(name).getPath)
+    io.writeAtomic(forkFile(name).getPath, forkV.toString)
+    b
+  }
+
+  /** Handle on an existing branch (same keys/partitioning/IO as the
+    * parent — the clone carried them).
+    */
+  def branch(name: String): CdcTable = {
+    require(io.exists(new File(branchDir(name), CurrentPointer).getPath),
+      s"no branch $name at $path (have: ${branches.mkString(", ")})")
+    new CdcTable(spark, branchDir(name).getPath, keys, partitionSource,
+      retainVersions, autoCompactMaxFiles, bloomColumns, io)
+  }
+
+  /** PUBLISH the branch: fast-forward this table to the branch's current
+    * state as ONE new version (op `PUBLISH` in [[history]]), then drop
+    * the branch. Metadata-speed — the branch's files hard-link into the
+    * new version exactly like [[cloneTo]]; audit-added CHECK constraints
+    * carry over. Readers see the whole audited batch at one atomic
+    * pointer flip, and [[restore]] undoes it like any other commit.
+    *
+    * Fast-forward ONLY: if this table committed anything after the fork,
+    * the branch state no longer contains those changes and publishing it
+    * would silently roll them back — [[PublishConflictException]]
+    * instead; re-branch from the current version and replay the batch
+    * (the staged writes are ordinary merges, so replay is idempotent),
+    * or apply the branch's rows through a normal [[merge]]. A branch
+    * with NO commits since the fork publishes as a no-op (dropped,
+    * no version burned).
+    */
+  def publish(name: String): Unit = {
+    val b = branch(name)
+    require(io.exists(forkFile(name).getPath),
+      s"branch $name of $path has no fork marker — not created by createBranch()")
+    val forkV = io.readString(forkFile(name).getPath).trim.toLong
+    val cur = currentOrThrow
+    if (cur != forkV)
+      throw new PublishConflictException(
+        s"branch $name forked at v$forkV but $path is now at v$cur — the branch " +
+          "no longer fast-forwards; re-branch and replay, or merge its rows")
+    if (b.currentOrThrow > 1L) withOp("PUBLISH") {
+      val next = cur + 1
+      reserveOrConflict(next)
+      // a crashed writer of this same (reclaimed) number may have left a
+      // partial commit dir; we own the reservation, clear it
+      if (io.exists(commitDir(next).getPath))
+        io.deleteRecursively(commitDir(next).getPath)
+      b.linkStateInto(this, next)
+      val mine = constraints.map(_._1).toSet
+      b.constraints.filterNot(c => mine(c._1))
+        .foreach { case (n, p) => addConstraintUnchecked(n, p) }
+      commitPointer(next)
+    }
+    dropBranch(name)
+  }
+
+  /** Discard a branch (the audit said no): delete its directory; the
+    * parent table never sees anything. Idempotent.
+    */
+  def dropBranch(name: String): Unit =
+    if (io.exists(branchDir(name).getPath))
+      io.deleteRecursively(branchDir(name).getPath)
 
   /** Constraint carry-over for [[cloneTo]]: the source table already
     * guarantees the invariant over exactly these rows.
@@ -1829,6 +1934,22 @@ object CdcTable {
     * advanced mid-commit): re-read and retry — [[CdcTable.mergeWithRetry]].
     */
   final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** The parent table moved past a branch's fork point: publishing would
+    * silently roll back the parent's newer commits. Re-branch and replay
+    * (staged merges are idempotent) or merge the branch's rows directly.
+    */
+  final class PublishConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Directory under the table root holding WAP branches (each a full
+    * CdcTable cloned at fork time).
+    */
+  val BranchesDir = "_branches"
+
+  /** Marker inside a branch recording the parent version it forked from
+    * (the publish fast-forward precondition).
+    */
+  val ForkMarker = "_forked_at"
 
   /** The requested version has expired from the table's retained history
     * (or never existed). Extends FileNotFoundException so pre-existing
