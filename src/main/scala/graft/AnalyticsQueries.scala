@@ -181,6 +181,31 @@ object AnalyticsQueries extends QueryPack {
           expr("abs(element_at(approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000), 1) / percentile(l_extendedprice, 0.5D) - 1.0) <= 0.05").as("p50_ok"),
           expr("abs(element_at(approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000), 2) / percentile(l_extendedprice, 0.95D) - 1.0) <= 0.05").as("p95_ok"))),
 
+    // Cross-engine-EXACT HyperLogLog (functions.HllAggregator): distinct
+    // user-days per event type as a mergeable 2 KB sketch. Where
+    // x_approx_sketches can only tolerance-check Spark's private HLL++
+    // layout, this sketch is built on the shared 60-bit md5 hash with
+    // pure integer register math, so the DuckDB oracle recomputes the
+    // IDENTICAL registers and the estimate hash-compares to the bit.
+    // Scale: partials combine map-side (register max), shards/streams
+    // merge without re-reading data; err_pm anchors the estimate against
+    // the exact distinct it replaces at 100 TB.
+    "x_hll_distinct" -> ((s, dir) => {
+      import graft.functions.HllAggregator
+      val hll = udaf(new HllAggregator(), org.apache.spark.sql.Encoders.scalaLong)
+      val key = "concat(CAST(user_id AS STRING), '#', " +
+        "CAST(unix_micros(ts) div 86400000000 AS STRING))"
+      t(s, dir, "events")
+        .withColumn("hv", expr(TextQueries.h64(key)))
+        .groupBy(col("event_type"))
+        .agg(countDistinct(expr(key)).as("exact_user_days"), hll(col("hv")).as("sk"))
+        .select(col("event_type"), col("exact_user_days"),
+          expr(HllAggregator.estimateSql("sk.hll_sum")).as("hll_estimate"),
+          col("sk.hll_zeros").as("hll_zeros"))
+        .withColumn("err_pm",
+          expr("abs(hll_estimate - exact_user_days) * 1000 div exact_user_days"))
+    }),
+
     // Global sort + limit with a total order (O1/O2).
     "o2_sort_limit" -> ((s, dir) =>
       t(s, dir, "events")
@@ -306,6 +331,35 @@ object AnalyticsQueries extends QueryPack {
         |  count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS orders_ok, TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p95_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "x_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    user_id::VARCHAR || '#' || (epoch_us(ts) // 86400000000)::VARCHAR AS k
+        |  FROM events),
+        |hh AS (SELECT event_type, k, ('0x' || substr(md5(k),1,15))::BIGINT AS hv FROM h),
+        |r AS (
+        |  SELECT event_type, hv % 256 AS bucket,
+        |    max(CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END) AS rho
+        |  FROM hh GROUP BY 1, 2),
+        |b AS (
+        |  SELECT g.event_type, gs.bucket
+        |  FROM (SELECT DISTINCT event_type FROM events) g,
+        |       (SELECT unnest(generate_series(0, 255)) AS bucket) gs),
+        |reg AS (
+        |  SELECT b.event_type, coalesce(r.rho, 0) AS rho
+        |  FROM b LEFT JOIN r ON b.event_type = r.event_type AND b.bucket = r.bucket),
+        |s AS (
+        |  SELECT event_type, CAST(SUM(1::BIGINT << (53 - rho)) AS BIGINT) AS hll_sum,
+        |    CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS INT) AS hll_zeros
+        |  FROM reg GROUP BY 1),
+        |x AS (SELECT event_type, count(DISTINCT k) AS exact_user_days FROM h GROUP BY 1)
+        |SELECT event_type, exact_user_days, hll_estimate, hll_zeros,
+        |  abs(hll_estimate - exact_user_days) * 1000 // exact_user_days AS err_pm
+        |FROM (
+        |  SELECT x.event_type, x.exact_user_days, s.hll_zeros,
+        |    CAST(FLOOR(0.7213 / (1 + 1.079 / 256) * 256 * 256 * 9007199254740992 / CAST(s.hll_sum AS DOUBLE)) AS BIGINT) AS hll_estimate
+        |  FROM x JOIN s ON x.event_type = s.event_type)""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,

@@ -954,6 +954,20 @@ final class CdcTable(
     dropBranch(name)
   }
 
+  /** `(branch, forked-at parent version, branch head version)` rows —
+    * the `SHOW BRANCHES` face. `forked_at = -1` marks a branch directory
+    * without a fork marker (not created by [[createBranch]]); head > 1
+    * means the branch holds staged commits.
+    */
+  def branchInfo: Seq[(String, Long, Long)] =
+    branches.map { n =>
+      val forkV =
+        if (io.exists(forkFile(n).getPath))
+          io.readString(forkFile(n).getPath).trim.toLong
+        else -1L
+      (n, forkV, branch(n).currentVersion.getOrElse(0L))
+    }
+
   /** Discard a branch (the audit said no): delete its directory; the
     * parent table never sees anything. Idempotent.
     */

@@ -62,6 +62,22 @@ object Dml {
     * ([[CdcTable.restore]]).
     */
   final case class Restore(target: String, version: Long) extends Stmt
+  /** `ALTER TABLE t CREATE BRANCH b` — fork a write-audit-publish branch
+    * ([[CdcTable.createBranch]]); Iceberg's branch DDL shape.
+    */
+  final case class CreateBranch(target: String, name: String) extends Stmt
+  /** `ALTER TABLE t PUBLISH BRANCH b` — atomic fast-forward of the table
+    * to the branch state ([[CdcTable.publish]]).
+    */
+  final case class PublishBranch(target: String, name: String) extends Stmt
+  /** `ALTER TABLE t DROP BRANCH b` — discard staged work
+    * ([[CdcTable.dropBranch]]).
+    */
+  final case class DropBranch(target: String, name: String) extends Stmt
+  /** `SHOW BRANCHES t` — live branches with fork/head versions;
+    * metadata-only.
+    */
+  final case class ShowBranches(target: String) extends Stmt
 
   private val UpdateRe =
     raw"(?is)^\s*UPDATE\s+(\S+)\s+SET\s+(.+?)\s*$$".r
@@ -87,6 +103,14 @@ object Dml {
     raw"(?is)^\s*SHOW\s+PARTITIONS\s+(\S+)\s*$$".r
   private val RestoreRe =
     raw"(?is)^\s*RESTORE\s+(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$$".r
+  private val CreateBranchRe =
+    raw"(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+CREATE\s+BRANCH\s+(\S+)\s*$$".r
+  private val PublishBranchRe =
+    raw"(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+PUBLISH\s+BRANCH\s+(\S+)\s*$$".r
+  private val DropBranchRe =
+    raw"(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+BRANCH\s+(\S+)\s*$$".r
+  private val ShowBranchesRe =
+    raw"(?is)^\s*SHOW\s+BRANCHES\s+(\S+)\s*$$".r
   private val WhereRe = raw"(?is)^WHERE\s+(.+)$$".r
   private val AssignRe = raw"(?s)^\s*(\w+)\s*=\s*(.+)$$".r
   private val IdentRe = raw"(?s)^\w+$$".r
@@ -200,12 +224,17 @@ object Dml {
       }
     case RestoreRe(target, v) => Restore(target, v.toLong)
     case ShowPartsRe(target) => ShowPartitions(target)
+    case CreateBranchRe(target, name) => CreateBranch(target, name)
+    case PublishBranchRe(target, name) => PublishBranch(target, name)
+    case DropBranchRe(target, name) => DropBranch(target, name)
+    case ShowBranchesRe(target) => ShowBranches(target)
     case _ =>
       throw new IllegalArgumentException(
         "unsupported statement (expected UPDATE <t> SET ... [WHERE ...], " +
           "DELETE FROM <t> [WHERE ...], INSERT INTO <t> [(cols)] VALUES ... | SELECT ..., " +
           "DESCRIBE HISTORY <t>, OPTIMIZE <t> [ZORDER BY (cols)], VACUUM <t>, " +
-          "TABLE <t> VERSION AS OF <n>, or RESTORE <t> TO VERSION AS OF <n>)")
+          "TABLE <t> VERSION AS OF <n>, RESTORE <t> TO VERSION AS OF <n>, " +
+          "ALTER TABLE <t> CREATE|PUBLISH|DROP BRANCH <b>, or SHOW BRANCHES <t>)")
   }
 
   private def parseColumnList(cols: String): Seq[String] = {
@@ -273,6 +302,12 @@ object Dml {
         if (zcols.isEmpty) table.compact() else table.compact(zorderBy = zcols)
       case Vacuum(_) => table.expire()
       case Restore(_, v) => table.restore(v)
+      case CreateBranch(_, b) => table.createBranch(b): Unit
+      case PublishBranch(_, b) => table.publish(b)
+      case DropBranch(_, b) => table.dropBranch(b)
+      case _: ShowBranches =>
+        throw new IllegalArgumentException(
+          "SHOW BRANCHES is a read — run it through Dml.query")
       case _: TableAsOf =>
         throw new IllegalArgumentException(
           "TABLE ... VERSION AS OF is a read — run it through Dml.query")
@@ -335,6 +370,11 @@ object Dml {
       new CdcTable(spark, tablePath(target), keys, partitionSource).readVersion(v)
     case ShowPartitions(target) =>
       new CdcTable(spark, tablePath(target), keys, partitionSource).partitions
+    case ShowBranches(target) =>
+      val t = new CdcTable(spark, tablePath(target), keys, partitionSource)
+      val sq = spark
+      import sq.implicits._
+      t.branchInfo.toDF("branch", "forked_at", "head_version")
     case CountStar(target, where) =>
       val table = new CdcTable(spark, tablePath(target), keys, partitionSource)
       val n = where match {

@@ -100,6 +100,33 @@ class WapSpec extends SparkSpec {
       Set((1L, "jan"), (2L, "feb")))
   }
 
+  test("wap: statement face — CREATE/SHOW/PUBLISH/DROP BRANCH round-trip") {
+    import graft.ops.Dml
+    val root = tmpDir("wapsql")
+    val path = (n: String) => s"$root/$n"
+    val t = new CdcTable(spark, path("t"), Seq("id"))
+    t.init(Seq((1L, "a", 1L)).toDF("id", "v", "ts"))
+
+    Dml.execute(spark, "ALTER TABLE t CREATE BRANCH audit", path, Seq("id"))
+    t.branch("audit").merge(
+      Seq((2L, "staged", 2L, "c")).toDF("id", "v", "ts", "__op"), "ts")
+    val shown = Dml.query(spark, "SHOW BRANCHES t", path, Seq("id"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(shown == Seq(("audit", 1L, 2L)), s"got $shown")
+
+    Dml.execute(spark, "ALTER TABLE t PUBLISH BRANCH audit", path, Seq("id"))
+    assert(state(t) == Set((1L, "a"), (2L, "staged")))
+    assert(Dml.query(spark, "SHOW BRANCHES t", path, Seq("id")).isEmpty)
+
+    Dml.execute(spark, "ALTER TABLE t CREATE BRANCH bad", path, Seq("id"))
+    Dml.execute(spark, "ALTER TABLE t DROP BRANCH bad", path, Seq("id"))
+    assert(t.branches.isEmpty)
+    // reads reject on the write entry point and vice versa
+    intercept[IllegalArgumentException] {
+      Dml.execute(spark, "SHOW BRANCHES t", path, Seq("id"))
+    }
+  }
+
   test("wap: audit-added CHECK constraint carries to the parent on publish") {
     val t = new CdcTable(spark, tmpDir("wapcons") + "/t", Seq("id"))
     t.init(Seq((1L, 10L, 1L)).toDF("id", "qty", "ts"))
