@@ -335,6 +335,29 @@ object OlapQueries extends QueryPack {
         when(live, col("o_totalprice")).as("o_totalprice"))
     }),
 
+    // Interval × interval OVERLAP join (ops.RangeJoin.intervalOverlapJoin):
+    // pairs of same-customer orders whose 30-day windows overlap. Both
+    // sides bucketize; a pair is claimed by exactly the bucket holding
+    // max(startA, startB), so the equi-join is exactly-once with no
+    // dedup shuffle. Oracle: DuckDB self IE-join on the band.
+    "x_interval_overlap" -> ((s, dir) => {
+      val base = Tables(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").as("w_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("w_end"))
+      val a = base.select(col("o_custkey"), col("o_orderkey").as("a_key"),
+        col("w_start").as("a_start"), col("w_end").as("a_end"))
+      val b = base.select(col("o_custkey"), col("o_orderkey").as("b_key"),
+        col("w_start").as("b_start"), col("w_end").as("b_end"))
+      graft.ops.RangeJoin.intervalOverlapJoin(a, b, Seq("o_custkey"),
+          "a_start", "a_end", "b_start", "b_end",
+          bucketMicros = 30L * 86400 * 1000000)
+        .filter(col("a_key") < col("b_key"))
+        .select(col("o_custkey"), col("a_key"), col("b_key"),
+          expr("(unix_micros(least(a_end, b_end)) - unix_micros(greatest(a_start, b_start))) div 86400000000")
+            .as("overlap_days"))
+    }),
+
     // NOT EXISTS (anti join through a subquery, P5/J3's SQL face).
     "q_not_exists" -> ((s, dir) => sql(s, dir,
       """SELECT s_suppkey, s_name FROM supplier
@@ -1027,6 +1050,17 @@ object OlapQueries extends QueryPack {
         |SELECT e.event_id, e.user_id, e.ts2, iv.o_orderkey, iv.o_totalprice
         |FROM e LEFT JOIN iv
         |  ON e.user_id = iv.user_id AND e.ts2 >= iv.valid_from AND e.ts2 < iv.valid_to""".stripMargin,
+
+    "x_interval_overlap" ->
+      """WITH w AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate AS ws,
+        |    o_orderdate + INTERVAL 30 DAY AS we
+        |  FROM orders)
+        |SELECT a.o_custkey, a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+        |  (epoch_us(least(a.we, b.we)) - epoch_us(greatest(a.ws, b.ws))) // 86400000000 AS overlap_days
+        |FROM w a JOIN w b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |  AND a.ws < b.we AND b.ws < a.we""".stripMargin,
 
     "q11_important_stock" ->
       s"""WITH $duckPartsupp,

@@ -94,4 +94,54 @@ object RangeJoin {
       .filter(lower && upper)
       .drop(Bucket)
   }
+
+  /** Interval × interval OVERLAP join: pair every left interval
+    * `[startA, endA)` with every right interval `[startB, endB)` of the
+    * same key that overlaps it (`startA < endB AND startB < endA`,
+    * half-open semantics — touching endpoints do not overlap).
+    *
+    * Same bucketized machinery as [[intervalJoin]] with BOTH sides
+    * exploding to their covered buckets; a pair sharing several buckets
+    * would match once per shared bucket, so each pair is CLAIMED by
+    * exactly one bucket — the one containing `max(startA, startB)`
+    * (both intervals cover it when they overlap, and it is unique) —
+    * making the join exactly-once with no post-dedup shuffle.
+    *
+    * Degenerate inputs follow [[intervalJoin]]: NULL keys/endpoints and
+    * inverted intervals match nothing; zero-length intervals overlap
+    * nothing under half-open semantics. `maxBuckets` guards both sides.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          startA: String, endA: String,
+                          startB: String, endB: String,
+                          bucketMicros: Long,
+                          maxBuckets: Int = 64): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive, got $bucketMicros")
+    val overlapCols = (left.columns.toSet -- keys)
+      .intersect(right.columns.toSet -- keys)
+    require(overlapCols.isEmpty,
+      s"non-key columns ${overlapCols.toSeq.sorted.mkString("[", ",", "]")} exist " +
+        "on both sides — rename one side before the join, the pair output keeps both")
+
+    val Bucket = "__range_bucket"
+    def bucketOf(c: Column): Column = {
+      val ux = unix_micros(c)
+      ((ux - pmod(ux, lit(bucketMicros))) / lit(bucketMicros)).cast("long")
+    }
+    def explodeSide(df: DataFrame, s: String, e: String): DataFrame = {
+      val b0 = bucketOf(col(s))
+      val b1 = bucketOf(col(e))
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+        .withColumn(Bucket, explode(sequence(b0,
+          when(b1 - b0 < lit(maxBuckets.toLong), b1).otherwise(raise_error(concat(
+            lit(s"range interval spans more than $maxBuckets buckets of " +
+              s"${bucketMicros}us ("), (b1 - b0 + 1).cast("string"),
+            lit(s") — widen bucketMicros or raise maxBuckets on [$s, $e]")))))))
+    }
+
+    explodeSide(left, startA, endA).join(explodeSide(right, startB, endB), keys :+ Bucket)
+      .filter(col(startA) < col(endB) && col(startB) < col(endA) &&
+        col(Bucket) === bucketOf(greatest(col(startA), col(startB))))
+      .drop(Bucket)
+  }
 }

@@ -92,6 +92,28 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set((1L, 1L)))
   }
 
+  test("interval overlap join equals the naive overlap join, exactly once per pair") {
+    // pairs sharing SEVERAL buckets (long overlaps) must still appear once
+    val a = Seq((1L, 1L, ts(0L), ts(500L)), (2L, 1L, ts(450L), ts(700L)),
+      (3L, 1L, ts(900L), ts(950L)), (4L, 2L, ts(0L), ts(100L)))
+      .toDF("a_id", "k", "a_s", "a_e")
+    val b = Seq((11L, 1L, ts(100L), ts(600L)), (12L, 1L, ts(500L), ts(901L)),
+      (13L, 1L, ts(950L), ts(1000L)), (14L, 2L, ts(100L), ts(200L)))
+      .toDF("b_id", "k", "b_s", "b_e")
+    val got = RangeJoin.intervalOverlapJoin(a, b, Seq("k"),
+        "a_s", "a_e", "b_s", "b_e", bucketMicros = 100L * 1000000)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    val naive = a.join(b, Seq("k"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got.size == got.toSet.size, s"pair emitted more than once: $got")
+    assert(got.toSet == naive)
+    // half-open: [0,500) x [500,901) touch but do not overlap; (3,12)
+    // overlaps by 1s across a bucket boundary; (4,14) touching-at-100
+    // excluded
+    assert(naive == Set((1L, 11L), (2L, 11L), (2L, 12L), (3L, 12L)))
+  }
+
   test("overlapping non-key column names are rejected") {
     val iv = intervals((1L, 1L, 0L, 10L)).withColumnRenamed("iv_id", "id")
     val pt = points((1L, 1L, 5L)).withColumnRenamed("pt_id", "id")
