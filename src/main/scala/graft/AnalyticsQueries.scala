@@ -25,7 +25,60 @@ object AnalyticsQueries extends QueryPack {
   private val charge =
     s"$discPrice * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
 
+  // ------------------------------------------------------------------
+  // Maintained HLL sketch view (ops.SketchView), memoized per (session,
+  // sf) like the trained ANN indexes: a keyed events table bootstraps,
+  // then an INSERT-ONLY window (pure register-merge path, no source
+  // read) and an UPDATE+DELETE window (dirty-group pruned recompute
+  // path) churn it with the view refreshing after each commit. The
+  // oracle recomputes the registers of the replayed FINAL state — so a
+  // stale merge, a wrong dirty set, or a leaked deleted row all
+  // hash-mismatch.
+  // ------------------------------------------------------------------
+  private val sketchViews =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ops.SketchView]
+
+  private def maintainedSketch(s: SparkSession, dir: String): graft.ops.SketchView =
+    sketchViews.synchronized {
+      sketchViews.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      sketchViews.getOrElseUpdate((s, dir), {
+        val root = java.nio.file.Files.createTempDirectory("graft_hllview").toString
+        val ev = Tables(s, dir, "events")
+        val source = new graft.ops.CdcTable(s, s"$root/events", Seq("event_id"),
+          retainVersions = 5)
+        source.init(ev.filter(col("event_id") % 10 < 8))
+        val key = "concat(CAST(user_id AS STRING), '#', " +
+          "CAST(unix_micros(ts) div 86400000000 AS STRING))"
+        val view = new graft.ops.SketchView(s, source, s"$root/hll_view",
+          Seq("event_type"), TextQueries.h64(key))
+        view.refresh()
+        source.merge(ev.filter(col("event_id") % 10 >= 8)
+          .withColumn("__op", lit("c"))
+          .withColumn("v_ts", lit(java.sql.Timestamp.valueOf("2001-01-02 00:00:00"))),
+          "v_ts")
+        view.refresh()
+        source.merge(
+          ev.filter(col("event_id") % 10 === 0)
+            .withColumn("user_id", col("user_id") + 1000)
+            .withColumn("__op", lit("u"))
+            .unionByName(ev.filter(col("event_id") % 10 === 1)
+              .withColumn("__op", lit("d")))
+            .withColumn("v_ts", lit(java.sql.Timestamp.valueOf("2001-01-03 00:00:00"))),
+          "v_ts")
+        view.refresh()
+        view
+      })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Live distinct-count view: the maintained registers after the two
+    // churn windows, summarized exactly like x_hll_distinct.
+    "x_hll_view_incremental" -> ((s, dir) =>
+      maintainedSketch(s, dir).table.read
+        .select(col("event_type"), col("hll_sum"), col("hll_zeros"))
+        .withColumn("hll_estimate",
+          expr(graft.functions.HllAggregator.estimateSql("hll_sum")))),
 
     // TPC-H Q1 shape: the canonical scan+group — filter pushed to parquet,
     // partial aggregation map-side, 6 aggregates per group.
@@ -331,6 +384,36 @@ object AnalyticsQueries extends QueryPack {
         |  count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS orders_ok, TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p95_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "x_hll_view_incremental" ->
+      """WITH src AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 10 = 0 THEN user_id + 1000 ELSE user_id END AS user_id,
+        |    ts
+        |  FROM events WHERE event_id % 10 != 1),
+        |h AS (
+        |  SELECT event_type,
+        |    user_id::VARCHAR || '#' || (epoch_us(ts) // 86400000000)::VARCHAR AS k
+        |  FROM src),
+        |hh AS (SELECT event_type, k, ('0x' || substr(md5(k),1,15))::BIGINT AS hv FROM h),
+        |r AS (
+        |  SELECT event_type, hv % 256 AS bucket,
+        |    max(CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END) AS rho
+        |  FROM hh GROUP BY 1, 2),
+        |b AS (
+        |  SELECT g.event_type, gs.bucket
+        |  FROM (SELECT DISTINCT event_type FROM src) g,
+        |       (SELECT unnest(generate_series(0, 255)) AS bucket) gs),
+        |reg AS (
+        |  SELECT b.event_type, coalesce(r.rho, 0) AS rho
+        |  FROM b LEFT JOIN r ON b.event_type = r.event_type AND b.bucket = r.bucket),
+        |s AS (
+        |  SELECT event_type, CAST(SUM(1::BIGINT << (53 - rho)) AS BIGINT) AS hll_sum,
+        |    CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS INT) AS hll_zeros
+        |  FROM reg GROUP BY 1)
+        |SELECT event_type, hll_sum, hll_zeros,
+        |  CAST(FLOOR(0.7213 / (1 + 1.079 / 256) * 256 * 256 * 9007199254740992 / CAST(hll_sum AS DOUBLE)) AS BIGINT) AS hll_estimate
+        |FROM s""".stripMargin,
 
     "x_hll_distinct" ->
       """WITH h AS (

@@ -50,7 +50,7 @@ object IncrementalView {
     * a row of any dirty group matches every column's own value-or-null
     * set.
     */
-  private def groupKeyPreds(cols: Seq[String],
+  private[ops] def groupKeyPreds(cols: Seq[String],
                             rows: Array[org.apache.spark.sql.Row]): Seq[FileSkipping.Pred] =
     cols.zipWithIndex.map { case (c, i) =>
       val (nulls, vs) = rows.map(_.get(i)).partition(_ == null)
