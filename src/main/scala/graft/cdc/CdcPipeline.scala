@@ -62,7 +62,15 @@ final class CdcPipeline(
       * [[graft.ops.IvfIndex.rebootstrap]] (same codebook, snapshot
       * re-assign), logged.
       */
-    annIndexes: Seq[CdcPipeline.AnnIndexSpec] = Nil) {
+    annIndexes: Seq[CdcPipeline.AnnIndexSpec] = Nil,
+    /** Distinct-count sketch views maintained inside the same flow: after
+      * a batch's merges commit, every registered [[graft.ops.SketchView]]
+      * whose source table was touched catches up from the change feed —
+      * register-merge for insert-only windows, dirty-group pruned
+      * recompute under deletes. The live "distinct users per segment"
+      * artifact, kept current by the ingest itself.
+      */
+    sketchViews: Seq[CdcPipeline.SketchViewSpec] = Nil) {
 
   /** File-backed convenience constructors (the offline default). */
   def this(spark: SparkSession, envelopeDir: String, checkpointDir: String,
@@ -131,6 +139,7 @@ final class CdcPipeline(
       maintainJoinViews(tables.toSet)
       maintainDerivedViews(tables.toSet)
       maintainAnnIndexes(tables.toSet)
+      maintainSketchViews(tables.toSet)
     } finally {
       withMeta.unpersist(): Unit
     }
@@ -166,6 +175,7 @@ final class CdcPipeline(
     maintainJoinViews(Set(tableName))
     maintainDerivedViews(Set(tableName))
     maintainAnnIndexes(Set(tableName))
+    maintainSketchViews(Set(tableName))
   }
 
   /** Record the merge-key columns this pipeline ingests `tablePath` with
@@ -308,6 +318,32 @@ final class CdcPipeline(
               s"ann index ${a.indexPath}: reflected version expired from " +
                 "retained history, re-assigning the snapshot under the frozen codebook", e)
             idx.rebootstrap(source)
+        }
+      }
+    }
+
+  /** Catch up every registered sketch view whose source table the batch
+    * touched. [[graft.ops.SketchView.refresh]] keeps its own post-commit
+    * `_sketch_reflected` marker, so replays are idempotent register-max
+    * merges; an expired window degrades to a snapshot re-bootstrap (same
+    * registers), logged.
+    */
+  private def maintainSketchViews(touched: Set[String]): Unit =
+    sketchViews.filter(sv => touched(sv.table)).foreach { sv =>
+      validateKeys(sv.viewPath, sv.table, sv.tableKeys)
+      val source = new CdcTable(spark, s"$tableRoot/${sv.table}", sv.tableKeys)
+      source.currentVersion.foreach { _ =>
+        val view = new graft.ops.SketchView(spark, source, sv.viewPath,
+          sv.groupCols, sv.hashExpr)
+        try view.refresh()
+        catch {
+          case e: Throwable if isExpiredBase(e, Seq(source.path)) =>
+            CdcPipeline.log.warn(
+              s"sketch view ${sv.viewPath}: reflected window expired from " +
+                "retained history, re-sketching the snapshot", e)
+            new java.io.File(sv.viewPath, graft.ops.SketchView.ReflectedMarker)
+              .delete(): Unit
+            view.refresh()
         }
       }
     }
@@ -467,6 +503,15 @@ object CdcPipeline {
   final case class DerivedViewSpec(table: String, tableKeys: Seq[String],
                                    viewPath: String, viewKeys: Seq[String],
                                    transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+
+  /** Declarative sketch-view registration: maintain at `viewPath` the
+    * per-`groupCols` HLL distinct-count registers over `hashExpr` of
+    * ingested table `table`, refreshed from the change feed after every
+    * touching batch ([[graft.ops.SketchView]]).
+    */
+  final case class SketchViewSpec(table: String, tableKeys: Seq[String],
+                                  viewPath: String, groupCols: Seq[String],
+                                  hashExpr: String)
 
   /** Declarative ANN-index registration: maintain at `indexPath` an
     * [[graft.ops.IvfIndex]] over `table` (which must expose the index's

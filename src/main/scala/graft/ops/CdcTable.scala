@@ -122,6 +122,29 @@ final class CdcTable(
     currentVersion.getOrElse(
       throw new java.io.FileNotFoundException(s"no committed version at $path"))
 
+  // --------------------------------------------------- table metadata
+
+  private def tableMetaFile = new File(path, TableMetaName)
+
+  /** Persist the table's LAYOUT metadata (merge keys, partition source,
+    * bloom columns) beside the pointer, making the table SELF-DESCRIBING:
+    * [[CdcTable.open]] reconstructs a correct handle from the path alone,
+    * so DML routers, catalogs, and downstream consumers need no
+    * out-of-band knowledge of how a table was created (the reference
+    * keeps this in the Iceberg catalog; plain parquet has nowhere else
+    * to put it). Written on every pointer commit — one small idempotent
+    * PUT — so pre-metadata tables upgrade on their next commit.
+    */
+  private def writeTableMeta(): Unit = {
+    val content = Seq(
+      s"keys\t${keys.mkString(",")}",
+      s"partitionSource\t${partitionSource.getOrElse("")}",
+      s"bloomColumns\t${bloomColumns.mkString(",")}").mkString("\n")
+    if (!io.exists(tableMetaFile.getPath) ||
+        io.readString(tableMetaFile.getPath) != content)
+      io.writeAtomic(tableMetaFile.getPath, content)
+  }
+
   // --------------------------------------------------- CHECK constraints
 
   private def constraintsFile = new File(path, ConstraintsName)
@@ -562,6 +585,7 @@ final class CdcTable(
     if (currentVersion.exists(_ >= next))
       throw new CommitConflictException(
         s"pointer of $path moved past v$next during commit")
+    writeTableMeta()
     // operation provenance beside the version's own metadata: written
     // BEFORE the pointer flips, so a published version always carries
     // its record and a crashed commit's orphan record dies with its dir
@@ -1932,6 +1956,36 @@ final class CdcTable(
 
 object CdcTable {
   private[ops] val log = org.slf4j.LoggerFactory.getLogger(classOf[CdcTable])
+
+  /** Table-root layout sidecar (`key TAB value` lines) making a committed
+    * table self-describing — see [[open]].
+    */
+  val TableMetaName = "_table_meta"
+
+  /** Open a committed table from its path alone, reconstructing merge
+    * keys / partition source / bloom columns from the `_table_meta`
+    * sidecar every commit maintains. Fails loudly on a table that has
+    * never committed (nothing to describe) or predates the sidecar
+    * (one commit through a fully-parameterized handle upgrades it).
+    */
+  def open(spark: SparkSession, path: String, io: TableIO = LocalTableIO,
+           retainVersions: Int = 3): CdcTable = {
+    val f = new File(path, TableMetaName)
+    require(io.exists(f.getPath),
+      s"$path has no $TableMetaName sidecar — not a committed table of this " +
+        "engine (or written by a pre-metadata build: commit once through a " +
+        "handle constructed with explicit keys to upgrade it)")
+    val kv = io.readLines(f.getPath).map { l =>
+      val i = l.indexOf('\t')
+      (l.substring(0, i), if (i + 1 < l.length) l.substring(i + 1) else "")
+    }.toMap
+    def list(k: String): Seq[String] =
+      kv.getOrElse(k, "").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    new CdcTable(spark, path, list("keys"),
+      kv.get("partitionSource").filter(_.nonEmpty),
+      retainVersions = retainVersions,
+      bloomColumns = list("bloomColumns"), io = io)
+  }
 
   /** How a metadata-answered COUNT ([[CdcTable.countWhereProfile]]) was
     * assembled: `fullFiles` contributed their sidecar row counts without

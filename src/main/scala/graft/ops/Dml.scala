@@ -78,6 +78,25 @@ object Dml {
     * metadata-only.
     */
   final case class ShowBranches(target: String) extends Stmt
+  /** `CREATE TABLE t [KEYED BY (k, ...)] [PARTITIONED BY (c)] AS SELECT ...`
+    * — CTAS through the versioned commit path: the result of the SELECT
+    * becomes version 1, KEYED BY declares the merge identity (omitted =
+    * keyless/append-only), PARTITIONED BY the month-bucket source column.
+    * The layout persists in `_table_meta`, so every later statement
+    * routes keylessly.
+    */
+  final case class CreateTableAs(target: String, keys: Seq[String],
+                                 partitionSource: Option[String],
+                                 select: String) extends Stmt
+  /** `DROP TABLE t` — delete the table directory (all versions, branches,
+    * sidecars). Deliberately NOT undoable — unlike RESTORE, there is no
+    * pointer left to travel from.
+    */
+  final case class DropTable(target: String) extends Stmt
+  /** `SHOW TABLES` — committed tables under the router's root;
+    * metadata-only (one listing + pointer existence checks).
+    */
+  final case class ShowTables() extends Stmt { def target: String = "" }
 
   private val UpdateRe =
     raw"(?is)^\s*UPDATE\s+(\S+)\s+SET\s+(.+?)\s*$$".r
@@ -111,6 +130,12 @@ object Dml {
     raw"(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+BRANCH\s+(\S+)\s*$$".r
   private val ShowBranchesRe =
     raw"(?is)^\s*SHOW\s+BRANCHES\s+(\S+)\s*$$".r
+  private val CreateTableAsRe =
+    raw"(?is)^\s*CREATE\s+TABLE\s+([^\s(]+)\s*(?:KEYED\s+BY\s*\(([^)]+)\)\s*)?(?:PARTITIONED\s+BY\s*\(([^)]+)\)\s*)?AS\s+(SELECT\b.+?)\s*$$".r
+  private val DropTableRe =
+    raw"(?is)^\s*DROP\s+TABLE\s+(\S+)\s*$$".r
+  private val ShowTablesRe =
+    raw"(?is)^\s*SHOW\s+TABLES\s*$$".r
   private val WhereRe = raw"(?is)^WHERE\s+(.+)$$".r
   private val AssignRe = raw"(?s)^\s*(\w+)\s*=\s*(.+)$$".r
   private val IdentRe = raw"(?s)^\w+$$".r
@@ -228,13 +253,21 @@ object Dml {
     case PublishBranchRe(target, name) => PublishBranch(target, name)
     case DropBranchRe(target, name) => DropBranch(target, name)
     case ShowBranchesRe(target) => ShowBranches(target)
+    case CreateTableAsRe(target, ks, ps, select) =>
+      val part = parseColumnList(ps)
+      require(part.size <= 1, "PARTITIONED BY takes exactly one month-source column")
+      CreateTableAs(target, parseColumnList(ks), part.headOption, select.trim)
+    case DropTableRe(target) => DropTable(target)
+    case ShowTablesRe() => ShowTables()
     case _ =>
       throw new IllegalArgumentException(
         "unsupported statement (expected UPDATE <t> SET ... [WHERE ...], " +
           "DELETE FROM <t> [WHERE ...], INSERT INTO <t> [(cols)] VALUES ... | SELECT ..., " +
           "DESCRIBE HISTORY <t>, OPTIMIZE <t> [ZORDER BY (cols)], VACUUM <t>, " +
           "TABLE <t> VERSION AS OF <n>, RESTORE <t> TO VERSION AS OF <n>, " +
-          "ALTER TABLE <t> CREATE|PUBLISH|DROP BRANCH <b>, or SHOW BRANCHES <t>)")
+          "ALTER TABLE <t> CREATE|PUBLISH|DROP BRANCH <b>, SHOW BRANCHES <t>, " +
+          "CREATE TABLE <t> [KEYED BY (k)] [PARTITIONED BY (c)] AS SELECT ..., " +
+          "DROP TABLE <t>, or SHOW TABLES)")
   }
 
   private def parseColumnList(cols: String): Seq[String] = {
@@ -290,7 +323,48 @@ object Dml {
               keys: Seq[String], partitionSource: Option[String] = None,
               vectoredDeletes: Boolean = false): CdcTable = {
     val stmt = parse(sql)
-    val table = new CdcTable(spark, tablePath(stmt.target), keys, partitionSource)
+    executeDdl(spark, stmt, tablePath).getOrElse(
+      executeOn(spark, stmt,
+        new CdcTable(spark, tablePath(stmt.target), keys, partitionSource), vectoredDeletes))
+  }
+
+  /** Statements that create or destroy the table itself — dispatched
+    * BEFORE any handle resolves (a CTAS target does not exist yet; a
+    * dropped one stops existing). CTAS layout comes from the statement
+    * (`KEYED BY` merge identity, `PARTITIONED BY` month source) and
+    * persists in `_table_meta` with the version-1 commit.
+    */
+  private def executeDdl(spark: SparkSession, stmt: Stmt,
+                         tablePath: String => String): Option[CdcTable] = stmt match {
+    case CreateTableAs(t, ks, ps, sel) =>
+      val table = new CdcTable(spark, tablePath(t), ks, ps)
+      require(table.currentVersion.isEmpty, s"table $t already exists — DROP it first " +
+        "(CTAS will not silently overwrite a committed table)")
+      table.init(spark.sql(sel))
+      Some(table)
+    case DropTable(t) =>
+      val table = new CdcTable(spark, tablePath(t), Nil)
+      table.io.deleteRecursively(table.path)
+      Some(table)
+    case _ => None
+  }
+
+  /** Self-describing route: the target resolves through [[CdcTable.open]],
+    * so its merge keys / partition source / bloom columns come from the
+    * table's own `_table_meta` sidecar — arbitrary DML text runs with NO
+    * out-of-band layout knowledge (what a catalog would supply; the
+    * sidecar IS the catalog entry). Targets must be committed tables —
+    * creation still goes through the parameterized entry points.
+    */
+  def execute(spark: SparkSession, sql: String, tablePath: String => String): CdcTable = {
+    val stmt = parse(sql)
+    executeDdl(spark, stmt, tablePath).getOrElse(
+      executeOn(spark, stmt, CdcTable.open(spark, tablePath(stmt.target)),
+        vectoredDeletes = false))
+  }
+
+  private def executeOn(spark: SparkSession, stmt: Stmt, table: CdcTable,
+                        vectoredDeletes: Boolean): CdcTable = {
     stmt match {
       case Update(_, set, where) =>
         table.update(where.map(expr).getOrElse(lit(true)),
@@ -305,9 +379,11 @@ object Dml {
       case CreateBranch(_, b) => table.createBranch(b): Unit
       case PublishBranch(_, b) => table.publish(b)
       case DropBranch(_, b) => table.dropBranch(b)
-      case _: ShowBranches =>
+      case _: ShowBranches | _: ShowTables =>
         throw new IllegalArgumentException(
-          "SHOW BRANCHES is a read — run it through Dml.query")
+          "SHOW BRANCHES / SHOW TABLES are reads — run them through Dml.query")
+      case _: CreateTableAs | _: DropTable =>
+        throw new IllegalStateException("unreachable: dispatched by executeDdl")
       case _: TableAsOf =>
         throw new IllegalArgumentException(
           "TABLE ... VERSION AS OF is a read — run it through Dml.query")
@@ -363,20 +439,43 @@ object Dml {
     */
   def query(spark: SparkSession, sql: String, tablePath: String => String,
             keys: Seq[String], partitionSource: Option[String] = None)
-      : org.apache.spark.sql.DataFrame = parse(sql) match {
-    case DescribeHistory(target) =>
-      new CdcTable(spark, tablePath(target), keys, partitionSource).history
-    case TableAsOf(target, v) =>
-      new CdcTable(spark, tablePath(target), keys, partitionSource).readVersion(v)
-    case ShowPartitions(target) =>
-      new CdcTable(spark, tablePath(target), keys, partitionSource).partitions
-    case ShowBranches(target) =>
-      val t = new CdcTable(spark, tablePath(target), keys, partitionSource)
+      : org.apache.spark.sql.DataFrame =
+    queryOn(spark, parse(sql), tablePath,
+      t => new CdcTable(spark, tablePath(t), keys, partitionSource))
+
+  /** Self-describing read route — see the keyless [[execute]] overload. */
+  def query(spark: SparkSession, sql: String, tablePath: String => String)
+      : org.apache.spark.sql.DataFrame =
+    queryOn(spark, parse(sql), tablePath, t => CdcTable.open(spark, tablePath(t)))
+
+  private def queryOn(spark: SparkSession, stmt: Stmt, tablePath: String => String,
+                      open: String => CdcTable)
+      : org.apache.spark.sql.DataFrame = stmt match {
+    case ShowTables() =>
+      // the router's root is the parent of the empty table name — one
+      // listing, one pointer check per child; committed tables only
+      val root = new java.io.File(tablePath("")).getPath
+      val names = LocalTableIO.list(root)
+        .filter(_.isDir)
+        .map(_.name)
+        .filter(n => LocalTableIO.exists(
+          new java.io.File(new java.io.File(root, n), CdcTable.CurrentPointer).getPath))
+        .sorted
       val sq = spark
       import sq.implicits._
-      t.branchInfo.toDF("branch", "forked_at", "head_version")
+      names.map { n =>
+        (n, new CdcTable(spark, new java.io.File(root, n).getPath, Nil)
+          .currentVersion.getOrElse(0L))
+      }.toDF("table", "version")
+    case DescribeHistory(target) => open(target).history
+    case TableAsOf(target, v) => open(target).readVersion(v)
+    case ShowPartitions(target) => open(target).partitions
+    case ShowBranches(target) =>
+      val sq = spark
+      import sq.implicits._
+      open(target).branchInfo.toDF("branch", "forked_at", "head_version")
     case CountStar(target, where) =>
-      val table = new CdcTable(spark, tablePath(target), keys, partitionSource)
+      val table = open(target)
       val n = where match {
         case None => table.countWhere(Nil) // pure metadata
         case Some(w) =>

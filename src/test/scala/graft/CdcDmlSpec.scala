@@ -445,4 +445,61 @@ class CdcDmlSpec extends SparkSpec {
       .toSet
     assert(cdf == Set((1L, "a", -1L, "update_preimage"), (1L, "a2", 7L, "update_postimage")))
   }
+
+  test("self-describing tables: CdcTable.open reconstructs layout, keyless Dml routes") {
+    val root = tmpDir("dmlopen")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"),
+      partitionSource = Some("created"), bloomColumns = Seq("v"))
+    t.init(Seq((1L, "a", ts("2001-01-05 00:00:00")),
+      (2L, "b", ts("2001-02-05 00:00:00"))).toDF("id", "v", "created"))
+
+    val o = CdcTable.open(spark, s"$root/t")
+    assert(o.keys == Seq("id"))
+    assert(o.partitionSource.contains("created"))
+    assert(o.bloomColumns == Seq("v"))
+
+    // keyless statement routing: the sidecar supplies what the caller used to
+    graft.ops.Dml.execute(spark, "UPDATE t SET v = 'z' WHERE id = 1", n => s"$root/$n")
+    assert(o.read.filter(col("id") === 1L).select("v").head().getString(0) == "z")
+    assert(graft.ops.Dml.query(spark, "DESCRIBE HISTORY t", n => s"$root/$n").count() >= 2)
+
+    // an unpartitioned keyed table round-trips an empty partitionSource
+    val u = new CdcTable(spark, s"$root/u", Seq("k1", "k2"))
+    u.init(Seq((1L, 2L, "x")).toDF("k1", "k2", "v"))
+    val ou = CdcTable.open(spark, s"$root/u")
+    assert(ou.keys == Seq("k1", "k2") && ou.partitionSource.isEmpty && ou.bloomColumns.isEmpty)
+
+    // a path that never committed fails loudly
+    intercept[IllegalArgumentException] { CdcTable.open(spark, s"$root/nope") }
+  }
+
+  test("CTAS / DROP TABLE / SHOW TABLES complete the lifecycle statement surface") {
+    import graft.ops.Dml
+    val root = tmpDir("dmlctas")
+    val path = (n: String) => s"$root/$n"
+    Seq((1L, "a", 5L), (2L, "b", 9L)).toDF("id", "v", "n").createOrReplaceTempView("ctas_src")
+
+    Dml.execute(spark, "CREATE TABLE t KEYED BY (id) AS SELECT id, v, n FROM ctas_src", path)
+    val t = CdcTable.open(spark, s"$root/t")
+    assert(t.keys == Seq("id") && t.read.count() == 2)
+    // the CTAS table is immediately mergeable under its declared identity
+    t.merge(Seq((2L, "b2", 9L, "u")).toDF("id", "v", "n", "__op")
+      .withColumn("mts", lit(2L)), "mts")
+    assert(t.read.filter(col("id") === 2L).select("v").head().getString(0) == "b2")
+    // CTAS refuses to clobber
+    intercept[IllegalArgumentException] {
+      Dml.execute(spark, "CREATE TABLE t AS SELECT * FROM ctas_src", path)
+    }
+
+    Dml.execute(spark, "CREATE TABLE u AS SELECT id, v FROM ctas_src", path)
+    val shown = Dml.query(spark, "SHOW TABLES", path)
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    assert(shown.map(_._1) == Seq("t", "u"))
+    assert(shown.forall(_._2 >= 1L))
+
+    Dml.execute(spark, "DROP TABLE u", path)
+    assert(Dml.query(spark, "SHOW TABLES", path)
+      .as[(String, Long)].collect().map(_._1).toSeq == Seq("t"))
+    intercept[IllegalArgumentException] { CdcTable.open(spark, s"$root/u") }
+  }
 }

@@ -193,4 +193,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!read.contains("lang") && !read.contains("source"),
       "span dedup must prune unreferenced document columns from the scan")
   }
+
+  test("bucketized range joins plan as hash equi-joins, never nested-loop all-pairs") {
+    // a raw band predicate gives Catalyst only the key equality to hash
+    // on (band as post-filter) or, keyless, a BroadcastNestedLoopJoin;
+    // the bucketized form must plan every join as a hash/sort-merge
+    // equi-join on (key, bucket) with zero nested-loop or cartesian
+    // operators anywhere
+    for (q <- Seq("x_range_join", "x_interval_overlap", "x_pit_join")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q degraded to an all-pairs join:\n$p")
+    }
+    // the as-of-composed PIT join additionally must contain NO join at
+    // all on its probe path: the interval carry is a window, not a join
+    // (its only joins are the small dimension-side dedup/lead windows)
+    assert(plan("x_range_join").contains("Join"), "pairs path should be a hash join")
+  }
 }

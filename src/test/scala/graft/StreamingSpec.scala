@@ -373,6 +373,52 @@ class StreamingSpec extends SparkSpec {
     assert(v.filter(col("id") === 2L).count() == 0)
   }
 
+  test("streaming-maintained sketch view: live distinct counts track the ingest, deletes included") {
+    import graft.ops.{CdcTable, SketchView}
+    import org.apache.spark.sql.DataFrame
+    val root = tmpDir("cdcsketch")
+    val envDir = s"$root/env"; val ckpt = s"$root/ckpt"; val tables = s"$root/tables"
+    val hashExpr = TextQueries.h64("CAST(uid AS STRING)")
+    val spec = CdcPipeline.SketchViewSpec("hits", Seq("id"), s"$root/dau",
+      Seq("seg"), hashExpr)
+    def hitsEnv(rows: Seq[(Long, String, Long, Long, String)]) =
+      EnvelopeCodec.synthesizeTable(
+        rows.map { case (id, seg, uid, ts, op) => (id, seg, uid, new java.sql.Timestamp(ts), op) }
+          .toDF("id", "seg", "uid", "ts", "__op"),
+        table = "hits", pk = "id", opCol = "__op", tsCol = "ts")
+    def run(): Unit =
+      new CdcPipeline(spark, new graft.sources.FileEnvelopeSource(envDir), ckpt, tables,
+        sketchViews = Seq(spec)).runOnce()
+    def assertCurrent(label: String): Unit = {
+      val source = new CdcTable(spark, s"$tables/hits", Seq("id"))
+      val view = new CdcTable(spark, s"$root/dau", Seq("seg"))
+      def rows(df: DataFrame) = df
+        .select(col("seg"), col(SketchView.SumCol), col(SketchView.ZerosCol))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+      val want = rows(SketchView.summarized(
+        SketchView.regsOf(source.read, Seq("seg"), hashExpr)))
+      assert(rows(view.read) == want, s"$label: sketch view diverged from recompute")
+    }
+
+    hitsEnv(Seq((1L, "web", 10L, 1000L, "c"), (2L, "web", 11L, 1000L, "c"),
+      (3L, "app", 10L, 1000L, "c"), (4L, "app", 12L, 1000L, "c")))
+      .write.mode("append").parquet(envDir)
+    run()
+    assertCurrent("bootstrap")
+
+    // insert-only window, then a churn window (uid move + segment death)
+    hitsEnv(Seq((5L, "web", 12L, 2000L, "c"), (6L, "api", 13L, 2000L, "c")))
+      .write.mode("append").parquet(envDir)
+    run()
+    assertCurrent("insert-only window")
+    hitsEnv(Seq((2L, "web", 14L, 3000L, "u"), (6L, "api", 13L, 3000L, "d")))
+      .write.mode("append").parquet(envDir)
+    run()
+    assertCurrent("churn window")
+    val v = new CdcTable(spark, s"$root/dau", Seq("seg")).read
+    assert(v.filter(col("seg") === "api").count() == 0, "emptied segment must vanish")
+  }
+
   test("streaming-maintained ANN index: frozen codebook, lists track the vector table across runs") {
     import graft.ops.{CdcTable, IvfIndex}
     import org.apache.spark.sql.DataFrame
