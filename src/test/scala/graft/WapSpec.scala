@@ -139,4 +139,25 @@ class WapSpec extends SparkSpec {
       t.merge(Seq((3L, -5L, 3L, "c")).toDF("id", "qty", "ts", "__op"), "ts")
     }
   }
+
+  test("wap: full lifecycle on object-store IO semantics, vectored delete staged on the branch") {
+    import graft.ops.ObjectStoreSimTableIO
+    val io = new ObjectStoreSimTableIO
+    val t = new CdcTable(spark, tmpDir("wapstore") + "/t", Seq("id"), io = io)
+    t.init(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("id", "v", "ts"))
+    val v0 = t.currentVersion.get
+
+    val b = t.createBranch("audit")
+    b.merge(Seq((4L, "d", 2L, "c")).toDF("id", "v", "ts", "__op"), "ts")
+    // merge-on-read delete staged on the branch: the vector must carry
+    // through publish's state linking, not just the data files
+    b.deleteVectored(col("v") === "b")
+    assert(state(t) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    t.publish("audit")
+    assert(state(t) == Set((1L, "a"), (3L, "c"), (4L, "d")))
+    assert(t.currentVersion.contains(v0 + 1) && t.branches.isEmpty)
+    // the published vector keeps metadata counts exact on the parent
+    assert(t.countWhere(Nil) == 3L)
+  }
 }
