@@ -53,6 +53,41 @@ object PipelineQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Entity resolution (record linkage): link typo-dirtied duplicate
+    // records back to their canonical rows. Candidate generation is
+    // DELETION-NEIGHBORHOOD blocking (the FastSS/SymSpell shape): each
+    // name explodes to its 18 delete-one-character keys, and two names
+    // within one substitution MUST share the key at the edited position
+    // — an O(n·L) equi-join with no quadratic block anywhere (naive
+    // per-nation blocking is O(block²); a levenshtein theta-join would
+    // be all-pairs). The exact edit distance then verifies candidates
+    // only. Deterministic dirty data: every third customer gets a
+    // variant with one digit replaced at a key-derived position.
+    "x_entity_resolution" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """WITH dirty AS (
+          |  SELECT c_custkey AS id, c_name AS name FROM customer
+          |  UNION ALL
+          |  SELECT c_custkey + 1000000 AS id,
+          |    concat(substring(c_name, 1, 9 + pmod(c_custkey, 9)), 'z',
+          |           substring(c_name, 11 + pmod(c_custkey, 9), 18)) AS name
+          |  FROM customer WHERE c_custkey % 3 = 0),
+          |keys AS (
+          |  SELECT id, name, i,
+          |    concat(substring(name, 1, i - 1), substring(name, i + 1, 18)) AS blk
+          |  FROM dirty
+          |  LATERAL VIEW explode(sequence(1, 18)) t AS i),
+          |cand AS (
+          |  SELECT DISTINCT a.id AS canonical_id, b.id AS dirty_id,
+          |    a.name AS an, b.name AS bn
+          |  FROM keys a JOIN keys b ON a.i = b.i AND a.blk = b.blk
+          |  WHERE a.id < 1000000 AND b.id >= 1000000)
+          |SELECT canonical_id, dirty_id,
+          |  CAST(levenshtein(an, bn) AS BIGINT) AS dist
+          |FROM cand WHERE levenshtein(an, bn) <= 1""".stripMargin)
+    }),
+
     // Benchmark decontamination: flag corpus documents whose 8-gram
     // content overlaps a held-out eval set (doc_id % 97 = 0 stands in for
     // the benchmark). The eval n-gram table is tiny relative to the
@@ -262,6 +297,27 @@ object PipelineQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "x_entity_resolution" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS id, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS id,
+        |    substr(c_name, 1, 9 + (c_custkey % 9)) || 'z' ||
+        |    substr(c_name, 11 + (c_custkey % 9), 18) AS name
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |keys AS (
+        |  SELECT id, name, gs.i AS i,
+        |    substr(name, 1, gs.i - 1) || substr(name, gs.i + 1, 18) AS blk
+        |  FROM dirty, (SELECT unnest(generate_series(1, 18)) AS i) gs),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS canonical_id, b.id AS dirty_id,
+        |    a.name AS an, b.name AS bn
+        |  FROM keys a JOIN keys b ON a.i = b.i AND a.blk = b.blk
+        |  WHERE a.id < 1000000 AND b.id >= 1000000)
+        |SELECT canonical_id, dirty_id,
+        |  CAST(levenshtein(an, bn) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(an, bn) <= 1""".stripMargin,
+
     "x_decontamination" ->
       s"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
          |           WHERE len(string_split_regex(text, '\\s+')) >= 8),
