@@ -53,6 +53,34 @@ object PipelineQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Resample + forward fill (gap filling): each user's sparse daily
+    // value series expands to a dense day grid over [first, last]
+    // observation, carrying the last observed value across gap days —
+    // the time-series regularization every downstream daily model
+    // assumes. The grid explodes per-entity spans (bounded, never a
+    // global calendar cross join), the fill is one
+    // last_value-IGNORE-NULLS window per entity — one shuffle on
+    // user_id, no global sort. Day sums stay DECIMAL until the final
+    // per-row cast, so fills are exact cross-engine.
+    "x_gap_fill" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(
+        """WITH days AS (
+          |  SELECT user_id, unix_micros(ts) div 86400000000 AS day,
+          |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS day_value
+          |  FROM events GROUP BY 1, 2),
+          |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM days GROUP BY 1),
+          |grid AS (
+          |  SELECT user_id, explode(sequence(d0, d1)) AS day FROM span),
+          |joined AS (
+          |  SELECT g.user_id, g.day, d.day_value
+          |  FROM grid g LEFT JOIN days d ON g.user_id = d.user_id AND g.day = d.day)
+          |SELECT user_id, day, CAST(day_value AS DOUBLE) AS obs_value,
+          |  CAST(last_value(day_value) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY day
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value
+          |FROM joined""".stripMargin)
+    }),
+
     // Entity resolution (record linkage): link typo-dirtied duplicate
     // records back to their canonical rows. Candidate generation is
     // DELETION-NEIGHBORHOOD blocking (the FastSS/SymSpell shape): each
@@ -297,6 +325,21 @@ object PipelineQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "x_gap_fill" ->
+      """WITH days AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM days GROUP BY 1),
+        |grid AS (SELECT user_id, gs.day FROM span, unnest(generate_series(d0, d1)) gs(day)),
+        |joined AS (
+        |  SELECT g.user_id, g.day, d.day_value
+        |  FROM grid g LEFT JOIN days d ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, day, CAST(day_value AS DOUBLE) AS obs_value,
+        |  CAST(last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value
+        |FROM joined""".stripMargin,
+
     "x_entity_resolution" ->
       """WITH dirty AS (
         |  SELECT c_custkey AS id, c_name AS name FROM customer
