@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotI64].getName, "dot_i64"),
       (exprs: Seq[Expression]) => DotI64(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.TopKViaSortLimit)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinViaBuckets)
   }
 }

@@ -992,6 +992,44 @@ final class CdcTable(
       (n, forkV, branch(n).currentVersion.getOrElse(0L))
     }
 
+  /** PUBLISH a branch whose parent moved past the fork — the rebase
+    * resolution [[publish]]'s conflict message points at: the branch's
+    * staged DELTA (its change feed from the fork clone to its head)
+    * replays onto the CURRENT parent state through the ordinary keyed
+    * merge, so parent commits made after the fork survive and
+    * keys the delta touches take the branch's final state (standard
+    * merge semantics — the staged batch is the later writer, its batch-
+    * internal collisions latest-wins on `tsCol`) while keys it does not
+    * touch keep the parent's post-fork state — exactly what would have
+    * happened had the staged batches been merged directly. Lands as one
+    * ordinary MERGE commit (not a PUBLISH fast-forward: the result is a
+    * three-way combination, not the branch head). Falls back to plain
+    * [[publish]] when the parent never moved. The branch drops
+    * afterwards either way.
+    *
+    * Cost: delta-sized — one branch CDF diff + one merge of that delta;
+    * the parent's post-fork data is never rewritten beyond the months
+    * the delta touches.
+    */
+  def publishRebased(name: String, tsCol: String): Unit = {
+    val b = branch(name)
+    require(io.exists(forkFile(name).getPath),
+      s"branch $name of $path has no fork marker — not created by createBranch()")
+    val forkV = io.readString(forkFile(name).getPath).trim.toLong
+    if (currentOrThrow == forkV) { publish(name); return }
+    val head = b.currentOrThrow
+    if (head > 1L) {
+      val feed = b.changesBetween(1L, head)
+      val batch = feed
+        .filter(col(ChangeTypeCol).isin("insert", "update_postimage", "delete"))
+        .withColumn(CdcMerge.OpColumn,
+          when(col(ChangeTypeCol) === "delete", lit("d")).otherwise(lit("u")))
+        .drop(ChangeTypeCol)
+      merge(batch, tsCol)
+    }
+    dropBranch(name)
+  }
+
   /** Discard a branch (the audit said no): delete its directory; the
     * parent table never sees anything. Idempotent.
     */

@@ -160,4 +160,30 @@ class WapSpec extends SparkSpec {
     // the published vector keeps metadata counts exact on the parent
     assert(t.countWhere(Nil) == 3L)
   }
+
+  test("wap: publishRebased replays the staged delta onto a moved parent") {
+    val t = new CdcTable(spark, tmpDir("waprebase") + "/t", Seq("id"), retainVersions = 5)
+    t.init(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("id", "v", "ts"))
+
+    val b = t.createBranch("stage")
+    // staged: update 2, delete 3, insert 4
+    b.merge(Seq((2L, "b-branch", 2L, "u"), (3L, "c", 2L, "d"), (4L, "d-branch", 2L, "c"))
+      .toDF("id", "v", "ts", "__op"), "ts")
+    // parent moves past the fork: updates an untouched key and inserts 5
+    t.merge(Seq((1L, "a-main", 3L, "u"), (5L, "e-main", 3L, "c"))
+      .toDF("id", "v", "ts", "__op"), "ts")
+    intercept[CdcTable.PublishConflictException] { t.publish("stage") }
+
+    t.publishRebased("stage", "ts")
+    // parent's post-fork work survives; staged delta applies on top
+    assert(state(t) == Set((1L, "a-main"), (2L, "b-branch"), (4L, "d-branch"), (5L, "e-main")))
+    assert(t.branches.isEmpty)
+
+    // unmoved parent: rebase degrades to the plain fast-forward publish
+    val b2 = t.createBranch("ff")
+    b2.merge(Seq((6L, "f", 4L, "c")).toDF("id", "v", "ts", "__op"), "ts")
+    t.publishRebased("ff", "ts")
+    assert(state(t).contains((6L, "f")))
+    assert(t.history.select("operation").head().getString(0) == "PUBLISH")
+  }
 }
