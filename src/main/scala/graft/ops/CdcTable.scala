@@ -615,13 +615,9 @@ final class CdcTable(
     val sq = spark
     import sq.implicits._
     versions.reverse.map { v =>
-      val (op, ts) = {
-        val f = new File(versionDir(v), CommitInfoName)
-        if (!io.exists(f.getPath)) (null: String, null: java.lang.Long)
-        else io.readString(f.getPath).trim.split('\t') match {
-          case Array(o, t) => (o, java.lang.Long.valueOf(t.toLong))
-          case _ => (null: String, null: java.lang.Long)
-        }
+      val (op, ts) = commitMeta(v) match {
+        case Some((o, t)) => (o, java.lang.Long.valueOf(t))
+        case None         => (null: String, null: java.lang.Long)
       }
       val files =
         if (manifestExists(v))
@@ -630,6 +626,57 @@ final class CdcTable(
         else dataFileCount(versionDir(v))
       (v, op, ts, files.toLong)
     }.toDF("version", "operation", "ts_millis", "num_files")
+  }
+
+  /** Operation + commit epoch-millis recorded for retained version `v`. */
+  private def commitMeta(v: Long): Option[(String, Long)] = {
+    val f = new File(versionDir(v), CommitInfoName)
+    if (!io.exists(f.getPath)) None
+    else io.readString(f.getPath).trim.split('\t') match {
+      case Array(o, t) => Some((o, t.toLong))
+      case _ => None
+    }
+  }
+
+  /** The latest retained version committed AT OR BEFORE epoch-millis
+    * `tsMillis` — the Delta/Iceberg `TIMESTAMP AS OF` resolution. Loud
+    * when `tsMillis` precedes every retained commit (earlier state
+    * EXPIRED: answering with the oldest survivor would silently time
+    * travel to the wrong state).
+    */
+  def versionAtTimestamp(tsMillis: Long): Long = {
+    val stamped = versions.flatMap(v => commitMeta(v).map(m => (v, m._2)))
+    stamped.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+      throw new ExpiredVersionException(
+        s"no retained version of $path at or before ts $tsMillis " +
+          s"(oldest retained commit: ${stamped.headOption.fold("none")(_._2.toString)})"))
+  }
+
+  /** Time-travel read by commit timestamp (`TABLE t TIMESTAMP AS OF`). */
+  def readAtTimestamp(tsMillis: Long): DataFrame =
+    readVersion(versionAtTimestamp(tsMillis))
+
+  /** Per-data-file inventory of the current version — the Iceberg
+    * `table.files` / Delta DESCRIBE DETAIL face: data directory
+    * (relative), file name, row count, and per-file deleted-position
+    * count from the deletion-vector summary. METADATA-ONLY: rows come
+    * from the commit-time stats sidecars, never a footer or data read.
+    */
+  def filesInfo: DataFrame = {
+    val sq = spark
+    import sq.implicits._
+    val v = currentOrThrow
+    val conf = spark.sessionState.newHadoopConf()
+    val dirs: Seq[(String, File)] =
+      if (manifestExists(v)) manifest(v).map(_._2).distinct.map(r => (r, new File(path, r)))
+      else Seq((f"v$v%08d", versionDir(v)))
+    val dv = dvSummary(v).map { case (d, f, c) => (d, f) -> c }.toMap
+    dirs.flatMap { case (rel, dir) =>
+      FileSkipping.statsForDir(conf, dir).toSeq.map { case (name, st) =>
+        (rel, name, st.rows, dv.getOrElse((rel, name), 0L))
+      }
+    }.sortBy(t => (t._1, t._2))
+      .toDF("data_dir", "file", "row_count", "deleted_rows")
   }
 
   private def manifestExists(v: Long): Boolean =

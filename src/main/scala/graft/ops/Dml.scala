@@ -58,6 +58,19 @@ object Dml {
   final case class ShowPartitions(target: String) extends Stmt
   /** `TABLE t VERSION AS OF n` — time-travel read ([[CdcTable.readVersion]]). */
   final case class TableAsOf(target: String, version: Long) extends Stmt
+  /** `TABLE t TIMESTAMP AS OF '<ts>'` — time-travel read resolved to the
+    * latest commit at or before the UTC timestamp
+    * ([[CdcTable.readAtTimestamp]]).
+    */
+  final case class TableAsOfTs(target: String, tsMillis: Long) extends Stmt
+  /** `RESTORE t TO TIMESTAMP AS OF '<ts>'` — rollback-as-new-version to
+    * the state live at the UTC timestamp.
+    */
+  final case class RestoreTs(target: String, tsMillis: Long) extends Stmt
+  /** `DESCRIBE FILES t` — per-data-file inventory from commit sidecars
+    * ([[CdcTable.filesInfo]]); metadata-only.
+    */
+  final case class DescribeFiles(target: String) extends Stmt
   /** `RESTORE t TO VERSION AS OF n` — rollback-as-new-version
     * ([[CdcTable.restore]]).
     */
@@ -116,6 +129,20 @@ object Dml {
     raw"(?is)^\s*VACUUM\s+(\S+)\s*$$".r
   private val AsOfRe =
     raw"(?is)^\s*TABLE\s+(\S+)\s+VERSION\s+AS\s+OF\s+(\d+)\s*$$".r
+  private val AsOfTsRe =
+    raw"(?is)^\s*TABLE\s+(\S+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*$$".r
+  private val RestoreTsRe =
+    raw"(?is)^\s*RESTORE\s+(\S+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*$$".r
+  private val DescFilesRe =
+    raw"(?is)^\s*DESCRIBE\s+FILES\s+(\S+)\s*$$".r
+
+  /** UTC wall-clock string (`yyyy-MM-dd HH:mm:ss[.fff]` or ISO) →
+    * epoch millis; the commit log records absolute millis, so the
+    * statement timestamp must be zone-pinned, not JVM-default-zoned.
+    */
+  private def utcMillis(s: String): Long =
+    java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
   private val CountRe =
     raw"(?is)^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+(\S+)(\s.*?)?\s*$$".r
   private val ShowPartsRe =
@@ -240,6 +267,9 @@ object Dml {
       Optimize(target, cols)
     case VacuumRe(target) => Vacuum(target)
     case AsOfRe(target, v) => TableAsOf(target, v.toLong)
+    case AsOfTsRe(target, ts) => TableAsOfTs(target, utcMillis(ts))
+    case RestoreTsRe(target, ts) => RestoreTs(target, utcMillis(ts))
+    case DescFilesRe(target) => DescribeFiles(target)
     case CountRe(target, rest) =>
       Option(rest).map(_.trim).filter(_.nonEmpty) match {
         case None => CountStar(target, None)
@@ -376,6 +406,7 @@ object Dml {
         if (zcols.isEmpty) table.compact() else table.compact(zorderBy = zcols)
       case Vacuum(_) => table.expire()
       case Restore(_, v) => table.restore(v)
+      case RestoreTs(_, ms) => table.restore(table.versionAtTimestamp(ms))
       case CreateBranch(_, b) => table.createBranch(b): Unit
       case PublishBranch(_, b) => table.publish(b)
       case DropBranch(_, b) => table.dropBranch(b)
@@ -384,9 +415,10 @@ object Dml {
           "SHOW BRANCHES / SHOW TABLES are reads — run them through Dml.query")
       case _: CreateTableAs | _: DropTable =>
         throw new IllegalStateException("unreachable: dispatched by executeDdl")
-      case _: TableAsOf =>
+      case _: TableAsOf | _: TableAsOfTs | _: DescribeFiles =>
         throw new IllegalArgumentException(
-          "TABLE ... VERSION AS OF is a read — run it through Dml.query")
+          "TABLE ... VERSION|TIMESTAMP AS OF / DESCRIBE FILES are reads — " +
+            "run them through Dml.query")
       case Insert(_, cols, values, select) =>
         val incoming = (values, select) match {
           case (Some(tuples), _) =>
@@ -469,6 +501,8 @@ object Dml {
       }.toDF("table", "version")
     case DescribeHistory(target) => open(target).history
     case TableAsOf(target, v) => open(target).readVersion(v)
+    case TableAsOfTs(target, ms) => open(target).readAtTimestamp(ms)
+    case DescribeFiles(target) => open(target).filesInfo
     case ShowPartitions(target) => open(target).partitions
     case ShowBranches(target) =>
       val sq = spark

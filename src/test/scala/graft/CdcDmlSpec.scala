@@ -502,4 +502,42 @@ class CdcDmlSpec extends SparkSpec {
       .as[(String, Long)].collect().map(_._1).toSeq == Seq("t"))
     intercept[IllegalArgumentException] { CdcTable.open(spark, s"$root/u") }
   }
+
+  test("timestamp time travel, timestamp restore, DESCRIBE FILES") {
+    import graft.ops.Dml
+    val root = tmpDir("dmlts")
+    val path = (n: String) => s"$root/$n"
+    val t = new CdcTable(spark, path("t"), Seq("id"), retainVersions = 5)
+    t.init(Seq((1L, "v1", 1L)).toDF("id", "v", "ts"))
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.merge(Seq((1L, "v2", 2L, "u"), (2L, "x", 2L, "c")).toDF("id", "v", "ts", "__op"), "ts")
+
+    def utc(ms: Long) = java.time.Instant.ofEpochMilli(ms)
+      .atOffset(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+
+    // read resolves to the last commit at or before the timestamp
+    val asOf = Dml.query(spark, s"TABLE t TIMESTAMP AS OF '${utc(mid)}'", path, Seq("id"))
+    assert(asOf.select("v").as[String].collect().toSeq == Seq("v1"))
+
+    // metadata-only file inventory: row counts sum to the table count
+    val files = Dml.query(spark, "DESCRIBE FILES t", path, Seq("id"))
+    assert(files.columns.toSeq ==
+      Seq("data_dir", "file", "row_count", "deleted_rows"))
+    assert(files.agg(sum("row_count")).head().getLong(0) == t.read.count())
+
+    // restore by timestamp rolls back as a new version
+    Dml.execute(spark, s"RESTORE t TO TIMESTAMP AS OF '${utc(mid)}'", path, Seq("id"))
+    assert(t.read.select("v").as[String].collect().toSeq == Seq("v1"))
+
+    // a timestamp before every retained commit fails loudly (never a
+    // silent wrong-state answer)
+    intercept[java.io.FileNotFoundException] { t.versionAtTimestamp(1000L) }
+    // reads reject through the write entry point
+    intercept[IllegalArgumentException] {
+      Dml.execute(spark, "DESCRIBE FILES t", path, Seq("id"))
+    }
+  }
 }
