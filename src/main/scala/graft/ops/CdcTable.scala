@@ -1919,6 +1919,33 @@ final class CdcTable(
     }
   }
 
+  /** PARTITION-SCOPED compaction: fold (and optionally cluster/z-order)
+    * ONLY the named months; every other month carries over untouched in
+    * the manifest — the `OPTIMIZE t PARTITIONS (...)` statement body,
+    * and the manual face of what [[compactIfNeeded]] decides by policy.
+    * At 100 TB a full-table OPTIMIZE is a non-event you schedule; the
+    * scoped form is the tool an operator actually reaches for (yesterday
+    * ran hot, fold yesterday).
+    */
+  def compactMonths(months: Set[String], target: Int = 1,
+                    clusterBy: Seq[String] = Nil,
+                    zorderBy: Seq[String] = Nil): Unit = withOp("COMPACT") {
+    require(partitionSource.isDefined,
+      "partition-scoped compaction needs a partitioned table — use compact()")
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "pick linear clusterBy OR multi-dim zorderBy, not both")
+    require(months.nonEmpty, "no months named")
+    val expected = currentOrThrow
+    val missing = months -- allMonths(Some(expected))
+    require(missing.isEmpty,
+      s"months not in the table: ${missing.toSeq.sorted.mkString(", ")}")
+    val rows = readParts(manifest(expected).filter(e => months(e._1)), None, expected)
+    val shaped =
+      if (zorderBy.nonEmpty) zorderShape(rows, months.size, target, zorderBy, Some(PartCol))
+      else compactShape(rows, months.size, target, clusterBy)
+    commitPartitioned(shaped, replaced = months, Some(expected))
+  }
+
   /** Z-order compaction shape: bucketize each dimension into
     * `[0, 2^bits)` from its observed min/max, interleave into one Morton
     * key, range-partition (+ month first on the partitioned layout) and

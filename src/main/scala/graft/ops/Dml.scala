@@ -37,11 +37,13 @@ object Dml {
   final case class Insert(target: String, columns: Seq[String],
                           values: Option[String], select: Option[String]) extends Stmt
   final case class DescribeHistory(target: String) extends Stmt
-  /** `OPTIMIZE t [ZORDER BY (a, b)]` — compaction, optionally
-    * Morton-clustered ([[CdcTable.compact]]); the Delta maintenance
-    * statement shape.
+  /** `OPTIMIZE t [PARTITIONS ('m', ...)] [ZORDER BY (a, b)]` —
+    * compaction, optionally scoped to the named months
+    * ([[CdcTable.compactMonths]]) and optionally Morton-clustered; the
+    * Delta maintenance statement shape.
     */
-  final case class Optimize(target: String, zorderBy: Seq[String]) extends Stmt
+  final case class Optimize(target: String, zorderBy: Seq[String],
+                            partitions: Seq[String] = Nil) extends Stmt
   /** `VACUUM t` — expire retained history and GC unreferenced data
     * ([[CdcTable.expire]]).
     */
@@ -124,7 +126,7 @@ object Dml {
   private val DescHistRe =
     raw"(?is)^\s*DESCRIBE\s+HISTORY\s+(\S+)\s*$$".r
   private val OptimizeRe =
-    raw"(?is)^\s*OPTIMIZE\s+([^\s(]+)\s*(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?$$".r
+    raw"(?is)^\s*OPTIMIZE\s+([^\s(]+)\s*(?:PARTITIONS\s*\(([^)]*)\)\s*)?(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?$$".r
   private val VacuumRe =
     raw"(?is)^\s*VACUUM\s+(\S+)\s*$$".r
   private val AsOfRe =
@@ -261,10 +263,17 @@ object Dml {
     case InsertSelectRe(target, cols, select) =>
       Insert(target, parseColumnList(cols), None, Some(select.trim))
     case DescHistRe(target) => DescribeHistory(target)
-    case OptimizeRe(target, zcols) =>
+    case OptimizeRe(target, parts, zcols) =>
       val cols = parseColumnList(zcols)
       require(zcols == null || cols.nonEmpty, "ZORDER BY needs at least one column")
-      Optimize(target, cols)
+      val months = Option(parts).map(splitTop(_).map { m =>
+        val t = m.trim
+        require(t.length >= 2 && t.head == '\'' && t.last == '\'',
+          s"PARTITIONS takes quoted month literals, got: $t")
+        t.substring(1, t.length - 1)
+      }).getOrElse(Nil)
+      require(parts == null || months.nonEmpty, "PARTITIONS needs at least one month")
+      Optimize(target, cols, months)
     case VacuumRe(target) => Vacuum(target)
     case AsOfRe(target, v) => TableAsOf(target, v.toLong)
     case AsOfTsRe(target, ts) => TableAsOfTs(target, utcMillis(ts))
@@ -402,8 +411,10 @@ object Dml {
       case Delete(_, where) =>
         val cond = where.map(expr).getOrElse(lit(true))
         if (vectoredDeletes) table.deleteVectored(cond) else table.delete(cond)
-      case Optimize(_, zcols) =>
-        if (zcols.isEmpty) table.compact() else table.compact(zorderBy = zcols)
+      case Optimize(_, zcols, months) =>
+        if (months.nonEmpty) table.compactMonths(months.toSet, zorderBy = zcols)
+        else if (zcols.isEmpty) table.compact()
+        else table.compact(zorderBy = zcols)
       case Vacuum(_) => table.expire()
       case Restore(_, v) => table.restore(v)
       case RestoreTs(_, ms) => table.restore(table.versionAtTimestamp(ms))

@@ -56,9 +56,23 @@ object EnvelopeSource {
   * (checkpoint tracks seen files, the trigger-once analog of committed
   * Kafka offsets).
   */
-final class FileEnvelopeSource(dir: String) extends EnvelopeSource {
-  def readStream(spark: SparkSession): DataFrame =
-    spark.readStream.schema(EnvelopeSource.schema).parquet(dir)
+final class FileEnvelopeSource(
+    dir: String,
+    /** Ingestion rate limit: at most this many envelope files enter one
+      * micro-batch (the file-source face of Kafka's
+      * `maxOffsetsPerTrigger`). Bounds per-batch memory/shuffle at a
+      * backlogged restart — without it, a pipeline catching up after
+      * downtime processes the WHOLE backlog as one giant batch. With
+      * `Trigger.AvailableNow` the stream still drains everything, just
+      * in rate-bounded batches. None = unbounded (the default;
+      * small-batch tests stay single-batch).
+      */
+    maxFilesPerTrigger: Option[Int] = None) extends EnvelopeSource {
+  def readStream(spark: SparkSession): DataFrame = {
+    val r = spark.readStream.schema(EnvelopeSource.schema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+  }
 }
 
 /** Offline stand-in for the JDBC table read: a parquet path. */

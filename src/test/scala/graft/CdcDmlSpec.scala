@@ -540,4 +540,35 @@ class CdcDmlSpec extends SparkSpec {
       Dml.execute(spark, "DESCRIBE FILES t", path, Seq("id"))
     }
   }
+
+  test("OPTIMIZE PARTITIONS folds only the named months") {
+    import graft.ops.Dml
+    val root = tmpDir("dmlscoped")
+    val path = (n: String) => s"$root/$n"
+    val t = new CdcTable(spark, path("t"), Seq("id"), partitionSource = Some("created"))
+    def rows(tag: String, n: Int) = (1 to n).map(i =>
+      (tag.hashCode.toLong * 1000 + i, s"$tag$i",
+        ts(s"2001-0${if (tag == "jan") 1 else 2}-05 00:00:00")))
+    t.init(rows("jan", 4).toDF("id", "v", "created"))
+    t.append(rows("feb", 4).toDF("id", "v", "created"))
+    t.append(rows("feb2", 4).map { case (i, v, _) => (i, v, ts("2001-02-20 00:00:00")) }
+      .toDF("id", "v", "created"))
+    val before = t.filesInfo.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val febBefore = before.count(_._1.contains("2001-02"))
+    assert(febBefore >= 2, s"need a multi-file feb to fold: $before")
+
+    Dml.execute(spark, "OPTIMIZE t PARTITIONS ('2001-02')", path, Seq("id"),
+      partitionSource = Some("created"))
+    val after = t.filesInfo.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // jan files carry byte-identical (same dir-relative names)
+    assert(after.filter(_._1.contains("2001-01")) == before.filter(_._1.contains("2001-01")),
+      "untouched month must carry over, not rewrite")
+    assert(after.count(_._1.contains("2001-02")) < febBefore, "feb did not fold")
+    assert(t.read.count() == 12, "content changed")
+    // naming a month the table does not have fails loudly
+    intercept[IllegalArgumentException] {
+      Dml.execute(spark, "OPTIMIZE t PARTITIONS ('1999-01')", path, Seq("id"),
+        partitionSource = Some("created"))
+    }
+  }
 }

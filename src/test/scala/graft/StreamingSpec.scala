@@ -373,6 +373,27 @@ class StreamingSpec extends SparkSpec {
     assert(v.filter(col("id") === 2L).count() == 0)
   }
 
+  test("maxFilesPerTrigger rate-bounds batches; AvailableNow still drains the backlog") {
+    import graft.ops.CdcTable
+    val root = tmpDir("cdcrate")
+    val envDir = s"$root/env"; val ckpt = s"$root/ckpt"; val tables = s"$root/tables"
+    def env(ids: Seq[Long]) = EnvelopeCodec.synthesizeTable(
+      ids.map(i => (i, s"v$i", new java.sql.Timestamp(1000L + i), "c"))
+        .toDF("id", "v", "ts", "__op"),
+      table = "rated", pk = "id", opCol = "__op", tsCol = "ts")
+    // three separate envelope files form the backlog
+    env(Seq(1L)).write.mode("append").parquet(envDir)
+    env(Seq(2L)).write.mode("append").parquet(envDir)
+    env(Seq(3L)).write.mode("append").parquet(envDir)
+    val pipe = new CdcPipeline(spark,
+      new graft.sources.FileEnvelopeSource(envDir, maxFilesPerTrigger = Some(1)),
+      ckpt, tables)
+    pipe.runOnce()
+    assert(pipe.batchCount >= 3, s"backlog must split into rate-bounded batches, got ${pipe.batchCount}")
+    assert(new CdcTable(spark, s"$tables/rated", Seq("id")).read.count() == 3,
+      "the drain must still deliver everything")
+  }
+
   test("streaming-maintained sketch view: live distinct counts track the ingest, deletes included") {
     import graft.ops.{CdcTable, SketchView}
     import org.apache.spark.sql.DataFrame
