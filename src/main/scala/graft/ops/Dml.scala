@@ -330,6 +330,11 @@ object Dml {
   private val BatchInsertRe =
     raw"(?is)^\s*INSERT\s+INTO\s+\S+\s*\([^)]*\)\s*VALUES\s*\(\s*s\s*\..*".r
 
+  /** The reference's batch-INSERT fallback shape (its VALUES reference
+    * the source alias) — routed to [[MergeInto.execute]] with the batch.
+    */
+  def isBatchInsert(sql: String): Boolean = BatchInsertRe.matches(sql.trim)
+
   def executeAny(spark: SparkSession, sql: String, tablePath: String => String,
                  keys: Seq[String], partitionSource: Option[String] = None,
                  source: Option[org.apache.spark.sql.DataFrame] = None,
