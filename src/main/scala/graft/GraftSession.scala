@@ -60,6 +60,82 @@ final class GraftSession(val spark: SparkSession, val root: String) {
   /** Current rows of a committed table. */
   def read(name: String): DataFrame = table(name).read
 
+  // ------------------------------------------------- cross-table savepoints
+
+  private def savepointsDir = new java.io.File(root, "_savepoints")
+  private def savepointFile(name: String) = new java.io.File(savepointsDir, name)
+
+  /** Names of committed tables under the root (SHOW TABLES). */
+  def tableNames: Seq[String] =
+    graft.ops.LocalTableIO.list(root).filter(_.isDir).map(_.name)
+      .filter(n => graft.ops.LocalTableIO.exists(
+        new java.io.File(new java.io.File(root, n), CdcTable.CurrentPointer).getPath))
+      .sorted
+
+  /** Record every committed table's CURRENT version under one name — the
+    * dataset-pinning primitive for reproducible runs ("train run 417
+    * used exactly THIS state of docs + embeddings + stats"). Each table
+    * stays independently versioned; the savepoint is one tiny manifest
+    * of (table, version) pairs, readable via [[readAt]] and rewindable
+    * via [[restoreAll]]. Taken between write batches it is a consistent
+    * cross-table cut; taken mid-write it pins whatever each pointer
+    * showed (document your write schedule, not this call).
+    *
+    * Retention caveat (deliberate): a savepoint pins versions
+    * LOGICALLY; each table's `retainVersions` must cover it or reads
+    * degrade to a loud [[CdcTable.ExpiredVersionException]] — never a
+    * silently different dataset.
+    */
+  def savepoint(name: String): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"), s"savepoint name: $name")
+    require(!graft.ops.LocalTableIO.exists(savepointFile(name).getPath),
+      s"savepoint $name already exists (savepoints are immutable — pick a new name)")
+    val entries = tableNames.map { n =>
+      s"$n\t${table(n).currentVersion.get}"
+    }
+    require(entries.nonEmpty, s"no committed tables under $root to pin")
+    graft.ops.LocalTableIO.mkdirs(savepointsDir.getPath)
+    graft.ops.LocalTableIO.writeAtomic(savepointFile(name).getPath, entries.mkString("\n"))
+  }
+
+  /** Existing savepoint names, sorted. */
+  def savepoints: Seq[String] =
+    if (!graft.ops.LocalTableIO.exists(savepointsDir.getPath)) Nil
+    else graft.ops.LocalTableIO.list(savepointsDir.getPath).filterNot(_.isDir).map(_.name).sorted
+
+  private def savepointEntries(name: String): Seq[(String, Long)] = {
+    require(graft.ops.LocalTableIO.exists(savepointFile(name).getPath),
+      s"no savepoint $name (have: ${savepoints.mkString(", ")})")
+    graft.ops.LocalTableIO.readLines(savepointFile(name).getPath).map { l =>
+      val i = l.indexOf('\t')
+      (l.substring(0, i), l.substring(i + 1).toLong)
+    }
+  }
+
+  /** A table's rows exactly as pinned by the savepoint. */
+  def readAt(savepointName: String, tableName: String): DataFrame = {
+    val v = savepointEntries(savepointName).toMap.getOrElse(tableName,
+      throw new IllegalArgumentException(
+        s"savepoint $savepointName does not pin table $tableName"))
+    table(tableName).readVersion(v)
+  }
+
+  /** Rewind EVERY pinned table to its savepoint version (one RESTORE
+    * commit per table — history moves forward, the bad states stay
+    * inspectable). Tables created after the savepoint are untouched.
+    */
+  def restoreAll(savepointName: String): Unit =
+    savepointEntries(savepointName).foreach { case (n, v) =>
+      if (table(n).currentVersion.contains(v)) () // already there: no version burned
+      else table(n).restore(v)
+    }
+
+  /** Delete a savepoint manifest (the pinned versions expire on their
+    * tables' own retention schedule).
+    */
+  def dropSavepoint(name: String): Unit =
+    graft.ops.LocalTableIO.deleteRecursively(savepointFile(name).getPath)
+
   private def isRead(statement: String): Boolean = Dml.parse(statement) match {
     case _: Dml.DescribeHistory | _: Dml.TableAsOf | _: Dml.TableAsOfTs |
          _: Dml.ShowPartitions | _: Dml.ShowBranches | _: Dml.ShowTables |

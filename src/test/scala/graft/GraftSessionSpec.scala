@@ -50,4 +50,38 @@ class GraftSessionSpec extends SparkSpec {
     g.sql("DROP TABLE t")
     assert(g.sql("SHOW TABLES").isEmpty)
   }
+
+  test("savepoints pin a cross-table dataset state; restoreAll rewinds it") {
+    val g = new GraftSession(spark, tmpDir("gsave"))
+    Seq((1L, "d1", 2L)).toDF("id", "body", "ts").createOrReplaceTempView("sp_docs")
+    Seq((1L, 0.5, 2L)).toDF("id", "score", "ts").createOrReplaceTempView("sp_stats")
+    g.sql("CREATE TABLE docs KEYED BY (id) AS SELECT * FROM sp_docs")
+    g.sql("CREATE TABLE stats KEYED BY (id) AS SELECT * FROM sp_stats")
+
+    g.savepoint("run417")
+    assert(g.savepoints == Seq("run417"))
+
+    // both tables move on
+    g.table("docs").merge(Seq((2L, "d2", 3L, "c")).toDF("id", "body", "ts", "__op"), "ts")
+    g.sql("UPDATE stats SET score = 0.9 WHERE id = 1")
+    assert(g.read("docs").count() == 2)
+
+    // the pinned read set is exactly the old state
+    assert(g.readAt("run417", "docs").count() == 1)
+    assert(g.readAt("run417", "stats").select("score").head().getDouble(0) == 0.5)
+    // current reads are unaffected
+    assert(g.read("stats").select("score").head().getDouble(0) == 0.9)
+
+    // rewind the whole dataset
+    g.restoreAll("run417")
+    assert(g.read("docs").count() == 1)
+    assert(g.read("stats").select("score").head().getDouble(0) == 0.5)
+
+    // immutability + unknown lookups fail loudly
+    intercept[IllegalArgumentException] { g.savepoint("run417") }
+    intercept[IllegalArgumentException] { g.readAt("run417", "nope") }
+    intercept[IllegalArgumentException] { g.readAt("never", "docs") }
+    g.dropSavepoint("run417")
+    assert(g.savepoints.isEmpty)
+  }
 }
