@@ -968,19 +968,25 @@ final class CdcTable(
     require(!io.exists(new File(branchDir(name), CurrentPointer).getPath),
       s"branch $name of $path already exists")
     val forkV = currentOrThrow
-    val b = cloneTo(branchDir(name).getPath)
+    cloneTo(branchDir(name).getPath): Unit
     io.writeAtomic(forkFile(name).getPath, forkV.toString)
-    b
+    branch(name)
   }
 
   /** Handle on an existing branch (same keys/partitioning/IO as the
-    * parent — the clone carried them).
+    * parent — the clone carried them). Branch RETENTION is effectively
+    * unbounded, deliberately: the fork version (branch v1) must survive
+    * every staged commit so [[publishRebased]] can always diff
+    * fork→head, a branch's whole history is bounded by its staged
+    * commits (hard-linked, metadata-cheap), and publish/drop deletes
+    * the entire directory anyway — a staging area needs its base, not
+    * a retention policy.
     */
   def branch(name: String): CdcTable = {
     require(io.exists(new File(branchDir(name), CurrentPointer).getPath),
       s"no branch $name at $path (have: ${branches.mkString(", ")})")
     new CdcTable(spark, branchDir(name).getPath, keys, partitionSource,
-      retainVersions, autoCompactMaxFiles, bloomColumns, io)
+      retainVersions = BranchRetain, autoCompactMaxFiles, bloomColumns, io)
   }
 
   /** PUBLISH the branch: fast-forward this table to the branch's current
@@ -2130,6 +2136,11 @@ object CdcTable {
     * (the publish fast-forward precondition).
     */
   val ForkMarker = "_forked_at"
+
+  /** Branch retention: effectively unbounded so the fork version always
+    * survives the staged commits — see [[CdcTable.branch]].
+    */
+  val BranchRetain: Int = Int.MaxValue
 
   /** The requested version has expired from the table's retained history
     * (or never existed). Extends FileNotFoundException so pre-existing

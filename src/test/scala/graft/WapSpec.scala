@@ -166,9 +166,13 @@ class WapSpec extends SparkSpec {
     t.init(Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("id", "v", "ts"))
 
     val b = t.createBranch("stage")
-    // staged: update 2, delete 3, insert 4
-    b.merge(Seq((2L, "b-branch", 2L, "u"), (3L, "c", 2L, "d"), (4L, "d-branch", 2L, "c"))
-      .toDF("id", "v", "ts", "__op"), "ts")
+    // staged over FOUR commits — more than the parent's retainVersions,
+    // so the branch's unbounded retention is what keeps the fork state
+    // (branch v1) alive for the fork→head diff
+    b.merge(Seq((2L, "b-branch", 2L, "u")).toDF("id", "v", "ts", "__op"), "ts")
+    b.merge(Seq((3L, "c", 2L, "d")).toDF("id", "v", "ts", "__op"), "ts")
+    b.merge(Seq((4L, "d-wrong", 2L, "c")).toDF("id", "v", "ts", "__op"), "ts")
+    b.merge(Seq((4L, "d-branch", 3L, "u")).toDF("id", "v", "ts", "__op"), "ts")
     // parent moves past the fork: updates an untouched key and inserts 5
     t.merge(Seq((1L, "a-main", 3L, "u"), (5L, "e-main", 3L, "c"))
       .toDF("id", "v", "ts", "__op"), "ts")
