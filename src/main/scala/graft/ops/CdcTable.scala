@@ -656,6 +656,29 @@ final class CdcTable(
   def readAtTimestamp(tsMillis: Long): DataFrame =
     readVersion(versionAtTimestamp(tsMillis))
 
+  /** `DESCRIBE TABLE` face: one row per column (name, type, nullable)
+    * from the current version's schema sidecar, then `# `-prefixed
+    * layout rows (merge keys, partition source, bloom columns, current
+    * version) — the reference's DESCRIBE-with-partition-spec shape
+    * (SURVEY S4) served from engine metadata instead of string-parsed
+    * catalog output. Metadata-only; falls back to one mergeSchema
+    * inference only for pre-sidecar versions.
+    */
+  def describe: DataFrame = {
+    val sq = spark
+    import sq.implicits._
+    val v = currentOrThrow
+    val schema = schemaAt(v).getOrElse(readAt(v).schema)
+    val cols = schema.fields.toSeq.map(f =>
+      (f.name, f.dataType.simpleString, f.nullable.toString))
+    val layout = Seq(
+      ("# merge_keys", keys.mkString(", "), ""),
+      ("# partition_source", partitionSource.getOrElse(""), ""),
+      ("# bloom_columns", bloomColumns.mkString(", "), ""),
+      ("# current_version", v.toString, ""))
+    (cols ++ layout).toDF("col_name", "data_type", "nullable")
+  }
+
   /** Per-data-file inventory of the current version — the Iceberg
     * `table.files` / Delta DESCRIBE DETAIL face: data directory
     * (relative), file name, row count, and per-file deleted-position

@@ -73,6 +73,10 @@ object Dml {
     * ([[CdcTable.filesInfo]]); metadata-only.
     */
   final case class DescribeFiles(target: String) extends Stmt
+  /** `DESCRIBE TABLE t` — columns + layout from the schema/_table_meta
+    * sidecars ([[CdcTable.describe]]); metadata-only.
+    */
+  final case class DescribeTable(target: String) extends Stmt
   /** `RESTORE t TO VERSION AS OF n` — rollback-as-new-version
     * ([[CdcTable.restore]]).
     */
@@ -137,14 +141,20 @@ object Dml {
     raw"(?is)^\s*RESTORE\s+(\S+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*$$".r
   private val DescFilesRe =
     raw"(?is)^\s*DESCRIBE\s+FILES\s+(\S+)\s*$$".r
+  private val DescTableRe =
+    raw"(?is)^\s*DESCRIBE\s+TABLE\s+(\S+)\s*$$".r
 
   /** UTC wall-clock string (`yyyy-MM-dd HH:mm:ss[.fff]` or ISO) →
     * epoch millis; the commit log records absolute millis, so the
     * statement timestamp must be zone-pinned, not JVM-default-zoned.
     */
-  private def utcMillis(s: String): Long =
-    java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  private def utcMillis(s: String): Long = {
+    val t = s.trim.replace(' ', 'T')
+    val ldt =
+      if (t.contains('T')) java.time.LocalDateTime.parse(t)
+      else java.time.LocalDate.parse(t).atStartOfDay() // date-only literal
+    ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
   private val CountRe =
     raw"(?is)^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s+FROM\s+(\S+)(\s.*?)?\s*$$".r
   private val ShowPartsRe =
@@ -279,6 +289,7 @@ object Dml {
     case AsOfTsRe(target, ts) => TableAsOfTs(target, utcMillis(ts))
     case RestoreTsRe(target, ts) => RestoreTs(target, utcMillis(ts))
     case DescFilesRe(target) => DescribeFiles(target)
+    case DescTableRe(target) => DescribeTable(target)
     case CountRe(target, rest) =>
       Option(rest).map(_.trim).filter(_.nonEmpty) match {
         case None => CountStar(target, None)
@@ -431,9 +442,9 @@ object Dml {
           "SHOW BRANCHES / SHOW TABLES are reads — run them through Dml.query")
       case _: CreateTableAs | _: DropTable =>
         throw new IllegalStateException("unreachable: dispatched by executeDdl")
-      case _: TableAsOf | _: TableAsOfTs | _: DescribeFiles =>
+      case _: TableAsOf | _: TableAsOfTs | _: DescribeFiles | _: DescribeTable =>
         throw new IllegalArgumentException(
-          "TABLE ... VERSION|TIMESTAMP AS OF / DESCRIBE FILES are reads — " +
+          "TABLE ... VERSION|TIMESTAMP AS OF / DESCRIBE FILES|TABLE are reads — " +
             "run them through Dml.query")
       case Insert(_, cols, values, select) =>
         val incoming = (values, select) match {
@@ -519,6 +530,7 @@ object Dml {
     case TableAsOf(target, v) => open(target).readVersion(v)
     case TableAsOfTs(target, ms) => open(target).readAtTimestamp(ms)
     case DescribeFiles(target) => open(target).filesInfo
+    case DescribeTable(target) => open(target).describe
     case ShowPartitions(target) => open(target).partitions
     case ShowBranches(target) =>
       val sq = spark

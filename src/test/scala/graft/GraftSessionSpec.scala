@@ -38,6 +38,9 @@ class GraftSessionSpec extends SparkSpec {
     assert(g.sql("DESCRIBE HISTORY t").count() == 3) // default retention window
     assert(g.sql("SHOW TABLES").as[(String, Long)].collect().map(_._1).toSeq == Seq("t"))
     assert(g.sql("DESCRIBE FILES t").agg(sum("row_count")).head().getLong(0) >= 2L)
+    val desc = g.sql("DESCRIBE TABLE t").as[(String, String, String)].collect().toSeq
+    assert(desc.exists(r => r._1 == "amt" && r._2 == "bigint"))
+    assert(desc.contains(("# merge_keys", "id", "")))
 
     // WAP through statements + the typed handle interoperate
     g.sql("ALTER TABLE t CREATE BRANCH audit")
