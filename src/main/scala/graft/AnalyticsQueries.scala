@@ -259,6 +259,39 @@ object AnalyticsQueries extends QueryPack {
           expr("abs(hll_estimate - exact_user_days) * 1000 div exact_user_days"))
     }),
 
+    // Sketch MERGE equals sketch of the UNION — the property that lets
+    // shards/days/streams combine without re-reading data, proven
+    // cross-engine: the engine merges two per-slice register sets
+    // (zip_with max over a date split), the oracle computes registers
+    // of the union in one pass, and the estimates hash-compare to the
+    // bit. The anchor columns carry the exact union distinct and the
+    // error it replaces.
+    "x_hll_union" -> ((s, dir) => {
+      import graft.ops.SketchView
+      import graft.functions.HllAggregator
+      val key = "concat(CAST(user_id AS STRING), '#', " +
+        "CAST(unix_micros(ts) div 86400000000 AS STRING))"
+      val h = TextQueries.h64(key)
+      val ev = t(s, dir, "events")
+      val split = "timestamp'2024-01-16 00:00:00'"
+      val a = SketchView.regsOf(ev.filter(expr(s"ts < $split")), Seq("event_type"), h)
+      val b = SketchView.regsOf(ev.filter(expr(s"ts >= $split")), Seq("event_type"), h)
+      val zero = expr("transform(sequence(0, 255), x -> 0)")
+      val merged = a.alias("a").join(b.alias("b"), Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          zip_with(coalesce(col(s"a.${SketchView.RegsCol}"), zero),
+            coalesce(col(s"b.${SketchView.RegsCol}"), zero),
+            (x, y) => greatest(x, y)).as(SketchView.RegsCol))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(expr(key)).as("exact_union"))
+      exact.join(SketchView.summarized(merged), Seq("event_type"))
+        .select(col("event_type"), col("exact_union"),
+          expr(HllAggregator.estimateSql("hll_sum")).as("merged_estimate"),
+          col("hll_zeros"))
+        .withColumn("err_pm",
+          expr("abs(merged_estimate - exact_union) * 1000 div exact_union"))
+    }),
+
     // Global sort + limit with a total order (O1/O2).
     "o2_sort_limit" -> ((s, dir) =>
       t(s, dir, "events")
@@ -414,6 +447,35 @@ object AnalyticsQueries extends QueryPack {
         |SELECT event_type, hll_sum, hll_zeros,
         |  CAST(FLOOR(0.7213 / (1 + 1.079 / 256) * 256 * 256 * 9007199254740992 / CAST(hll_sum AS DOUBLE)) AS BIGINT) AS hll_estimate
         |FROM s""".stripMargin,
+
+    "x_hll_union" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    user_id::VARCHAR || '#' || (epoch_us(ts) // 86400000000)::VARCHAR AS k
+        |  FROM events),
+        |hh AS (SELECT event_type, k, ('0x' || substr(md5(k),1,15))::BIGINT AS hv FROM h),
+        |r AS (
+        |  SELECT event_type, hv % 256 AS bucket,
+        |    max(CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END) AS rho
+        |  FROM hh GROUP BY 1, 2),
+        |b AS (
+        |  SELECT g.event_type, gs.bucket
+        |  FROM (SELECT DISTINCT event_type FROM events) g,
+        |       (SELECT unnest(generate_series(0, 255)) AS bucket) gs),
+        |reg AS (
+        |  SELECT b.event_type, coalesce(r.rho, 0) AS rho
+        |  FROM b LEFT JOIN r ON b.event_type = r.event_type AND b.bucket = r.bucket),
+        |s AS (
+        |  SELECT event_type, CAST(SUM(1::BIGINT << (53 - rho)) AS BIGINT) AS hll_sum,
+        |    CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS INT) AS hll_zeros
+        |  FROM reg GROUP BY 1),
+        |x AS (SELECT event_type, count(DISTINCT k) AS exact_union FROM h GROUP BY 1)
+        |SELECT event_type, exact_union, merged_estimate, hll_zeros,
+        |  abs(merged_estimate - exact_union) * 1000 // exact_union AS err_pm
+        |FROM (
+        |  SELECT x.event_type, x.exact_union, s.hll_zeros,
+        |    CAST(FLOOR(0.7213 / (1 + 1.079 / 256) * 256 * 256 * 9007199254740992 / CAST(s.hll_sum AS DOUBLE)) AS BIGINT) AS merged_estimate
+        |  FROM x JOIN s ON x.event_type = s.event_type)""".stripMargin,
 
     "x_hll_distinct" ->
       """WITH h AS (

@@ -274,6 +274,35 @@ object OlapQueries extends QueryPack {
         Seq("o_orderkey", "o_totalprice"), "o_orderkey")
     }),
 
+    // Nearest-event join: for each purchase, the click by the same user
+    // CLOSEST in time in EITHER direction — one backward and one forward
+    // as-of pass (two single-shuffle union+window scans, never a band
+    // join), then a per-row arbitration (ties prefer the earlier click).
+    // Oracle: DuckDB backward + forward ASOF with the same CASE.
+    "x_asof_nearest" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"), col("value").as("c_value"))
+      val back = graft.ops.AsOfJoin.asofJoin(p, c, "user_id", "ts", "c_ts",
+        Seq("c_ts", "c_id", "c_value"), "c_id")
+        .withColumnRenamed("c_ts", "b_ts").withColumnRenamed("c_id", "b_id")
+        .withColumnRenamed("c_value", "b_value")
+      val both = graft.ops.AsOfJoin.asofJoinForward(back, c, "user_id", "ts", "c_ts",
+        Seq("c_ts", "c_id", "c_value"), "c_id")
+      val bl = expr("unix_micros(ts) - unix_micros(b_ts)")
+      val fl = expr("unix_micros(c_ts) - unix_micros(ts)")
+      val takeBack = col("b_ts").isNotNull && (col("c_ts").isNull || bl <= fl)
+      both.select(col("event_id"), col("user_id"), col("ts"),
+        when(takeBack, col("b_id")).otherwise(col("c_id")).as("near_id"),
+        when(takeBack, col("b_value")).otherwise(col("c_value")).as("near_value"),
+        when(takeBack && col("b_ts").isNotNull, lit("b"))
+          .when(col("c_ts").isNotNull, lit("f")).as("dir"),
+        when(takeBack, bl).otherwise(fl).as("lag_us"))
+    }),
+
     // Range (interval x point) join (ops.RangeJoin): every event within
     // 12 hours AFTER each error event of the same user — bucketized
     // equi-join on (user, 12h-bucket) + residual band, never the
@@ -1023,6 +1052,30 @@ object OlapQueries extends QueryPack {
         |SELECT e.event_id, e.user_id, e.ts2, od.o_orderkey, od.o_totalprice
         |FROM e ASOF LEFT JOIN od
         |  ON e.user_id = od.user_id AND e.ts2 <= od.o_orderdate""".stripMargin,
+
+    "x_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS c_ts, event_id AS c_id, value AS c_value
+        |      FROM events WHERE event_type = 'click'),
+        |back AS (
+        |  SELECT p.event_id, p.user_id, p.ts,
+        |    c.c_ts AS b_ts, c.c_id AS b_id, c.c_value AS b_value
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.c_ts),
+        |fwd AS (
+        |  SELECT p.event_id, c.c_ts AS f_ts, c.c_id AS f_id, c.c_value AS f_value
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.c_ts)
+        |SELECT b.event_id, b.user_id, b.ts,
+        |  CASE WHEN take_back THEN b_id ELSE f_id END AS near_id,
+        |  CASE WHEN take_back THEN b_value ELSE f_value END AS near_value,
+        |  CASE WHEN take_back AND b_ts IS NOT NULL THEN 'b'
+        |       WHEN f_ts IS NOT NULL THEN 'f' END AS dir,
+        |  CASE WHEN take_back THEN epoch_us(b.ts) - epoch_us(b_ts)
+        |       ELSE epoch_us(f_ts) - epoch_us(b.ts) END AS lag_us
+        |FROM (
+        |  SELECT b.*, f.f_ts, f.f_id, f.f_value,
+        |    b_ts IS NOT NULL AND (f_ts IS NULL OR
+        |      epoch_us(b.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(b.ts)) AS take_back
+        |  FROM back b JOIN fwd f ON b.event_id = f.event_id) b""".stripMargin,
 
     "x_range_join" ->
       """WITH e AS (SELECT * FROM events WHERE event_type = 'error')
