@@ -76,9 +76,25 @@ final class CdcTable(
       * the S3 mapping on the trait. The DATA path (parquet read/write)
       * always goes through Spark's Hadoop FS layer, not this.
       */
-    val io: TableIO = LocalTableIO) {
+    val io: TableIO = LocalTableIO,
+    /** Partition-key granularity for `partitionSource`: "month" (the
+      * reference's hidden MONTHS transform — the default) or "day" (the
+      * Iceberg `days(col)` transform: `yyyy-MM-dd` keys). Everything
+      * downstream — manifests, pruning, retention cuts, scoped
+      * compaction — treats the keys as opaque sorted strings, so only
+      * the mint/parse sites depend on this. Persisted in `_table_meta`;
+      * [[CdcTable.open]] restores it.
+      */
+    val partitionGranularity: String = "month") {
 
   import CdcTable._
+
+  require(partitionGranularity == "month" || partitionGranularity == "day",
+    s"partitionGranularity must be month|day, got $partitionGranularity")
+
+  /** Key pattern for the active granularity. */
+  private def partPattern: String =
+    if (partitionGranularity == "day") "yyyy-MM-dd" else "yyyy-MM"
 
   // ---------------------------------------------------------------- layout
 
@@ -139,6 +155,7 @@ final class CdcTable(
     val content = Seq(
       s"keys\t${keys.mkString(",")}",
       s"partitionSource\t${partitionSource.getOrElse("")}",
+      s"partitionGranularity\t$partitionGranularity",
       s"bloomColumns\t${bloomColumns.mkString(",")}").mkString("\n")
     if (!io.exists(tableMetaFile.getPath) ||
         io.readString(tableMetaFile.getPath) != content)
@@ -492,11 +509,11 @@ final class CdcTable(
           .flatMap(_.find(_.name == src))
           .exists(_.dataType == org.apache.spark.sql.types.TimestampType)
         def month(v: Any): Option[String] = FileSkipping.norm(v) match {
-          case s: String => Some(s.take(7))
+          case s: String => Some(s.take(partPattern.length))
           case m: Long if srcIsTimestamp =>
             val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
             Some(java.time.Instant.ofEpochSecond(Math.floorDiv(m, 1000000L)).atZone(zone)
-              .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")))
+              .format(java.time.format.DateTimeFormatter.ofPattern(partPattern)))
           case _ => None
         }
         // can month `m` hold a row satisfying `p`? Conservative: any
@@ -674,6 +691,8 @@ final class CdcTable(
     val layout = Seq(
       ("# merge_keys", keys.mkString(", "), ""),
       ("# partition_source", partitionSource.getOrElse(""), ""),
+      ("# partition_granularity",
+        partitionSource.fold("")(_ => partitionGranularity), ""),
       ("# bloom_columns", bloomColumns.mkString(", "), ""),
       ("# current_version", v.toString, ""))
     (cols ++ layout).toDF("col_name", "data_type", "nullable")
@@ -860,7 +879,7 @@ final class CdcTable(
     require(!io.exists(new File(destPath, CurrentPointer).getPath),
       s"clone destination $destPath already holds a table")
     val dest = new CdcTable(spark, destPath, keys, partitionSource,
-      retainVersions, autoCompactMaxFiles, bloomColumns, io)
+      retainVersions, autoCompactMaxFiles, bloomColumns, io, partitionGranularity)
     dest.io.mkdirs(destPath)
     require(dest.reserve(1L), s"clone destination $destPath already reserved")
     linkStateInto(dest, 1L)
@@ -1009,7 +1028,8 @@ final class CdcTable(
     require(io.exists(new File(branchDir(name), CurrentPointer).getPath),
       s"no branch $name at $path (have: ${branches.mkString(", ")})")
     new CdcTable(spark, branchDir(name).getPath, keys, partitionSource,
-      retainVersions = BranchRetain, autoCompactMaxFiles, bloomColumns, io)
+      retainVersions = BranchRetain, autoCompactMaxFiles, bloomColumns, io,
+      partitionGranularity)
   }
 
   /** PUBLISH the branch: fast-forward this table to the branch's current
@@ -1238,7 +1258,7 @@ final class CdcTable(
   }
 
   private def withPart(df: DataFrame): DataFrame = partitionSource match {
-    case Some(src) => df.withColumn(PartCol, date_format(col(src), "yyyy-MM"))
+    case Some(src) => df.withColumn(PartCol, date_format(col(src), partPattern))
     case None      => df
   }
 
@@ -1326,7 +1346,7 @@ final class CdcTable(
         // read, merged, and re-manifested; everything else carries over.
         val entries = manifest(expected)
         val batchMonths = deduped
-          .select(date_format(col(src), "yyyy-MM").as(PartCol))
+          .select(date_format(col(src), partPattern).as(PartCol))
           .distinct().as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
         // Moved-key guard: a stored row whose key appears in the batch may
         // live in a different month (the partition-source column was
@@ -1634,7 +1654,8 @@ final class CdcTable(
     * metadata-scale like [[dropMonths]] itself.
     */
   def retainMonthsFrom(keepFrom: String): Set[String] = {
-    require(keepFrom.matches("\\d{4}-\\d{2}"), s"keepFrom must be yyyy-MM: $keepFrom")
+    val keyRe = if (partitionGranularity == "day") "\\d{4}-\\d{2}-\\d{2}" else "\\d{4}-\\d{2}"
+    require(keepFrom.matches(keyRe), s"keepFrom must be $partPattern: $keepFrom")
     val old = manifest(currentOrThrow).map(_._1).filter(_ < keepFrom).toSet
     dropMonths(old)
     old
@@ -2125,7 +2146,8 @@ object CdcTable {
     new CdcTable(spark, path, list("keys"),
       kv.get("partitionSource").filter(_.nonEmpty),
       retainVersions = retainVersions,
-      bloomColumns = list("bloomColumns"), io = io)
+      bloomColumns = list("bloomColumns"), io = io,
+      partitionGranularity = kv.getOrElse("partitionGranularity", "month"))
   }
 
   /** How a metadata-answered COUNT ([[CdcTable.countWhereProfile]]) was

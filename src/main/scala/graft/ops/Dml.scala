@@ -106,7 +106,8 @@ object Dml {
     */
   final case class CreateTableAs(target: String, keys: Seq[String],
                                  partitionSource: Option[String],
-                                 select: String) extends Stmt
+                                 select: String,
+                                 partitionGranularity: String = "month") extends Stmt
   /** `DROP TABLE t` — delete the table directory (all versions, branches,
     * sidecars). Deliberately NOT undoable — unlike RESTORE, there is no
     * pointer left to travel from.
@@ -169,8 +170,10 @@ object Dml {
     raw"(?is)^\s*ALTER\s+TABLE\s+(\S+)\s+DROP\s+BRANCH\s+(\S+)\s*$$".r
   private val ShowBranchesRe =
     raw"(?is)^\s*SHOW\s+BRANCHES\s+(\S+)\s*$$".r
+  // the PARTITIONED BY group admits one nesting level for the transform
+  // forms months(col) / days(col)
   private val CreateTableAsRe =
-    raw"(?is)^\s*CREATE\s+TABLE\s+([^\s(]+)\s*(?:KEYED\s+BY\s*\(([^)]+)\)\s*)?(?:PARTITIONED\s+BY\s*\(([^)]+)\)\s*)?AS\s+(SELECT\b.+?)\s*$$".r
+    raw"(?is)^\s*CREATE\s+TABLE\s+([^\s(]+)\s*(?:KEYED\s+BY\s*\(([^)]+)\)\s*)?(?:PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))+)\)\s*)?AS\s+(SELECT\b.+?)\s*$$".r
   private val DropTableRe =
     raw"(?is)^\s*DROP\s+TABLE\s+(\S+)\s*$$".r
   private val ShowTablesRe =
@@ -304,9 +307,20 @@ object Dml {
     case DropBranchRe(target, name) => DropBranch(target, name)
     case ShowBranchesRe(target) => ShowBranches(target)
     case CreateTableAsRe(target, ks, ps, select) =>
-      val part = parseColumnList(ps)
-      require(part.size <= 1, "PARTITIONED BY takes exactly one month-source column")
-      CreateTableAs(target, parseColumnList(ks), part.headOption, select.trim)
+      // PARTITIONED BY accepts a bare column (month granularity, the
+      // reference's hidden MONTHS transform) or the Iceberg transform
+      // forms months(col) / days(col)
+      val TransformRe = raw"(?is)^\s*(months|days)\s*\(\s*(\w+)\s*\)\s*$$".r
+      val (part, gran) = Option(ps).map(_.trim).filter(_.nonEmpty) match {
+        case None => (None, "month")
+        case Some(TransformRe(fn, c)) =>
+          (Some(c), if (fn.equalsIgnoreCase("days")) "day" else "month")
+        case Some(one) =>
+          val cols = parseColumnList(one)
+          require(cols.size == 1, "PARTITIONED BY takes exactly one source column")
+          (cols.headOption, "month")
+      }
+      CreateTableAs(target, parseColumnList(ks), part, select.trim, gran)
     case DropTableRe(target) => DropTable(target)
     case ShowTablesRe() => ShowTables()
     case _ =>
@@ -391,8 +405,9 @@ object Dml {
     */
   private def executeDdl(spark: SparkSession, stmt: Stmt,
                          tablePath: String => String): Option[CdcTable] = stmt match {
-    case CreateTableAs(t, ks, ps, sel) =>
-      val table = new CdcTable(spark, tablePath(t), ks, ps)
+    case CreateTableAs(t, ks, ps, sel, gran) =>
+      val table = new CdcTable(spark, tablePath(t), ks, ps,
+        partitionGranularity = gran)
       require(table.currentVersion.isEmpty, s"table $t already exists — DROP it first " +
         "(CTAS will not silently overwrite a committed table)")
       table.init(spark.sql(sel))
