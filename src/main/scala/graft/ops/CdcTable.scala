@@ -558,7 +558,7 @@ final class CdcTable(
     import sq.implicits._
     manifest(currentOrThrow).sortBy(e => (e._1, e._2))
       .map { case (m, rel) => (m, rel, dataFileCount(new File(path, rel))) }
-      .toDF("month", "dir", "files")
+      .toDF("partition", "dir", "files")
   }
 
   /** Time travel: read a specific retained version. */

@@ -250,7 +250,7 @@ class CdcDmlSpec extends SparkSpec {
       .toDF("id", "created"))
     val parts = graft.ops.Dml.query(spark, "SHOW PARTITIONS sp",
       n => s"$root/$n", Seq("id"), Some("created"))
-      .select("month", "files").as[(String, Long)].collect().toSeq
+      .select("partition", "files").as[(String, Long)].collect().toSeq
     assert(parts.map(_._1) == Seq("2001-01", "2001-02") && parts.forall(_._2 >= 1L))
 
     // SELECT COUNT(*): metadata-answered when exactly skip-expressible,

@@ -28,7 +28,7 @@ class DayPartitionSpec extends SparkSpec {
 
     val t = CdcTable.open(spark, path("t"))
     assert(t.partitionGranularity == "day", "granularity must round-trip through _table_meta")
-    val parts = t.partitions.select("month").as[String].collect().toSorted
+    val parts = t.partitions.select("partition").as[String].collect().toSorted
     assert(parts == Seq("2001-01-01", "2001-01-02", "2001-01-03"), s"got $parts")
 
     // a merge touching one day leaves the other days' files byte-identical
