@@ -157,10 +157,37 @@ final class CdcTable(
       s"partitionSource\t${partitionSource.getOrElse("")}",
       s"partitionGranularity\t$partitionGranularity",
       s"bloomColumns\t${bloomColumns.mkString(",")}").mkString("\n")
-    if (!io.exists(tableMetaFile.getPath) ||
-        io.readString(tableMetaFile.getPath) != content)
+    if (!io.exists(tableMetaFile.getPath))
       io.writeAtomic(tableMetaFile.getPath, content)
+    else if (io.readString(tableMetaFile.getPath) != content) {
+      enforceLayout() // pointer-flip backstop for funnels without a row check
+      io.writeAtomic(tableMetaFile.getPath, content)
+    }
   }
+
+  /** A handle whose PARTITION LAYOUT disagrees with the committed
+    * `_table_meta` sidecar would mint keys under a different scheme into
+    * the same manifest — refuse BEFORE any version is reserved (so a
+    * mis-constructed handle burns nothing and leaves no orphan
+    * reservation). Keys/bloom changes are operational re-declarations
+    * and stay allowed. Runs at the head of every commit funnel (via
+    * [[enforceConstraints]]) plus as a pointer-flip backstop.
+    */
+  private def enforceLayout(): Unit =
+    if (io.exists(tableMetaFile.getPath)) {
+      val stored = io.readLines(tableMetaFile.getPath).map { l =>
+        val i = l.indexOf('\t')
+        (l.substring(0, i), if (i + 1 < l.length) l.substring(i + 1) else "")
+      }.toMap
+      val storedPs = stored.getOrElse("partitionSource", "")
+      val storedGran = stored.getOrElse("partitionGranularity", "month")
+      require(storedPs == partitionSource.getOrElse("") &&
+        (storedPs.isEmpty || storedGran == partitionGranularity),
+        s"$path was committed with partitionSource='$storedPs' " +
+          s"granularity='$storedGran' but this handle uses " +
+          s"'${partitionSource.getOrElse("")}'/'$partitionGranularity' — " +
+          "open the table with CdcTable.open (layout comes from the sidecar)")
+    }
 
   // --------------------------------------------------- CHECK constraints
 
@@ -213,7 +240,8 @@ final class CdcTable(
     * set (delta-sized on the partitioned layout's untouched months by
     * construction — they are never part of `df`).
     */
-  private def enforceConstraints(df: DataFrame): Unit =
+  private def enforceConstraints(df: DataFrame): Unit = {
+    enforceLayout()
     constraints.foreach { case (name, predicate) =>
       val bad = df.filter(!coalesce(expr(predicate), lit(true))).limit(3).collect()
       if (bad.nonEmpty)
@@ -221,6 +249,7 @@ final class CdcTable(
           s"CHECK constraint $name ($predicate) on $path violated by " +
             s"${bad.mkString("; ")}")
     }
+  }
 
   // ------------------------------------------------- manifests (partitioned)
 

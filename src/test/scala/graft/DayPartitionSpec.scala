@@ -65,6 +65,25 @@ class DayPartitionSpec extends SparkSpec {
     assert(desc.contains(("# partition_granularity", "day", "")))
   }
 
+  test("a handle disagreeing with the committed partition layout refuses to commit") {
+    val root = tmpDir("daypartguard")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"),
+      partitionSource = Some("created"), partitionGranularity = "day")
+    t.init(Seq((1L, "a", ts("2001-01-01 10:00:00"))).toDF("id", "v", "created"))
+    // a month-granularity handle on the same day table must not mint
+    // month keys into the day manifest
+    val wrong = new CdcTable(spark, s"$root/t", Seq("id"),
+      partitionSource = Some("created"))
+    val e = intercept[IllegalArgumentException] {
+      wrong.append(Seq((2L, "b", ts("2001-01-02 10:00:00"))).toDF("id", "v", "created"))
+    }
+    assert(e.getMessage.contains("CdcTable.open"))
+    // the committed state is untouched and the correct handle still works
+    assert(CdcTable.open(spark, s"$root/t").read.count() == 1)
+    t.append(Seq((2L, "b", ts("2001-01-02 10:00:00"))).toDF("id", "v", "created"))
+    assert(t.read.count() == 2)
+  }
+
   private implicit class Sorted(xs: Array[String]) {
     def toSorted: Seq[String] = xs.toSeq.sorted
   }
