@@ -89,12 +89,17 @@ final class CdcTable(
 
   import CdcTable._
 
-  require(partitionGranularity == "month" || partitionGranularity == "day",
-    s"partitionGranularity must be month|day, got $partitionGranularity")
+  require(Seq("month", "day", "hour").contains(partitionGranularity),
+    s"partitionGranularity must be month|day|hour, got $partitionGranularity")
 
-  /** Key pattern for the active granularity. */
-  private def partPattern: String =
-    if (partitionGranularity == "day") "yyyy-MM-dd" else "yyyy-MM"
+  /** Key pattern for the active granularity — each one longer than and
+    * prefixed by the coarser, so keys keep sorting lexically.
+    */
+  private def partPattern: String = partitionGranularity match {
+    case "hour" => "yyyy-MM-dd-HH"
+    case "day"  => "yyyy-MM-dd"
+    case _      => "yyyy-MM"
+  }
 
   // ---------------------------------------------------------------- layout
 
@@ -1683,7 +1688,11 @@ final class CdcTable(
     * metadata-scale like [[dropMonths]] itself.
     */
   def retainMonthsFrom(keepFrom: String): Set[String] = {
-    val keyRe = if (partitionGranularity == "day") "\\d{4}-\\d{2}-\\d{2}" else "\\d{4}-\\d{2}"
+    val keyRe = partitionGranularity match {
+      case "hour" => "\\d{4}-\\d{2}-\\d{2}-\\d{2}"
+      case "day"  => "\\d{4}-\\d{2}-\\d{2}"
+      case _      => "\\d{4}-\\d{2}"
+    }
     require(keepFrom.matches(keyRe), s"keepFrom must be $partPattern: $keepFrom")
     val old = manifest(currentOrThrow).map(_._1).filter(_ < keepFrom).toSet
     dropMonths(old)

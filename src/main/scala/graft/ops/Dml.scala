@@ -310,11 +310,11 @@ object Dml {
       // PARTITIONED BY accepts a bare column (month granularity, the
       // reference's hidden MONTHS transform) or the Iceberg transform
       // forms months(col) / days(col)
-      val TransformRe = raw"(?is)^\s*(months|days)\s*\(\s*(\w+)\s*\)\s*$$".r
+      val TransformRe = raw"(?is)^\s*(months|days|hours)\s*\(\s*(\w+)\s*\)\s*$$".r
       val (part, gran) = Option(ps).map(_.trim).filter(_.nonEmpty) match {
         case None => (None, "month")
         case Some(TransformRe(fn, c)) =>
-          (Some(c), if (fn.equalsIgnoreCase("days")) "day" else "month")
+          (Some(c), fn.toLowerCase.stripSuffix("s"))
         case Some(one) =>
           val cols = parseColumnList(one)
           require(cols.size == 1, "PARTITIONED BY takes exactly one source column")

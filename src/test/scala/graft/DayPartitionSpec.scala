@@ -65,6 +65,25 @@ class DayPartitionSpec extends SparkSpec {
     assert(desc.contains(("# partition_granularity", "day", "")))
   }
 
+  test("hours(col) granularity: hour keys, hour retention") {
+    val root = tmpDir("hourpart")
+    val path = (n: String) => s"$root/$n"
+    Seq(
+      (1L, "a", ts("2001-01-01 10:30:00")),
+      (2L, "b", ts("2001-01-01 11:30:00")),
+      (3L, "c", ts("2001-01-01 12:30:00"))
+    ).toDF("id", "v", "created").createOrReplaceTempView("hour_src")
+    Dml.execute(spark,
+      "CREATE TABLE h KEYED BY (id) PARTITIONED BY (hours(created)) AS SELECT * FROM hour_src",
+      path)
+    val t = CdcTable.open(spark, path("h"))
+    assert(t.partitionGranularity == "hour")
+    assert(t.partitions.select("partition").as[String].collect().toSorted ==
+      Seq("2001-01-01-10", "2001-01-01-11", "2001-01-01-12"))
+    assert(t.retainMonthsFrom("2001-01-01-11") == Set("2001-01-01-10"))
+    assert(t.read.count() == 2)
+  }
+
   test("a handle disagreeing with the committed partition layout refuses to commit") {
     val root = tmpDir("daypartguard")
     val t = new CdcTable(spark, s"$root/t", Seq("id"),
