@@ -109,7 +109,6 @@ final class CdcPipeline(
         keyName match {
           case Some(pk) =>
             val table = new CdcTable(spark, s"$tableRoot/$t", Seq(pk))
-            recordKeys(s"$tableRoot/$t", Seq(pk))
             val payload = decoded
               .drop("__deleted", "__db", "__topic")
             // Tie-break on every non-key payload column: within a key group
@@ -128,7 +127,6 @@ final class CdcPipeline(
           case None =>
             // keyless tables degrade to append (reference K3)
             val table = new CdcTable(spark, s"$tableRoot/$t", Nil)
-            recordKeys(s"$tableRoot/$t", Nil)
             table.append(decoded.drop("__deleted", "__db", "__topic", "__op"))
             maintainViews(t, table)
         }
@@ -178,32 +176,26 @@ final class CdcPipeline(
     maintainSketchViews(Set(tableName))
   }
 
-  /** Record the merge-key columns this pipeline ingests `tablePath` with
-    * (the PK sniffed from the envelope key JSON; empty = keyless) so view
-    * registrations can be validated against the table's ACTUAL row
-    * identity — a view spec joining a dimension on a non-PK column would
-    * otherwise diff the change feed under the wrong identity and silently
-    * maintain a wrong view.
+  /** The merge-key columns `tablePath` was actually committed with (the
+    * PK sniffed from the envelope key JSON; empty = keyless), read from
+    * the table's own `_table_meta` sidecar — every commit maintains it,
+    * so view registrations validate against the table's REAL row
+    * identity with no second bookkeeping file. A view spec joining a
+    * dimension on a non-PK column would otherwise diff the change feed
+    * under the wrong identity and silently maintain a wrong view.
+    * Legacy `_table_keys` markers from pre-meta builds still read.
     */
-  private def recordKeys(tablePath: String, keys: Seq[String]): Unit = {
-    val f = new java.io.File(tablePath, CdcPipeline.KeysMarker)
-    val content = keys.mkString("\n")
-    if (!f.exists() ||
-        java.nio.file.Files.readString(f.toPath) != content) {
-      new java.io.File(tablePath).mkdirs()
-      val tmp = java.nio.file.Paths.get(tablePath, CdcPipeline.KeysMarker + ".tmp")
-      java.nio.file.Files.writeString(tmp, content)
-      java.nio.file.Files.move(tmp, f.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-    }
-  }
-
   private def recordedKeys(tablePath: String): Option[Seq[String]] = {
-    val f = new java.io.File(tablePath, CdcPipeline.KeysMarker)
-    if (!f.exists()) None
-    else Some(java.nio.file.Files.readString(f.toPath)
-      .linesIterator.filter(_.nonEmpty).toSeq)
+    val meta = new java.io.File(tablePath, graft.ops.CdcTable.TableMetaName)
+    val legacy = new java.io.File(tablePath, CdcPipeline.KeysMarker)
+    if (meta.exists())
+      java.nio.file.Files.readString(meta.toPath).linesIterator
+        .find(_.startsWith("keys\t"))
+        .map(_.stripPrefix("keys\t").split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    else if (legacy.exists())
+      Some(java.nio.file.Files.readString(legacy.toPath)
+        .linesIterator.filter(_.nonEmpty).toSeq)
+    else None
   }
 
   /** Fail fast when a view spec's key columns disagree with the keys the
@@ -526,8 +518,9 @@ object CdcPipeline {
     */
   val ReflectedMarker = "_reflected"
 
-  /** Marker file beside an ingested table recording the merge-key columns
-    * the pipeline routes it through (one per line; empty file = keyless).
+  /** LEGACY marker from pre-`_table_meta` builds (one key per line;
+    * empty file = keyless) — still read, no longer written: the table's
+    * own sidecar is the key record now.
     */
   val KeysMarker = "_table_keys"
 }
