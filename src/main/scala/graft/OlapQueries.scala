@@ -333,6 +333,32 @@ object OlapQueries extends QueryPack {
           col("follow_value"), col("first_follow_ts"))
     }),
 
+    // Sweep-line interval concurrency: each user's peak number of
+    // simultaneously-open 12h error windows. Intervals decompose to
+    // +1/-1 boundary events, one per-user ordered running sum finds the
+    // peak — the O(n log n) shape that replaces the quadratic
+    // "count overlaps per interval" self-join; at same instant the -1
+    // sorts first (half-open windows: an end never overlaps a start).
+    // One shuffle on user_id; the timeline never materializes pairs.
+    "x_interval_concurrency" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(
+        """WITH w AS (
+          |  SELECT user_id, ts AS s, ts + INTERVAL 12 HOURS AS e
+          |  FROM events WHERE event_type = 'error'),
+          |b AS (
+          |  SELECT user_id, s AS t, 1 AS delta FROM w
+          |  UNION ALL
+          |  SELECT user_id, e AS t, -1 AS delta FROM w),
+          |r AS (
+          |  SELECT user_id,
+          |    SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+          |  FROM b)
+          |SELECT user_id, CAST(max(open) AS BIGINT) AS peak_concurrent
+          |FROM r GROUP BY user_id""".stripMargin)
+    }),
+
     // Point-in-time join: each event looks up the order state VALID at
     // its timestamp — intervals are [o_orderdate, min(next order,
     // +30 days)), so a probe landing in a coverage gap gets NULL state
@@ -1086,6 +1112,22 @@ object OlapQueries extends QueryPack {
         |FROM e LEFT JOIN events x
         |  ON x.user_id = e.user_id AND x.ts > e.ts AND x.ts <= e.ts + INTERVAL 12 HOUR
         |GROUP BY e.event_id, e.user_id""".stripMargin,
+
+    "x_interval_concurrency" ->
+      """WITH w AS (
+        |  SELECT user_id, ts AS s, ts + INTERVAL 12 HOUR AS e
+        |  FROM events WHERE event_type = 'error'),
+        |b AS (
+        |  SELECT user_id, s AS t, 1 AS delta FROM w
+        |  UNION ALL
+        |  SELECT user_id, e AS t, -1 AS delta FROM w),
+        |r AS (
+        |  SELECT user_id,
+        |    SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM b)
+        |SELECT user_id, CAST(max(open) AS BIGINT) AS peak_concurrent
+        |FROM r GROUP BY user_id""".stripMargin,
 
     "x_pit_join" ->
       """WITH e AS (
