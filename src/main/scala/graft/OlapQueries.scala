@@ -333,6 +333,30 @@ object OlapQueries extends QueryPack {
           col("follow_value"), col("first_follow_ts"))
     }),
 
+    // Concentration (Pareto/Lorenz) share: per event type, the permille
+    // of total value held by the top-10 users — the corpus-curation
+    // audit shape ("what share of tokens come from the top domains")
+    // that decides mixture caps. Exact integer cents end to end; the
+    // only window runs over user AGGREGATES (bounded by user count),
+    // never rows.
+    "x_concentration_share" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(
+        """WITH u AS (
+          |  SELECT event_type, user_id,
+          |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+          |  FROM events GROUP BY event_type, user_id),
+          |ranked AS (
+          |  SELECT event_type, cents,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY cents DESC, user_id) AS rk
+          |  FROM u)
+          |SELECT event_type,
+          |  CAST(count(*) AS BIGINT) AS n_users,
+          |  SUM(CASE WHEN rk <= 10 THEN cents ELSE 0 END) * 1000 div SUM(cents) AS top10_share_pm
+          |FROM ranked GROUP BY event_type""".stripMargin)
+    }),
+
     // Sweep-line interval concurrency: each user's peak number of
     // simultaneously-open 12h error windows. Intervals decompose to
     // +1/-1 boundary events, one per-user ordered running sum finds the
@@ -1112,6 +1136,21 @@ object OlapQueries extends QueryPack {
         |FROM e LEFT JOIN events x
         |  ON x.user_id = e.user_id AND x.ts > e.ts AND x.ts <= e.ts + INTERVAL 12 HOUR
         |GROUP BY e.event_id, e.user_id""".stripMargin,
+
+    "x_concentration_share" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY event_type, user_id),
+        |ranked AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents DESC, user_id) AS rk
+        |  FROM u)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  SUM(CASE WHEN rk <= 10 THEN cents ELSE 0 END) * 1000 // SUM(cents) AS top10_share_pm
+        |FROM ranked GROUP BY event_type""".stripMargin,
 
     "x_interval_concurrency" ->
       """WITH w AS (
