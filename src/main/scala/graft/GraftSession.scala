@@ -23,7 +23,8 @@ import graft.ops.{CdcTable, Dml, MergeInto}
   *   g.table("users").createBranch("audit")
   * }}}
   */
-final class GraftSession(val spark: SparkSession, val root: String) {
+final class GraftSession(val spark: SparkSession, val root: String,
+                         val io: graft.ops.TableIO = graft.ops.LocalTableIO) {
 
   private val path = (n: String) => s"$root/$n"
 
@@ -36,9 +37,9 @@ final class GraftSession(val spark: SparkSession, val root: String) {
     * overload.
     */
   def sql(statement: String): DataFrame =
-    if (isRead(statement)) Dml.query(spark, statement, path)
+    if (isRead(statement)) Dml.query(spark, statement, path, io)
     else {
-      Dml.execute(spark, statement, path): Unit
+      Dml.execute(spark, statement, path, io): Unit
       spark.emptyDataFrame
     }
 
@@ -55,7 +56,7 @@ final class GraftSession(val spark: SparkSession, val root: String) {
   }
 
   /** Handle on a committed table (layout from its own sidecar). */
-  def table(name: String): CdcTable = CdcTable.open(spark, path(name))
+  def table(name: String): CdcTable = CdcTable.open(spark, path(name), io)
 
   /** Current rows of a committed table. */
   def read(name: String): DataFrame = table(name).read
@@ -65,10 +66,13 @@ final class GraftSession(val spark: SparkSession, val root: String) {
   private def savepointsDir = new java.io.File(root, "_savepoints")
   private def savepointFile(name: String) = new java.io.File(savepointsDir, name)
 
-  /** Names of committed tables under the root (SHOW TABLES). */
+  /** Names of committed tables under the root (SHOW TABLES) — listed
+    * through this session's [[graft.ops.TableIO]], so a non-local root
+    * (object store) enumerates correctly.
+    */
   def tableNames: Seq[String] =
-    graft.ops.LocalTableIO.list(root).filter(_.isDir).map(_.name)
-      .filter(n => graft.ops.LocalTableIO.exists(
+    io.list(root).filter(_.isDir).map(_.name)
+      .filter(n => io.exists(
         new java.io.File(new java.io.File(root, n), CdcTable.CurrentPointer).getPath))
       .sorted
 
@@ -88,25 +92,25 @@ final class GraftSession(val spark: SparkSession, val root: String) {
     */
   def savepoint(name: String): Unit = {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"), s"savepoint name: $name")
-    require(!graft.ops.LocalTableIO.exists(savepointFile(name).getPath),
+    require(!io.exists(savepointFile(name).getPath),
       s"savepoint $name already exists (savepoints are immutable — pick a new name)")
     val entries = tableNames.map { n =>
       s"$n\t${table(n).currentVersion.get}"
     }
     require(entries.nonEmpty, s"no committed tables under $root to pin")
-    graft.ops.LocalTableIO.mkdirs(savepointsDir.getPath)
-    graft.ops.LocalTableIO.writeAtomic(savepointFile(name).getPath, entries.mkString("\n"))
+    io.mkdirs(savepointsDir.getPath)
+    io.writeAtomic(savepointFile(name).getPath, entries.mkString("\n"))
   }
 
   /** Existing savepoint names, sorted. */
   def savepoints: Seq[String] =
-    if (!graft.ops.LocalTableIO.exists(savepointsDir.getPath)) Nil
-    else graft.ops.LocalTableIO.list(savepointsDir.getPath).filterNot(_.isDir).map(_.name).sorted
+    if (!io.exists(savepointsDir.getPath)) Nil
+    else io.list(savepointsDir.getPath).filterNot(_.isDir).map(_.name).sorted
 
   private def savepointEntries(name: String): Seq[(String, Long)] = {
-    require(graft.ops.LocalTableIO.exists(savepointFile(name).getPath),
+    require(io.exists(savepointFile(name).getPath),
       s"no savepoint $name (have: ${savepoints.mkString(", ")})")
-    graft.ops.LocalTableIO.readLines(savepointFile(name).getPath).map { l =>
+    io.readLines(savepointFile(name).getPath).map { l =>
       val i = l.indexOf('\t')
       (l.substring(0, i), l.substring(i + 1).toLong)
     }
@@ -134,7 +138,7 @@ final class GraftSession(val spark: SparkSession, val root: String) {
     * tables' own retention schedule).
     */
   def dropSavepoint(name: String): Unit =
-    graft.ops.LocalTableIO.deleteRecursively(savepointFile(name).getPath)
+    io.deleteRecursively(savepointFile(name).getPath)
 
   private def isRead(statement: String): Boolean = Dml.parse(statement) match {
     case _: Dml.DescribeHistory | _: Dml.TableAsOf | _: Dml.TableAsOfTs |

@@ -1149,7 +1149,7 @@ object OlapQueries extends QueryPack {
         |  FROM u)
         |SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n_users,
-        |  SUM(CASE WHEN rk <= 10 THEN cents ELSE 0 END) * 1000 // SUM(cents) AS top10_share_pm
+        |  CAST(SUM(CASE WHEN rk <= 10 THEN cents ELSE 0 END) * 1000 // SUM(cents) AS BIGINT) AS top10_share_pm
         |FROM ranked GROUP BY event_type""".stripMargin,
 
     "x_interval_concurrency" ->

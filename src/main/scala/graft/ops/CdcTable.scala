@@ -543,7 +543,16 @@ final class CdcTable(
           .flatMap(_.find(_.name == src))
           .exists(_.dataType == org.apache.spark.sql.types.TimestampType)
         def month(v: Any): Option[String] = FileSkipping.norm(v) match {
-          case s: String => Some(s.take(partPattern.length))
+          case s: String =>
+            // Normalize a timestamp-string bound to the key alphabet:
+            // hour keys are 'yyyy-MM-dd-HH' (dash at index 10) while
+            // bounds arrive as '2001-01-01 11:30:00' or ISO 'T'-separated
+            // — left unmapped, ' '/'T' sort on the wrong side of '-' and
+            // the bound check silently drops qualifying partitions.
+            val k = s.take(partPattern.length)
+            if (k.length > 10 && (k.charAt(10) == ' ' || k.charAt(10) == 'T'))
+              Some(k.updated(10, '-'))
+            else Some(k)
           case m: Long if srcIsTimestamp =>
             val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
             Some(java.time.Instant.ofEpochSecond(Math.floorDiv(m, 1000000L)).atZone(zone)
@@ -1104,6 +1113,16 @@ final class CdcTable(
       b.constraints.filterNot(c => mine(c._1))
         .foreach { case (n, p) => addConstraintUnchecked(n, p) }
       commitPointer(next)
+    } else {
+      // No staged data commits — still carry branch-added CHECK
+      // constraints to the parent: an auditor whose whole batch was
+      // "declare this invariant" must not lose it to the no-op drop.
+      // The parent equals the fork state (fast-forward precondition),
+      // so checked addition validates against the same rows the auditor
+      // saw; a duplicate name means the parent already has it.
+      val mine = constraints.map(_._1).toSet
+      b.constraints.filterNot(c => mine(c._1))
+        .foreach { case (n, p) => addConstraint(n, p) }
     }
     dropBranch(name)
   }

@@ -404,16 +404,27 @@ object Dml {
     * persists in `_table_meta` with the version-1 commit.
     */
   private def executeDdl(spark: SparkSession, stmt: Stmt,
-                         tablePath: String => String): Option[CdcTable] = stmt match {
+                         tablePath: String => String,
+                         io: TableIO = LocalTableIO): Option[CdcTable] = stmt match {
     case CreateTableAs(t, ks, ps, sel, gran) =>
-      val table = new CdcTable(spark, tablePath(t), ks, ps,
+      val table = new CdcTable(spark, tablePath(t), ks, ps, io = io,
         partitionGranularity = gran)
       require(table.currentVersion.isEmpty, s"table $t already exists — DROP it first " +
         "(CTAS will not silently overwrite a committed table)")
       table.init(spark.sql(sel))
       Some(table)
     case DropTable(t) =>
-      val table = new CdcTable(spark, tablePath(t), Nil)
+      // Guard the recursive delete: the parser's target token admits any
+      // non-space string, so an un-validated name like '../..' would
+      // resolve OUTSIDE the session root and a typo would delete an
+      // arbitrary directory. Same name rule as branches/savepoints
+      // (no '/'), and the target must be a COMMITTED table — its dir
+      // holds a current-version pointer — before anything is removed.
+      require(t.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+        s"table name '$t' — use [A-Za-z0-9._-], starting alphanumeric")
+      val table = new CdcTable(spark, tablePath(t), Nil, io = io)
+      require(table.currentVersion.isDefined,
+        s"DROP TABLE $t: no committed table at ${table.path} — refusing to delete")
       table.io.deleteRecursively(table.path)
       Some(table)
     case _ => None
@@ -426,10 +437,14 @@ object Dml {
     * sidecar IS the catalog entry). Targets must be committed tables —
     * creation still goes through the parameterized entry points.
     */
-  def execute(spark: SparkSession, sql: String, tablePath: String => String): CdcTable = {
+  def execute(spark: SparkSession, sql: String, tablePath: String => String): CdcTable =
+    execute(spark, sql, tablePath, LocalTableIO: TableIO)
+
+  def execute(spark: SparkSession, sql: String, tablePath: String => String,
+              io: TableIO): CdcTable = {
     val stmt = parse(sql)
-    executeDdl(spark, stmt, tablePath).getOrElse(
-      executeOn(spark, stmt, CdcTable.open(spark, tablePath(stmt.target)),
+    executeDdl(spark, stmt, tablePath, io).getOrElse(
+      executeOn(spark, stmt, CdcTable.open(spark, tablePath(stmt.target), io),
         vectoredDeletes = false))
   }
 
@@ -512,33 +527,42 @@ object Dml {
     * version, newest first: version, operation, ts_millis, num_files).
     */
   def query(spark: SparkSession, sql: String, tablePath: String => String,
-            keys: Seq[String], partitionSource: Option[String] = None)
+            keys: Seq[String], partitionSource: Option[String])
       : org.apache.spark.sql.DataFrame =
     queryOn(spark, parse(sql), tablePath,
       t => new CdcTable(spark, tablePath(t), keys, partitionSource))
 
+  /** Keyed read route without a partition source. */
+  def query(spark: SparkSession, sql: String, tablePath: String => String,
+            keys: Seq[String]): org.apache.spark.sql.DataFrame =
+    query(spark, sql, tablePath, keys, None)
+
   /** Self-describing read route — see the keyless [[execute]] overload. */
-  def query(spark: SparkSession, sql: String, tablePath: String => String)
+  def query(spark: SparkSession, sql: String, tablePath: String => String,
+            io: TableIO = LocalTableIO)
       : org.apache.spark.sql.DataFrame =
-    queryOn(spark, parse(sql), tablePath, t => CdcTable.open(spark, tablePath(t)))
+    queryOn(spark, parse(sql), tablePath,
+      t => CdcTable.open(spark, tablePath(t), io), io)
 
   private def queryOn(spark: SparkSession, stmt: Stmt, tablePath: String => String,
-                      open: String => CdcTable)
+                      open: String => CdcTable, io: TableIO = LocalTableIO)
       : org.apache.spark.sql.DataFrame = stmt match {
     case ShowTables() =>
       // the router's root is the parent of the empty table name — one
-      // listing, one pointer check per child; committed tables only
+      // listing, one pointer check per child; committed tables only.
+      // Listing and pointer checks go through the caller's TableIO so a
+      // non-local root (object store) enumerates correctly.
       val root = new java.io.File(tablePath("")).getPath
-      val names = LocalTableIO.list(root)
+      val names = io.list(root)
         .filter(_.isDir)
         .map(_.name)
-        .filter(n => LocalTableIO.exists(
+        .filter(n => io.exists(
           new java.io.File(new java.io.File(root, n), CdcTable.CurrentPointer).getPath))
         .sorted
       val sq = spark
       import sq.implicits._
       names.map { n =>
-        (n, new CdcTable(spark, new java.io.File(root, n).getPath, Nil)
+        (n, new CdcTable(spark, new java.io.File(root, n).getPath, Nil, io = io)
           .currentVersion.getOrElse(0L))
       }.toDF("table", "version")
     case DescribeHistory(target) => open(target).history

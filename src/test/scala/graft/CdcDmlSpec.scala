@@ -501,6 +501,17 @@ class CdcDmlSpec extends SparkSpec {
     assert(Dml.query(spark, "SHOW TABLES", path)
       .as[(String, Long)].collect().map(_._1).toSeq == Seq("t"))
     intercept[IllegalArgumentException] { CdcTable.open(spark, s"$root/u") }
+
+    // DROP TABLE guards the recursive delete: a path-escaping name
+    // rejects before resolving, and a name without a committed table
+    // (no current-version pointer) refuses to delete anything
+    intercept[IllegalArgumentException] { Dml.execute(spark, "DROP TABLE ../t", path) }
+    intercept[IllegalArgumentException] { Dml.execute(spark, "DROP TABLE /tmp", path) }
+    new java.io.File(s"$root/notatable/keep").mkdirs()
+    intercept[IllegalArgumentException] { Dml.execute(spark, "DROP TABLE notatable", path) }
+    assert(new java.io.File(s"$root/notatable/keep").exists(),
+      "a refused DROP must leave the directory untouched")
+    assert(CdcTable.open(spark, s"$root/t").read.count() == 2)
   }
 
   test("timestamp time travel, timestamp restore, DESCRIBE FILES") {

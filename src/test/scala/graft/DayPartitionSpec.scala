@@ -84,6 +84,38 @@ class DayPartitionSpec extends SparkSpec {
     assert(t.read.count() == 2)
   }
 
+  test("hour pruning with string timestamp bounds: space/T separators normalize to the key alphabet") {
+    val root = tmpDir("hourprune")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"),
+      partitionSource = Some("created"), partitionGranularity = "hour")
+    t.init(Seq(
+      (1L, "a", ts("2001-01-01 10:30:00")),
+      (2L, "b", ts("2001-01-01 11:30:00")),
+      (3L, "c", ts("2001-01-01 12:30:00"))
+    ).toDF("id", "v", "created"))
+    // hour keys are 'yyyy-MM-dd-HH'; a '2001-01-01 11:30:00' bound
+    // truncates to '2001-01-01 11' with a SPACE at index 10 — unmapped,
+    // ' ' < '-' makes the upper-bound check reject the -11 dir that
+    // holds the qualifying row (and 'T' breaks the lower bound the
+    // other way). Both separators must normalize before comparing.
+    val upper = t.readWhere(Seq(FileSkipping.Range("created",
+      None, Some("2001-01-01 11:30:00"))))
+    assert(upper.select("id").as[Long].collect().toSet == Set(1L, 2L),
+      "space-separated upper bound must keep the -11 hour partition")
+    val lowerIso = t.readWhere(Seq(FileSkipping.Range("created",
+      Some("2001-01-01T11:30:00"), None)))
+    assert(lowerIso.select("id").as[Long].collect().toSet == Set(2L, 3L),
+      "T-separated lower bound must keep the -11 hour partition")
+    // and pruning still actually prunes: the upper-bound scan must
+    // consider fewer files than the full table
+    val (_, kept) = t.scanProfile(Seq(FileSkipping.Range("created",
+      None, Some("2001-01-01 11:30:00"))))
+    val (_, all) = t.scanProfile(Nil)
+    assert(kept < all, s"hour pruning must drop the -12 dir: kept=$kept of $all")
+    assert(t.countWhere(Seq(FileSkipping.Range("created",
+      None, Some("2001-01-01 11:30:00")))) == 2L)
+  }
+
   test("a handle disagreeing with the committed partition layout refuses to commit") {
     val root = tmpDir("daypartguard")
     val t = new CdcTable(spark, s"$root/t", Seq("id"),

@@ -58,6 +58,16 @@ class WapSpec extends SparkSpec {
     t.createBranch("noop")
     t.publish("noop")
     assert(t.currentVersion.contains(v0) && t.branches.isEmpty)
+
+    // a constraint-ONLY audit (no data commits) still carries its CHECK
+    // to the parent through the no-op publish path — the invariant the
+    // auditor declared must not vanish with the branch
+    val c = t.createBranch("consonly")
+    c.addConstraint("v_nonempty", "length(v) > 0")
+    t.publish("consonly")
+    assert(t.currentVersion.contains(v0), "constraint-only publish burns no version")
+    assert(t.constraints.map(_._1).contains("v_nonempty"))
+    assert(t.branches.isEmpty)
   }
 
   test("wap: publish conflicts when the parent moved past the fork") {
