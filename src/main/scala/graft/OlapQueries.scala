@@ -338,13 +338,16 @@ object OlapQueries extends QueryPack {
     // audit shape ("what share of tokens come from the top domains")
     // that decides mixture caps. Exact integer cents end to end; the
     // only window runs over user AGGREGATES (bounded by user count),
-    // never rows.
+    // never rows. Cents are minted per ROW as floor(value*100 + 0.5)
+    // — pure IEEE double ops, bit-identical across engines — rather
+    // than a double->DECIMAL cast, whose tie-rounding mode is engine
+    // discretion (Spark HALF_UP vs DuckDB HALF_EVEN).
     "x_concentration_share" -> ((s, dir) => {
       Tables(s, dir, "events").createOrReplaceTempView("events")
       s.sql(
         """WITH u AS (
           |  SELECT event_type, user_id,
-          |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+          |    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
           |  FROM events GROUP BY event_type, user_id),
           |ranked AS (
           |  SELECT event_type, cents,
@@ -1140,7 +1143,7 @@ object OlapQueries extends QueryPack {
     "x_concentration_share" ->
       """WITH u AS (
         |  SELECT event_type, user_id,
-        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+        |    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
         |  FROM events GROUP BY event_type, user_id),
         |ranked AS (
         |  SELECT event_type, cents,
@@ -1149,7 +1152,8 @@ object OlapQueries extends QueryPack {
         |  FROM u)
         |SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n_users,
-        |  CAST(SUM(CASE WHEN rk <= 10 THEN cents ELSE 0 END) * 1000 // SUM(cents) AS BIGINT) AS top10_share_pm
+        |  CAST(SUM(CASE WHEN rk <= 10 THEN cents ELSE 0 END) AS BIGINT) * 1000
+        |    // CAST(SUM(cents) AS BIGINT) AS top10_share_pm
         |FROM ranked GROUP BY event_type""".stripMargin,
 
     "x_interval_concurrency" ->
