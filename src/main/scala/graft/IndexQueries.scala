@@ -710,7 +710,47 @@ object IndexQueries extends QueryPack {
          |  CAST(sum(CASE WHEN t.member = 0 AND c.pass = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
          |  CAST(sum(CASE WHEN t.member = 0 AND c.pass = 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / sum(CASE WHEN t.member = 0 THEN 1 ELSE 0 END) AS false_pos_rate
-         |FROM checked c JOIN truth t ON t.l_orderkey = c.l_orderkey""".stripMargin))
+         |FROM checked c JOIN truth t ON t.l_orderkey = c.l_orderkey""".stripMargin)),
+
+    // Bloom RUNTIME filter: where x_bloom_prune proves the bloom ALGEBRA
+    // in SQL (probing via a positions join), this proves the ENGINE
+    // ARTIFACT — functions.BloomAggregator builds a mergeable 4096-bit
+    // sketch over the BUILDING customers' key hashes (map-side
+    // combinable pointwise-OR, 512 B per partial), and the finished
+    // sketch compiles into a scan-local literal predicate
+    // (containsSql: four element_at bit tests, whole-stage codegen, no
+    // probe join, no shuffle on the fact side) — Spark's own
+    // InjectRuntimeFilter shape, but with a layout a DuckDB oracle
+    // recomputes bit-exactly from >>/& on the same md5 hashes. The
+    // audit left-join exists only to MEASURE the verdicts (soundness
+    // n_missed = 0, measured false positives); the production path is
+    // build -> collect 512 B -> filter inside the scan.
+    "x_bloom_runtime_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      import graft.functions.BloomAggregator
+      val dim = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey")).distinct()
+      val words = dim
+        .selectExpr(s"${h64("CAST(c_custkey AS STRING)")} AS h").as[Long]
+        .select(new BloomAggregator().toColumn).head()
+      val probed = Tables(s, dir, "orders")
+        .selectExpr("o_custkey", s"${h64("CAST(o_custkey AS STRING)")} AS h")
+        .withColumn("pass",
+          expr(BloomAggregator.containsSql(words, "h")).cast("int"))
+      val m = dim.withColumn("member", lit(1))
+      probed.join(m, probed("o_custkey") === m("c_custkey"), "left")
+        .agg(
+          first(lit(BloomAggregator.bitsSet(words))).as("bits_set"),
+          count(lit(1)).as("n_rows"),
+          sum(coalesce(col("member"), lit(0))).cast("long").as("n_members"),
+          sum(col("pass")).cast("long").as("n_pass"),
+          sum(when(col("member") === 1 && col("pass") === 0, 1L).otherwise(0L))
+            .as("n_missed"),
+          sum(when(col("member").isNull && col("pass") === 1, 1L).otherwise(0L))
+            .as("n_false_pos"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -989,6 +1029,40 @@ s"""WITH w AS (
          |  CAST(sum(CASE WHEN t.member = 0 AND c.pass = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
          |  CAST(sum(CASE WHEN t.member = 0 AND c.pass = 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / sum(CASE WHEN t.member = 0 THEN 1 ELSE 0 END) AS false_pos_rate
-         |FROM checked c JOIN truth t ON t.l_orderkey = c.l_orderkey""".stripMargin
+         |FROM checked c JOIN truth t ON t.l_orderkey = c.l_orderkey""".stripMargin,
+
+    // recomputes the aggregator's exact bit layout: 4 probe positions =
+    // disjoint 12-bit slices of the same 60-bit md5 hash; bits_set =
+    // |distinct positions|; membership = all four slices present
+    "x_bloom_runtime_filter" ->
+      s"""WITH dim AS (
+         |  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         |hb AS (SELECT ${duckH64("c_custkey::VARCHAR")} AS h FROM dim),
+         |pos AS (
+         |  SELECT (h >> 0) & 4095 AS p FROM hb
+         |  UNION SELECT (h >> 12) & 4095 FROM hb
+         |  UNION SELECT (h >> 24) & 4095 FROM hb
+         |  UNION SELECT (h >> 36) & 4095 FROM hb),
+         |probe AS (
+         |  SELECT o_custkey, ${duckH64("o_custkey::VARCHAR")} AS h FROM orders),
+         |v AS (
+         |  SELECT o_custkey,
+         |    CASE WHEN ((h >> 0) & 4095) IN (SELECT p FROM pos)
+         |          AND ((h >> 12) & 4095) IN (SELECT p FROM pos)
+         |          AND ((h >> 24) & 4095) IN (SELECT p FROM pos)
+         |          AND ((h >> 36) & 4095) IN (SELECT p FROM pos)
+         |      THEN 1 ELSE 0 END AS pass
+         |  FROM probe),
+         |t AS (
+         |  SELECT v.pass, CASE WHEN d.c_custkey IS NULL THEN NULL ELSE 1 END AS member
+         |  FROM v LEFT JOIN dim d ON d.c_custkey = v.o_custkey)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pos) AS bits_set,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(coalesce(member, 0)) AS BIGINT) AS n_members,
+         |  CAST(sum(pass) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN member = 1 AND pass = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+         |  CAST(sum(CASE WHEN member IS NULL AND pass = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+         |FROM t""".stripMargin
   )
 }

@@ -115,6 +115,50 @@ object SamplingQueries extends QueryPack {
         |  CAST(sum(n) AS BIGINT) AS n_rows
         |FROM p1 GROUP BY l_returnflag""".stripMargin)),
 
+    // Skew-salted JOIN (ops.Salting.saltedJoin): the hot side's key is
+    // spread over 16 salt values (deterministic row-content hash, no
+    // rand()) and the small side replicates 16x, so no reduce task owns
+    // a whole hot key. The oracle is the DIRECT equi-join — proving the
+    // rewrite exact. At 100 TB this is the hand tool for the one key
+    // AQE's skew split can't help (a single key bigger than any task);
+    // the aggregation after the join is itself map-side combinable.
+    "x_salted_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      val big = s.sql(
+        """SELECT l_orderkey AS okey, l_quantity, l_extendedprice
+          |FROM lineitem""".stripMargin)
+      val small = s.sql(
+        """SELECT o_orderkey AS okey, o_orderpriority
+          |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin)
+      graft.ops.Salting.saltedJoin(big, small, "okey", factor = 16)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("sum_qty"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").as("sum_price"))
+    }),
+
+    // Batch data-quality gate (ops.Expectations): named row predicates
+    // with STRICT-TRUE semantics (NULL verdict = violation) quarantine
+    // failing rows with the list of violated rules, in rule order — the
+    // DLT-expectations shape. One map-side pass: codegen'd built-in
+    // predicates + array_compact, zero shuffles/joins/UDFs; the verdict
+    // filter stays inside the scan stage. Oracle rebuilds the identical
+    // arrays with list_filter, hash-comparing verdicts row by row.
+    "x_expectations" -> ((s, dir) => {
+      val rules = Seq(
+        graft.ops.Expectation("value_cap", "value <= 250"),
+        graft.ops.Expectation("value_positive", "value > 0"),
+        graft.ops.Expectation("props_k_range",
+          "CAST(get_json_object(props, '$.k') AS BIGINT) BETWEEN 0 AND 89"),
+        graft.ops.Expectation("type_known",
+          "event_type IN ('click', 'view', 'purchase', 'signup', 'error')"))
+      graft.ops.Expectations.quarantine(Tables(s, dir, "events"), rules)
+        .select("event_id", graft.ops.Expectations.ViolationsCol)
+    }),
+
     // JSON property extraction from the string props column into typed
     // per-event-type aggregates.
     "x_json_extract" -> ((s, dir) => events(s, dir,
@@ -300,6 +344,30 @@ object SamplingQueries extends QueryPack {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the DIRECT equi-join — equality proves the salted rewrite exact
+    "x_salted_join" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o.o_orderpriority""".stripMargin,
+
+    "x_expectations" ->
+      """WITH v AS (
+        |  SELECT event_id,
+        |    list_filter([
+        |      CASE WHEN NOT coalesce(value <= 250, FALSE) THEN 'value_cap' END,
+        |      CASE WHEN NOT coalesce(value > 0, FALSE) THEN 'value_positive' END,
+        |      CASE WHEN NOT coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |        BETWEEN 0 AND 89, FALSE) THEN 'props_k_range' END,
+        |      CASE WHEN NOT coalesce(event_type IN ('click', 'view', 'purchase', 'signup', 'error'),
+        |        FALSE) THEN 'type_known' END
+        |    ], x -> x IS NOT NULL) AS violations
+        |  FROM events)
+        |SELECT event_id, violations FROM v WHERE len(violations) > 0""".stripMargin,
 
     "x_json_extract" ->
       """WITH j AS (
