@@ -731,10 +731,13 @@ object IndexQueries extends QueryPack {
       import graft.functions.BloomAggregator
       val dim = Tables(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
-        .select(col("c_custkey")).distinct()
+        .select(col("c_custkey")).distinct().localCheckpoint()
+      // corpus-adaptive width (smallest pow2 >= 16 keys/bit-ratio) — the
+      // oracle re-derives the identical width from its own count(*)
+      val bloomBits = BloomAggregator.adaptiveBits(dim.count())
       val words = dim
         .selectExpr(s"${h64("CAST(c_custkey AS STRING)")} AS h").as[Long]
-        .select(new BloomAggregator().toColumn).head()
+        .select(new BloomAggregator(bloomBits).toColumn).head()
       val probed = Tables(s, dir, "orders")
         .selectExpr("o_custkey", s"${h64("CAST(o_custkey AS STRING)")} AS h")
         .withColumn("pass",
@@ -1037,22 +1040,30 @@ s"""WITH w AS (
     "x_bloom_runtime_filter" ->
       s"""WITH dim AS (
          |  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
-         |hb AS (SELECT ${duckH64("c_custkey::VARCHAR")} AS h FROM dim),
+         |mm AS (
+         |  SELECT CASE WHEN 16 * n <= 4096 THEN 4096
+         |              WHEN 16 * n <= 8192 THEN 8192
+         |              WHEN 16 * n <= 16384 THEN 16384
+         |              WHEN 16 * n <= 32768 THEN 32768
+         |              ELSE 65536 END AS m
+         |  FROM (SELECT count(*) AS n FROM dim)),
+         |hb AS (
+         |  SELECT h % 1073741824 AS h1, (h // 1073741824) | 1 AS h2
+         |  FROM (SELECT ${duckH64("c_custkey::VARCHAR")} AS h FROM dim)),
          |pos AS (
-         |  SELECT (h >> 0) & 4095 AS p FROM hb
-         |  UNION SELECT (h >> 12) & 4095 FROM hb
-         |  UNION SELECT (h >> 24) & 4095 FROM hb
-         |  UNION SELECT (h >> 36) & 4095 FROM hb),
+         |  SELECT DISTINCT (h1 + i * h2) % m AS p
+         |  FROM hb CROSS JOIN mm CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
          |probe AS (
-         |  SELECT o_custkey, ${duckH64("o_custkey::VARCHAR")} AS h FROM orders),
+         |  SELECT o_custkey, h % 1073741824 AS h1, (h // 1073741824) | 1 AS h2
+         |  FROM (SELECT o_custkey, ${duckH64("o_custkey::VARCHAR")} AS h FROM orders)),
          |v AS (
          |  SELECT o_custkey,
-         |    CASE WHEN ((h >> 0) & 4095) IN (SELECT p FROM pos)
-         |          AND ((h >> 12) & 4095) IN (SELECT p FROM pos)
-         |          AND ((h >> 24) & 4095) IN (SELECT p FROM pos)
-         |          AND ((h >> 36) & 4095) IN (SELECT p FROM pos)
+         |    CASE WHEN ((h1 + 0 * h2) % m) IN (SELECT p FROM pos)
+         |          AND ((h1 + 1 * h2) % m) IN (SELECT p FROM pos)
+         |          AND ((h1 + 2 * h2) % m) IN (SELECT p FROM pos)
+         |          AND ((h1 + 3 * h2) % m) IN (SELECT p FROM pos)
          |      THEN 1 ELSE 0 END AS pass
-         |  FROM probe),
+         |  FROM probe CROSS JOIN mm),
          |t AS (
          |  SELECT v.pass, CASE WHEN d.c_custkey IS NULL THEN NULL ELSE 1 END AS member
          |  FROM v LEFT JOIN dim d ON d.c_custkey = v.o_custkey)

@@ -3,11 +3,12 @@ package graft
 import graft.functions.BloomAggregator
 import org.apache.spark.sql.functions._
 
-/** BloomAggregator: bit layout matches the documented 4x12-bit-slice
+/** BloomAggregator: bit layout matches the documented double-hashing
   * rule, merge is pointwise OR (partials equal the whole, replays are
-  * no-ops), the filter is SOUND (every inserted key passes), and the
+  * no-ops), the filter is SOUND (every inserted key passes), the
   * compiled containsSql predicate agrees with driving the bit test by
-  * hand — the properties the x_bloom_runtime_filter oracle relies on.
+  * hand, and the adaptive width follows the 16·n rule — the properties
+  * the x_bloom_runtime_filter oracle relies on.
   */
 class BloomSpec extends SparkSpec {
 
@@ -17,48 +18,64 @@ class BloomSpec extends SparkSpec {
     java.lang.Long.parseLong(md.substring(0, 15), 16)
   }
 
-  private def sketch(values: Seq[String]): Array[Long] = {
-    val agg = new BloomAggregator
+  private def sketch(values: Seq[String], bits: Int = 4096): Array[Long] = {
+    val agg = new BloomAggregator(bits)
     values.foldLeft(agg.zero)((b, v) => agg.reduce(b, h64(v)))
   }
 
-  private def handContains(words: Array[Long], h: Long): Boolean =
+  private def handContains(words: Array[Long], h: Long): Boolean = {
+    val bits = words.length * 64
+    val h1 = h & ((1L << 30) - 1)
+    val h2 = (h >>> 30) | 1L
     (0 until BloomAggregator.K).forall { i =>
-      val pos = ((h >>> (BloomAggregator.SliceBits * i)) &
-        (BloomAggregator.Bits - 1)).toInt
+      val pos = ((h1 + i * h2) % bits).toInt
       (words(pos >>> 6) >>> (pos & 63) & 1L) == 1L
     }
+  }
 
-  test("reduce sets exactly the 4 slice positions of the hash") {
-    val agg = new BloomAggregator
-    // hand-built hash: slices 1, 2, 3, 4 -> positions 1, 2, 3, 4
-    val h = 1L | (2L << 12) | (3L << 24) | (4L << 36)
+  test("reduce sets exactly the 4 double-hash positions of the hash") {
+    val agg = new BloomAggregator(4096)
+    // h1 = 5, h2 = (2 << 30 >> 30) | 1 = 3 -> positions 5, 8, 11, 14
+    val h = 5L | (2L << 30)
     val b = agg.reduce(agg.zero, h)
     assert(BloomAggregator.bitsSet(b) == 4)
-    assert((0 until 4).forall(p => (b(0) >>> (p + 1) & 1L) == 1L))
-    // colliding slices set fewer DISTINCT bits, never more
-    val same = agg.reduce(agg.zero, 7L | (7L << 12) | (7L << 24) | (7L << 36))
-    assert(BloomAggregator.bitsSet(same) == 1)
+    assert(Seq(5, 8, 11, 14).forall(p => (b(0) >>> p & 1L) == 1L))
+    // h2 = 1 gives consecutive positions; h1 = h2 stride collisions
+    // never set MORE than 4 distinct bits
+    val b2 = agg.reduce(agg.zero, 9L)
+    assert(BloomAggregator.bitsSet(b2) == 4)
+  }
+
+  test("adaptive width: smallest pow2 >= 16n within [4096, 65536]") {
+    assert(BloomAggregator.adaptiveBits(0) == 4096)
+    assert(BloomAggregator.adaptiveBits(256) == 4096)
+    assert(BloomAggregator.adaptiveBits(257) == 8192)
+    assert(BloomAggregator.adaptiveBits(512) == 8192)
+    assert(BloomAggregator.adaptiveBits(3000) == 65536)
+    assert(BloomAggregator.adaptiveBits(1000000) == 65536)
+    intercept[IllegalArgumentException](new BloomAggregator(1000))
+    intercept[IllegalArgumentException](new BloomAggregator(1 << 17))
   }
 
   test("merge of partials equals the sketch of the union; duplicates are no-ops") {
-    val agg = new BloomAggregator
+    val agg = new BloomAggregator(8192)
     val xs = (1 to 400).map(i => s"k$i")
     val ys = (200 to 700).map(i => s"k$i")
-    val whole = sketch(xs ++ ys)
-    val merged = agg.merge(sketch(xs), sketch(ys))
+    val whole = sketch(xs ++ ys, 8192)
+    val merged = agg.merge(sketch(xs, 8192), sketch(ys, 8192))
     assert(merged.toSeq == whole.toSeq)
-    assert(sketch(xs ++ xs).toSeq == sketch(xs).toSeq)
+    assert(sketch(xs ++ xs, 8192).toSeq == sketch(xs, 8192).toSeq)
   }
 
   test("sound: every inserted key passes; false positives stay near theory") {
     val keys = (1 to 500).map(i => s"member-$i")
-    val words = sketch(keys)
+    val bits = BloomAggregator.adaptiveBits(keys.size) // 8192
+    val words = sketch(keys, bits)
     assert(keys.forall(k => handContains(words, h64(k))))
     val others = (1 to 4000).map(i => s"other-$i")
     val fp = others.count(o => handContains(words, h64(o)))
-    // expected (1 - e^(-4*500/4096))^4 ~ 2.3% -> ~94 of 4000; allow 3x
-    assert(fp < 300, s"false positives $fp of 4000")
+    // load 4*500/8192 ~ 0.24 -> fp ~ (1-e^-0.24)^4 ~ 0.2% -> ~8 of 4000
+    assert(fp < 80, s"false positives $fp of 4000")
   }
 
   test("containsSql over the literal sketch equals the hand bit test") {
@@ -81,7 +98,7 @@ class BloomSpec extends SparkSpec {
     val rows = (1 to 1000).map(i => (s"g${i % 3}", s"v${i % 250}"))
     val df = rows.toDF("g", "k")
       .selectExpr("g", s"${TextQueries.h64("k")} AS h")
-    val bloom = udaf(new BloomAggregator, org.apache.spark.sql.Encoders.scalaLong)
+    val bloom = udaf(new BloomAggregator(4096), org.apache.spark.sql.Encoders.scalaLong)
     val got = df.groupBy("g")
       .agg(bloom(col("h")).as("bloom"))
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
