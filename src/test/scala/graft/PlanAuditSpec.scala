@@ -210,4 +210,34 @@ class PlanAuditSpec extends SparkSpec {
     // (its only joins are the small dimension-side dedup/lead windows)
     assert(plan("x_range_join").contains("Join"), "pairs path should be a hash join")
   }
+
+  test("dynamic partition pruning fires on a partitioned fact joined through a filtered dim") {
+    // the 100 TB join shape: a date/hour-partitioned fact joined to a
+    // dimension with a selective filter on the dim's attributes. The
+    // partition values to read are only known at RUNTIME (they come from
+    // the dim's surviving rows), so static pruning cannot help — the
+    // fact scan must carry a DynamicPruningExpression in its
+    // PartitionFilters, turning a full directory listing into a scan of
+    // exactly the dim-selected partitions. A refactor that breaks this
+    // (e.g. wrapping the fact read in something non-pushable) makes
+    // every such join read the whole fact table.
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("dpp") + "/fact"
+    spark.range(0, 10000).toDF("id")
+      .withColumn("p", pmod(col("id"), lit(20L)))
+      .withColumn("v", col("id") * 3)
+      .write.partitionBy("p").parquet(root)
+    val fact = spark.read.parquet(root)
+    val dim = spark.range(0, 20).toDF("pk")
+      .withColumn("attr", concat(lit("a"), col("pk")))
+    val joined = fact.join(broadcast(dim), col("p") === col("pk"))
+      .filter(col("attr") === "a3")
+      .groupBy(col("p")).agg(sum(col("v")).as("sv"))
+    val p = joined.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic partition pruning filter:\n$p")
+    // partition values read back via directory inference (IntegerType)
+    assert(joined.collect().map(_.get(0).toString).toSeq == Seq("3"))
+  }
 }
