@@ -68,6 +68,45 @@ object OlapQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // EXACT global quantiles with NO global sort — the two-pass
+    // histogram-refine algorithm a 100 TB table needs where
+    // approx_percentile's error bound won't do (billing, SLA
+    // percentiles): pass 1 bins exact integer cents into <= 1024
+    // equi-width buckets (map-side combinable counts; the cumulative
+    // window runs over the 1024-row histogram, never rows); pass 2
+    // ranks ONLY inside the <= 4 candidate buckets (each ~n/1024 rows)
+    // to extract the k-th order statistics. The oracle is the naive
+    // global-sort order statistic — equality proves the scale-safe
+    // rewrite exact. Cents mint as floor(v*100 + 0.5): pure IEEE ops,
+    // bit-identical cross-engine.
+    "x_exact_quantiles" -> ((s, dir) => sql(s, dir,
+      """WITH c AS (
+        |  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT min(cents) AS lo, max(cents) AS hi, count(*) AS n FROM c),
+        |w AS (SELECT lo, hi, n, (hi - lo) DIV 1024 + 1 AS wd FROM b),
+        |t AS (
+        |  SELECT CAST(p AS BIGINT) AS p, ((n - 1) * p) DIV 100 + 1 AS k
+        |  FROM w CROSS JOIN (SELECT explode(array(25, 50, 75, 99)) AS p)),
+        |h AS (
+        |  SELECT (cents - lo) DIV wd AS bk, count(*) AS cnt
+        |  FROM c CROSS JOIN w GROUP BY (cents - lo) DIV wd),
+        |cum AS (
+        |  SELECT bk, cnt, sum(cnt) OVER (ORDER BY bk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+        |  FROM h),
+        |sel AS (
+        |  SELECT t.p, t.k, cum.bk, cum.cend - cum.cnt AS cbelow
+        |  FROM t JOIN cum ON cum.cend >= t.k AND cum.cend - cum.cnt < t.k),
+        |cand AS (
+        |  SELECT sel.p, sel.k, sel.cbelow, c.cents,
+        |    row_number() OVER (PARTITION BY sel.p ORDER BY c.cents) AS rn
+        |  FROM c CROSS JOIN w
+        |  JOIN sel ON (c.cents - w.lo) DIV w.wd = sel.bk)
+        |SELECT p, CAST(k AS BIGINT) AS k, cents AS q_cents
+        |FROM cand WHERE rn = k - cbelow""".stripMargin)),
+
     // Correlated scalar subquery per outer row (Catalyst rewrites to a
     // left outer aggregate join — no per-row execution at scale).
     "q_correlated_scalar" -> ((s, dir) => sql(s, dir,
@@ -793,6 +832,20 @@ object OlapQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // the naive global-sort order statistic — the engine's
+    // histogram-refine answer must equal it exactly
+    "x_exact_quantiles" ->
+      """WITH c AS (
+        |  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c),
+        |n AS (SELECT count(*) AS n FROM c),
+        |t AS (
+        |  SELECT CAST(p AS BIGINT) AS p, ((n - 1) * p) // 100 + 1 AS k
+        |  FROM n CROSS JOIN (SELECT unnest([25, 50, 75, 99]) AS p))
+        |SELECT t.p, CAST(t.k AS BIGINT) AS k, r.cents AS q_cents
+        |FROM t JOIN r ON r.rn = t.k""".stripMargin,
+
     "q_correlated_scalar" ->
       """SELECT o_orderkey, o_totalprice,
         |  (SELECT min(l_extendedprice) FROM lineitem WHERE l_orderkey = o_orderkey) AS min_line_price
