@@ -292,6 +292,44 @@ object AnalyticsQueries extends QueryPack {
           expr("abs(merged_estimate - exact_union) * 1000 div exact_union"))
     }),
 
+    // Set-OVERLAP estimation by inclusion–exclusion over the same
+    // cross-engine-identical registers: |A∩B| ≈ est(A) + est(B) −
+    // est(A∪B) — the dedup-planning question ("how much does the new
+    // crawl overlap the corpus?") answered from three 2 KB sketches
+    // instead of a distinct-key join. The union sketch is the pointwise
+    // register max (never a re-scan), every estimate is the shared
+    // FLOOR formula on exact BIGINT sums, and the exact intersection
+    // rides along as the anchor — err_pm quantifies the sketch error
+    // where the oracle proves the ESTIMATES to the bit.
+    "x_hll_intersect" -> ((s, dir) => {
+      import graft.ops.SketchView
+      import graft.functions.HllAggregator
+      // cohorts that PARTIALLY overlap at real cardinality: A = user-days
+      // with a purchase, B = user-days with an error (thousands of keys —
+      // above the small-n biased regime; a time split of user-scoped keys
+      // would make A∩B empty or A=B=U, both degenerate)
+      val key = "concat(CAST(user_id AS STRING), '#', " +
+        "CAST(unix_micros(ts) div 86400000000 AS STRING))"
+      val h = TextQueries.h64(key)
+      val ev = t(s, dir, "events").withColumn("slice", lit("purchase_x_error"))
+      val a = ev.filter(col("event_type") === "purchase")
+      val b = ev.filter(col("event_type") === "error")
+      def est(df: DataFrame, name: String) =
+        SketchView.summarized(SketchView.regsOf(df, Seq("slice"), h))
+          .select(col("slice"),
+            expr(HllAggregator.estimateSql(SketchView.SumCol)).as(name))
+      val eu = est(a.unionByName(b), "est_union")
+      val ka = a.selectExpr("slice", s"$key AS k").distinct()
+      val kb = b.selectExpr("slice", s"$key AS k").distinct()
+      val exact = ka.join(kb, Seq("slice", "k"))
+        .groupBy(col("slice")).agg(count(lit(1)).as("exact_intersect"))
+      exact.join(est(a, "est_a"), Seq("slice")).join(est(b, "est_b"), Seq("slice"))
+        .join(eu, Seq("slice"))
+        .withColumn("est_intersect", expr("est_a + est_b - est_union"))
+        .withColumn("err_pm", expr(
+          "abs(est_intersect - exact_intersect) * 1000 div greatest(exact_intersect, 1)"))
+    }),
+
     // Global sort + limit with a total order (O1/O2).
     "o2_sort_limit" -> ((s, dir) =>
       t(s, dir, "events")
@@ -476,6 +514,54 @@ object AnalyticsQueries extends QueryPack {
         |  SELECT x.event_type, x.exact_union, s.hll_zeros,
         |    CAST(FLOOR(0.7213 / (1 + 1.079 / 256) * 256 * 256 * 9007199254740992 / CAST(s.hll_sum AS DOUBLE)) AS BIGINT) AS merged_estimate
         |  FROM x JOIN s ON x.event_type = s.event_type)""".stripMargin,
+
+    "x_hll_intersect" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    user_id::VARCHAR || '#' || (epoch_us(ts) // 86400000000)::VARCHAR AS k
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |ka AS (SELECT DISTINCT k FROM h WHERE event_type = 'purchase'),
+        |kb AS (SELECT DISTINCT k FROM h WHERE event_type = 'error'),
+        |bt AS (SELECT unnest(generate_series(0, 255)) AS bucket),
+        |ra AS (
+        |  SELECT hv % 256 AS bucket,
+        |    max(CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END) AS rho
+        |  FROM (SELECT ('0x' || substr(md5(k),1,15))::BIGINT AS hv FROM ka)
+        |  GROUP BY 1),
+        |rb AS (
+        |  SELECT hv % 256 AS bucket,
+        |    max(CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END) AS rho
+        |  FROM (SELECT ('0x' || substr(md5(k),1,15))::BIGINT AS hv FROM kb)
+        |  GROUP BY 1),
+        |ru AS (
+        |  SELECT hv % 256 AS bucket,
+        |    max(CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END) AS rho
+        |  FROM (SELECT ('0x' || substr(md5(k),1,15))::BIGINT AS hv
+        |        FROM (SELECT k FROM ka UNION SELECT k FROM kb))
+        |  GROUP BY 1),
+        |sa AS (
+        |  SELECT CAST(SUM(1::BIGINT << (53 - coalesce(ra.rho, 0))) AS BIGINT) AS hs
+        |  FROM bt LEFT JOIN ra ON ra.bucket = bt.bucket),
+        |sb AS (
+        |  SELECT CAST(SUM(1::BIGINT << (53 - coalesce(rb.rho, 0))) AS BIGINT) AS hs
+        |  FROM bt LEFT JOIN rb ON rb.bucket = bt.bucket),
+        |su AS (
+        |  SELECT CAST(SUM(1::BIGINT << (53 - coalesce(ru.rho, 0))) AS BIGINT) AS hs
+        |  FROM bt LEFT JOIN ru ON ru.bucket = bt.bucket),
+        |x AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS exact_intersect
+        |  FROM (SELECT k FROM ka INTERSECT SELECT k FROM kb)),
+        |e AS (
+        |  SELECT 'purchase_x_error' AS slice, x.exact_intersect,
+        |    CAST(FLOOR(0.7213 / (1 + 1.079 / 256) * 256 * 256 * 9007199254740992 / CAST(sa.hs AS DOUBLE)) AS BIGINT) AS est_a,
+        |    CAST(FLOOR(0.7213 / (1 + 1.079 / 256) * 256 * 256 * 9007199254740992 / CAST(sb.hs AS DOUBLE)) AS BIGINT) AS est_b,
+        |    CAST(FLOOR(0.7213 / (1 + 1.079 / 256) * 256 * 256 * 9007199254740992 / CAST(su.hs AS DOUBLE)) AS BIGINT) AS est_union
+        |  FROM x CROSS JOIN sa CROSS JOIN sb CROSS JOIN su)
+        |SELECT slice, exact_intersect, est_a, est_b, est_union,
+        |  est_a + est_b - est_union AS est_intersect,
+        |  abs(est_a + est_b - est_union - exact_intersect) * 1000
+        |    // greatest(exact_intersect, 1) AS err_pm
+        |FROM e""".stripMargin,
 
     "x_hll_distinct" ->
       """WITH h AS (

@@ -107,6 +107,41 @@ object OlapQueries extends QueryPack {
         |SELECT p, CAST(k AS BIGINT) AS k, cents AS q_cents
         |FROM cand WHERE rn = k - cbelow""".stripMargin)),
 
+    // HOPPING (sliding) window aggregates via Spark's native window()
+    // function — 6 h windows every 3 h, so each event lands in exactly
+    // two: the overlapping-dashboards shape (rolling actives, rolling
+    // revenue) that tumbling windows can't express. Spark plans this as
+    // one Expand (2 rows per event) + one combine-friendly hash
+    // aggregate — no self-join, no range join; the oracle rebuilds the
+    // same epoch-aligned window starts by integer floor arithmetic.
+    "x_hopping_window" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables(s, dir, "events")
+      ev.groupBy(col("event_type"),
+          window(col("ts"), "6 hours", "3 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))").as("cents"),
+          expr("CAST(count(DISTINCT user_id) AS BIGINT)").as("n_users"))
+        .select(col("event_type"),
+          col("window.start").as("win_start"), col("window.end").as("win_end"),
+          col("n_events"), col("cents"), col("n_users"))
+    }),
+
+    // Order-independent per-slice content checksum — the anti-entropy
+    // primitive for 100 TB replication: two replicas (or a table and
+    // its restored backup) compare one tiny row per (type, day) instead
+    // of moving data; a single flipped row flips the slice's checksum.
+    // Commutative integer sum of bounded row hashes: map-side
+    // combinable, shuffle carries only (slice, partial) pairs.
+    "x_partition_checksum" -> ((s, dir) => sql(s, dir,
+      s"""SELECT event_type,
+         |  CAST(unix_micros(ts) DIV 86400000000 AS BIGINT) AS day,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  SUM(${h64("concat_ws('|', CAST(event_id AS STRING), CAST(user_id AS STRING), " +
+           "CAST(unix_micros(ts) AS STRING), CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS STRING))")} % 1000000007) AS checksum
+         |FROM events
+         |GROUP BY event_type, unix_micros(ts) DIV 86400000000""".stripMargin)),
+
     // Correlated scalar subquery per outer row (Catalyst rewrites to a
     // left outer aggregate join — no per-row execution at scale).
     "q_correlated_scalar" -> ((s, dir) => sql(s, dir,
@@ -832,6 +867,30 @@ object OlapQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    // every event lands in exactly the two epoch-aligned 3h-step starts
+    "x_hopping_window" ->
+      """WITH g AS (
+        |  SELECT event_type, user_id, ts,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    make_timestamp(((epoch_us(ts) // 10800000000) - i) * 10800000000) AS win_start
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i))
+        |SELECT event_type, win_start, win_start + INTERVAL 6 HOUR AS win_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM g
+        |WHERE ts >= win_start AND ts < win_start + INTERVAL 6 HOUR
+        |GROUP BY event_type, win_start""".stripMargin,
+
+    "x_partition_checksum" ->
+      s"""SELECT event_type,
+         |  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(${duckH64("event_id::VARCHAR || '|' || user_id::VARCHAR || '|' || " +
+           "epoch_us(ts)::VARCHAR || '|' || (CAST(FLOOR(value * 100 + 0.5) AS BIGINT))::VARCHAR")} % 1000000007) AS BIGINT) AS checksum
+         |FROM events
+         |GROUP BY 1, 2""".stripMargin,
+
     // the naive global-sort order statistic — the engine's
     // histogram-refine answer must equal it exactly
     "x_exact_quantiles" ->
