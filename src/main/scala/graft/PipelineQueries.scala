@@ -321,7 +321,110 @@ object PipelineQueries extends QueryPack {
         |  unix_millis(ts) AS valid_from_ms,
         |  unix_millis(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_ms,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
-        |FROM chg""".stripMargin))
+        |FROM chg""".stripMargin)),
+
+    // Marketing attribution (first-touch AND last-touch in one pass):
+    // each purchase credits the non-purchase event that opened (first)
+    // and most recently preceded (last) it in the user's stream. Both
+    // credits come from ONE window pass per user — last_value/first_value
+    // IGNORE NULLS over "rows before me" — so at 100 TB this is a single
+    // shuffle on user_id plus a channel-bounded groupBy; no self-join of
+    // conversions against touches, no per-conversion scan-back.
+    // (ts, event_id) is a unique total order per user ⇒ deterministic.
+    "x_attribution" -> ((s, dir) => events(s, dir,
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END) IGNORE NULLS
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END) IGNORE NULLS
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
+        |  FROM events),
+        |conv AS (SELECT * FROM seq WHERE event_type = 'purchase' AND last_touch IS NOT NULL)
+        |SELECT model, channel, CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |FROM (
+        |  SELECT 'last_touch' AS model, last_touch AS channel, cents FROM conv
+        |  UNION ALL
+        |  SELECT 'first_touch' AS model, first_touch AS channel, cents FROM conv) m
+        |GROUP BY model, channel""".stripMargin)),
+
+    // RFM segmentation with SCALE-SAFE quintile scores: per-user
+    // recency/frequency/monetary aggregate (one combine-friendly groupBy
+    // on user_id), then each score reads the user's position in the
+    // metric's cumulative distribution — built by grouping ON THE VALUE
+    // (recency hours and frequency are bounded domains; monetary bins to
+    // $100) so every window runs over a distinct-value table, never over
+    // users. score = below·5 DIV n + 1 ∈ 1..5; ties share a score by
+    // construction. No ntile, no global sort over the user dimension —
+    // the x_bucket_boundaries discipline applied to the classic
+    // marketing segmentation.
+    "x_rfm_segmentation" -> ((s, dir) => events(s, dir,
+      """WITH u AS (
+        |  SELECT user_id,
+        |    ((SELECT max(unix_micros(ts)) FROM events) - max(unix_micros(ts))) DIV 3600000000 AS rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mon
+        |  FROM events GROUP BY user_id),
+        |ub AS (SELECT user_id, rec, freq, mon, mon DIV 10000 AS mb FROM u),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ub),
+        |rdist AS (
+        |  SELECT v, coalesce(sum(c) OVER (ORDER BY v DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+        |  FROM (SELECT rec AS v, count(*) AS c FROM ub GROUP BY rec) g1),
+        |fdist AS (
+        |  SELECT v, coalesce(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM (SELECT freq AS v, count(*) AS c FROM ub GROUP BY freq) g2),
+        |mdist AS (
+        |  SELECT v, coalesce(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM (SELECT mb AS v, count(*) AS c FROM ub GROUP BY mb) g3)
+        |SELECT ub.user_id, CAST(ub.rec AS BIGINT) AS recency_hours,
+        |  ub.freq AS frequency, ub.mon AS monetary_cents,
+        |  CAST(rdist.above * 5 DIV n.n + 1 AS BIGINT) AS r_score,
+        |  CAST(fdist.below * 5 DIV n.n + 1 AS BIGINT) AS f_score,
+        |  CAST(mdist.below * 5 DIV n.n + 1 AS BIGINT) AS m_score
+        |FROM ub CROSS JOIN n
+        |JOIN rdist ON rdist.v = ub.rec
+        |JOIN fdist ON fdist.v = ub.freq
+        |JOIN mdist ON mdist.v = ub.mb""".stripMargin)),
+
+    // A/B experiment readout: deterministic 50/50 hash split of users,
+    // conversion = any $200+ purchase, two-proportion pooled z-score in
+    // integer micro-units. The whole analysis is two user-keyed
+    // aggregates collapsing to ONE row — at 100 TB the only shuffle is
+    // the distinct-user pass; the z arithmetic is correctly-rounded IEEE
+    // doubles over exact integers in a textually identical expression
+    // tree, so the oracle hash-matches to the bit (the x_anomaly_zscore
+    // discipline).
+    "x_ab_test" -> ((s, dir) => events(s, dir,
+      s"""WITH assign AS (
+         |  SELECT user_id, ${TextQueries.h64("CAST(user_id AS STRING)")} % 2 AS variant
+         |  FROM (SELECT DISTINCT user_id FROM events) du),
+         |conv AS (SELECT DISTINCT user_id FROM events
+         |         WHERE event_type = 'purchase' AND CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 20000),
+         |v AS (
+         |  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(count(conv.user_id) AS BIGINT) AS n_conv
+         |  FROM assign LEFT JOIN conv ON conv.user_id = assign.user_id
+         |  GROUP BY variant),
+         |ab AS (
+         |  SELECT
+         |    max(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+         |    max(CASE WHEN variant = 0 THEN n_conv END) AS c_a,
+         |    max(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+         |    max(CASE WHEN variant = 1 THEN n_conv END) AS c_b
+         |  FROM v)
+         |SELECT n_a, c_a, n_b, c_b,
+         |  c_a * 1000 DIV n_a AS cr_a_permille,
+         |  c_b * 1000 DIV n_b AS cr_b_permille,
+         |  CAST(FLOOR((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |    / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         |      * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS z_micro
+         |FROM ab""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -496,6 +599,83 @@ object PipelineQueries extends QueryPack {
         |SELECT f.cohort, date_diff('day', f.cohort, a.wk) // 7 AS week_offset,
         |  count(DISTINCT a.user_id) AS n_active
         |FROM a JOIN f ON f.user_id = a.user_id
-        |GROUP BY f.cohort, date_diff('day', f.cohort, a.wk) // 7""".stripMargin
+        |GROUP BY f.cohort, date_diff('day', f.cohort, a.wk) // 7""".stripMargin,
+
+    "x_attribution" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
+        |  FROM events),
+        |conv AS (SELECT * FROM seq WHERE event_type = 'purchase' AND last_touch IS NOT NULL)
+        |SELECT model, channel, CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |FROM (
+        |  SELECT 'last_touch' AS model, last_touch AS channel, cents FROM conv
+        |  UNION ALL
+        |  SELECT 'first_touch' AS model, first_touch AS channel, cents FROM conv) m
+        |GROUP BY model, channel""".stripMargin,
+
+    "x_rfm_segmentation" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    ((SELECT max(epoch_us(ts)) FROM events) - max(epoch_us(ts))) // 3600000000 AS rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mon
+        |  FROM events GROUP BY user_id),
+        |ub AS (SELECT user_id, rec, freq, mon, mon // 10000 AS mb FROM u),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ub),
+        |rdist AS (
+        |  SELECT v, coalesce(sum(c) OVER (ORDER BY v DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+        |  FROM (SELECT rec AS v, count(*) AS c FROM ub GROUP BY rec) g1),
+        |fdist AS (
+        |  SELECT v, coalesce(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM (SELECT freq AS v, count(*) AS c FROM ub GROUP BY freq) g2),
+        |mdist AS (
+        |  SELECT v, coalesce(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM (SELECT mb AS v, count(*) AS c FROM ub GROUP BY mb) g3)
+        |SELECT ub.user_id, CAST(ub.rec AS BIGINT) AS recency_hours,
+        |  ub.freq AS frequency, ub.mon AS monetary_cents,
+        |  CAST(rdist.above * 5 // n.n + 1 AS BIGINT) AS r_score,
+        |  CAST(fdist.below * 5 // n.n + 1 AS BIGINT) AS f_score,
+        |  CAST(mdist.below * 5 // n.n + 1 AS BIGINT) AS m_score
+        |FROM ub CROSS JOIN n
+        |JOIN rdist ON rdist.v = ub.rec
+        |JOIN fdist ON fdist.v = ub.freq
+        |JOIN mdist ON mdist.v = ub.mb""".stripMargin,
+
+    "x_ab_test" ->
+      s"""WITH assign AS (
+         |  SELECT user_id, ${TextQueries.duckH64("user_id::VARCHAR")} % 2 AS variant
+         |  FROM (SELECT DISTINCT user_id FROM events) du),
+         |conv AS (SELECT DISTINCT user_id FROM events
+         |         WHERE event_type = 'purchase' AND CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 20000),
+         |v AS (
+         |  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(count(conv.user_id) AS BIGINT) AS n_conv
+         |  FROM assign LEFT JOIN conv ON conv.user_id = assign.user_id
+         |  GROUP BY variant),
+         |ab AS (
+         |  SELECT
+         |    max(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+         |    max(CASE WHEN variant = 0 THEN n_conv END) AS c_a,
+         |    max(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+         |    max(CASE WHEN variant = 1 THEN n_conv END) AS c_b
+         |  FROM v)
+         |SELECT n_a, c_a, n_b, c_b,
+         |  c_a * 1000 // n_a AS cr_a_permille,
+         |  c_b * 1000 // n_b AS cr_b_permille,
+         |  CAST(FLOOR((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |    / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         |      * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS z_micro
+         |FROM ab""".stripMargin
   )
 }

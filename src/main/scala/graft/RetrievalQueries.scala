@@ -196,10 +196,62 @@ object RetrievalQueries extends QueryPack {
          |  CAST((least(a.v, b.v) - t.c) * 1000000 DIV tot.n AS BIGINT) AS overestimate_ppm
          |FROM top t CROSS JOIN tot
          |JOIN r1 a ON a.pos = ${h64("concat('cms1_', t.word)")} % 1024
-         |JOIN r2 b ON b.pos = ${h64("concat('cms2_', t.word)")} % 1024""".stripMargin))
+         |JOIN r2 b ON b.pos = ${h64("concat('cms2_', t.word)")} % 1024""".stripMargin)),
+
+    // Inverted-index construction: term → (df, collection tf, top-10
+    // posting list ordered by tf desc). The posting string is REBUILT in
+    // rank order and hash-compared cross-engine — proving the index
+    // content, not just its counts. Scale shape: per-(term, doc) tf is a
+    // combine-friendly groupBy; the rank window per term is top-k-per-key
+    // over the tf table (never the corpus); output rows are bounded by
+    // vocabulary and each posting list is capped at 10 entries, so the
+    // index itself broadcasts back to query time.
+    "x_inverted_index" -> ((s, dir) => docs(s, dir,
+      """WITH tok AS (
+        |  SELECT doc_id, term
+        |  FROM documents LATERAL VIEW explode(split(lower(text), '[^a-z0-9]+')) t AS term),
+        |tf AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE length(term) >= 4 GROUP BY term, doc_id),
+        |agg AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS ctf
+        |  FROM tf GROUP BY term),
+        |top AS (
+        |  SELECT term, doc_id, tf,
+        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+        |  FROM tf),
+        |post AS (
+        |  SELECT term,
+        |    array_join(transform(array_sort(collect_list(named_struct(
+        |      'rn', rn, 'e', concat(CAST(doc_id AS STRING), ':', CAST(tf AS STRING))))),
+        |      x -> x.e), ',') AS postings
+        |  FROM top WHERE rn <= 10 GROUP BY term)
+        |SELECT agg.term AS term, agg.df AS df, agg.ctf AS ctf, post.postings AS postings
+        |FROM agg JOIN post ON post.term = agg.term
+        |WHERE agg.df >= 50""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
+    "x_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE length(term) >= 4 GROUP BY term, doc_id),
+        |agg AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS ctf
+        |  FROM tf GROUP BY term),
+        |top AS (
+        |  SELECT term, doc_id, tf,
+        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+        |  FROM tf),
+        |post AS (
+        |  SELECT term, string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ',' ORDER BY rn) AS postings
+        |  FROM top WHERE rn <= 10 GROUP BY term)
+        |SELECT agg.term AS term, agg.df AS df, agg.ctf AS ctf, post.postings AS postings
+        |FROM agg JOIN post ON post.term = agg.term
+        |WHERE agg.df >= 50""".stripMargin,
     "x_tfidf" ->
       s"""WITH $duckTok,
          |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
