@@ -107,6 +107,45 @@ object OlapQueries extends QueryPack {
         |SELECT p, CAST(k AS BIGINT) AS k, cents AS q_cents
         |FROM cand WHERE rn = k - cbelow""".stripMargin)),
 
+    // Per-GROUP exact quantiles via the same histogram-refine rewrite —
+    // the per-tenant / per-type SLA-percentile shape. All intermediate
+    // tables are group-bounded (histograms ≤ groups × 1024 rows, the
+    // cumulative window partitions by group over those rows, the rank
+    // window runs only inside each group's candidate buckets); the
+    // per-row work is one broadcast join against the group-bounds table.
+    // The oracle is the naive per-group order statistic — equality
+    // proves the rewrite exact group-wise too.
+    "x_group_quantiles" -> ((s, dir) => sql(s, dir,
+      """WITH c AS (
+        |  SELECT event_type AS g, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT g, min(cents) AS lo, max(cents) AS hi, count(*) AS n FROM c GROUP BY g),
+        |w AS (SELECT g, lo, hi, n, (hi - lo) DIV 1024 + 1 AS wd FROM b),
+        |t AS (SELECT w.g, CAST(p AS BIGINT) AS p, ((n - 1) * p) DIV 100 + 1 AS k
+        |      FROM w CROSS JOIN (SELECT explode(array(50, 90, 99)) AS p)),
+        |h AS (SELECT c.g, (cents - w.lo) DIV w.wd AS bk, count(*) AS cnt
+        |      FROM c JOIN w ON w.g = c.g GROUP BY c.g, (cents - w.lo) DIV w.wd),
+        |cum AS (SELECT g, bk, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY bk
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend FROM h),
+        |sel AS (SELECT t.g, t.p, t.k, cum.bk, cum.cend - cum.cnt AS cbelow
+        |        FROM t JOIN cum ON cum.g = t.g AND cum.cend >= t.k AND cum.cend - cum.cnt < t.k),
+        |cand AS (SELECT sel.g, sel.p, sel.k, sel.cbelow, c.cents,
+        |    row_number() OVER (PARTITION BY sel.g, sel.p ORDER BY c.cents) AS rn
+        |  FROM c JOIN w ON w.g = c.g
+        |  JOIN sel ON sel.g = c.g AND (c.cents - w.lo) DIV w.wd = sel.bk)
+        |SELECT g AS event_type, p, CAST(k AS BIGINT) AS k, cents AS q_cents
+        |FROM cand WHERE rn = k - cbelow""".stripMargin)),
+
+    // SQL PIVOT surface: Spark's native PIVOT clause plans as one hash
+    // aggregate with conditional counters (no self-joins per pivot
+    // value); the oracle is the equivalent CASE aggregation.
+    "q_pivot_status" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderpriority,
+        |  CAST(coalesce(st_f, 0) AS BIGINT) AS st_f,
+        |  CAST(coalesce(st_o, 0) AS BIGINT) AS st_o,
+        |  CAST(coalesce(st_p, 0) AS BIGINT) AS st_p
+        |FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        |PIVOT (count(*) FOR o_orderstatus IN ('F' AS st_f, 'O' AS st_o, 'P' AS st_p))""".stripMargin)),
+
     // HOPPING (sliding) window aggregates via Spark's native window()
     // function — 6 h windows every 3 h, so each event lands in exactly
     // two: the overlapping-dashboards shape (rolling actives, rolling
@@ -904,6 +943,23 @@ object OlapQueries extends QueryPack {
         |  FROM n CROSS JOIN (SELECT unnest([25, 50, 75, 99]) AS p))
         |SELECT t.p, CAST(t.k AS BIGINT) AS k, r.cents AS q_cents
         |FROM t JOIN r ON r.rn = t.k""".stripMargin,
+
+    "x_group_quantiles" ->
+      """WITH c AS (
+        |  SELECT event_type AS g, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT g, cents, row_number() OVER (PARTITION BY g ORDER BY cents) AS rn FROM c),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY g),
+        |t AS (SELECT n.g, p, ((n.n - 1) * p) // 100 + 1 AS k
+        |      FROM n CROSS JOIN (SELECT unnest([50, 90, 99]) AS p))
+        |SELECT t.g AS event_type, CAST(t.p AS BIGINT) AS p, CAST(t.k AS BIGINT) AS k, r.cents AS q_cents
+        |FROM t JOIN r ON r.g = t.g AND r.rn = t.k""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS st_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS st_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS st_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q_correlated_scalar" ->
       """SELECT o_orderkey, o_totalprice,

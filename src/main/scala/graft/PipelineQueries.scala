@@ -424,7 +424,88 @@ object PipelineQueries extends QueryPack {
          |  CAST(FLOOR((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
          |    / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
          |      * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS z_micro
-         |FROM ab""".stripMargin))
+         |FROM ab""".stripMargin)),
+
+    // CUPED variance reduction (the pre-experiment-covariate adjustment
+    // every mature experimentation platform applies before reading an
+    // A/B test): per user, x = pre-period spend, y = experiment-period
+    // spend; θ = cov(x,y)/var(x); adjusted metric y − θ(x − x̄). Every
+    // output derives in CLOSED FORM from six exact integer moments
+    // (n, Σx, Σy, Σxy, Σx², Σy² + per-variant sums) — never a mean or
+    // variance over per-row doubles, whose summation order would differ
+    // across engines. var_reduction = ρ² in permille. One combine-
+    // friendly user groupBy then a one-row moment aggregate: at 100 TB
+    // the only shuffle is the per-user pass.
+    "x_ab_cuped" -> ((s, dir) => events(s, dir,
+      s"""WITH b AS (
+         |  SELECT min(unix_micros(ts)) AS lo, max(unix_micros(ts)) AS hi FROM events),
+         |per_user AS (
+         |  SELECT user_id, ${TextQueries.h64("CAST(user_id AS STRING)")} % 2 AS variant,
+         |    CAST(SUM(CASE WHEN unix_micros(ts) * 2 < (SELECT lo + hi FROM b) THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN unix_micros(ts) * 2 >= (SELECT lo + hi FROM b) THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+         |  FROM events GROUP BY user_id),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         |    CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+         |  FROM per_user)
+         |SELECT n_a, n_b,
+         |  CAST(FLOOR((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * CAST(1000 AS DOUBLE)) AS BIGINT) AS diff_raw_millicents,
+         |  CAST(FLOOR(((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+         |      * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))) * CAST(1000 AS DOUBLE)) AS BIGINT) AS diff_cuped_millicents,
+         |  CAST(FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS theta_micro,
+         |  CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * CAST(1000 AS DOUBLE)) AS BIGINT) AS var_reduction_permille
+         |FROM m""".stripMargin)),
+
+    // Deadline funnel: unlike x_funnel_analysis (any later time), each
+    // stage must land within 72 h of the previous stage's first event —
+    // the conversion-window semantics real funnel dashboards use. Same
+    // scale shape: four user-keyed min-aggregates chained by
+    // broadcastable user joins; the deadline is a per-row predicate,
+    // no extra shuffle.
+    "x_funnel_windowed" -> ((s, dir) => events(s, dir,
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 72 HOUR GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 72 HOUR GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |       JOIN s3 ON s3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 AND e.ts <= s3.t3 + INTERVAL 72 HOUR GROUP BY e.user_id)
+        |SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL SELECT '2_view_72h', CAST(count(*) AS BIGINT) FROM s2
+        |UNION ALL SELECT '3_click_72h', CAST(count(*) AS BIGINT) FROM s3
+        |UNION ALL SELECT '4_purchase_72h', CAST(count(*) AS BIGINT) FROM s4""".stripMargin)),
+
+    // Day-of-week seasonality profile: per (type, ISO weekday) volume,
+    // mean value, and the ratio to the type's overall mean in integer
+    // permille — the seasonal-baseline table an anomaly detector joins
+    // against. Two combine-friendly groupBys bounded by (type × 7);
+    // ratios are exact integer cross-multiplication, no division of
+    // doubles anywhere.
+    "x_seasonality" -> ((s, dir) => events(s, dir,
+      """WITH e AS (
+        |  SELECT event_type, weekday(ts) + 1 AS dow, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+        |      FROM e GROUP BY event_type, dow),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts FROM d GROUP BY event_type)
+        |SELECT d.event_type AS event_type, CAST(d.dow AS BIGINT) AS dow, d.n,
+        |  d.s * 1000 DIV d.n AS mean_millicents,
+        |  (d.s * t.tn * 1000) DIV (t.ts * d.n) AS vs_type_mean_permille
+        |FROM d JOIN t ON t.event_type = d.event_type""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -676,6 +757,65 @@ object PipelineQueries extends QueryPack {
          |  CAST(FLOOR((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
          |    / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
          |      * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS z_micro
-         |FROM ab""".stripMargin
+         |FROM ab""".stripMargin,
+
+    "x_ab_cuped" ->
+      s"""WITH b AS (
+         |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+         |per_user AS (
+         |  SELECT user_id, ${TextQueries.duckH64("user_id::VARCHAR")} % 2 AS variant,
+         |    CAST(SUM(CASE WHEN epoch_us(ts) * 2 < (SELECT lo + hi FROM b) THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN epoch_us(ts) * 2 >= (SELECT lo + hi FROM b) THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+         |  FROM events GROUP BY user_id),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+         |    CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+         |  FROM per_user)
+         |SELECT n_a, n_b,
+         |  CAST(FLOOR((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * CAST(1000 AS DOUBLE)) AS BIGINT) AS diff_raw_millicents,
+         |  CAST(FLOOR(((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+         |      * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))) * CAST(1000 AS DOUBLE)) AS BIGINT) AS diff_cuped_millicents,
+         |  CAST(FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS theta_micro,
+         |  CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * CAST(1000 AS DOUBLE)) AS BIGINT) AS var_reduction_permille
+         |FROM m""".stripMargin,
+
+    "x_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 72 HOUR GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 72 HOUR GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
+        |       JOIN s3 ON s3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 AND e.ts <= s3.t3 + INTERVAL 72 HOUR GROUP BY e.user_id)
+        |SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL SELECT '2_view_72h', CAST(count(*) AS BIGINT) FROM s2
+        |UNION ALL SELECT '3_click_72h', CAST(count(*) AS BIGINT) FROM s3
+        |UNION ALL SELECT '4_purchase_72h', CAST(count(*) AS BIGINT) FROM s4""".stripMargin,
+
+    "x_seasonality" ->
+      """WITH e AS (
+        |  SELECT event_type, isodow(ts) AS dow, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+        |      FROM e GROUP BY event_type, dow),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts FROM d GROUP BY event_type)
+        |SELECT d.event_type AS event_type, CAST(d.dow AS BIGINT) AS dow, d.n,
+        |  d.s * 1000 // d.n AS mean_millicents,
+        |  (d.s * t.tn * 1000) // (t.ts * d.n) AS vs_type_mean_permille
+        |FROM d JOIN t ON t.event_type = d.event_type""".stripMargin
   )
 }

@@ -287,6 +287,24 @@ object SamplingQueries extends QueryPack {
            |FROM top""".stripMargin)
     }),
 
+    // Degree distribution of the supplier↔customer bipartite graph (the
+    // structural audit run before any iterative graph computation —
+    // power-law detection, skew sizing for PageRank/components). One
+    // distinct-edge join, one degree groupBy per side, one groupBy on
+    // degree: output bounded by max degree, every stage map-side
+    // combinable.
+    "x_graph_degree" -> ((s, dir) => ordersLineitem(s, dir,
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |sd AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY s),
+        |cd AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY c),
+        |dist AS (
+        |  SELECT 'supplier' AS side, d, CAST(count(*) AS BIGINT) AS n_nodes FROM sd GROUP BY d
+        |  UNION ALL
+        |  SELECT 'customer', d, CAST(count(*) AS BIGINT) AS n_nodes FROM cd GROUP BY d)
+        |SELECT side, d AS degree, n_nodes FROM dist""".stripMargin)),
+
     // Z-order layout audit (the SQL face of ops.ZOrder): 16-bit Morton
     // interleave of two bucketized order dimensions (price byte, coarse
     // date byte), bucketed by the top 4 Morton bits — exactly the ranges
@@ -450,6 +468,18 @@ object SamplingQueries extends QueryPack {
          |            ELSE 'c' || (node // 2)::VARCHAR END AS node,
          |  r AS rank_micro,
          |  row_number() OVER (ORDER BY r DESC, node) AS pos
-         |FROM top""".stripMargin
+         |FROM top""".stripMargin,
+
+    "x_graph_degree" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |sd AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY s),
+        |cd AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY c),
+        |dist AS (
+        |  SELECT 'supplier' AS side, d, CAST(count(*) AS BIGINT) AS n_nodes FROM sd GROUP BY d
+        |  UNION ALL
+        |  SELECT 'customer', d, CAST(count(*) AS BIGINT) AS n_nodes FROM cd GROUP BY d)
+        |SELECT side, d AS degree, n_nodes FROM dist""".stripMargin
   )
 }
