@@ -505,7 +505,95 @@ object PipelineQueries extends QueryPack {
         |SELECT d.event_type AS event_type, CAST(d.dow AS BIGINT) AS dow, d.n,
         |  d.s * 1000 DIV d.n AS mean_millicents,
         |  (d.s * t.tn * 1000) DIV (t.ts * d.n) AS vs_type_mean_permille
-        |FROM d JOIN t ON t.event_type = d.event_type""".stripMargin))
+        |FROM d JOIN t ON t.event_type = d.event_type""".stripMargin)),
+
+    // Cohort LTV curves: per signup-week cohort, cumulative revenue by
+    // week offset and per-capita lifetime value — the curve growth teams
+    // read cohort health from. The cumulative window runs over the
+    // (cohort × week-offset) GRID, never over events; the per-event work
+    // is two user-keyed aggregates (first-seen, revenue roll-up).
+    "x_cohort_ltv" -> ((s, dir) => events(s, dir,
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |           FROM events GROUP BY user_id),
+        |cs AS (SELECT f.cohort, CAST(count(*) AS BIGINT) AS cohort_users FROM f GROUP BY f.cohort),
+        |rev AS (
+        |  SELECT f.cohort, datediff(CAST(e.ts AS DATE), f.cohort) DIV 7 AS wk,
+        |    CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events e JOIN f ON f.user_id = e.user_id
+        |  GROUP BY f.cohort, datediff(CAST(e.ts AS DATE), f.cohort) DIV 7),
+        |cum AS (
+        |  SELECT cohort, wk, sum(cents) OVER (PARTITION BY cohort ORDER BY wk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+        |  FROM rev)
+        |SELECT cum.cohort AS cohort, CAST(cum.wk AS BIGINT) AS week_offset,
+        |  CAST(cum.cum_cents AS BIGINT) AS cum_cents,
+        |  CAST(cum.cum_cents * 1000 DIV cs.cohort_users AS BIGINT) AS ltv_millicents_per_user
+        |FROM cum JOIN cs ON cs.cohort = cum.cohort""".stripMargin)),
+
+    // User-journey path mining (the Sankey-diagram feed): top 20 3-step
+    // event-type paths with corpus share in ppm. One window shuffle on
+    // user_id (two leads in the same ordered pass), a groupBy bounded by
+    // |types|³ paths, and a global top-20 that plans as TakeOrdered.
+    "x_sankey_paths" -> ((s, dir) => events(s, dir,
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events),
+        |paths AS (
+        |  SELECT concat(e1, '>', e2, '>', e3) AS path, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE e3 IS NOT NULL GROUP BY concat(e1, '>', e2, '>', e3)),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM paths)
+        |SELECT p.path, p.n, p.n * 1000000 DIV tot.t AS share_ppm,
+        |  CAST(row_number() OVER (ORDER BY p.n DESC, p.path) AS BIGINT) AS pos
+        |FROM paths p CROSS JOIN tot
+        |ORDER BY p.n DESC, p.path LIMIT 20""".stripMargin)),
+
+    // Experiment power analysis: the minimum detectable absolute effect
+    // (alpha 0.05 two-sided, power 0.80) the current user count supports
+    // at the observed baseline conversion — the "is this test even worth
+    // running" readout next to x_ab_test. Collapses to one row from two
+    // user-keyed aggregates; z constants are exact rational literals so
+    // the IEEE expression tree is engine-identical.
+    "x_power_analysis" -> ((s, dir) => events(s, dir,
+      s"""WITH assign AS (
+         |  SELECT user_id, ${TextQueries.h64("CAST(user_id AS STRING)")} % 2 AS variant
+         |  FROM (SELECT DISTINCT user_id FROM events) du),
+         |conv AS (SELECT DISTINCT user_id FROM events
+         |         WHERE event_type = 'purchase' AND CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 20000),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(conv.user_id) AS BIGINT) AS c
+         |      FROM assign LEFT JOIN conv ON conv.user_id = assign.user_id)
+         |SELECT n AS n_users, c AS n_conv, c * 1000 DIV n AS baseline_permille,
+         |  CAST(FLOOR((CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE) + CAST(84 AS DOUBLE) / CAST(100 AS DOUBLE))
+         |    * sqrt(CAST(2 AS DOUBLE) * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) / CAST(2 AS DOUBLE)))
+         |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mde_abs_micro
+         |FROM m""".stripMargin)),
+
+    // Changepoint detection (CUSUM): per type, the day where the
+    // cumulative daily-revenue deviation from a uniform rate peaks —
+    // level-shift localization over a metric stream. Daily sums are one
+    // combine-friendly groupBy; the cumulative window and the argmax run
+    // over the (type × day) table only. Deviation compares cum·D against
+    // idx·total by exact integer cross-multiplication.
+    "x_changepoint" -> ((s, dir) => events(s, dir,
+      """WITH d AS (
+        |  SELECT event_type, unix_micros(ts) DIV 86400000000 AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY event_type, unix_micros(ts) DIV 86400000000),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd, CAST(SUM(s) AS BIGINT) AS tot FROM d GROUP BY event_type),
+        |c AS (
+        |  SELECT d.event_type, d.day,
+        |    CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS idx,
+        |    CAST(sum(d.s) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM d),
+        |dev AS (
+        |  SELECT c.event_type, c.day, abs(c.cum * t.nd - c.idx * t.tot) AS raw_dev,
+        |    abs(c.cum * t.nd - c.idx * t.tot) * 1000 DIV (t.nd * t.tot) AS dev_permille
+        |  FROM c JOIN t ON t.event_type = c.event_type),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY raw_dev DESC, day) AS rn FROM dev)
+        |SELECT event_type, CAST(day AS BIGINT) AS changepoint_day, CAST(dev_permille AS BIGINT) AS dev_permille
+        |FROM rk WHERE rn = 1""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -816,6 +904,73 @@ object PipelineQueries extends QueryPack {
         |SELECT d.event_type AS event_type, CAST(d.dow AS BIGINT) AS dow, d.n,
         |  d.s * 1000 // d.n AS mean_millicents,
         |  (d.s * t.tn * 1000) // (t.ts * d.n) AS vs_type_mean_permille
-        |FROM d JOIN t ON t.event_type = d.event_type""".stripMargin
+        |FROM d JOIN t ON t.event_type = d.event_type""".stripMargin,
+
+    "x_cohort_ltv" ->
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |           FROM events GROUP BY user_id),
+        |cs AS (SELECT f.cohort, CAST(count(*) AS BIGINT) AS cohort_users FROM f GROUP BY f.cohort),
+        |rev AS (
+        |  SELECT f.cohort, date_diff('day', f.cohort, CAST(e.ts AS DATE)) // 7 AS wk,
+        |    CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events e JOIN f ON f.user_id = e.user_id
+        |  GROUP BY f.cohort, date_diff('day', f.cohort, CAST(e.ts AS DATE)) // 7),
+        |cum AS (
+        |  SELECT cohort, wk, sum(cents) OVER (PARTITION BY cohort ORDER BY wk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+        |  FROM rev)
+        |SELECT cum.cohort AS cohort, CAST(cum.wk AS BIGINT) AS week_offset,
+        |  CAST(cum.cum_cents AS BIGINT) AS cum_cents,
+        |  CAST(cum.cum_cents * 1000 // cs.cohort_users AS BIGINT) AS ltv_millicents_per_user
+        |FROM cum JOIN cs ON cs.cohort = cum.cohort""".stripMargin,
+
+    "x_sankey_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events),
+        |paths AS (
+        |  SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE e3 IS NOT NULL GROUP BY e1 || '>' || e2 || '>' || e3),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM paths)
+        |SELECT p.path, p.n, p.n * 1000000 // tot.t AS share_ppm,
+        |  row_number() OVER (ORDER BY p.n DESC, p.path) AS pos
+        |FROM paths p CROSS JOIN tot
+        |ORDER BY p.n DESC, p.path LIMIT 20""".stripMargin,
+
+    "x_power_analysis" ->
+      s"""WITH assign AS (
+         |  SELECT user_id, ${TextQueries.duckH64("user_id::VARCHAR")} % 2 AS variant
+         |  FROM (SELECT DISTINCT user_id FROM events) du),
+         |conv AS (SELECT DISTINCT user_id FROM events
+         |         WHERE event_type = 'purchase' AND CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 20000),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(conv.user_id) AS BIGINT) AS c
+         |      FROM assign LEFT JOIN conv ON conv.user_id = assign.user_id)
+         |SELECT n AS n_users, c AS n_conv, c * 1000 // n AS baseline_permille,
+         |  CAST(FLOOR((CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE) + CAST(84 AS DOUBLE) / CAST(100 AS DOUBLE))
+         |    * sqrt(CAST(2 AS DOUBLE) * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) / CAST(2 AS DOUBLE)))
+         |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mde_abs_micro
+         |FROM m""".stripMargin,
+
+    "x_changepoint" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd, CAST(SUM(s) AS BIGINT) AS tot FROM d GROUP BY event_type),
+        |c AS (
+        |  SELECT d.event_type, d.day,
+        |    CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS idx,
+        |    CAST(sum(d.s) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM d),
+        |dev AS (
+        |  SELECT c.event_type, c.day, abs(c.cum * t.nd - c.idx * t.tot) AS raw_dev,
+        |    abs(c.cum * t.nd - c.idx * t.tot) * 1000 // (t.nd * t.tot) AS dev_permille
+        |  FROM c JOIN t ON t.event_type = c.event_type),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY raw_dev DESC, day) AS rn FROM dev)
+        |SELECT event_type, CAST(day AS BIGINT) AS changepoint_day, CAST(dev_permille AS BIGINT) AS dev_permille
+        |FROM rk WHERE rn = 1""".stripMargin
   )
 }

@@ -200,6 +200,25 @@ object TextQueries extends QueryPack {
     // frequency — explode + two-level aggregation; the shuffle key is
     // (lang, word) so the heavy explode output combines map-side before
     // moving, then the tiny per-lang top-k windows.
+    // Readability profile per language: mean word length, mean sentence
+    // length (periods as sentence marks), and long-word share — the
+    // complexity features a quality filter thresholds on. Everything is
+    // an exact integer ratio over two combine-friendly lang groupBys;
+    // output bounded by |langs|.
+    "x_readability" -> ((s, dir) => run(s, dir,
+      """WITH w AS (
+        |  SELECT lang, word
+        |  FROM documents LATERAL VIEW explode(split(text, '\\s+')) x AS word),
+        |ws AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words, CAST(SUM(length(word)) AS BIGINT) AS chars,
+        |       CAST(SUM(CASE WHEN length(word) >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS long_words
+        |       FROM w WHERE word <> '' GROUP BY lang),
+        |s AS (SELECT lang, CAST(SUM(length(text) - length(replace(text, '.', '')) + 1) AS BIGINT) AS n_sent
+        |      FROM documents GROUP BY lang)
+        |SELECT ws.lang AS lang, ws.n_words, ws.chars * 1000 DIV ws.n_words AS milli_chars_per_word,
+        |  ws.n_words * 1000 DIV s.n_sent AS milli_words_per_sentence,
+        |  ws.long_words * 1000 DIV ws.n_words AS long_word_permille
+        |FROM ws JOIN s ON s.lang = ws.lang""".stripMargin)),
+
     "x_term_stats" -> ((s, dir) => run(s, dir,
       """WITH t AS (
         |  SELECT lang, word
@@ -359,6 +378,19 @@ object TextQueries extends QueryPack {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${duckH64("doc_id::VARCHAR")} % 1000 <
          |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 200 ELSE 500 END""".stripMargin,
+
+    "x_readability" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+        |ws AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words, CAST(SUM(length(word)) AS BIGINT) AS chars,
+        |       CAST(SUM(CASE WHEN length(word) >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS long_words
+        |       FROM w WHERE word <> '' GROUP BY lang),
+        |s AS (SELECT lang, CAST(SUM(length(text) - length(replace(text, '.', '')) + 1) AS BIGINT) AS n_sent
+        |      FROM documents GROUP BY lang)
+        |SELECT ws.lang AS lang, ws.n_words, ws.chars * 1000 // ws.n_words AS milli_chars_per_word,
+        |  ws.n_words * 1000 // s.n_sent AS milli_words_per_sentence,
+        |  ws.long_words * 1000 // ws.n_words AS long_word_permille
+        |FROM ws JOIN s ON s.lang = ws.lang""".stripMargin,
 
     "x_term_stats" ->
       """WITH t AS (
