@@ -327,10 +327,16 @@ object PipelineQueries extends QueryPack {
     // each purchase credits the non-purchase event that opened (first)
     // and most recently preceded (last) it in the user's stream. Both
     // credits come from ONE window pass per user — last_value/first_value
-    // IGNORE NULLS over "rows before me" — so at 100 TB this is a single
-    // shuffle on user_id plus a channel-bounded groupBy; no self-join of
-    // conversions against touches, no per-conversion scan-back.
-    // (ts, event_id) is a unique total order per user ⇒ deterministic.
+    // IGNORE NULLS over "rows before me" share a window spec, so Catalyst
+    // fuses them into a single Window operator — and the two attribution
+    // models aggregate in ONE pass via GROUPING SETS (a UNION ALL of the
+    // two views would make Catalyst duplicate the whole scan+window
+    // subtree — plan-audited in PlanAuditSpec). At 100 TB: one scan, one
+    // shuffle on user_id, one Expand (2 rows/conversion), one
+    // channel-bounded aggregate. (ts, event_id) is a unique total order
+    // per user ⇒ deterministic. first_touch IS NULL exactly when
+    // last_touch IS NULL (same preceding-rows frame), so one filter
+    // covers both models.
     "x_attribution" -> ((s, dir) => events(s, dir,
       """WITH seq AS (
         |  SELECT user_id, event_type,
@@ -343,13 +349,12 @@ object PipelineQueries extends QueryPack {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
         |  FROM events),
         |conv AS (SELECT * FROM seq WHERE event_type = 'purchase' AND last_touch IS NOT NULL)
-        |SELECT model, channel, CAST(count(*) AS BIGINT) AS n_conversions,
+        |SELECT CASE WHEN grouping(last_touch) = 0 THEN 'last_touch' ELSE 'first_touch' END AS model,
+        |  coalesce(last_touch, first_touch) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
         |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
-        |FROM (
-        |  SELECT 'last_touch' AS model, last_touch AS channel, cents FROM conv
-        |  UNION ALL
-        |  SELECT 'first_touch' AS model, first_touch AS channel, cents FROM conv) m
-        |GROUP BY model, channel""".stripMargin)),
+        |FROM conv
+        |GROUP BY GROUPING SETS ((last_touch), (first_touch))""".stripMargin)),
 
     // RFM segmentation with SCALE-SAFE quintile scores: per-user
     // recency/frequency/monetary aggregate (one combine-friendly groupBy
@@ -782,13 +787,12 @@ object PipelineQueries extends QueryPack {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
         |  FROM events),
         |conv AS (SELECT * FROM seq WHERE event_type = 'purchase' AND last_touch IS NOT NULL)
-        |SELECT model, channel, CAST(count(*) AS BIGINT) AS n_conversions,
+        |SELECT CASE WHEN grouping(last_touch) = 0 THEN 'last_touch' ELSE 'first_touch' END AS model,
+        |  coalesce(last_touch, first_touch) AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
         |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
-        |FROM (
-        |  SELECT 'last_touch' AS model, last_touch AS channel, cents FROM conv
-        |  UNION ALL
-        |  SELECT 'first_touch' AS model, first_touch AS channel, cents FROM conv) m
-        |GROUP BY model, channel""".stripMargin,
+        |FROM conv
+        |GROUP BY GROUPING SETS ((last_touch), (first_touch))""".stripMargin,
 
     "x_rfm_segmentation" ->
       """WITH u AS (

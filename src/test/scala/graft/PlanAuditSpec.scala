@@ -240,4 +240,33 @@ class PlanAuditSpec extends SparkSpec {
     // partition values read back via directory inference (IntegerType)
     assert(joined.collect().map(_.get(0).toString).toSeq == Seq("3"))
   }
+
+  test("histogram-refine quantiles never range-partition: no global sort at any SF") {
+    // the whole point of the rewrite is that the k-th order statistic
+    // comes from bucket counts + a rank window INSIDE candidate buckets
+    // (hash-partitioned); a RangePartitioning exchange anywhere means a
+    // global sort crept back in
+    Seq("x_exact_quantiles", "x_group_quantiles").foreach { n =>
+      assert(!plan(n).toLowerCase.contains("rangepartitioning"),
+        s"$n must not contain a global-sort exchange")
+    }
+  }
+
+  test("attribution computes both models from one scan and one window pass") {
+    // both credits share the (user_id, ts, event_id) window spec (one
+    // fused Window operator) and the two attribution models aggregate
+    // via GROUPING SETS — the UNION ALL formulation would duplicate the
+    // whole scan+window subtree (Catalyst inlines the CTE twice),
+    // doubling the 100 TB scan
+    val p = plan("x_attribution")
+    val windows = p.linesIterator.count(_.matches("\\([0-9]+\\) Window.*"))
+    val scans = p.linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*"))
+    assert(windows == 1, s"expected one fused Window operator, saw $windows:\n$p")
+    assert(scans == 1, s"expected one events scan, saw $scans:\n$p")
+    assert(p.contains("Expand"), "the two grouping sets must come from one Expand")
+  }
+
+  test("journey path mining folds its global top-20 into TakeOrdered") {
+    assert(plan("x_sankey_paths").contains("TakeOrderedAndProject"))
+  }
 }
