@@ -366,14 +366,21 @@ object PipelineQueries extends QueryPack {
     // construction. No ntile, no global sort over the user dimension —
     // the x_bucket_boundaries discipline applied to the classic
     // marketing segmentation.
-    "x_rfm_segmentation" -> ((s, dir) => events(s, dir,
-      """WITH u AS (
-        |  SELECT user_id,
-        |    ((SELECT max(unix_micros(ts)) FROM events) - max(unix_micros(ts))) DIV 3600000000 AS rec,
-        |    CAST(count(*) AS BIGINT) AS freq,
-        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mon
-        |  FROM events GROUP BY user_id),
-        |ub AS (SELECT user_id, rec, freq, mon, mon DIV 10000 AS mb FROM u),
+    // The per-user (recency, frequency, monetary) aggregate is CACHED
+    // (Tables.cacheView, the pagerank discipline): the three score
+    // distributions and the final join all read it, and as a plain CTE
+    // Catalyst would re-execute the events scan once per reference
+    // (5× the corpus pass at 100 TB). The cached table is |users| rows.
+    "x_rfm_segmentation" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events")
+      Tables.cacheView("rfm_users", s.sql(
+        """SELECT user_id,
+          |  ((SELECT max(unix_micros(ts)) FROM events) - max(unix_micros(ts))) DIV 3600000000 AS rec,
+          |  CAST(count(*) AS BIGINT) AS freq,
+          |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS mon
+          |FROM events GROUP BY user_id""".stripMargin))
+      s.sql(
+      """WITH ub AS (SELECT user_id, rec, freq, mon, mon DIV 10000 AS mb FROM rfm_users),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ub),
         |rdist AS (
         |  SELECT v, coalesce(sum(c) OVER (ORDER BY v DESC
@@ -395,7 +402,8 @@ object PipelineQueries extends QueryPack {
         |FROM ub CROSS JOIN n
         |JOIN rdist ON rdist.v = ub.rec
         |JOIN fdist ON fdist.v = ub.freq
-        |JOIN mdist ON mdist.v = ub.mb""".stripMargin)),
+        |JOIN mdist ON mdist.v = ub.mb""".stripMargin)
+    }),
 
     // A/B experiment readout: deterministic 50/50 hash split of users,
     // conversion = any $200+ purchase, two-proportion pooled z-score in
@@ -405,17 +413,19 @@ object PipelineQueries extends QueryPack {
     // doubles over exact integers in a textually identical expression
     // tree, so the oracle hash-matches to the bit (the x_anomaly_zscore
     // discipline).
+    // NOTE assignment + conversion come from ONE per-user pass (max of a
+    // conversion indicator) rather than a distinct-users LEFT JOIN
+    // distinct-converters — that formulation scans events twice.
     "x_ab_test" -> ((s, dir) => events(s, dir,
-      s"""WITH assign AS (
-         |  SELECT user_id, ${TextQueries.h64("CAST(user_id AS STRING)")} % 2 AS variant
-         |  FROM (SELECT DISTINCT user_id FROM events) du),
-         |conv AS (SELECT DISTINCT user_id FROM events
-         |         WHERE event_type = 'purchase' AND CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 20000),
+      s"""WITH pu AS (
+         |  SELECT user_id, ${TextQueries.h64("CAST(user_id AS STRING)")} % 2 AS variant,
+         |    max(CASE WHEN event_type = 'purchase' AND CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 20000
+         |             THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY user_id),
          |v AS (
          |  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
-         |    CAST(count(conv.user_id) AS BIGINT) AS n_conv
-         |  FROM assign LEFT JOIN conv ON conv.user_id = assign.user_id
-         |  GROUP BY variant),
+         |    CAST(SUM(conv) AS BIGINT) AS n_conv
+         |  FROM pu GROUP BY variant),
          |ab AS (
          |  SELECT
          |    max(CASE WHEN variant = 0 THEN n_users END) AS n_a,
@@ -500,45 +510,60 @@ object PipelineQueries extends QueryPack {
     // against. Two combine-friendly groupBys bounded by (type × 7);
     // ratios are exact integer cross-multiplication, no division of
     // doubles anywhere.
+    // NOTE type totals come from a window over the (type × 7) roll-up —
+    // a joined aggregate CTE would re-execute the events scan twice.
     "x_seasonality" -> ((s, dir) => events(s, dir,
       """WITH e AS (
         |  SELECT event_type, weekday(ts) + 1 AS dow, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
         |  FROM events),
         |d AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
         |      FROM e GROUP BY event_type, dow),
-        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts FROM d GROUP BY event_type)
-        |SELECT d.event_type AS event_type, CAST(d.dow AS BIGINT) AS dow, d.n,
-        |  d.s * 1000 DIV d.n AS mean_millicents,
-        |  (d.s * t.tn * 1000) DIV (t.ts * d.n) AS vs_type_mean_permille
-        |FROM d JOIN t ON t.event_type = d.event_type""".stripMargin)),
+        |d2 AS (SELECT event_type, dow, n, s,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tn,
+        |    CAST(SUM(s) OVER (PARTITION BY event_type) AS BIGINT) AS ts
+        |  FROM d)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow, n,
+        |  s * 1000 DIV n AS mean_millicents,
+        |  (s * tn * 1000) DIV (ts * n) AS vs_type_mean_permille
+        |FROM d2""".stripMargin)),
 
     // Cohort LTV curves: per signup-week cohort, cumulative revenue by
     // week offset and per-capita lifetime value — the curve growth teams
     // read cohort health from. The cumulative window runs over the
     // (cohort × week-offset) GRID, never over events; the per-event work
     // is two user-keyed aggregates (first-seen, revenue roll-up).
+    // NOTE cohort sizes ride a window over the per-user first-seen table
+    // and roll through the revenue aggregate — a separate cohort-size
+    // CTE joined at the end would re-execute the first-seen scan twice.
     "x_cohort_ltv" -> ((s, dir) => events(s, dir,
       """WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
         |           FROM events GROUP BY user_id),
-        |cs AS (SELECT f.cohort, CAST(count(*) AS BIGINT) AS cohort_users FROM f GROUP BY f.cohort),
+        |f2 AS (SELECT user_id, cohort,
+        |    CAST(count(*) OVER (PARTITION BY cohort) AS BIGINT) AS cohort_users FROM f),
         |rev AS (
-        |  SELECT f.cohort, datediff(CAST(e.ts AS DATE), f.cohort) DIV 7 AS wk,
-        |    CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
-        |  FROM events e JOIN f ON f.user_id = e.user_id
-        |  GROUP BY f.cohort, datediff(CAST(e.ts AS DATE), f.cohort) DIV 7),
+        |  SELECT f2.cohort, datediff(CAST(e.ts AS DATE), f2.cohort) DIV 7 AS wk,
+        |    CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents,
+        |    max(f2.cohort_users) AS cohort_users
+        |  FROM events e JOIN f2 ON f2.user_id = e.user_id
+        |  GROUP BY f2.cohort, datediff(CAST(e.ts AS DATE), f2.cohort) DIV 7),
         |cum AS (
-        |  SELECT cohort, wk, sum(cents) OVER (PARTITION BY cohort ORDER BY wk
+        |  SELECT cohort, wk, cohort_users, sum(cents) OVER (PARTITION BY cohort ORDER BY wk
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
         |  FROM rev)
-        |SELECT cum.cohort AS cohort, CAST(cum.wk AS BIGINT) AS week_offset,
-        |  CAST(cum.cum_cents AS BIGINT) AS cum_cents,
-        |  CAST(cum.cum_cents * 1000 DIV cs.cohort_users AS BIGINT) AS ltv_millicents_per_user
-        |FROM cum JOIN cs ON cs.cohort = cum.cohort""".stripMargin)),
+        |SELECT cohort, CAST(wk AS BIGINT) AS week_offset,
+        |  CAST(cum_cents AS BIGINT) AS cum_cents,
+        |  CAST(cum_cents * 1000 DIV cohort_users AS BIGINT) AS ltv_millicents_per_user
+        |FROM cum""".stripMargin)),
 
     // User-journey path mining (the Sankey-diagram feed): top 20 3-step
     // event-type paths with corpus share in ppm. One window shuffle on
     // user_id (two leads in the same ordered pass), a groupBy bounded by
     // |types|³ paths, and a global top-20 that plans as TakeOrdered.
+    // NOTE the share comes from sum(n) OVER () rather than a joined
+    // total CTE: referencing `paths` twice would make Catalyst inline
+    // (re-execute) the whole scan+window subtree — measured 2× the
+    // events pass at sf1. The unpartitioned window runs over the
+    // |types|³-bounded paths table only.
     "x_sankey_paths" -> ((s, dir) => events(s, dir,
       """WITH seq AS (
         |  SELECT user_id, event_type AS e1,
@@ -547,12 +572,11 @@ object PipelineQueries extends QueryPack {
         |  FROM events),
         |paths AS (
         |  SELECT concat(e1, '>', e2, '>', e3) AS path, CAST(count(*) AS BIGINT) AS n
-        |  FROM seq WHERE e3 IS NOT NULL GROUP BY concat(e1, '>', e2, '>', e3)),
-        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM paths)
-        |SELECT p.path, p.n, p.n * 1000000 DIV tot.t AS share_ppm,
-        |  CAST(row_number() OVER (ORDER BY p.n DESC, p.path) AS BIGINT) AS pos
-        |FROM paths p CROSS JOIN tot
-        |ORDER BY p.n DESC, p.path LIMIT 20""".stripMargin)),
+        |  FROM seq WHERE e3 IS NOT NULL GROUP BY concat(e1, '>', e2, '>', e3))
+        |SELECT path, n, n * 1000000 DIV CAST(sum(n) OVER () AS BIGINT) AS share_ppm,
+        |  CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS pos
+        |FROM paths
+        |ORDER BY n DESC, path LIMIT 20""".stripMargin)),
 
     // Experiment power analysis: the minimum detectable absolute effect
     // (alpha 0.05 two-sided, power 0.80) the current user count supports
@@ -561,13 +585,12 @@ object PipelineQueries extends QueryPack {
     // user-keyed aggregates; z constants are exact rational literals so
     // the IEEE expression tree is engine-identical.
     "x_power_analysis" -> ((s, dir) => events(s, dir,
-      s"""WITH assign AS (
-         |  SELECT user_id, ${TextQueries.h64("CAST(user_id AS STRING)")} % 2 AS variant
-         |  FROM (SELECT DISTINCT user_id FROM events) du),
-         |conv AS (SELECT DISTINCT user_id FROM events
-         |         WHERE event_type = 'purchase' AND CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 20000),
-         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(conv.user_id) AS BIGINT) AS c
-         |      FROM assign LEFT JOIN conv ON conv.user_id = assign.user_id)
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' AND CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 20000
+         |             THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY user_id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c FROM pu)
          |SELECT n AS n_users, c AS n_conv, c * 1000 DIV n AS baseline_permille,
          |  CAST(FLOOR((CAST(196 AS DOUBLE) / CAST(100 AS DOUBLE) + CAST(84 AS DOUBLE) / CAST(100 AS DOUBLE))
          |    * sqrt(CAST(2 AS DOUBLE) * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) / CAST(2 AS DOUBLE)))
@@ -580,22 +603,26 @@ object PipelineQueries extends QueryPack {
     // combine-friendly groupBy; the cumulative window and the argmax run
     // over the (type × day) table only. Deviation compares cum·D against
     // idx·total by exact integer cross-multiplication.
+    // NOTE the per-type totals (nd, tot) ride the SAME window pass as
+    // the running sum — a separate aggregate CTE joined back would make
+    // Catalyst re-execute the daily roll-up (and its events scan) twice.
     "x_changepoint" -> ((s, dir) => events(s, dir,
       """WITH d AS (
         |  SELECT event_type, unix_micros(ts) DIV 86400000000 AS day,
         |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
         |  FROM events GROUP BY event_type, unix_micros(ts) DIV 86400000000),
-        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd, CAST(SUM(s) AS BIGINT) AS tot FROM d GROUP BY event_type),
         |c AS (
         |  SELECT d.event_type, d.day,
         |    CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS idx,
         |    CAST(sum(d.s) OVER (PARTITION BY d.event_type ORDER BY d.day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(count(*) OVER (PARTITION BY d.event_type) AS BIGINT) AS nd,
+        |    CAST(sum(d.s) OVER (PARTITION BY d.event_type) AS BIGINT) AS tot
         |  FROM d),
         |dev AS (
-        |  SELECT c.event_type, c.day, abs(c.cum * t.nd - c.idx * t.tot) AS raw_dev,
-        |    abs(c.cum * t.nd - c.idx * t.tot) * 1000 DIV (t.nd * t.tot) AS dev_permille
-        |  FROM c JOIN t ON t.event_type = c.event_type),
+        |  SELECT event_type, day, abs(cum * nd - idx * tot) AS raw_dev,
+        |    abs(cum * nd - idx * tot) * 1000 DIV (nd * tot) AS dev_permille
+        |  FROM c),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY raw_dev DESC, day) AS rn FROM dev)
         |SELECT event_type, CAST(day AS BIGINT) AS changepoint_day, CAST(dev_permille AS BIGINT) AS dev_permille
         |FROM rk WHERE rn = 1""".stripMargin))

@@ -206,6 +206,9 @@ object RetrievalQueries extends QueryPack {
     // over the tf table (never the corpus); output rows are bounded by
     // vocabulary and each posting list is capped at 10 entries, so the
     // index itself broadcasts back to query time.
+    // NOTE df/ctf ride the SAME term-partitioned window pass as the
+    // rank (one WindowExec) instead of a separate aggregate CTE joined
+    // back — that formulation re-executes the tokenize+tf subtree twice.
     "x_inverted_index" -> ((s, dir) => docs(s, dir,
       """WITH tok AS (
         |  SELECT doc_id, term
@@ -213,22 +216,20 @@ object RetrievalQueries extends QueryPack {
         |tf AS (
         |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
         |  FROM tok WHERE length(term) >= 4 GROUP BY term, doc_id),
-        |agg AS (
-        |  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS ctf
-        |  FROM tf GROUP BY term),
         |top AS (
         |  SELECT term, doc_id, tf,
-        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+        |    CAST(SUM(tf) OVER (PARTITION BY term) AS BIGINT) AS ctf
         |  FROM tf),
         |post AS (
-        |  SELECT term,
+        |  SELECT term, max(df) AS df, max(ctf) AS ctf,
         |    array_join(transform(array_sort(collect_list(named_struct(
         |      'rn', rn, 'e', concat(CAST(doc_id AS STRING), ':', CAST(tf AS STRING))))),
         |      x -> x.e), ',') AS postings
         |  FROM top WHERE rn <= 10 GROUP BY term)
-        |SELECT agg.term AS term, agg.df AS df, agg.ctf AS ctf, post.postings AS postings
-        |FROM agg JOIN post ON post.term = agg.term
-        |WHERE agg.df >= 50""".stripMargin))
+        |SELECT term, df, ctf, postings
+        |FROM post WHERE df >= 50""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(

@@ -293,17 +293,21 @@ object SamplingQueries extends QueryPack {
     // distinct-edge join, one degree groupBy per side, one groupBy on
     // degree: output bounded by max degree, every stage map-side
     // combinable.
+    // NOTE each edge explodes to its two (side, node) incidences so BOTH
+    // degree histograms come from ONE evaluation of the distinct-edge
+    // join — the per-side UNION ALL would make Catalyst execute it twice.
     "x_graph_degree" -> ((s, dir) => ordersLineitem(s, dir,
       """WITH e0 AS (
         |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
-        |sd AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY s),
-        |cd AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY c),
-        |dist AS (
-        |  SELECT 'supplier' AS side, d, CAST(count(*) AS BIGINT) AS n_nodes FROM sd GROUP BY d
-        |  UNION ALL
-        |  SELECT 'customer', d, CAST(count(*) AS BIGINT) AS n_nodes FROM cd GROUP BY d)
-        |SELECT side, d AS degree, n_nodes FROM dist""".stripMargin)),
+        |inc AS (
+        |  SELECT nk.side AS side, nk.k AS k
+        |  FROM e0 LATERAL VIEW explode(array(
+        |    named_struct('side', 'supplier', 'k', s),
+        |    named_struct('side', 'customer', 'k', c))) t AS nk),
+        |deg AS (SELECT side, k, CAST(count(*) AS BIGINT) AS d FROM inc GROUP BY side, k)
+        |SELECT side, d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY side, d""".stripMargin)),
 
     // Z-order layout audit (the SQL face of ops.ZOrder): 16-bit Morton
     // interleave of two bucketized order dimensions (price byte, coarse
