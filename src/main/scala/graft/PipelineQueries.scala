@@ -625,7 +625,60 @@ object PipelineQueries extends QueryPack {
         |  FROM c),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY raw_dev DESC, day) AS rn FROM dev)
         |SELECT event_type, CAST(day AS BIGINT) AS changepoint_day, CAST(dev_permille AS BIGINT) AS dev_permille
-        |FROM rk WHERE rn = 1""".stripMargin))
+        |FROM rk WHERE rn = 1""".stripMargin)),
+
+    // Two-sample Kolmogorov–Smirnov: max CDF gap between the first and
+    // second half of the purchase-value stream — the distribution-shift
+    // test next to x_distribution_drift's TVD. Both empirical CDFs come
+    // from ONE value-grouped table (dollar bins) with cumulative windows
+    // over the bounded distinct-value domain; the gap compares
+    // F0·n1 vs F1·n0 by exact integer cross-multiplication, and the
+    // scaled KS statistic is one closed-form IEEE expression over the
+    // final integers.
+    "x_ks_test" -> ((s, dir) => events(s, dir,
+      """WITH b AS (SELECT min(unix_micros(ts)) AS lo, max(unix_micros(ts)) AS hi FROM events),
+        |e AS (
+        |  SELECT CASE WHEN unix_micros(ts) * 2 < (SELECT lo + hi FROM b) THEN 0 ELSE 1 END AS half,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DIV 100 AS dollars
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (SELECT half, dollars, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY half, dollars),
+        |g AS (SELECT dollars,
+        |    CAST(SUM(CASE WHEN half = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN half = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+        |  FROM d GROUP BY dollars),
+        |cum AS (
+        |  SELECT dollars,
+        |    CAST(SUM(c0) OVER (ORDER BY dollars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f0,
+        |    CAST(SUM(c1) OVER (ORDER BY dollars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+        |    CAST(SUM(c0) OVER () AS BIGINT) AS n0, CAST(SUM(c1) OVER () AS BIGINT) AS n1
+        |  FROM g),
+        |ks AS (SELECT dollars, abs(f0 * n1 - f1 * n0) AS dev, n0, n1 FROM cum),
+        |mx AS (SELECT * FROM ks ORDER BY dev DESC, dollars LIMIT 1)
+        |SELECT n0 AS n_first, n1 AS n_second, dollars AS ks_at_dollars,
+        |  dev * 1000 DIV (n0 * n1) AS ks_permille,
+        |  CAST(FLOOR(sqrt((CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+        |    * (CAST(dev AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))) * CAST(1000 AS DOUBLE)) AS BIGINT) AS ks_stat_milli
+        |FROM mx""".stripMargin)),
+
+    // Benford first-digit audit (the classic fraud/synthetic-data
+    // screen): observed first-digit shares of the value column vs
+    // Benford's law in ppm. One digit-bounded groupBy; the 9 expected
+    // shares quantize ln(1+1/d)/ln(10) to ppm — the x_bigram_lm
+    // discipline (quantized at a fixed 9-value domain, libm-safe by
+    // construction: an ulp of ln error is ~10 orders below the floor
+    // granularity for these inputs).
+    "x_benford" -> ((s, dir) => events(s, dir,
+      """WITH c AS (
+        |  SELECT CAST(substring(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS d
+        |  FROM events WHERE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 1),
+        |f AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY d),
+        |t AS (SELECT d, n, CAST(SUM(n) OVER () AS BIGINT) AS tot FROM f),
+        |e AS (SELECT d, n, tot,
+        |    CAST(FLOOR(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(d AS DOUBLE)) / ln(CAST(10 AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS benford_ppm
+        |  FROM t)
+        |SELECT d AS digit, n, n * 1000000 DIV tot AS observed_ppm, benford_ppm,
+        |  abs(n * 1000000 DIV tot - benford_ppm) AS dev_ppm
+        |FROM e""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -1002,6 +1055,44 @@ object PipelineQueries extends QueryPack {
         |  FROM c JOIN t ON t.event_type = c.event_type),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY raw_dev DESC, day) AS rn FROM dev)
         |SELECT event_type, CAST(day AS BIGINT) AS changepoint_day, CAST(dev_permille AS BIGINT) AS dev_permille
-        |FROM rk WHERE rn = 1""".stripMargin
+        |FROM rk WHERE rn = 1""".stripMargin,
+
+    "x_ks_test" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+        |e AS (
+        |  SELECT CASE WHEN epoch_us(ts) * 2 < (SELECT lo + hi FROM b) THEN 0 ELSE 1 END AS half,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 100 AS dollars
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (SELECT half, dollars, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY half, dollars),
+        |g AS (SELECT dollars,
+        |    CAST(SUM(CASE WHEN half = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN half = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+        |  FROM d GROUP BY dollars),
+        |cum AS (
+        |  SELECT dollars,
+        |    CAST(SUM(c0) OVER (ORDER BY dollars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f0,
+        |    CAST(SUM(c1) OVER (ORDER BY dollars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+        |    CAST(SUM(c0) OVER () AS BIGINT) AS n0, CAST(SUM(c1) OVER () AS BIGINT) AS n1
+        |  FROM g),
+        |ks AS (SELECT dollars, abs(f0 * n1 - f1 * n0) AS dev, n0, n1 FROM cum),
+        |mx AS (SELECT * FROM ks ORDER BY dev DESC, dollars LIMIT 1)
+        |SELECT n0 AS n_first, n1 AS n_second, dollars AS ks_at_dollars,
+        |  dev * 1000 // (n0 * n1) AS ks_permille,
+        |  CAST(FLOOR(sqrt((CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+        |    * (CAST(dev AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))) * CAST(1000 AS DOUBLE)) AS BIGINT) AS ks_stat_milli
+        |FROM mx""".stripMargin,
+
+    "x_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substring(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+        |  FROM events WHERE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 1),
+        |f AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY d),
+        |t AS (SELECT d, n, CAST(SUM(n) OVER () AS BIGINT) AS tot FROM f),
+        |e AS (SELECT d, n, tot,
+        |    CAST(FLOOR(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(d AS DOUBLE)) / ln(CAST(10 AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS benford_ppm
+        |  FROM t)
+        |SELECT d AS digit, n, n * 1000000 // tot AS observed_ppm, benford_ppm,
+        |  abs(n * 1000000 // tot - benford_ppm) AS dev_ppm
+        |FROM e""".stripMargin
   )
 }

@@ -200,6 +200,24 @@ object TextQueries extends QueryPack {
     // frequency — explode + two-level aggregation; the shuffle key is
     // (lang, word) so the heavy explode output combines map-side before
     // moving, then the tiny per-lang top-k windows.
+    // BPE tokenizer prep: the first merge iteration — adjacent
+    // character-pair frequencies over the word-frequency table (count
+    // once per distinct word, weight by word count: O(vocab × word
+    // length) pair rows, never O(corpus chars)). Top-20 merge candidates
+    // plan as TakeOrdered over the alphabet²-bounded pair table.
+    "x_bpe_pairs" -> ((s, dir) => run(s, dir,
+      """WITH w AS (
+        |  SELECT word
+        |  FROM documents LATERAL VIEW explode(split(lower(text), '[^a-z]+')) x AS word),
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM w WHERE length(word) >= 2 GROUP BY word),
+        |pairs AS (
+        |  SELECT pair, wc
+        |  FROM wf LATERAL VIEW explode(transform(sequence(1, length(word) - 1),
+        |    i -> substring(word, i, 2))) t AS pair),
+        |pc AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM pairs GROUP BY pair)
+        |SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS pos
+        |FROM pc ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
     // Readability profile per language: mean word length, mean sentence
     // length (periods as sentence marks), and long-word share — the
     // complexity features a quality filter thresholds on. Everything is
@@ -378,6 +396,17 @@ object TextQueries extends QueryPack {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${duckH64("doc_id::VARCHAR")} % 1000 <
          |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 200 ELSE 500 END""".stripMargin,
+
+    "x_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents),
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM w WHERE length(word) >= 2 GROUP BY word),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(word)), i -> substring(word, CAST(i AS INTEGER), 2))) AS pair, wc
+        |  FROM wf),
+        |pc AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM pairs GROUP BY pair)
+        |SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS pos
+        |FROM pc ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "x_readability" ->
       """WITH w AS (
