@@ -66,6 +66,41 @@ object OlapQueries extends QueryPack {
        |    CAST(CAST((${duckH64("'ps_' || p_partkey::VARCHAR || '_' || i::VARCHAR")} % 90001 + 10000) AS DOUBLE) / 100.0 AS DECIMAL(12,2)) AS ps_supplycost
        |  FROM part, (SELECT unnest(generate_series(0, 3)) AS i) sl)""".stripMargin
 
+  /** The histogram-refine exact-quantile rewrite as a SQL builder, so
+    * the oracle query and `QuantilePropSpec`'s adversarial-distribution
+    * property run the IDENTICAL plan. `centsSelect` must yield one
+    * BIGINT column `cents`; `percentiles` are integer percents. The
+    * k-th order statistic definition is k = ((n-1)·p) DIV 100 + 1
+    * (1-based, lower order statistic — matches DuckDB quantile_disc's
+    * index choice for these p).
+    */
+  def histogramRefineSql(centsSelect: String, percentiles: Seq[Int]): String =
+    s"""WITH c AS (
+       |  $centsSelect),
+       |b AS (
+       |  SELECT min(cents) AS lo, max(cents) AS hi, count(*) AS n FROM c),
+       |w AS (SELECT lo, hi, n, (hi - lo) DIV 1024 + 1 AS wd FROM b),
+       |t AS (
+       |  SELECT CAST(p AS BIGINT) AS p, ((n - 1) * p) DIV 100 + 1 AS k
+       |  FROM w CROSS JOIN (SELECT explode(array(${percentiles.mkString(", ")})) AS p)),
+       |h AS (
+       |  SELECT (cents - lo) DIV wd AS bk, count(*) AS cnt
+       |  FROM c CROSS JOIN w GROUP BY (cents - lo) DIV wd),
+       |cum AS (
+       |  SELECT bk, cnt, sum(cnt) OVER (ORDER BY bk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+       |  FROM h),
+       |sel AS (
+       |  SELECT t.p, t.k, cum.bk, cum.cend - cum.cnt AS cbelow
+       |  FROM t JOIN cum ON cum.cend >= t.k AND cum.cend - cum.cnt < t.k),
+       |cand AS (
+       |  SELECT sel.p, sel.k, sel.cbelow, c.cents,
+       |    row_number() OVER (PARTITION BY sel.p ORDER BY c.cents) AS rn
+       |  FROM c CROSS JOIN w
+       |  JOIN sel ON (c.cents - w.lo) DIV w.wd = sel.bk)
+       |SELECT p, CAST(k AS BIGINT) AS k, cents AS q_cents
+       |FROM cand WHERE rn = k - cbelow""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // EXACT global quantiles with NO global sort — the two-pass
@@ -80,32 +115,9 @@ object OlapQueries extends QueryPack {
     // rewrite exact. Cents mint as floor(v*100 + 0.5): pure IEEE ops,
     // bit-identical cross-engine.
     "x_exact_quantiles" -> ((s, dir) => sql(s, dir,
-      """WITH c AS (
-        |  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM lineitem),
-        |b AS (
-        |  SELECT min(cents) AS lo, max(cents) AS hi, count(*) AS n FROM c),
-        |w AS (SELECT lo, hi, n, (hi - lo) DIV 1024 + 1 AS wd FROM b),
-        |t AS (
-        |  SELECT CAST(p AS BIGINT) AS p, ((n - 1) * p) DIV 100 + 1 AS k
-        |  FROM w CROSS JOIN (SELECT explode(array(25, 50, 75, 99)) AS p)),
-        |h AS (
-        |  SELECT (cents - lo) DIV wd AS bk, count(*) AS cnt
-        |  FROM c CROSS JOIN w GROUP BY (cents - lo) DIV wd),
-        |cum AS (
-        |  SELECT bk, cnt, sum(cnt) OVER (ORDER BY bk
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
-        |  FROM h),
-        |sel AS (
-        |  SELECT t.p, t.k, cum.bk, cum.cend - cum.cnt AS cbelow
-        |  FROM t JOIN cum ON cum.cend >= t.k AND cum.cend - cum.cnt < t.k),
-        |cand AS (
-        |  SELECT sel.p, sel.k, sel.cbelow, c.cents,
-        |    row_number() OVER (PARTITION BY sel.p ORDER BY c.cents) AS rn
-        |  FROM c CROSS JOIN w
-        |  JOIN sel ON (c.cents - w.lo) DIV w.wd = sel.bk)
-        |SELECT p, CAST(k AS BIGINT) AS k, cents AS q_cents
-        |FROM cand WHERE rn = k - cbelow""".stripMargin)),
+      histogramRefineSql(
+        "SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents FROM lineitem",
+        Seq(25, 50, 75, 99)))),
 
     // Per-GROUP exact quantiles via the same histogram-refine rewrite —
     // the per-tenant / per-type SLA-percentile shape. All intermediate
