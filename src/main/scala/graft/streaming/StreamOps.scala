@@ -31,6 +31,22 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Hopping (sliding) window counts — the streaming face of the batch
+    * `x_hopping_window` oracle query: window(ts, dur, slide) Expands
+    * each event into dur/slide overlapping windows, then one combine-
+    * friendly hash aggregate per (window, type); the watermark expires
+    * window state once event time passes `end + delay`, so state is
+    * bounded by (horizon/slide) × |types| regardless of corpus size.
+    */
+  def hoppingCounts(events: DataFrame, tsCol: String, windowDur: String,
+                    slide: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n"))
+
   /** Keyed stateful accumulation: per-user totals maintained in streaming
     * state across micro-batches AND across restarts (state checkpointed
     * with the query). The engine's mapGroupsWithState surface.

@@ -35,6 +35,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("hopping-window counts equal the batch twin; every event lands in exactly dur/slide windows") {
+    val root = tmpDir("streamhop")
+    writeEvents(s"$root/in", 0 until 600, i => if (i % 3 == 0) "click" else "view")
+    val stream = spark.readStream.schema(evtSchema).parquet(s"$root/in")
+    val q = StreamOps.hoppingCounts(stream, "ts", "2 hours", "1 hour", "10 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("hop_counts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("hop_counts")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val want = spark.read.parquet(s"$root/in")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n"))
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // the Expand invariant: summed window counts = 2x the event count
+    val total = spark.table("hop_counts").agg(sum(col("n"))).head.getLong(0)
+    assert(total == 2L * 600, s"each event must land in exactly 2 hopping windows, saw $total")
+  }
+
   test("stateful running totals persist across micro-batches and restarts") {
     val root = tmpDir("streamops2")
     writeEvents(s"$root/in", 0 until 100, _ => "click")
