@@ -627,6 +627,38 @@ object PipelineQueries extends QueryPack {
         |SELECT event_type, CAST(day AS BIGINT) AS changepoint_day, CAST(dev_permille AS BIGINT) AS dev_permille
         |FROM rk WHERE rn = 1""".stripMargin)),
 
+    // Growth accounting: every (user, day) activity classifies as
+    // new / retained / resurrected, and churn events mint at the day
+    // AFTER a user's last activity in a gap — the DAU decomposition
+    // every growth team reads. One distinct pass, one user-keyed window
+    // (lag + lead share the spec), and the churn twin row comes from
+    // exploding each activity row into its ≤2 ledger entries — NOT a
+    // UNION ALL re-reading the window CTE (Catalyst would re-execute
+    // the whole subtree; see the CTE-inlining notes on x_sankey_paths).
+    // The global max day is a scalar subquery — one extra min/max scan,
+    // never a single-partition window.
+    "x_growth_accounting" -> ((s, dir) => events(s, dir,
+      """WITH a AS (SELECT DISTINCT user_id, unix_micros(ts) DIV 86400000000 AS day FROM events),
+        |s AS (SELECT user_id, day, lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+        |             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt FROM a),
+        |st AS (
+        |  SELECT e.d AS day, e.cat AS cat
+        |  FROM s LATERAL VIEW explode(array(
+        |    named_struct('d', day, 'cat',
+        |      CASE WHEN prev IS NULL THEN 'new'
+        |           WHEN day = prev + 1 THEN 'retained'
+        |           ELSE 'resurrected' END),
+        |    named_struct('d', day + 1, 'cat',
+        |      CASE WHEN nxt IS NULL OR nxt > day + 1 THEN 'churned' END))) t AS e
+        |  WHERE e.cat IS NOT NULL
+        |    AND e.d <= (SELECT max(unix_micros(ts) DIV 86400000000) FROM events))
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(SUM(CASE WHEN cat = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN cat = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(SUM(CASE WHEN cat = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |  CAST(SUM(CASE WHEN cat = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        |FROM st GROUP BY day""".stripMargin)),
+
     // Two-sample Kolmogorov–Smirnov: max CDF gap between the first and
     // second half of the purchase-value stream — the distribution-shift
     // test next to x_distribution_drift's TVD. Both empirical CDFs come
@@ -1056,6 +1088,23 @@ object PipelineQueries extends QueryPack {
         |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY raw_dev DESC, day) AS rn FROM dev)
         |SELECT event_type, CAST(day AS BIGINT) AS changepoint_day, CAST(dev_permille AS BIGINT) AS dev_permille
         |FROM rk WHERE rn = 1""".stripMargin,
+
+    "x_growth_accounting" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |s AS (SELECT user_id, day, lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+        |             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt FROM a),
+        |st AS (
+        |  SELECT day, CASE WHEN prev IS NULL THEN 'new' WHEN day = prev + 1 THEN 'retained' ELSE 'resurrected' END AS cat
+        |  FROM s
+        |  UNION ALL
+        |  SELECT day + 1 AS day, 'churned' AS cat FROM s
+        |  WHERE (nxt IS NULL OR nxt > day + 1) AND day + 1 <= (SELECT max(epoch_us(ts) // 86400000000) FROM events))
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(SUM(CASE WHEN cat = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN cat = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(SUM(CASE WHEN cat = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |  CAST(SUM(CASE WHEN cat = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        |FROM st GROUP BY day""".stripMargin,
 
     "x_ks_test" ->
       """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
