@@ -659,6 +659,45 @@ object PipelineQueries extends QueryPack {
         |  CAST(SUM(CASE WHEN cat = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
         |FROM st GROUP BY day""".stripMargin)),
 
+    // EXACT rolling actives (DAU / 7-day WAU / stickiness): each
+    // activity day explodes into the ≤7 window-days it supports, then
+    // ONE aggregate computes both distinct counts (i=0 marks the exact
+    // day) — no 7-way self-join, no sliding-window state, and no second
+    // read of the distinct-activity CTE. The explosion factor is the
+    // window length (a constant), so cost is 7× the (user, day) table —
+    // the standard exact sliding-distinct shape at any scale.
+    "x_rolling_actives" -> ((s, dir) => events(s, dir,
+      """WITH a AS (SELECT DISTINCT user_id, unix_micros(ts) DIV 86400000000 AS day FROM events),
+        |sup AS (SELECT user_id, day + i AS wday, i
+        |        FROM a LATERAL VIEW explode(sequence(0, 6)) t AS i),
+        |g AS (SELECT wday, count(DISTINCT user_id) AS wau,
+        |             count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS dau
+        |      FROM sup GROUP BY wday)
+        |SELECT CAST(wday AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+        |  CAST(dau * 1000 DIV wau AS BIGINT) AS stickiness_permille
+        |FROM g WHERE wday <= (SELECT max(unix_micros(ts) DIV 86400000000) FROM events)""".stripMargin)),
+
+    // Conversion-lag percentiles: p50/p90/p99 hours from first signup to
+    // first subsequent purchase. The signup-time CTE rides THROUGH the
+    // purchase aggregate (min(t1) — constant per user) so it is read
+    // once; the order statistics come from the value-grouped cumulative
+    // distribution over the bounded hours domain — the same no-sort
+    // discipline as x_exact_quantiles, with the n total as a window.
+    "x_conversion_lag" -> ((s, dir) => events(s, dir,
+      """WITH su AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (SELECT e.user_id, min(su.t1) AS t1, min(e.ts) AS t2
+        |       FROM events e JOIN su ON su.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > su.t1 GROUP BY e.user_id),
+        |lg AS (SELECT (unix_micros(t2) - unix_micros(t1)) DIV 3600000000 AS v FROM pu),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM lg GROUP BY v),
+        |cum AS (SELECT v, c,
+        |    CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS n
+        |  FROM h)
+        |SELECT CAST(p AS BIGINT) AS p, CAST(v AS BIGINT) AS lag_hours, n AS n_converters
+        |FROM cum CROSS JOIN (SELECT explode(array(50, 90, 99)) AS p) ps
+        |WHERE cend >= ((n - 1) * p) DIV 100 + 1 AND cend - c < ((n - 1) * p) DIV 100 + 1""".stripMargin)),
+
     // Two-sample Kolmogorov–Smirnov: max CDF gap between the first and
     // second half of the purchase-value stream — the distribution-shift
     // test next to x_distribution_drift's TVD. Both empirical CDFs come
@@ -1105,6 +1144,31 @@ object PipelineQueries extends QueryPack {
         |  CAST(SUM(CASE WHEN cat = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
         |  CAST(SUM(CASE WHEN cat = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
         |FROM st GROUP BY day""".stripMargin,
+
+    "x_rolling_actives" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |sup AS (SELECT user_id, day + unnest(range(0, 7)) AS wday, unnest(range(0, 7)) AS i FROM a),
+        |g AS (SELECT wday, count(DISTINCT user_id) AS wau,
+        |             count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS dau
+        |      FROM sup GROUP BY wday)
+        |SELECT CAST(wday AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+        |  CAST(dau * 1000 // wau AS BIGINT) AS stickiness_permille
+        |FROM g WHERE wday <= (SELECT max(epoch_us(ts) // 86400000000) FROM events)""".stripMargin,
+
+    "x_conversion_lag" ->
+      """WITH su AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (SELECT e.user_id, min(su.t1) AS t1, min(e.ts) AS t2
+        |       FROM events e JOIN su ON su.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > su.t1 GROUP BY e.user_id),
+        |lg AS (SELECT (epoch_us(t2) - epoch_us(t1)) // 3600000000 AS v FROM pu),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM lg GROUP BY v),
+        |cum AS (SELECT v, c,
+        |    CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS n
+        |  FROM h)
+        |SELECT CAST(p AS BIGINT) AS p, CAST(v AS BIGINT) AS lag_hours, n AS n_converters
+        |FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) ps
+        |WHERE cend >= ((n - 1) * p) // 100 + 1 AND cend - c < ((n - 1) * p) // 100 + 1""".stripMargin,
 
     "x_ks_test" ->
       """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
