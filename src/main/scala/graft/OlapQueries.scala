@@ -101,6 +101,31 @@ object OlapQueries extends QueryPack {
        |SELECT p, CAST(k AS BIGINT) AS k, cents AS q_cents
        |FROM cand WHERE rn = k - cbelow""".stripMargin
 
+  /** Per-GROUP histogram-refine: the same rewrite partitioned by a group
+    * column `g`. `centsSelect` must yield (g, cents); output columns are
+    * (g, p, k, q_cents). Shared by the `x_group_quantiles` oracle query
+    * and `QuantilePropSpec`'s grouped property.
+    */
+  def groupedHistogramRefineSql(centsSelect: String, percentiles: Seq[Int]): String =
+    s"""WITH c AS (
+       |  $centsSelect),
+       |b AS (SELECT g, min(cents) AS lo, max(cents) AS hi, count(*) AS n FROM c GROUP BY g),
+       |w AS (SELECT g, lo, hi, n, (hi - lo) DIV 1024 + 1 AS wd FROM b),
+       |t AS (SELECT w.g, CAST(p AS BIGINT) AS p, ((n - 1) * p) DIV 100 + 1 AS k
+       |      FROM w CROSS JOIN (SELECT explode(array(${percentiles.mkString(", ")})) AS p)),
+       |h AS (SELECT c.g, (cents - w.lo) DIV w.wd AS bk, count(*) AS cnt
+       |      FROM c JOIN w ON w.g = c.g GROUP BY c.g, (cents - w.lo) DIV w.wd),
+       |cum AS (SELECT g, bk, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY bk
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend FROM h),
+       |sel AS (SELECT t.g, t.p, t.k, cum.bk, cum.cend - cum.cnt AS cbelow
+       |        FROM t JOIN cum ON cum.g = t.g AND cum.cend >= t.k AND cum.cend - cum.cnt < t.k),
+       |cand AS (SELECT sel.g, sel.p, sel.k, sel.cbelow, c.cents,
+       |    row_number() OVER (PARTITION BY sel.g, sel.p ORDER BY c.cents) AS rn
+       |  FROM c JOIN w ON w.g = c.g
+       |  JOIN sel ON sel.g = c.g AND (c.cents - w.lo) DIV w.wd = sel.bk)
+       |SELECT g, p, CAST(k AS BIGINT) AS k, cents AS q_cents
+       |FROM cand WHERE rn = k - cbelow""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // EXACT global quantiles with NO global sort — the two-pass
@@ -128,24 +153,11 @@ object OlapQueries extends QueryPack {
     // The oracle is the naive per-group order statistic — equality
     // proves the rewrite exact group-wise too.
     "x_group_quantiles" -> ((s, dir) => sql(s, dir,
-      """WITH c AS (
-        |  SELECT event_type AS g, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
-        |b AS (SELECT g, min(cents) AS lo, max(cents) AS hi, count(*) AS n FROM c GROUP BY g),
-        |w AS (SELECT g, lo, hi, n, (hi - lo) DIV 1024 + 1 AS wd FROM b),
-        |t AS (SELECT w.g, CAST(p AS BIGINT) AS p, ((n - 1) * p) DIV 100 + 1 AS k
-        |      FROM w CROSS JOIN (SELECT explode(array(50, 90, 99)) AS p)),
-        |h AS (SELECT c.g, (cents - w.lo) DIV w.wd AS bk, count(*) AS cnt
-        |      FROM c JOIN w ON w.g = c.g GROUP BY c.g, (cents - w.lo) DIV w.wd),
-        |cum AS (SELECT g, bk, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY bk
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend FROM h),
-        |sel AS (SELECT t.g, t.p, t.k, cum.bk, cum.cend - cum.cnt AS cbelow
-        |        FROM t JOIN cum ON cum.g = t.g AND cum.cend >= t.k AND cum.cend - cum.cnt < t.k),
-        |cand AS (SELECT sel.g, sel.p, sel.k, sel.cbelow, c.cents,
-        |    row_number() OVER (PARTITION BY sel.g, sel.p ORDER BY c.cents) AS rn
-        |  FROM c JOIN w ON w.g = c.g
-        |  JOIN sel ON sel.g = c.g AND (c.cents - w.lo) DIV w.wd = sel.bk)
-        |SELECT g AS event_type, p, CAST(k AS BIGINT) AS k, cents AS q_cents
-        |FROM cand WHERE rn = k - cbelow""".stripMargin)),
+      s"""SELECT g AS event_type, p, k, q_cents FROM (
+         |${groupedHistogramRefineSql(
+              "SELECT event_type AS g, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events",
+              Seq(50, 90, 99))}
+         |) r""".stripMargin)),
 
     // SQL PIVOT surface: Spark's native PIVOT clause plans as one hash
     // aggregate with conditional counters (no self-joins per pivot

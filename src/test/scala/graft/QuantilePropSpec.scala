@@ -50,6 +50,30 @@ class QuantilePropSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: grouped histogram-refine == per-group sorted order statistic") {
+    val groupedGen: Gen[List[(String, Long)]] = for {
+      vs <- valuesGen
+      gs <- Gen.listOfN(vs.size, Gen.oneOf("a", "b", "c"))
+    } yield gs.zip(vs)
+    val prop = Prop.forAll(groupedGen) { rows =>
+      rows.toDF("g", "cents").createOrReplaceTempView("qpropg")
+      val got = spark.sql(OlapQueries.groupedHistogramRefineSql("SELECT g, cents FROM qpropg", ps))
+        .select("g", "p", "q_cents").as[(String, Long, Long)].collect()
+        .map { case (g, p, v) => (g, p) -> v }.toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, grs) =>
+        val sorted = grs.map(_._2).sorted
+        ps.map { p =>
+          val k = ((grs.size - 1).toLong * p) / 100 + 1
+          (g, p.toLong) -> sorted((k - 1).toInt)
+        }
+      }.toMap
+      if (got != want) println(s"MISMATCH got=$got want=$want rows=${rows.take(30)}")
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("p=100 returns the max and p=1 the first order statistic on a known set") {
     Seq(5L, -3L, 9L, 9L, 0L).toDF("cents").createOrReplaceTempView("qprop")
     val got = spark.sql(OlapQueries.histogramRefineSql("SELECT cents FROM qprop", Seq(1, 100)))
