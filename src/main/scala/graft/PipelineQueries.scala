@@ -698,6 +698,72 @@ object PipelineQueries extends QueryPack {
         |FROM cum CROSS JOIN (SELECT explode(array(50, 90, 99)) AS p) ps
         |WHERE cend >= ((n - 1) * p) DIV 100 + 1 AND cend - c < ((n - 1) * p) DIV 100 + 1""".stripMargin)),
 
+    // Robust dispersion (median + MAD) per type, entirely over the
+    // value-grouped dollar distribution: the median is picked by a
+    // window over the bounded (type × dollar) table, the absolute
+    // deviations re-group THAT table (never the corpus), and the MAD is
+    // the same order-statistic pick over the deviation distribution.
+    // Every CTE is referenced exactly once — one events scan total; all
+    // windows partition by type over distribution rows.
+    "x_robust_stats" -> ((s, dir) => events(s, dir,
+      """WITH d AS (
+        |  SELECT event_type AS g, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DIV 100 AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DIV 100),
+        |w AS (
+        |  SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM d),
+        |m AS (
+        |  SELECT g, v, c, cend, n,
+        |    CAST(max(CASE WHEN cend - c < ((n - 1) * 50) DIV 100 + 1 AND cend >= ((n - 1) * 50) DIV 100 + 1 THEN v END)
+        |      OVER (PARTITION BY g) AS BIGINT) AS med
+        |  FROM w),
+        |dev AS (
+        |  SELECT g, abs(v - med) AS dv, CAST(SUM(c) AS BIGINT) AS c, max(n) AS n, max(med) AS med
+        |  FROM m GROUP BY g, abs(v - med)),
+        |dw AS (
+        |  SELECT g, dv, c, n, med,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY dv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend
+        |  FROM dev),
+        |mk AS (
+        |  SELECT g, med, n,
+        |    CAST(max(CASE WHEN cend - c < ((n - 1) * 50) DIV 100 + 1 AND cend >= ((n - 1) * 50) DIV 100 + 1 THEN dv END)
+        |      OVER (PARTITION BY g) AS BIGINT) AS mad
+        |  FROM dw)
+        |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+        |  max(med) AS median_dollars, max(mad) AS mad_dollars
+        |FROM mk GROUP BY g""".stripMargin)),
+
+    // Winsorized mean + Tukey-fence outlier counts per type: p5/p95/q1/q3
+    // materialize as FOUR window marks in one type-partitioned pass over
+    // the bounded distribution table, the winsorized sum clamps values
+    // row-wise, and the 1.5·IQR fences compare by integer
+    // cross-multiplication (2v vs 2q ± 3·IQR — no fractions). One events
+    // scan, every CTE referenced once.
+    "x_winsorized" -> ((s, dir) => events(s, dir,
+      """WITH d AS (
+        |  SELECT event_type AS g, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DIV 100 AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DIV 100),
+        |w AS (
+        |  SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM d),
+        |m AS (
+        |  SELECT g, v, c, n,
+        |    CAST(max(CASE WHEN cend - c < ((n - 1) * 5) DIV 100 + 1 AND cend >= ((n - 1) * 5) DIV 100 + 1 THEN v END) OVER (PARTITION BY g) AS BIGINT) AS p5,
+        |    CAST(max(CASE WHEN cend - c < ((n - 1) * 95) DIV 100 + 1 AND cend >= ((n - 1) * 95) DIV 100 + 1 THEN v END) OVER (PARTITION BY g) AS BIGINT) AS p95,
+        |    CAST(max(CASE WHEN cend - c < ((n - 1) * 25) DIV 100 + 1 AND cend >= ((n - 1) * 25) DIV 100 + 1 THEN v END) OVER (PARTITION BY g) AS BIGINT) AS q1,
+        |    CAST(max(CASE WHEN cend - c < ((n - 1) * 75) DIV 100 + 1 AND cend >= ((n - 1) * 75) DIV 100 + 1 THEN v END) OVER (PARTITION BY g) AS BIGINT) AS q3
+        |  FROM w)
+        |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(q1) AS BIGINT) AS q1_dollars, CAST(max(q3) AS BIGINT) AS q3_dollars,
+        |  CAST(SUM(c * least(greatest(v, p5), p95)) * 1000 DIV max(n) AS BIGINT) AS winsorized_mean_millidollars,
+        |  CAST(SUM(CASE WHEN 2 * v < 2 * q1 - 3 * (q3 - q1) OR 2 * v > 2 * q3 + 3 * (q3 - q1) THEN c ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN 2 * v < 2 * q1 - 3 * (q3 - q1) OR 2 * v > 2 * q3 + 3 * (q3 - q1) THEN c ELSE 0 END) * 1000000 DIV max(n) AS BIGINT) AS outlier_ppm
+        |FROM m GROUP BY g""".stripMargin)),
+
     // Two-sample Kolmogorov–Smirnov: max CDF gap between the first and
     // second half of the purchase-value stream — the distribution-shift
     // test next to x_distribution_drift's TVD. Both empirical CDFs come
@@ -1169,6 +1235,35 @@ object PipelineQueries extends QueryPack {
         |SELECT CAST(p AS BIGINT) AS p, CAST(v AS BIGINT) AS lag_hours, n AS n_converters
         |FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) ps
         |WHERE cend >= ((n - 1) * p) // 100 + 1 AND cend - c < ((n - 1) * p) // 100 + 1""".stripMargin,
+
+    "x_robust_stats" ->
+      """WITH c AS (SELECT event_type AS g, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 100 AS v FROM events),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |      count(*) OVER (PARTITION BY g) AS n FROM c),
+        |med AS (SELECT g, v AS med, n FROM r WHERE rn = ((n - 1) * 50) // 100 + 1),
+        |dev AS (SELECT c.g, abs(c.v - med.med) AS dv, med.med, med.n FROM c JOIN med ON med.g = c.g),
+        |r2 AS (SELECT g, dv, med, n, row_number() OVER (PARTITION BY g ORDER BY dv) AS rn FROM dev)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(med AS BIGINT) AS median_dollars, CAST(dv AS BIGINT) AS mad_dollars
+        |FROM r2 WHERE rn = ((n - 1) * 50) // 100 + 1""".stripMargin,
+
+    "x_winsorized" ->
+      """WITH c AS (SELECT event_type AS g, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 100 AS v FROM events),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |      count(*) OVER (PARTITION BY g) AS n FROM c),
+        |qs AS (SELECT g, max(n) AS n,
+        |    max(CASE WHEN rn = ((n - 1) * 5) // 100 + 1 THEN v END) AS p5,
+        |    max(CASE WHEN rn = ((n - 1) * 95) // 100 + 1 THEN v END) AS p95,
+        |    max(CASE WHEN rn = ((n - 1) * 25) // 100 + 1 THEN v END) AS q1,
+        |    max(CASE WHEN rn = ((n - 1) * 75) // 100 + 1 THEN v END) AS q3
+        |  FROM r GROUP BY g)
+        |SELECT c.g AS event_type, CAST(qs.n AS BIGINT) AS n,
+        |  CAST(qs.q1 AS BIGINT) AS q1_dollars, CAST(qs.q3 AS BIGINT) AS q3_dollars,
+        |  CAST(SUM(least(greatest(c.v, qs.p5), qs.p95)) * 1000 // qs.n AS BIGINT) AS winsorized_mean_millidollars,
+        |  CAST(SUM(CASE WHEN 2 * c.v < 2 * qs.q1 - 3 * (qs.q3 - qs.q1) OR 2 * c.v > 2 * qs.q3 + 3 * (qs.q3 - qs.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN 2 * c.v < 2 * qs.q1 - 3 * (qs.q3 - qs.q1) OR 2 * c.v > 2 * qs.q3 + 3 * (qs.q3 - qs.q1) THEN 1 ELSE 0 END) * 1000000 // qs.n AS BIGINT) AS outlier_ppm
+        |FROM c JOIN qs ON qs.g = c.g
+        |GROUP BY c.g, qs.n, qs.q1, qs.q3""".stripMargin,
 
     "x_ks_test" ->
       """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
