@@ -269,4 +269,16 @@ class PlanAuditSpec extends SparkSpec {
   test("journey path mining folds its global top-20 into TakeOrdered") {
     assert(plan("x_sankey_paths").contains("TakeOrderedAndProject"))
   }
+
+  test("single-evaluation discipline: one corpus scan per single-table analytics query") {
+    // each of these reads its source table EXACTLY once — a second
+    // "(n) Scan parquet" line means a multiply-referenced CTE got
+    // inlined and the corpus pass doubled (the x_sankey_paths/
+    // x_changepoint regression caught in r13 profiling)
+    Seq("x_sankey_paths", "x_changepoint", "x_seasonality",
+        "x_robust_stats", "x_winsorized", "x_inverted_index").foreach { n =>
+      val scans = plan(n).linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*"))
+      assert(scans == 1, s"$n: expected one source scan, saw $scans")
+    }
+  }
 }
