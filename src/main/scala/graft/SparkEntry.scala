@@ -20,7 +20,8 @@ object SparkEntry {
     PipelineQueries,
     IndexQueries,
     RetrievalQueries,
-    SamplingQueries
+    SamplingQueries,
+    StatsQueries
   )
 
   /** Flagship: the full CDC slice on sf0.001 — synthesize the Debezium
