@@ -110,7 +110,7 @@ object SimilarityQueries extends QueryPack {
   // 3-word shingle sets per doc, hashed to 60-bit longs at the source —
   // every downstream join/shuffle moves 8-byte keys, never shingle
   // strings. Spark and DuckDB twins.
-  private val sparkShingles =
+  private[graft] val sparkShingles =
     s"""w AS (SELECT doc_id, split(text, '\\\\s+') AS words FROM documents
        |       WHERE size(split(text, '\\\\s+')) >= 3),
        |sh AS (SELECT DISTINCT doc_id, shingle_h FROM (
@@ -118,7 +118,7 @@ object SimilarityQueries extends QueryPack {
        |    i -> ${h64("concat(words[i], ' ', words[i+1], ' ', words[i+2])")})) AS shingle_h FROM w)),
        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
-  private val duckShingles =
+  private[graft] val duckShingles =
     s"""w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents
        |       WHERE len(string_split_regex(text, '\\s+')) >= 3),
        |idx AS (SELECT doc_id, words, unnest(generate_series(1, len(words)-2)) AS i FROM w),

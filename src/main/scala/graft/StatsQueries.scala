@@ -132,11 +132,185 @@ object StatsQueries extends QueryPack {
       |  CAST(SUM(y - yhat) AS BIGINT) AS bias_cents
       |FROM j GROUP BY event_type""".stripMargin
 
+  /** Lag-1 / lag-7 autocorrelation of daily revenue per event type — the
+    * "is there weekly structure worth modeling" probe run before
+    * x_seasonality / x_forecast_backtest. Pair alignment uses the same
+    * explode-to-ledger trick as the backtest (each daily row contributes
+    * its (day, current) and (day+lag, lagged) entries — one scan, no
+    * self-join); Pearson r comes from six exact integer moments with the
+    * two sqrt's and the division as correctly-rounded IEEE ops over exact
+    * BIGINTs (identical text both engines). Constant series → NULL.
+    */
+  private[graft] val autocorrSql: String =
+    """WITH d AS (
+      |  SELECT event_type, unix_micros(ts) DIV 86400000000 AS day,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) DIV 100 AS BIGINT) AS y
+      |  FROM events GROUP BY event_type, unix_micros(ts) DIV 86400000000),
+      |x AS (SELECT event_type, lg, day + role * lg AS sday, role, y
+      |  FROM d LATERAL VIEW explode(array(1, 7)) lt AS lg
+      |         LATERAL VIEW explode(array(0, 1)) rt AS role),
+      |g AS (SELECT event_type, lg, sday,
+      |    max(CASE WHEN role = 0 THEN y END) AS cur,
+      |    max(CASE WHEN role = 1 THEN y END) AS prv
+      |  FROM x GROUP BY event_type, lg, sday),
+      |p AS (SELECT * FROM g WHERE cur IS NOT NULL AND prv IS NOT NULL),
+      |a AS (SELECT event_type, lg, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(cur) AS BIGINT) AS sx, CAST(SUM(prv) AS BIGINT) AS sy,
+      |    CAST(SUM(cur * prv) AS BIGINT) AS sxy,
+      |    CAST(SUM(cur * cur) AS BIGINT) AS sxx, CAST(SUM(prv * prv) AS BIGINT) AS syy
+      |  FROM p GROUP BY event_type, lg)
+      |SELECT event_type, CAST(lg AS BIGINT) AS lag_days, n AS n_pairs,
+      |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+      |    CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |      * 1000000) AS BIGINT)
+      |  END AS autocorr_micro
+      |FROM a""".stripMargin
+
+  /** Time-to-event (survival) curve with right-censoring: days from a
+    * user's first signup to their first big purchase (value ≥ $200 —
+    * x_power_analysis' conversion definition); users who never convert
+    * are censored at the corpus end, which is what distinguishes this
+    * from x_conversion_lag's converters-only percentiles. Per daily
+    * duration: users at risk (reverse cumulative sum over the duration
+    * table — never a per-day rescan), conversions, censored exits, the
+    * discrete hazard, and the Nelson-Aalen cumulative hazard in integer
+    * micro-units (a float KM product would not hash cross-engine). The
+    * per-user reduction is ONE user-partitioned window pass over events
+    * (the signup time rides the window so post-signup purchases filter in
+    * the same scan); the corpus end is a scalar-subquery max — one extra
+    * min/max scan, never a single-partition window (the growth-accounting
+    * precedent).
+    */
+  private[graft] val survivalHazardSql: String =
+    """WITH w AS (SELECT user_id, ts, event_type, value,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) OVER (PARTITION BY user_id) AS t1
+      |  FROM events),
+      |pu AS (SELECT user_id, min(t1) AS t1,
+      |    min(CASE WHEN event_type = 'purchase' AND value >= 200 AND ts > t1 THEN ts END) AS tp
+      |  FROM w WHERE t1 IS NOT NULL GROUP BY user_id),
+      |d AS (SELECT user_id, CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+      |    CAST((unix_micros(COALESCE(tp, (SELECT max(ts) FROM events))) - unix_micros(t1)) DIV 86400000000 AS BIGINT) AS dur
+      |  FROM pu),
+      |g AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS converted,
+      |    CAST(SUM(1 - ev) AS BIGINT) AS censored, CAST(count(*) AS BIGINT) AS n
+      |  FROM d GROUP BY dur),
+      |rc AS (SELECT dur, converted, censored,
+      |    CAST(SUM(n) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk
+      |  FROM g)
+      |SELECT CAST(dur AS BIGINT) AS day, at_risk, converted, censored,
+      |  CAST(converted * 1000 DIV at_risk AS BIGINT) AS hazard_permille,
+      |  CAST(SUM(converted * 1000000 DIV at_risk)
+      |    OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hazard_micro
+      |FROM rc""".stripMargin
+
+  /** Support-2 co-purchase edges: parts linked when they co-occur in ≥ 2
+    * distinct orders. Expects a `lineitem` view; produces (u, v), u < v.
+    */
+  private[graft] val triEdgeSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pr AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON b.o = a.o AND a.p < b.p)
+      |SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= 2""".stripMargin
+
+  /** Degree-oriented triangle count + clustering over a `tri_e` edge
+    * view (each edge directed from its (degree, id)-smaller endpoint, so
+    * per-node out-degree is O(√m) and the wedge join is O(m^1.5) worst
+    * case instead of Σ deg² on the raw graph).
+    */
+  private[graft] val triangleSql: String =
+    """WITH dg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+      |    SELECT u AS node FROM tri_e UNION ALL SELECT v AS node FROM tri_e) n
+      |  GROUP BY node),
+      |oe AS (
+      |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS u,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS v
+      |  FROM tri_e e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS tri
+      |  FROM oe e1
+      |  JOIN oe e2 ON e2.u = e1.v
+      |  JOIN oe e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS nodes,
+      |    CAST(SUM(d * (d - 1) DIV 2) AS BIGINT) AS wedges, CAST(SUM(d) DIV 2 AS BIGINT) AS edges
+      |  FROM dg)
+      |SELECT st.nodes AS n_nodes, st.edges AS n_edges, t.tri AS n_triangles,
+      |  st.wedges AS n_wedges,
+      |  CAST(CASE WHEN st.wedges > 0 THEN 3 * t.tri * 1000 DIV st.wedges ELSE 0 END AS BIGINT) AS closure_permille
+      |FROM st CROSS JOIN t""".stripMargin
+
+  /** Top-20 rare-shingle Jaccard pairs over a `rare_postings`
+    * (doc_id, shingle_h) view.
+    */
+  private[graft] val docSimTopSql: String =
+    """WITH nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rare_postings GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared
+      |      FROM rare_postings a JOIN rare_postings b
+      |        ON b.shingle_h = a.shingle_h AND a.doc_id < b.doc_id
+      |      GROUP BY a.doc_id, b.doc_id),
+      |j AS (SELECT p.d1, p.d2, p.shared,
+      |    CAST(p.shared * 1000 DIV (na.n + nb.n - p.shared) AS BIGINT) AS jaccard_permille
+      |  FROM p JOIN nd na ON na.doc_id = p.d1 JOIN nd nb ON nb.doc_id = p.d2)
+      |SELECT d1, d2, shared, jaccard_permille,
+      |  CAST(row_number() OVER (ORDER BY jaccard_permille DESC, d1, d2) AS BIGINT) AS rank
+      |FROM j ORDER BY jaccard_permille DESC, d1, d2 LIMIT 20""".stripMargin
+
+  /** Rare-shingle posting extraction (df in [2, 10]) over a `documents`
+    * view, on the shared hashed-shingle convention.
+    */
+  private[graft] val rarePostingsSql: String =
+    s"""WITH ${SimilarityQueries.sparkShingles},
+       |df AS (SELECT shingle_h, count(*) AS c FROM sh GROUP BY shingle_h)
+       |SELECT sh.doc_id, sh.shingle_h FROM sh JOIN df ON df.shingle_h = sh.shingle_h
+       |WHERE df.c BETWEEN 2 AND 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_ols_trend" -> ((s, dir) => events(s, dir, olsTrendSql)),
     "x_gini" -> ((s, dir) => events(s, dir, giniSql)),
     "x_chi_square" -> ((s, dir) => events(s, dir, chiSquareSql)),
-    "x_forecast_backtest" -> ((s, dir) => events(s, dir, forecastBacktestSql))
+    "x_forecast_backtest" -> ((s, dir) => events(s, dir, forecastBacktestSql)),
+    "x_autocorrelation" -> ((s, dir) => events(s, dir, autocorrSql)),
+    "x_survival_hazard" -> ((s, dir) => events(s, dir, survivalHazardSql)),
+
+    // Triangle count + global clustering coefficient of the repeat
+    // co-purchase graph: parts are linked when they co-occur in ≥ 2
+    // orders (the support threshold prunes one-off noise pairs BEFORE
+    // any quadratic structure — the scale gate), and the triangle join
+    // runs over DEGREE-ORIENTED edges (each edge points from the
+    // (degree, id)-smaller endpoint, bounding per-node out-degree by
+    // O(√m), so wedge candidates are O(m^1.5) worst case instead of
+    // Σ deg² on the raw graph — see triangleSql).
+    "x_triangle_count" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      // The support-2 edge table is the ONLY corpus-sized computation;
+      // localCheckpoint it (it is tiny after thresholding) so the
+      // downstream degree/orientation/triangle CTEs — which reference it
+      // many times — re-read an in-memory leaf instead of re-running the
+      // pair roll-up per reference (and so the multiply-nested CTE tree
+      // never reaches the analyzer: a cached-view chain of these CTEs
+      // sends Catalyst's InlineCTE into unbounded recursion).
+      s.sql(triEdgeSql).localCheckpoint().createOrReplaceTempView("tri_e")
+      s.sql(triangleSql)
+    }),
+
+    // Rare-shingle document similarity ("more like this"): candidate
+    // pairs share at least one RARE 3-word shingle (document frequency
+    // in [2, 10] — the corpus vocabulary is tiny but shingle space is
+    // not, the usual web-corpus shape), so pair generation is an
+    // equi-join on the rare-posting table bounded by Σ df² ≤ 10·|rare
+    // postings| — never an all-pairs join and never through
+    // boilerplate-sized posting lists (df > 10 is by definition
+    // boilerplate here; x_boilerplate_strip is the removal pass).
+    // Shingles ride as the shared 60-bit hashes (SimilarityQueries'
+    // twin convention) so only 8-byte keys shuffle. Jaccard over each
+    // doc's rare-shingle set in integer permille; top-20 deterministic
+    // by (similarity, d1, d2). The rare-posting view feeds three
+    // references (per-doc sizes + both join sides) — cached for the
+    // same CTE-inlining reason as the triangle edges.
+    "x_doc_similarity" -> ((s, dir) => {
+      Tables(s, dir, "documents").createOrReplaceTempView("documents")
+      Tables.cacheView("rare_postings", s.sql(rarePostingsSql))
+      s.sql(docSimTopSql)
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -208,6 +382,94 @@ object StatsQueries extends QueryPack {
         |  CAST(SUM(abs(y - yhat)) // count(*) AS BIGINT) AS mae_cents,
         |  CAST(SUM(abs(y - yhat)) * 1000 // SUM(y) AS BIGINT) AS wape_permille,
         |  CAST(SUM(y - yhat) AS BIGINT) AS bias_cents
-        |FROM j GROUP BY event_type""".stripMargin
+        |FROM j GROUP BY event_type""".stripMargin,
+
+    "x_autocorrelation" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) // 100 AS BIGINT) AS y
+        |  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000),
+        |x AS (SELECT event_type, lg, day + role * lg AS sday, role, y
+        |  FROM d CROSS JOIN (SELECT unnest([1, 7]) AS lg) lt
+        |         CROSS JOIN (SELECT unnest([0, 1]) AS role) rt),
+        |g AS (SELECT event_type, lg, sday,
+        |    max(CASE WHEN role = 0 THEN y END) AS cur,
+        |    max(CASE WHEN role = 1 THEN y END) AS prv
+        |  FROM x GROUP BY event_type, lg, sday),
+        |p AS (SELECT * FROM g WHERE cur IS NOT NULL AND prv IS NOT NULL),
+        |a AS (SELECT event_type, lg, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(cur) AS BIGINT) AS sx, CAST(SUM(prv) AS BIGINT) AS sy,
+        |    CAST(SUM(cur * prv) AS BIGINT) AS sxy,
+        |    CAST(SUM(cur * cur) AS BIGINT) AS sxx, CAST(SUM(prv * prv) AS BIGINT) AS syy
+        |  FROM p GROUP BY event_type, lg)
+        |SELECT event_type, CAST(lg AS BIGINT) AS lag_days, n AS n_pairs,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |      * 1000000) AS BIGINT)
+        |  END AS autocorr_micro
+        |FROM a""".stripMargin,
+
+    "x_survival_hazard" ->
+      """WITH w AS (SELECT user_id, ts, event_type, value,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |pu AS (SELECT user_id, min(t1) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' AND value >= 200 AND ts > t1 THEN ts END) AS tp
+        |  FROM w WHERE t1 IS NOT NULL GROUP BY user_id),
+        |d AS (SELECT user_id, CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev,
+        |    CAST((epoch_us(COALESCE(tp, (SELECT max(ts) FROM events))) - epoch_us(t1)) // 86400000000 AS BIGINT) AS dur
+        |  FROM pu),
+        |g AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS converted,
+        |    CAST(SUM(1 - ev) AS BIGINT) AS censored, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY dur),
+        |rc AS (SELECT dur, converted, censored,
+        |    CAST(SUM(n) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk
+        |  FROM g)
+        |SELECT CAST(dur AS BIGINT) AS day, at_risk, converted, censored,
+        |  CAST(converted * 1000 // at_risk AS BIGINT) AS hazard_permille,
+        |  CAST(SUM(converted * 1000000 // at_risk)
+        |    OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hazard_micro
+        |FROM rc""".stripMargin,
+
+    "x_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pr AS (SELECT a.p AS u, b.p AS v FROM li a JOIN li b ON b.o = a.o AND a.p < b.p),
+        |e AS (SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= 2),
+        |dg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) n
+        |  GROUP BY node),
+        |oe AS (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS u,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS v
+        |  FROM e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS tri
+        |  FROM oe e1
+        |  JOIN oe e2 ON e2.u = e1.v
+        |  JOIN oe e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS nodes,
+        |    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges, CAST(SUM(d) // 2 AS BIGINT) AS edges
+        |  FROM dg)
+        |SELECT st.nodes AS n_nodes, st.edges AS n_edges, t.tri AS n_triangles,
+        |  st.wedges AS n_wedges,
+        |  CAST(CASE WHEN st.wedges > 0 THEN 3 * t.tri * 1000 // st.wedges ELSE 0 END AS BIGINT) AS closure_permille
+        |FROM st CROSS JOIN t""".stripMargin,
+
+    "x_doc_similarity" ->
+      s"""WITH ${SimilarityQueries.duckShingles},
+        |df AS (SELECT shingle_h, count(*) AS c FROM sh GROUP BY shingle_h),
+        |rp AS (SELECT sh.doc_id, sh.shingle_h FROM sh JOIN df ON df.shingle_h = sh.shingle_h
+        |       WHERE df.c BETWEEN 2 AND 10),
+        |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rp GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared
+        |      FROM rp a JOIN rp b ON b.shingle_h = a.shingle_h AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id),
+        |j AS (SELECT p.d1, p.d2, p.shared,
+        |    CAST(p.shared * 1000 // (na.n + nb.n - p.shared) AS BIGINT) AS jaccard_permille
+        |  FROM p JOIN nd na ON na.doc_id = p.d1 JOIN nd nb ON nb.doc_id = p.d2)
+        |SELECT d1, d2, shared, jaccard_permille,
+        |  CAST(row_number() OVER (ORDER BY jaccard_permille DESC, d1, d2) AS BIGINT) AS rank
+        |FROM j ORDER BY jaccard_permille DESC, d1, d2 LIMIT 20""".stripMargin
   )
 }

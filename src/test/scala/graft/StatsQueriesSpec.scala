@@ -102,4 +102,91 @@ class StatsQueriesSpec extends SparkSpec {
     assert(row.getAs[Long]("mae_cents") === 200L)
     assert(row.getAs[Long]("bias_cents") === 200L)
   }
+
+  test("autocorrelation: alternating series lag-1 negative, period-2 lag-7 signs; constant NULL") {
+    // 14 days alternating 10/50 dollars: lag-1 strongly negative,
+    // lag-7 (odd lag over a period-2 signal) also negative
+    asEvents((0 until 14).map(d =>
+      (d.toLong, ts(d), 1L, "alt", if (d % 2 == 0) 10.0 else 50.0)) ++
+      (0 until 14).map(d => (100L + d, ts(d), 1L, "flat", 25.0)))
+    val rows = spark.sql(StatsQueries.autocorrSql).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("lag_days")) ->
+        Option(r.get(r.fieldIndex("autocorr_micro")).asInstanceOf[java.lang.Long]))
+      .toMap
+    assert(rows(("alt", 1L)).get < -900000L)
+    assert(rows(("alt", 7L)).get < -900000L)
+    assert(rows(("flat", 1L)).isEmpty, "constant series must yield NULL, not a division blow-up")
+    // exactly periodic with period 7: lag-7 autocorrelation is +1 (floored)
+    asEvents((0 until 21).map(d => (d.toLong, ts(d), 1L, "p7", 10.0 + (d % 7))))
+    val p7 = spark.sql(StatsQueries.autocorrSql).collect()
+      .map(r => r.getAs[Long]("lag_days") -> r.getAs[Long]("autocorr_micro")).toMap
+    assert(p7(7L) === 1000000L)
+  }
+
+  test("survival hazard: conversions, censoring, and pre-signup purchases excluded") {
+    // corpus end = day 20 (user E's last event pins max ts)
+    // A: signup d0, big purchase d3            -> converted, dur 3
+    // B: signup d0, only small purchases       -> censored, dur 20
+    // C: signup d5, big purchase d5 (later hr) -> converted, dur 0
+    // D: big purchase d1 BEFORE signup d2      -> censored, dur 18
+    // E: no signup                             -> excluded entirely
+    asEvents(Seq(
+      (1L, ts(0), 1L, "signup", 0.0), (2L, ts(3), 1L, "purchase", 250.0),
+      (3L, ts(0), 2L, "signup", 0.0), (4L, ts(4), 2L, "purchase", 50.0),
+      (5L, ts(5, 8), 3L, "signup", 0.0), (6L, ts(5, 20), 3L, "purchase", 300.0),
+      (7L, ts(1), 4L, "purchase", 999.0), (8L, ts(2), 4L, "signup", 0.0),
+      (9L, ts(20), 5L, "purchase", 400.0)))
+    val rows = spark.sql(StatsQueries.survivalHazardSql).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("at_risk"), r.getAs[Long]("converted"), r.getAs[Long]("censored")))
+      .toMap
+    assert(rows.keySet === Set(0L, 3L, 18L, 20L))
+    assert(rows(0L) === ((4L, 1L, 0L)))   // C converts same-day, everyone at risk
+    assert(rows(3L) === ((3L, 1L, 0L)))   // A converts day 3
+    assert(rows(18L) === ((2L, 0L, 1L)))  // D censored (pre-signup purchase ignored)
+    assert(rows(20L) === ((1L, 0L, 1L)))  // B censored at corpus end
+  }
+
+  test("triangle count: support-2 threshold prunes noise edges; one triangle found") {
+    // parts 1-2-3 pairwise co-occur in 2 orders -> a triangle;
+    // parts 3-4 co-occur once -> below support, pruned
+    Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 3L), (12L, 4L))
+      .toDF("l_orderkey", "l_partkey").createOrReplaceTempView("lineitem")
+    spark.sql(StatsQueries.triEdgeSql).localCheckpoint().createOrReplaceTempView("tri_e")
+    val row = spark.sql(StatsQueries.triangleSql).collect().head
+    assert(row.getAs[Long]("n_nodes") === 3L)
+    assert(row.getAs[Long]("n_edges") === 3L)
+    assert(row.getAs[Long]("n_triangles") === 1L)
+    assert(row.getAs[Long]("n_wedges") === 3L)
+    assert(row.getAs[Long]("closure_permille") === 1000L)
+  }
+
+  test("triangle count: open wedge yields zero triangles and closure 0") {
+    // path 1-2-3 (each edge supported twice), no 1-3 edge
+    Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+        (12L, 2L), (12L, 3L), (13L, 2L), (13L, 3L))
+      .toDF("l_orderkey", "l_partkey").createOrReplaceTempView("lineitem")
+    spark.sql(StatsQueries.triEdgeSql).localCheckpoint().createOrReplaceTempView("tri_e")
+    val row = spark.sql(StatsQueries.triangleSql).collect().head
+    assert(row.getAs[Long]("n_triangles") === 0L)
+    assert(row.getAs[Long]("n_wedges") === 1L)
+    assert(row.getAs[Long]("closure_permille") === 0L)
+  }
+
+  test("doc similarity: duplicated docs pair at jaccard 1000; singleton shingles never pair") {
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    Tables.cacheView("rare_postings", spark.sql(StatsQueries.rarePostingsSql))
+    val rows = spark.sql(StatsQueries.docSimTopSql).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("d1") === 1L)
+    assert(rows.head.getAs[Long]("d2") === 2L)
+    assert(rows.head.getAs[Long]("jaccard_permille") === 1000L)
+  }
 }
