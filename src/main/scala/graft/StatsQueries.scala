@@ -263,6 +263,119 @@ object StatsQueries extends QueryPack {
        |SELECT sh.doc_id, sh.shingle_h FROM sh JOIN df ON df.shingle_h = sh.shingle_h
        |WHERE df.c BETWEEN 2 AND 10""".stripMargin
 
+  /** Exact AUC of a behavioral propensity score (user click count)
+    * against big-purchase conversion, via the Mann-Whitney rank-sum
+    * identity with EXACT midrank tie handling: rank sums come from the
+    * VALUE-GROUPED score distribution (the Gini discipline — a tie
+    * block's positives contribute pos·(2·cumprev + c + 1) to the doubled
+    * rank sum, so no per-user ranking and no fractional midranks), and
+    * AUC_micro = (2R₊ − n₊(n₊+1))·1e6 / (2·n₊·n₋) stays in integers to
+    * the end. One events scan, windows over distinct score values only.
+    */
+  private[graft] val aucSql: String =
+    """WITH u AS (SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS score,
+      |    CAST(max(CASE WHEN event_type = 'purchase' AND value >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      |  FROM events GROUP BY user_id),
+      |v AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS c
+      |      FROM u GROUP BY score),
+      |w AS (SELECT score, p, c,
+      |    CAST(SUM(c) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend
+      |  FROM v),
+      |a AS (SELECT CAST(SUM(p * (2 * (cend - c) + c + 1)) AS BIGINT) AS r2,
+      |    CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(c) AS BIGINT) AS n
+      |  FROM w)
+      |SELECT np AS n_pos, n - np AS n_neg,
+      |  CAST((r2 - np * (np + 1)) * 1000000 DIV (2 * np * (n - np)) AS BIGINT) AS auc_micro
+      |FROM a""".stripMargin
+
+  /** Inter-arrival-time percentiles: p50/p90/p99 minutes between
+    * consecutive events of the same type by the same user — the rate
+    * profile behind debounce windows and session-gap choices. One lag
+    * window per (user, type) stream, then the no-sort value-grouped
+    * cumulative-distribution order statistics (x_conversion_lag's
+    * discipline, partitioned by type).
+    */
+  private[graft] val interarrivalSql: String =
+    """WITH g AS (SELECT event_type,
+      |    (unix_micros(ts) - lag(unix_micros(ts))
+      |       OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)) DIV 60000000 AS v
+      |  FROM events),
+      |h AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+      |      FROM g WHERE v IS NOT NULL GROUP BY event_type, v),
+      |cum AS (SELECT event_type, v, c,
+      |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend,
+      |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM h)
+      |SELECT event_type, CAST(p AS BIGINT) AS p, CAST(v AS BIGINT) AS gap_minutes, n AS n_gaps
+      |FROM cum CROSS JOIN (SELECT explode(array(50, 90, 99)) AS p) ps
+      |WHERE cend >= ((n - 1) * p) DIV 100 + 1 AND cend - c < ((n - 1) * p) DIV 100 + 1""".stripMargin
+
+  /** Embedding centroid drift between two corpus slices (vec_id parity —
+    * the deterministic stand-in for "last crawl vs this crawl"): cosine
+    * between slice centroids and the largest per-dimension mean shift.
+    * cos(mean₀, mean₁) = cos(sum₀, sum₁), so the whole statistic reduces
+    * to per-dimension integer sums over the quantized embeddings — ONE
+    * conditional aggregate per dim (never a slice self-join re-running
+    * the explode), cross-products folded over the 64-row dim table, and
+    * exactly two sqrt's + one division at the end (correctly-rounded
+    * IEEE, identical text both engines). The embedding-side sibling of
+    * x_distribution_drift.
+    */
+  private[graft] val centroidDriftSql: String =
+    """WITH q AS (SELECT vec_id,
+      |    transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |pd AS (
+      |  SELECT pos AS dim,
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN qv ELSE 0 END) AS BIGINT) AS s0,
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN qv ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM q LATERAL VIEW posexplode(qe) t AS pos, qv
+      |  GROUP BY pos),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_dims,
+      |    CAST(max(c0) AS BIGINT) AS n0, CAST(max(c1) AS BIGINT) AS n1,
+      |    CAST(SUM(s0 * s1) AS BIGINT) AS dot01,
+      |    CAST(SUM(s0 * s0) AS BIGINT) AS n00, CAST(SUM(s1 * s1) AS BIGINT) AS n11,
+      |    CAST(max(abs(s0 * 1000 DIV c0 - s1 * 1000 DIV c1)) AS BIGINT) AS max_shift
+      |  FROM pd)
+      |SELECT n0 AS n_slice0, n1 AS n_slice1, n_dims,
+      |  CAST(FLOOR(CAST(dot01 AS DOUBLE)
+      |    / (sqrt(CAST(n00 AS DOUBLE)) * sqrt(CAST(n11 AS DOUBLE))) * 1000000) AS BIGINT) AS centroid_cosine_micro,
+      |  max_shift AS max_dim_shift_micro
+      |FROM a""".stripMargin
+
+  /** Skip-gram (center, context) pair extraction with window ±2 — the
+    * word2vec / embedding-training data prep. Contexts come from
+    * lag/lead over ONE per-doc position window (each token row emits its
+    * ≤ 4 directed pairs via explode — no position self-join, no second
+    * pass over the token table); pair counts are a vocabulary²-bounded
+    * groupBy and the top-30 plans as TakeOrdered.
+    */
+  private[graft] val skipgramSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, pos, word
+      |  FROM documents LATERAL VIEW posexplode(split(text, '\\s+')) t AS pos, word
+      |  WHERE word != ''),
+      |ctx AS (SELECT doc_id, word AS center,
+      |    lag(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+      |    lag(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2,
+      |    lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS r1,
+      |    lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS r2
+      |  FROM w),
+      |pr AS (SELECT center, ctxw FROM ctx
+      |       LATERAL VIEW explode(array(l1, l2, r1, r2)) t AS ctxw
+      |       WHERE ctxw IS NOT NULL),
+      |pc AS (SELECT center, ctxw AS context, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM pr GROUP BY center, ctxw),
+      |top AS (SELECT center, context, cnt FROM pc
+      |        ORDER BY cnt DESC, center, context LIMIT 30)
+      |SELECT center, context, cnt,
+      |  CAST(row_number() OVER (ORDER BY cnt DESC, center, context) AS BIGINT) AS rank
+      |FROM top""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_ols_trend" -> ((s, dir) => events(s, dir, olsTrendSql)),
     "x_gini" -> ((s, dir) => events(s, dir, giniSql)),
@@ -310,6 +423,17 @@ object StatsQueries extends QueryPack {
       Tables(s, dir, "documents").createOrReplaceTempView("documents")
       Tables.cacheView("rare_postings", s.sql(rarePostingsSql))
       s.sql(docSimTopSql)
+    }),
+
+    "x_auc" -> ((s, dir) => events(s, dir, aucSql)),
+    "x_interarrival" -> ((s, dir) => events(s, dir, interarrivalSql)),
+    "x_centroid_drift" -> ((s, dir) => {
+      Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql(centroidDriftSql)
+    }),
+    "x_skipgram_pairs" -> ((s, dir) => {
+      Tables(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(skipgramSql)
     })
   )
 
@@ -470,6 +594,84 @@ object StatsQueries extends QueryPack {
         |  FROM p JOIN nd na ON na.doc_id = p.d1 JOIN nd nb ON nb.doc_id = p.d2)
         |SELECT d1, d2, shared, jaccard_permille,
         |  CAST(row_number() OVER (ORDER BY jaccard_permille DESC, d1, d2) AS BIGINT) AS rank
-        |FROM j ORDER BY jaccard_permille DESC, d1, d2 LIMIT 20""".stripMargin
+        |FROM j ORDER BY jaccard_permille DESC, d1, d2 LIMIT 20""".stripMargin,
+
+    "x_auc" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' AND value >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS c
+        |      FROM u GROUP BY score),
+        |w AS (SELECT score, p, c,
+        |    CAST(SUM(c) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend
+        |  FROM v),
+        |a AS (SELECT CAST(SUM(p * (2 * (cend - c) + c + 1)) AS BIGINT) AS r2,
+        |    CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM w)
+        |SELECT np AS n_pos, n - np AS n_neg,
+        |  CAST((r2 - np * (np + 1)) * 1000000 // (2 * np * (n - np)) AS BIGINT) AS auc_micro
+        |FROM a""".stripMargin,
+
+    "x_interarrival" ->
+      """WITH g AS (SELECT event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts))
+        |       OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)) // 60000000 AS v
+        |  FROM events),
+        |h AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+        |      FROM g WHERE v IS NOT NULL GROUP BY event_type, v),
+        |cum AS (SELECT event_type, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(p AS BIGINT) AS p, CAST(v AS BIGINT) AS gap_minutes, n AS n_gaps
+        |FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) ps
+        |WHERE cend >= ((n - 1) * p) // 100 + 1 AND cend - c < ((n - 1) * p) // 100 + 1""".stripMargin,
+
+    "x_centroid_drift" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, qe, unnest(generate_series(1, len(qe))) AS pos FROM q),
+        |pd AS (
+        |  SELECT pos - 1 AS dim,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN qe[pos] ELSE 0 END) AS BIGINT) AS s0,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN qe[pos] ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM ex GROUP BY pos - 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_dims,
+        |    CAST(max(c0) AS BIGINT) AS n0, CAST(max(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(s0 * s1) AS BIGINT) AS dot01,
+        |    CAST(SUM(s0 * s0) AS BIGINT) AS n00, CAST(SUM(s1 * s1) AS BIGINT) AS n11,
+        |    CAST(max(abs(s0 * 1000 // c0 - s1 * 1000 // c1)) AS BIGINT) AS max_shift
+        |  FROM pd)
+        |SELECT n0 AS n_slice0, n1 AS n_slice1, n_dims,
+        |  CAST(FLOOR(CAST(dot01 AS DOUBLE)
+        |    / (sqrt(CAST(n00 AS DOUBLE)) * sqrt(CAST(n11 AS DOUBLE))) * 1000000) AS BIGINT) AS centroid_cosine_micro,
+        |  max_shift AS max_dim_shift_micro
+        |FROM a""".stripMargin,
+
+    "x_skipgram_pairs" ->
+      """WITH w0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos FROM w0),
+        |w AS (SELECT doc_id, pos, ws[pos] AS word FROM idx WHERE ws[pos] != ''),
+        |ctx AS (SELECT doc_id, word AS center,
+        |    lag(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+        |    lag(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2,
+        |    lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS r1,
+        |    lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS r2
+        |  FROM w),
+        |pr AS (SELECT center, ctxw FROM (
+        |    SELECT center, unnest([l1, l2, r1, r2]) AS ctxw FROM ctx)
+        |  WHERE ctxw IS NOT NULL),
+        |pc AS (SELECT center, ctxw AS context, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM pr GROUP BY center, ctxw),
+        |top AS (SELECT center, context, cnt FROM pc
+        |        ORDER BY cnt DESC, center, context LIMIT 30)
+        |SELECT center, context, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, center, context) AS BIGINT) AS rank
+        |FROM top""".stripMargin
   )
 }

@@ -176,6 +176,57 @@ class StatsQueriesSpec extends SparkSpec {
     assert(row.getAs[Long]("closure_permille") === 0L)
   }
 
+  test("AUC: perfect separation 1.0, reversed 0.0, constant score 0.5 (midrank ties)") {
+    def auc(userScores: Seq[(Long, Int, Boolean)]): Long = {
+      // (user, clicks, converts)
+      asEvents(userScores.flatMap { case (u, clicks, conv) =>
+        (0 until clicks).map(i => (u * 100 + i, ts(1), u, "click", 0.0)) ++
+          (if (conv) Seq((u * 100 + 99, ts(2), u, "purchase", 500.0)) else
+            Seq((u * 100 + 99, ts(2), u, "view", 0.0)))
+      })
+      spark.sql(StatsQueries.aucSql).collect().head.getAs[Long]("auc_micro")
+    }
+    assert(auc(Seq((1L, 1, false), (2L, 2, false), (3L, 3, true), (4L, 4, true))) === 1000000L)
+    assert(auc(Seq((1L, 1, true), (2L, 2, true), (3L, 3, false), (4L, 4, false))) === 0L)
+    assert(auc(Seq((1L, 2, true), (2L, 2, true), (3L, 2, false), (4L, 2, false))) === 500000L)
+  }
+
+  test("inter-arrival percentiles pick the exact order statistics of hand gaps") {
+    // one user, one type, events at minutes 0, 10, 30, 60, 160 -> gaps 10,20,30,100
+    val mins = Seq(0, 10, 30, 60, 160)
+    asEvents(mins.zipWithIndex.map { case (m, i) =>
+      (i.toLong, new Timestamp(java.time.Instant.parse("2024-03-01T00:00:00Z")
+        .plusSeconds(m * 60L).toEpochMilli), 1L, "e", 0.0) })
+    val rows = spark.sql(StatsQueries.interarrivalSql).collect()
+      .map(r => r.getAs[Long]("p") -> r.getAs[Long]("gap_minutes")).toMap
+    // n=4 gaps; k(p) = ((n-1)p) DIV 100 + 1 -> p50: 2nd=20, p90: 3rd=30, p99: 3rd=30
+    assert(rows === Map(50L -> 20L, 90L -> 30L, 99L -> 30L))
+  }
+
+  test("centroid drift: identical slices cosine 1, orthogonal slices cosine 0") {
+    def drift(vecs: Seq[(Long, Array[Float])]): (Long, Long) = {
+      vecs.toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+      val r = spark.sql(StatsQueries.centroidDriftSql).collect().head
+      (r.getAs[Long]("centroid_cosine_micro"), r.getAs[Long]("max_dim_shift_micro"))
+    }
+    // both slices centroid [3,4]: |sum|=5000 exactly, cosine exactly 1
+    val (c1, s1) = drift(Seq((0L, Array(3f, 4f)), (1L, Array(3f, 4f))))
+    assert(c1 === 1000000L); assert(s1 === 0L)
+    val (c0, s0) = drift(Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))))
+    assert(c0 === 0L); assert(s0 === 1000000L)
+  }
+
+  test("skip-gram pairs: window ±2 emits exactly the directed pairs of 'a b c d'") {
+    Seq((1L, "a b c d")).toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val rows = spark.sql(StatsQueries.skipgramSql).collect()
+      .map(r => (r.getAs[String]("center"), r.getAs[String]("context")) -> r.getAs[Long]("cnt"))
+      .toMap
+    val want = Seq("a" -> "b", "a" -> "c", "b" -> "a", "b" -> "c", "b" -> "d",
+      "c" -> "a", "c" -> "b", "c" -> "d", "d" -> "b", "d" -> "c")
+    assert(rows.keySet === want.toSet)
+    assert(rows.values.forall(_ === 1L))
+  }
+
   test("doc similarity: duplicated docs pair at jaccard 1000; singleton shingles never pair") {
     Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
