@@ -376,6 +376,134 @@ object StatsQueries extends QueryPack {
       |  CAST(row_number() OVER (ORDER BY cnt DESC, center, context) AS BIGINT) AS rank
       |FROM top""".stripMargin
 
+  /** Decile lift / cumulative-gains table for the click-count propensity
+    * score (x_auc's model-eval sibling): per equal-frequency score decile
+    * — assigned from the VALUE-GROUPED cumulative distribution, so a tie
+    * block lands in one decile and no per-user ranking happens — the
+    * conversion rate, lift vs base rate (integer cross-multiplied), and
+    * the share of all converters captured from the top decile down. All
+    * windows after the per-user reduction run over ≤ |distinct scores|
+    * rows, then ≤ 10 decile rows.
+    */
+  private[graft] val liftDecilesSql: String =
+    """WITH u AS (SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS score,
+      |    CAST(max(CASE WHEN event_type = 'purchase' AND value >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      |  FROM events GROUP BY user_id),
+      |v AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS c
+      |      FROM u GROUP BY score),
+      |w AS (SELECT score, p, c,
+      |    CAST(SUM(c) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend,
+      |    CAST(SUM(c) OVER () AS BIGINT) AS n
+      |  FROM v),
+      |d AS (SELECT (cend - 1) * 10 DIV n AS decile,
+      |    CAST(SUM(c) AS BIGINT) AS users, CAST(SUM(p) AS BIGINT) AS conv
+      |  FROM w GROUP BY (cend - 1) * 10 DIV n),
+      |t AS (SELECT decile, users, conv,
+      |    CAST(SUM(users) OVER () AS BIGINT) AS tot_u, CAST(SUM(conv) OVER () AS BIGINT) AS tot_c,
+      |    CAST(SUM(conv) OVER (ORDER BY decile DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_top
+      |  FROM d)
+      |SELECT CAST(decile AS BIGINT) AS decile, users AS n_users, conv AS n_conv,
+      |  CAST(conv * 1000 DIV users AS BIGINT) AS conv_permille,
+      |  CAST(CASE WHEN tot_c > 0 THEN conv * tot_u * 1000 DIV (users * tot_c) ELSE 0 END AS BIGINT) AS lift_permille,
+      |  CAST(CASE WHEN tot_c > 0 THEN cum_top * 1000 DIV tot_c ELSE 0 END AS BIGINT) AS cum_conv_share_permille
+      |FROM t""".stripMargin
+
+  /** Vocabulary coverage curve: the share of all token occurrences
+    * covered by the top-k most frequent words, at k ∈ {1, 2, 5, 10, 20,
+    * 50} — the tokenizer-vocab sizing audit. Token counting is one
+    * map-side explode + groupBy; ranking and the cumulative share run
+    * over the VOCABULARY-bounded word-count table only (the PMI-family
+    * caveat: a global window, but over a model-sized table).
+    */
+  private[graft] val vocabCoverageSql: String =
+    """WITH tok AS (
+      |  SELECT word FROM documents LATERAL VIEW explode(split(text, '\\s+')) t AS word
+      |  WHERE word != ''),
+      |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word),
+      |rk AS (SELECT word, c,
+      |    CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS k,
+      |    CAST(SUM(c) OVER (ORDER BY c DESC, word ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(c) OVER () AS BIGINT) AS tot
+      |  FROM wc)
+      |SELECT k, word AS kth_word, c AS kth_count,
+      |  CAST(cum * 1000 DIV tot AS BIGINT) AS coverage_permille
+      |FROM rk WHERE k IN (1, 2, 5, 10, 20, 50)""".stripMargin
+
+  /** Mutual information of three categorical features (event type, ISO
+    * weekday, 6-hour daypart) against the big-purchase event label — the
+    * feature-selection screen before model training. One events scan:
+    * each event explodes into its 3 (feature, value) entries, and every
+    * marginal (per-value, per-label, per-feature total) rides a window
+    * over the bounded cell table. Each cell's p·ln-ratio contribution is
+    * quantized to integer micro-nats at its smallest cardinality point
+    * (the x_cooccurrence_pmi libm discipline) so the final per-feature
+    * SUM is order-independent.
+    */
+  private[graft] val featureMiSql: String =
+    """WITH e AS (
+      |  SELECT fv.f AS f, fv.v AS v,
+      |    CASE WHEN event_type = 'purchase' AND value >= 200 THEN 1 ELSE 0 END AS y
+      |  FROM events LATERAL VIEW explode(array(
+      |    named_struct('f', 'event_type', 'v', event_type),
+      |    named_struct('f', 'weekday', 'v', CAST(weekday(ts) + 1 AS STRING)),
+      |    named_struct('f', 'daypart6h', 'v', CAST(hour(ts) DIV 6 AS STRING)))) t AS fv),
+      |cells AS (SELECT f, v, y, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY f, v, y),
+      |m AS (SELECT f, v, y, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY f, v) AS BIGINT) AS cx,
+      |    CAST(SUM(cnt) OVER (PARTITION BY f, y) AS BIGINT) AS cy,
+      |    CAST(SUM(cnt) OVER (PARTITION BY f) AS BIGINT) AS n
+      |  FROM cells),
+      |mi AS (SELECT f, CAST(count(*) AS BIGINT) AS n_cells,
+      |    CAST(SUM(CAST(FLOOR((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln((CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+      |      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS mi_micro
+      |  FROM m GROUP BY f)
+      |SELECT f AS feature, n_cells, mi_micro,
+      |  CAST(row_number() OVER (ORDER BY mi_micro DESC, f) AS BIGINT) AS rank
+      |FROM mi""".stripMargin
+
+  /** Population stability index of the event-value distribution between
+    * the first and second half of the observation window — the standard
+    * model-input drift gate (the ln-weighted sibling of
+    * x_distribution_drift's total-variation distance). Ten equal-width
+    * cent buckets from the global [min, max] (bounds + the day split
+    * point come from ONE auxiliary min/max scan, never a global window);
+    * the 2×10 grid is densified by an explode so empty buckets
+    * Laplace-smooth (+1) instead of dividing by zero; each bucket's
+    * (p1−p0)·ln(p1/p0) contribution quantizes to micro-units before the
+    * order-independent integer SUM.
+    */
+  private[graft] val psiSql: String =
+    """WITH c AS (SELECT unix_micros(ts) DIV 86400000000 AS day,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |st AS (SELECT min(cents) AS lo, max(cents) AS hi,
+      |    CAST((min(day) + max(day)) DIV 2 AS BIGINT) AS mid FROM c),
+      |b AS (SELECT CASE WHEN day < st.mid THEN 0 ELSE 1 END AS sl,
+      |    CAST(least(9, (cents - st.lo) * 10 DIV (st.hi - st.lo + 1)) AS BIGINT) AS bk
+      |  FROM c CROSS JOIN st),
+      |cells AS (SELECT sl, bk, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY sl, bk),
+      |grid AS (SELECT sl, bk FROM (SELECT explode(array(0, 1)) AS sl) s
+      |         CROSS JOIN (SELECT explode(sequence(0, 9)) AS bk) k),
+      |g AS (SELECT grid.sl, grid.bk, COALESCE(cells.cnt, 0) + 1 AS cnt
+      |      FROM grid LEFT JOIN cells ON cells.sl = grid.sl AND cells.bk = grid.bk),
+      |p AS (SELECT sl, bk, cnt, CAST(SUM(cnt) OVER (PARTITION BY sl) AS BIGINT) AS tot FROM g),
+      |pv AS (SELECT bk,
+      |    CAST(max(CASE WHEN sl = 0 THEN cnt END) AS BIGINT) AS c0,
+      |    CAST(max(CASE WHEN sl = 0 THEN tot END) AS BIGINT) AS t0,
+      |    CAST(max(CASE WHEN sl = 1 THEN cnt END) AS BIGINT) AS c1,
+      |    CAST(max(CASE WHEN sl = 1 THEN tot END) AS BIGINT) AS t1
+      |  FROM p GROUP BY bk),
+      |contrib AS (SELECT bk,
+      |    CAST(FLOOR((CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(t0 AS DOUBLE))
+      |      * ln((CAST(c1 AS DOUBLE) * CAST(t0 AS DOUBLE)) / (CAST(c0 AS DOUBLE) * CAST(t1 AS DOUBLE)))
+      |      * 1000000 + 0.5) AS BIGINT) AS psi_c
+      |  FROM pv)
+      |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+      |  CAST(SUM(psi_c) AS BIGINT) AS psi_micro,
+      |  CAST(max(psi_c) AS BIGINT) AS max_bucket_micro
+      |FROM contrib""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_ols_trend" -> ((s, dir) => events(s, dir, olsTrendSql)),
     "x_gini" -> ((s, dir) => events(s, dir, giniSql)),
@@ -434,7 +562,15 @@ object StatsQueries extends QueryPack {
     "x_skipgram_pairs" -> ((s, dir) => {
       Tables(s, dir, "documents").createOrReplaceTempView("documents")
       s.sql(skipgramSql)
-    })
+    }),
+
+    "x_lift_deciles" -> ((s, dir) => events(s, dir, liftDecilesSql)),
+    "x_vocab_coverage" -> ((s, dir) => {
+      Tables(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(vocabCoverageSql)
+    }),
+    "x_feature_mi" -> ((s, dir) => events(s, dir, featureMiSql)),
+    "x_psi" -> ((s, dir) => events(s, dir, psiSql))
   )
 
   def oracle: Map[String, String] = Map(
@@ -672,6 +808,100 @@ object StatsQueries extends QueryPack {
         |        ORDER BY cnt DESC, center, context LIMIT 30)
         |SELECT center, context, cnt,
         |  CAST(row_number() OVER (ORDER BY cnt DESC, center, context) AS BIGINT) AS rank
-        |FROM top""".stripMargin
+        |FROM top""".stripMargin,
+
+    "x_lift_deciles" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS score,
+        |    CAST(max(CASE WHEN event_type = 'purchase' AND value >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS c
+        |      FROM u GROUP BY score),
+        |w AS (SELECT score, p, c,
+        |    CAST(SUM(c) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS n
+        |  FROM v),
+        |d AS (SELECT (cend - 1) * 10 // n AS decile,
+        |    CAST(SUM(c) AS BIGINT) AS users, CAST(SUM(p) AS BIGINT) AS conv
+        |  FROM w GROUP BY (cend - 1) * 10 // n),
+        |t AS (SELECT decile, users, conv,
+        |    CAST(SUM(users) OVER () AS BIGINT) AS tot_u, CAST(SUM(conv) OVER () AS BIGINT) AS tot_c,
+        |    CAST(SUM(conv) OVER (ORDER BY decile DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_top
+        |  FROM d)
+        |SELECT CAST(decile AS BIGINT) AS decile, users AS n_users, conv AS n_conv,
+        |  CAST(conv * 1000 // users AS BIGINT) AS conv_permille,
+        |  CAST(CASE WHEN tot_c > 0 THEN conv * tot_u * 1000 // (users * tot_c) ELSE 0 END AS BIGINT) AS lift_permille,
+        |  CAST(CASE WHEN tot_c > 0 THEN cum_top * 1000 // tot_c ELSE 0 END AS BIGINT) AS cum_conv_share_permille
+        |FROM t""".stripMargin,
+
+    "x_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT word FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |  WHERE word != ''),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word),
+        |rk AS (SELECT word, c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS k,
+        |    CAST(SUM(c) OVER (ORDER BY c DESC, word ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER () AS BIGINT) AS tot
+        |  FROM wc)
+        |SELECT k, word AS kth_word, c AS kth_count,
+        |  CAST(cum * 1000 // tot AS BIGINT) AS coverage_permille
+        |FROM rk WHERE k IN (1, 2, 5, 10, 20, 50)""".stripMargin,
+
+    "x_feature_mi" ->
+      """WITH e AS (
+        |  SELECT 'event_type' AS f, event_type AS v,
+        |    CASE WHEN event_type = 'purchase' AND value >= 200 THEN 1 ELSE 0 END AS y FROM events
+        |  UNION ALL
+        |  SELECT 'weekday' AS f, CAST(isodow(ts) AS VARCHAR) AS v,
+        |    CASE WHEN event_type = 'purchase' AND value >= 200 THEN 1 ELSE 0 END AS y FROM events
+        |  UNION ALL
+        |  SELECT 'daypart6h' AS f, CAST(hour(ts) // 6 AS VARCHAR) AS v,
+        |    CASE WHEN event_type = 'purchase' AND value >= 200 THEN 1 ELSE 0 END AS y FROM events),
+        |cells AS (SELECT f, v, y, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY f, v, y),
+        |m AS (SELECT f, v, y, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY f, v) AS BIGINT) AS cx,
+        |    CAST(SUM(cnt) OVER (PARTITION BY f, y) AS BIGINT) AS cy,
+        |    CAST(SUM(cnt) OVER (PARTITION BY f) AS BIGINT) AS n
+        |  FROM cells),
+        |mi AS (SELECT f, CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(SUM(CAST(FLOOR((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln((CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE)) / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS mi_micro
+        |  FROM m GROUP BY f)
+        |SELECT f AS feature, n_cells, mi_micro,
+        |  CAST(row_number() OVER (ORDER BY mi_micro DESC, f) AS BIGINT) AS rank
+        |FROM mi""".stripMargin,
+
+    "x_psi" ->
+      """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |st AS (SELECT min(cents) AS lo, max(cents) AS hi,
+        |    CAST((min(day) + max(day)) // 2 AS BIGINT) AS mid FROM c),
+        |b AS (SELECT CASE WHEN day < st.mid THEN 0 ELSE 1 END AS sl,
+        |    CAST(least(9, (cents - st.lo) * 10 // (st.hi - st.lo + 1)) AS BIGINT) AS bk
+        |  FROM c CROSS JOIN st),
+        |cells AS (SELECT sl, bk, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY sl, bk),
+        |grid AS (SELECT sl, bk FROM (SELECT unnest([0, 1]) AS sl) s
+        |         CROSS JOIN (SELECT unnest(range(0, 10)) AS bk) k),
+        |g AS (SELECT grid.sl, grid.bk, COALESCE(cells.cnt, 0) + 1 AS cnt
+        |      FROM grid LEFT JOIN cells ON cells.sl = grid.sl AND cells.bk = grid.bk),
+        |p AS (SELECT sl, bk, cnt, CAST(SUM(cnt) OVER (PARTITION BY sl) AS BIGINT) AS tot FROM g),
+        |pv AS (SELECT bk,
+        |    CAST(max(CASE WHEN sl = 0 THEN cnt END) AS BIGINT) AS c0,
+        |    CAST(max(CASE WHEN sl = 0 THEN tot END) AS BIGINT) AS t0,
+        |    CAST(max(CASE WHEN sl = 1 THEN cnt END) AS BIGINT) AS c1,
+        |    CAST(max(CASE WHEN sl = 1 THEN tot END) AS BIGINT) AS t1
+        |  FROM p GROUP BY bk),
+        |contrib AS (SELECT bk,
+        |    CAST(FLOOR((CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(t0 AS DOUBLE))
+        |      * ln((CAST(c1 AS DOUBLE) * CAST(t0 AS DOUBLE)) / (CAST(c0 AS DOUBLE) * CAST(t1 AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT) AS psi_c
+        |  FROM pv)
+        |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(psi_c) AS BIGINT) AS psi_micro,
+        |  CAST(max(psi_c) AS BIGINT) AS max_bucket_micro
+        |FROM contrib""".stripMargin
   )
 }

@@ -227,6 +227,65 @@ class StatsQueriesSpec extends SparkSpec {
     assert(rows.values.forall(_ === 1L))
   }
 
+  test("lift deciles: distinct scores split evenly; top deciles carry all lift") {
+    // 10 users, score = user id (1..10 clicks), converters = top two scores
+    asEvents((1 to 10).flatMap { u =>
+      (0 until u).map(i => (u * 100L + i, ts(1), u.toLong, "click", 0.0)) ++
+        (if (u >= 9) Seq((u * 100L + 99, ts(2), u.toLong, "purchase", 500.0)) else Nil)
+    })
+    val rows = spark.sql(StatsQueries.liftDecilesSql).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_conv"),
+         r.getAs[Long]("lift_permille"), r.getAs[Long]("cum_conv_share_permille")))
+      .toMap
+    assert(rows.size === 10)
+    assert(rows(9L) === ((1L, 1L, 5000L, 500L)))   // top decile: 5x base rate, half the converters
+    assert(rows(8L) === ((1L, 1L, 5000L, 1000L)))  // top two deciles capture everyone
+    assert(rows(0L)._2 === 0L)
+    assert(rows(0L)._4 === 1000L)                  // cumulative share saturates
+  }
+
+  test("vocab coverage: cumulative share of top-k words over a hand corpus") {
+    Seq((1L, "a a a b b c")).toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val rows = spark.sql(StatsQueries.vocabCoverageSql).collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[String]("kth_word"), r.getAs[Long]("coverage_permille")))
+      .toMap
+    assert(rows === Map(1L -> (("a", 500L)), 2L -> (("b", 833L))))
+  }
+
+  test("feature MI: constant label scores zero for every feature; dependence ranks above") {
+    // all events are big purchases -> label constant -> MI exactly 0
+    asEvents((0 until 20).map(i => (i.toLong, ts(i % 5), i.toLong, "purchase", 300.0)))
+    val zeros = spark.sql(StatsQueries.featureMiSql).collect()
+    assert(zeros.forall(_.getAs[Long]("mi_micro") === 0L))
+
+    // conversion happens only on one weekday -> weekday MI strictly positive
+    // and at least the daypart MI (all events share one hour -> daypart is constant)
+    asEvents((0 until 14).map { i =>
+      val big = i % 7 == 0
+      (i.toLong, ts(i), i.toLong, "purchase", if (big) 300.0 else 10.0)
+    })
+    val mi = spark.sql(StatsQueries.featureMiSql).collect()
+      .map(r => r.getAs[String]("feature") -> r.getAs[Long]("mi_micro")).toMap
+    assert(mi("weekday") > 0L)
+    assert(mi("daypart6h") === 0L, "constant daypart must carry zero information")
+  }
+
+  test("PSI: identical half distributions score zero; a shifted half scores positive") {
+    // days 0 and 2 (split point = day 1): identical value multisets -> PSI 0
+    val base = Seq(1.0, 1.0, 5.0, 10.0, 10.0, 10.0)
+    asEvents(base.zipWithIndex.map { case (v, i) => (i.toLong, ts(0), 1L, "e", v) } ++
+      base.zipWithIndex.map { case (v, i) => (100L + i, ts(2), 1L, "e", v) })
+    val zero = spark.sql(StatsQueries.psiSql).collect().head
+    assert(zero.getAs[Long]("psi_micro") === 0L)
+    assert(zero.getAs[Long]("n_buckets") === 10L)
+
+    // second half shifted to the top bucket -> PSI strictly positive
+    asEvents(base.zipWithIndex.map { case (v, i) => (i.toLong, ts(0), 1L, "e", v) } ++
+      base.zipWithIndex.map { case (_, i) => (100L + i, ts(2), 1L, "e", 10.0) })
+    assert(spark.sql(StatsQueries.psiSql).collect().head.getAs[Long]("psi_micro") > 0L)
+  }
+
   test("doc similarity: duplicated docs pair at jaccard 1000; singleton shingles never pair") {
     Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
