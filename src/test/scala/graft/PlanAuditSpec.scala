@@ -281,4 +281,43 @@ class PlanAuditSpec extends SparkSpec {
       assert(scans == 1, s"$n: expected one source scan, saw $scans")
     }
   }
+
+  test("stats pack reads its source exactly once per query") {
+    // the explode-to-ledger alignment (forecast/autocorr), value-grouped
+    // rank sums (gini/auc/lift), windowed marginals (chi²/MI), and the
+    // single-window survival reduction all exist to keep these at ONE
+    // corpus scan — a second scan line means a CTE got inlined twice
+    Seq("x_ols_trend", "x_gini", "x_chi_square", "x_forecast_backtest",
+        "x_autocorrelation", "x_interarrival", "x_auc", "x_lift_deciles",
+        "x_feature_mi", "x_vocab_coverage", "x_centroid_drift",
+        "x_skipgram_pairs").foreach { n =>
+      val scans = plan(n).linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*"))
+      assert(scans == 1, s"$n: expected one source scan, saw $scans")
+    }
+    // survival (scalar-subquery corpus end) and PSI (bounds/split-point
+    // probe) each pay exactly one extra min/max pass — never more
+    Seq("x_survival_hazard", "x_psi").foreach { n =>
+      val scans = plan(n).linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*"))
+      assert(scans == 2, s"$n: expected main scan + one min/max probe, saw $scans")
+    }
+  }
+
+  test("stats-pack top-k queries fold into TakeOrdered; no cartesian products anywhere") {
+    assert(plan("x_skipgram_pairs").contains("TakeOrderedAndProject"))
+    val docSim = plan("x_doc_similarity")
+    assert(docSim.contains("TakeOrderedAndProject"))
+    Seq("x_doc_similarity", "x_triangle_count", "x_psi", "x_feature_mi").foreach { n =>
+      assert(!plan(n).contains("CartesianProduct"),
+        s"$n: no cartesian product may appear (1-row cross joins must broadcast)")
+    }
+  }
+
+  test("triangle count runs over the checkpointed edge table, not re-derived scans") {
+    // the support-2 edge build happens once at view-build time; the
+    // triangle/degree/orientation joins must read the in-memory leaf
+    val p = plan("x_triangle_count")
+    val scans = p.linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*"))
+    assert(scans == 0, s"triangle query must not re-scan lineitem, saw $scans parquet scans")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p.take(500))
+  }
 }
