@@ -504,6 +504,93 @@ object StatsQueries extends QueryPack {
       |  CAST(max(psi_c) AS BIGINT) AS max_bucket_micro
       |FROM contrib""".stripMargin
 
+  /** Per-language document-novelty profile: the share of each doc's
+    * 3-word shingles appearing NOWHERE else in the corpus (df = 1), the
+    * data-curation dual of x_boilerplate_strip (which removes the df-heavy
+    * end). Low-novelty docs are near-copies or template spam. Aggregated
+    * per language: mean novelty and the count of docs under 200‰. The
+    * shingle view feeds both the df roll-up and the per-doc join — cached
+    * (CTE-inlining discipline). Output is language-bounded.
+    */
+  private[graft] val docNoveltySql: String =
+    """WITH df AS (SELECT shingle_h, CAST(count(*) AS BIGINT) AS c
+      |           FROM novelty_sh GROUP BY shingle_h),
+      |per AS (SELECT s.doc_id, s.lang,
+      |    CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(SUM(CASE WHEN df.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+      |  FROM novelty_sh s JOIN df ON df.shingle_h = s.shingle_h
+      |  GROUP BY s.doc_id, s.lang),
+      |sc AS (SELECT lang, n_grams, n_unique,
+      |    n_unique * 1000 DIV n_grams AS novelty_permille FROM per)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(novelty_permille) DIV count(*) AS BIGINT) AS mean_novelty_permille,
+      |  CAST(SUM(CASE WHEN novelty_permille < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_novelty
+      |FROM sc GROUP BY lang""".stripMargin
+
+  /** The per-doc hashed-shingle view for novelty, carrying lang (the
+    * shared SimilarityQueries twin does not).
+    */
+  private[graft] val noveltyShinglesSql: String =
+    s"""WITH w AS (SELECT doc_id, lang, split(text, '\\\\s+') AS words FROM documents
+       |       WHERE size(split(text, '\\\\s+')) >= 3)
+       |SELECT DISTINCT doc_id, lang, shingle_h FROM (
+       |  SELECT doc_id, lang, explode(transform(sequence(0, size(words)-3),
+       |    i -> ${TextQueries.h64("concat(words[i], ' ', words[i+1], ' ', words[i+2])")})) AS shingle_h FROM w)""".stripMargin
+
+  /** Shard-rebalance audit: what fraction of keys MOVE when a cluster
+    * grows 16 → 17 shards, under naive modulo placement vs rendezvous
+    * (highest-random-weight) hashing — the data-movement bill for
+    * resharding a 100 TB keyspace. HRW argmax is made deterministic and
+    * engine-portable by PACKING: (h DIV 32)·32 + i keeps the candidate
+    * index in the low 5 bits of a max-reducible 60-bit integer (no
+    * max_by tie semantics, no struct ordering). Modulo movement ≈ 16/17
+    * of keys; HRW movement ≈ 1/17 — the audit proves the scheme choice.
+    * One distinct-key scan, constant 17× explode.
+    */
+  private[graft] val shardRebalanceSql: String = {
+    val h = TextQueries.h64("concat(CAST(key AS STRING), '#', CAST(i AS STRING))")
+    s"""WITH k AS (SELECT DISTINCT user_id AS key FROM events),
+       |e AS (SELECT key, i, $h AS h
+       |      FROM k LATERAL VIEW explode(sequence(0, 16)) t AS i),
+       |a AS (SELECT key,
+       |    max(CASE WHEN i <= 15 THEN (h DIV 32) * 32 + i END) % 32 AS s16,
+       |    max((h DIV 32) * 32 + i) % 32 AS s17,
+       |    max(CASE WHEN i = 0 THEN h END) AS kh
+       |  FROM e GROUP BY key)
+       |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(SUM(CASE WHEN kh % 16 != kh % 17 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved,
+       |  CAST(SUM(CASE WHEN kh % 16 != kh % 17 THEN 1 ELSE 0 END) * 1000 DIV count(*) AS BIGINT) AS mod_moved_permille,
+       |  CAST(SUM(CASE WHEN s16 != s17 THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved,
+       |  CAST(SUM(CASE WHEN s16 != s17 THEN 1 ELSE 0 END) * 1000 DIV count(*) AS BIGINT) AS hrw_moved_permille
+       |FROM a""".stripMargin
+  }
+
+  /** Wilson 95% confidence interval for each event type's big-ticket
+    * rate (share of events with value ≥ $100) — the uncertainty band a
+    * metrics dashboard should draw instead of a bare ratio. Closed form
+    * from exact integer (c, n) with z = 196/100 as an exact rational;
+    * sqrt and the divisions are correctly-rounded IEEE over identical
+    * expression text (the x_power_analysis discipline), floored to
+    * micro-units. One scan, type-bounded output.
+    */
+  private[graft] val wilsonCiSql: String =
+    """WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n, c,
+      |  CAST(c * 1000 DIV n AS BIGINT) AS rate_permille,
+      |  CAST(FLOOR(((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / (2 * CAST(n AS DOUBLE)))
+      |    - (CAST(196 AS DOUBLE) / 100) * sqrt((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * (1 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+      |      + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |    / (1 + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS ci_low_micro,
+      |  CAST(FLOOR(((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / (2 * CAST(n AS DOUBLE)))
+      |    + (CAST(196 AS DOUBLE) / 100) * sqrt((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * (1 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+      |      + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |    / (1 + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS ci_high_micro
+      |FROM a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_ols_trend" -> ((s, dir) => events(s, dir, olsTrendSql)),
     "x_gini" -> ((s, dir) => events(s, dir, giniSql)),
@@ -570,7 +657,15 @@ object StatsQueries extends QueryPack {
       s.sql(vocabCoverageSql)
     }),
     "x_feature_mi" -> ((s, dir) => events(s, dir, featureMiSql)),
-    "x_psi" -> ((s, dir) => events(s, dir, psiSql))
+    "x_psi" -> ((s, dir) => events(s, dir, psiSql)),
+
+    "x_doc_novelty" -> ((s, dir) => {
+      Tables(s, dir, "documents").createOrReplaceTempView("documents")
+      Tables.cacheView("novelty_sh", s.sql(noveltyShinglesSql))
+      s.sql(docNoveltySql)
+    }),
+    "x_shard_rebalance" -> ((s, dir) => events(s, dir, shardRebalanceSql)),
+    "x_wilson_ci" -> ((s, dir) => events(s, dir, wilsonCiSql))
   )
 
   def oracle: Map[String, String] = Map(
@@ -902,6 +997,58 @@ object StatsQueries extends QueryPack {
         |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
         |  CAST(SUM(psi_c) AS BIGINT) AS psi_micro,
         |  CAST(max(psi_c) AS BIGINT) AS max_bucket_micro
-        |FROM contrib""".stripMargin
+        |FROM contrib""".stripMargin,
+
+    "x_doc_novelty" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS words FROM documents
+        |       WHERE len(string_split_regex(text, '\\s+')) >= 3),
+        |idx AS (SELECT doc_id, lang, words, unnest(generate_series(1, len(words)-2)) AS i FROM w),
+        |sh AS (SELECT DISTINCT doc_id, lang, ${TextQueries.duckH64("words[i] || ' ' || words[i+1] || ' ' || words[i+2]")} AS shingle_h FROM idx),
+        |df AS (SELECT shingle_h, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY shingle_h),
+        |per AS (SELECT s.doc_id, s.lang,
+        |    CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN df.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |  FROM sh s JOIN df ON df.shingle_h = s.shingle_h
+        |  GROUP BY s.doc_id, s.lang),
+        |sc AS (SELECT lang, n_grams, n_unique,
+        |    n_unique * 1000 // n_grams AS novelty_permille FROM per)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(novelty_permille) // count(*) AS BIGINT) AS mean_novelty_permille,
+        |  CAST(SUM(CASE WHEN novelty_permille < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_novelty
+        |FROM sc GROUP BY lang""".stripMargin,
+
+    "x_shard_rebalance" ->
+      s"""WITH k AS (SELECT DISTINCT user_id AS key FROM events),
+        |e AS (SELECT key, i, ${TextQueries.duckH64("key::VARCHAR || '#' || i::VARCHAR")} AS h
+        |      FROM k CROSS JOIN (SELECT unnest(range(0, 17)) AS i) t),
+        |a AS (SELECT key,
+        |    max(CASE WHEN i <= 15 THEN (h // 32) * 32 + i END) % 32 AS s16,
+        |    max((h // 32) * 32 + i) % 32 AS s17,
+        |    max(CASE WHEN i = 0 THEN h END) AS kh
+        |  FROM e GROUP BY key)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN kh % 16 != kh % 17 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved,
+        |  CAST(SUM(CASE WHEN kh % 16 != kh % 17 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS mod_moved_permille,
+        |  CAST(SUM(CASE WHEN s16 != s17 THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved,
+        |  CAST(SUM(CASE WHEN s16 != s17 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS hrw_moved_permille
+        |FROM a""".stripMargin,
+
+    "x_wilson_ci" ->
+      """WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) >= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, c,
+        |  CAST(c * 1000 // n AS BIGINT) AS rate_permille,
+        |  CAST(FLOOR(((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / (2 * CAST(n AS DOUBLE)))
+        |    - (CAST(196 AS DOUBLE) / 100) * sqrt((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * (1 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |    / (1 + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS ci_low_micro,
+        |  CAST(FLOOR(((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / (2 * CAST(n AS DOUBLE)))
+        |    + (CAST(196 AS DOUBLE) / 100) * sqrt((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * (1 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |    / (1 + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS ci_high_micro
+        |FROM a""".stripMargin
   )
 }

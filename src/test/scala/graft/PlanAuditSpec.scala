@@ -290,7 +290,7 @@ class PlanAuditSpec extends SparkSpec {
     Seq("x_ols_trend", "x_gini", "x_chi_square", "x_forecast_backtest",
         "x_autocorrelation", "x_interarrival", "x_auc", "x_lift_deciles",
         "x_feature_mi", "x_vocab_coverage", "x_centroid_drift",
-        "x_skipgram_pairs").foreach { n =>
+        "x_skipgram_pairs", "x_wilson_ci", "x_shard_rebalance").foreach { n =>
       val scans = plan(n).linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*"))
       assert(scans == 1, s"$n: expected one source scan, saw $scans")
     }

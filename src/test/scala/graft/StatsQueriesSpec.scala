@@ -286,6 +286,48 @@ class StatsQueriesSpec extends SparkSpec {
     assert(spark.sql(StatsQueries.psiSql).collect().head.getAs[Long]("psi_micro") > 0L)
   }
 
+  test("doc novelty: duplicated docs score 0, a unique doc scores 1000") {
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta", "en"),
+      (3L, "one two three four five six seven", "fr"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    Tables.cacheView("novelty_sh", spark.sql(StatsQueries.noveltyShinglesSql))
+    val rows = spark.sql(StatsQueries.docNoveltySql).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("mean_novelty_permille"), r.getAs[Long]("n_low_novelty")))
+      .toMap
+    assert(rows("en") === ((2L, 0L, 2L)))
+    assert(rows("fr") === ((1L, 1000L, 0L)))
+  }
+
+  test("shard rebalance: rendezvous hashing moves ~1/17 of keys, modulo moves ~16/17") {
+    asEvents((1 to 400).map(u => (u.toLong, ts(1), u.toLong, "e", 1.0)))
+    val r = spark.sql(StatsQueries.shardRebalanceSql).collect().head
+    assert(r.getAs[Long]("n_keys") === 400L)
+    val hrw = r.getAs[Long]("hrw_moved_permille")
+    val mod = r.getAs[Long]("mod_moved_permille")
+    assert(hrw < 200L, s"HRW movement should approximate 1/17 ≈ 59‰, saw $hrw")
+    assert(mod > 800L, s"modulo movement should approximate 16/17 ≈ 941‰, saw $mod")
+    assert(r.getAs[Long]("hrw_moved") > 0L, "some keys must still move under HRW")
+  }
+
+  test("Wilson CI brackets the point estimate and widens with smaller n") {
+    // same 50% rate at n=1000 and n=10: both intervals contain 0.5,
+    // and the small-sample band is strictly wider
+    asEvents(
+      (0 until 1000).map(i => (i.toLong, ts(1), 1L, "big_n", if (i < 500) 150.0 else 1.0)) ++
+      (0 until 10).map(i => (5000L + i, ts(1), 2L, "small_n", if (i < 5) 150.0 else 1.0)))
+    val rows = spark.sql(StatsQueries.wilsonCiSql).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("ci_low_micro"), r.getAs[Long]("ci_high_micro"))).toMap
+    val (bl, bh) = rows("big_n"); val (sl, sh) = rows("small_n")
+    assert(bl < 500000L && 500000L < bh)
+    assert(sl < 500000L && 500000L < sh)
+    assert(sl < bl && bh < sh, "small-sample interval must be strictly wider")
+    assert(bh - bl < 70000L, "n=1000 at p=.5 has a ±3.1% Wilson band")
+  }
+
   test("doc similarity: duplicated docs pair at jaccard 1000; singleton shingles never pair") {
     Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
