@@ -665,7 +665,27 @@ object StatsQueries extends QueryPack {
       s.sql(docNoveltySql)
     }),
     "x_shard_rebalance" -> ((s, dir) => events(s, dir, shardRebalanceSql)),
-    "x_wilson_ci" -> ((s, dir) => events(s, dir, wilsonCiSql))
+    "x_wilson_ci" -> ((s, dir) => events(s, dir, wilsonCiSql)),
+
+    // Iterative BPE tokenizer training (ops.BpeTrainer): 6 merges over
+    // the corpus word-frequency table; output is the learned rule list —
+    // deterministic (exact long counts, lexicographic tie-break), so the
+    // row content is stable, but the k-iteration loop is not
+    // SQL-expressible in one statement → rows-only check here, exact
+    // distributed==reference equality in BpeTrainerSpec, and the first
+    // iteration's pair table is the hash-checked x_bpe_pairs oracle.
+    "x_bpe_train" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val words = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val (model, _) = graft.ops.BpeTrainer.train(words, merges = 6)
+      import s.implicits._
+      model.rules.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong + 1, a, b, a + b) }
+        .toDF("merge_idx", "left", "right", "merged")
+    })
   )
 
   def oracle: Map[String, String] = Map(
