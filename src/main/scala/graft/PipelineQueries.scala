@@ -141,6 +141,22 @@ object PipelineQueries extends QueryPack {
     // against the oracle's identical redaction). Pure per-row map — no
     // shuffle at all; at 100 TB this is the classic pre-training scrub
     // pass that rides along with the first scan.
+    // Privacy audit: k-anonymity / l-diversity over quasi-identifier
+    // groups (language x length-bucket). Each group reports its size
+    // (k), how many distinct sources it spans (l), and whether it meets
+    // k>=10 / l>=3 — the release-gate a governed corpus checks before
+    // rows with rare attribute combinations leak identity. One
+    // map-combinable groupBy over the scan; output is bounded by the QI
+    // domain, never corpus-sized.
+    "x_k_anonymity" -> ((s, dir) => docs(s, dir,
+      """SELECT lang, CAST(n_chars DIV 100 AS BIGINT) AS len_bucket,
+        |  count(*) AS group_size,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS l_diversity,
+        |  count(*) >= 10 AS k_anonymous,
+        |  count(DISTINCT source) >= 3 AS l_diverse
+        |FROM documents
+        |GROUP BY lang, n_chars DIV 100""".stripMargin)),
+
     "x_pii_redaction" -> ((s, dir) => docs(s, dir,
       s"""WITH $sparkEnriched,
          |r AS (
@@ -868,6 +884,15 @@ object PipelineQueries extends QueryPack {
          |  CAST(count(e.gram_h) AS DOUBLE) / count(*) >= 0.25 AS flagged
          |FROM corpus c LEFT JOIN eval_g e ON e.gram_h = c.gram_h
          |GROUP BY c.doc_id""".stripMargin,
+
+    "x_k_anonymity" ->
+      """SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+        |  count(*) AS group_size,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS l_diversity,
+        |  count(*) >= 10 AS k_anonymous,
+        |  count(DISTINCT source) >= 3 AS l_diverse
+        |FROM documents
+        |GROUP BY lang, n_chars // 100""".stripMargin,
 
     "x_pii_redaction" ->
       s"""WITH enriched_src AS (SELECT doc_id, text FROM documents),

@@ -47,6 +47,35 @@ object RetrievalQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Contrastive topic keywords (c-TF-IDF): the top-5 terms that most
+    // DISTINGUISH each source group — "what is in my corpus, per slice",
+    // the first question asked of a new training mix. Group-level tf is
+    // one map-combinable aggregate over the tokenize scan (corpus rows
+    // shuffle once, on (source, word)); the group-frequency table gf and
+    // the group count are vocabulary-sized and broadcast back; scores are
+    // exact integer products of tf with a per-word micro-nat idf, so
+    // ranking ties break identically in both engines.
+    "x_topic_keywords" -> ((s, dir) => docs(s, dir,
+      """WITH tok AS (
+        |  SELECT source, word
+        |  FROM documents LATERAL VIEW explode(split(text, '\\s+')) t AS word
+        |  WHERE word != ''),
+        |tf AS (SELECT source, word, count(*) AS tf FROM tok GROUP BY source, word),
+        |gf AS (SELECT word, count(*) AS gf FROM tf GROUP BY word),
+        |ns AS (SELECT count(DISTINCT source) AS n FROM documents),
+        |idf AS (SELECT word, gf,
+        |  CAST(floor(ln(1.0D + CAST(n AS DOUBLE) / gf) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+        |  FROM gf CROSS JOIN ns),
+        |scored AS (
+        |  SELECT tf.source, tf.word, tf.tf, i.gf, tf.tf * i.idf_micro AS score_micro
+        |  FROM tf JOIN idf i ON i.word = tf.word)
+        |SELECT source, word, CAST(tf AS BIGINT) AS tf, CAST(gf AS BIGINT) AS n_groups_with_word,
+        |  score_micro, rank
+        |FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY score_micro DESC, word) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin)),
+
     // TF-IDF: top-3 terms per document. df is one tiny vocabulary-sized
     // aggregate joined back (broadcast at scale); idf quantized to
     // micro-nats per word, scores are exact integer products.
@@ -233,6 +262,27 @@ object RetrievalQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "x_topic_keywords" ->
+      """WITH tok AS (
+        |  SELECT source, word FROM (
+        |    SELECT source, unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |  WHERE word != ''),
+        |tf AS (SELECT source, word, count(*) AS tf FROM tok GROUP BY source, word),
+        |gf AS (SELECT word, count(*) AS gf FROM tf GROUP BY word),
+        |ns AS (SELECT count(DISTINCT source) AS n FROM documents),
+        |idf AS (SELECT word, gf,
+        |  CAST(floor(ln(1.0 + CAST(n AS DOUBLE) / gf) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+        |  FROM gf CROSS JOIN ns),
+        |scored AS (
+        |  SELECT tf.source, tf.word, tf.tf, idf.gf, tf.tf * idf.idf_micro AS score_micro
+        |  FROM tf JOIN idf ON idf.word = tf.word)
+        |SELECT source, word, CAST(tf AS BIGINT) AS tf, CAST(gf AS BIGINT) AS n_groups_with_word,
+        |  score_micro, rank
+        |FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY score_micro DESC, word) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
     "x_inverted_index" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term

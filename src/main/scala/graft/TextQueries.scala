@@ -30,6 +30,31 @@ object TextQueries extends QueryPack {
   def duckH64(x: String): String =
     s"('0x' || substr(md5($x),1,15))::BIGINT"
 
+  /** Fixed rank-ordered merge table for `x_bpe_encode` — the "apply a
+    * trained tokenizer at scale" half of the BPE story (`x_bpe_train`
+    * learns merges; this APPLIES a given table corpus-wide). The merges
+    * are literals so the DuckDB oracle can apply the identical table:
+    * both engines fold them over a `(c)(h)(a)(r)`-wrapped word in rank
+    * order, and a single left-to-right non-overlapping `replace` pass per
+    * merge is exactly greedy BPE application (symbols never contain
+    * parentheses, so the textual pattern `(a)(b)` matches precisely the
+    * adjacent symbol pairs, and a replacement can never complete a new
+    * occurrence of its own pattern).
+    */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "b", "l" -> "e", "ab" -> "le",
+    "t" -> "able", "i" -> "n", "in" -> "e", "l" -> "ine", "o" -> "w",
+    "r" -> "ow", "d" -> "a", "t" -> "a", "da" -> "ta")
+
+  /** Nested `replace` chain applying [[bpeMerges]] in rank order to a
+    * wrapped-symbol string expression (same surface syntax in both
+    * engines).
+    */
+  private def bpeChain(seed: String): String =
+    bpeMerges.foldLeft(seed) { case (acc, (a, b)) =>
+      s"replace($acc, '($a)($b)', '($a$b)')"
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace tokens + a BPE-ish regex segmentation.
@@ -127,18 +152,44 @@ object TextQueries extends QueryPack {
         |  start_tok DIV 2048 <> (start_tok + n_tokens - 1) DIV 2048 AS spans_boundary
         |FROM packed""".stripMargin)),
 
-    // Equal-frequency bucketing (NTILE) — the declared exact BASELINE,
-    // kept deliberately: its global ORDER BY funnels one partition
-    // (PlanAuditSpec asserts exactly that), which is the anti-pattern its
-    // scale-safe sibling `x_bucket_boundaries` (just below) replaces with
-    // approx_percentile boundaries + broadcast assignment. Do not
-    // "optimize" this query into the sketch form — it is the exact-answer
-    // oracle row the sketch's balance contract is judged against.
+    // Equal-frequency bucketing (NTILE), EXACT and distributed. A naive
+    // `ntile(10) OVER (ORDER BY ...)` funnels the whole table through one
+    // Exchange SinglePartition — the last global sort this board carried
+    // (r10-r12's declared perf-weak entry). This form computes the SAME
+    // answer (bit-identical to the DuckDB ntile oracle) with the classic
+    // histogram-rank decomposition:
+    //   1. per-value counts (one hash shuffle on n_chars, map-combined);
+    //   2. a running-sum window over the DISTINCT-value histogram only —
+    //      the single-partition pass touches |distinct lengths| rows
+    //      (bounded by the length domain, ~10^4), never the corpus;
+    //   3. global rank = broadcast offset + row_number PARTITION BY
+    //      n_chars (hash-parallel, no range exchange anywhere);
+    //   4. the rank->bucket map is ntile's closed form: the first N%10
+    //      buckets take ceil(N/10) rows, the rest floor(N/10).
+    // PlanAuditSpec pins the contract: no RangePartitioning, and the
+    // full-table window runs under hashpartitioning(n_chars).
     "x_ntile_bucketing" -> ((s, dir) => run(s, dir,
-      """WITH b AS (
+      """WITH c AS (
+        |  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY n_chars),
+        |o AS (
+        |  SELECT n_chars, cnt,
+        |    coalesce(sum(cnt) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS off,
+        |    sum(cnt) OVER () AS n_total
+        |  FROM c),
+        |r AS (
+        |  SELECT /*+ BROADCAST(o) */ d.doc_id, d.n_chars, o.n_total,
+        |    o.off + row_number() OVER (PARTITION BY d.n_chars ORDER BY d.doc_id) AS rnk
+        |  FROM documents d JOIN o ON d.n_chars = o.n_chars),
+        |b AS (
         |  SELECT doc_id, n_chars,
-        |    CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
-        |  FROM documents)
+        |    CAST(CASE
+        |      WHEN rnk <= (n_total % 10) * (n_total DIV 10 + 1)
+        |      THEN (rnk - 1) DIV (n_total DIV 10 + 1) + 1
+        |      ELSE (n_total % 10)
+        |        + (rnk - (n_total % 10) * (n_total DIV 10 + 1) - 1) DIV (n_total DIV 10) + 1
+        |    END AS BIGINT) AS bucket
+        |  FROM r)
         |SELECT bucket, count(*) AS n_docs,
         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
@@ -217,6 +268,30 @@ object TextQueries extends QueryPack {
         |pc AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM pairs GROUP BY pair)
         |SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS pos
         |FROM pc ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
+    // Tokenizer APPLICATION at scale: encode every word of every document
+    // under a fixed rank-ordered BPE merge table (see [[bpeMerges]]).
+    // This is the encode pass a training pipeline runs corpus-wide after
+    // `x_bpe_train` learns the merges: a pure per-row map — HOF transform
+    // + a folded replace chain, all inside whole-stage codegen — with
+    // ZERO shuffles (the plan is scan -> project). Per-doc outputs are
+    // the word/token counts, the tokens-per-word fertility (micro), and
+    // a 60-bit hash of the full encoded sequence so the oracle compare
+    // pins the exact segmentation, not just the counts.
+    "x_bpe_encode" -> ((s, dir) => run(s, dir,
+      s"""WITH w AS (SELECT doc_id, split(text, '\\\\s+') AS words FROM documents),
+         |e AS (SELECT doc_id,
+         |        transform(words, x -> ${bpeChain("regexp_replace(x, '(.)', '($1)')")}) AS enc
+         |      FROM w),
+         |t AS (SELECT doc_id, enc,
+         |        CAST(size(enc) AS BIGINT) AS n_words,
+         |        CAST(aggregate(enc, CAST(0 AS BIGINT),
+         |          (acc, x) -> acc + length(x) - length(replace(x, '(', ''))) AS BIGINT) AS n_tokens
+         |      FROM e)
+         |SELECT doc_id, n_words, n_tokens,
+         |  n_tokens * 1000000 DIV n_words AS fertility_micro,
+         |  ${h64("array_join(enc, '|')")} AS enc_hash
+         |FROM t""".stripMargin)),
 
     // Readability profile per language: mean word length, mean sentence
     // length (periods as sentence marks), and long-word share — the
@@ -407,6 +482,21 @@ object TextQueries extends QueryPack {
         |pc AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM pairs GROUP BY pair)
         |SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS pos
         |FROM pc ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "x_bpe_encode" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents),
+         |e AS (SELECT doc_id,
+         |        list_transform(words, x -> ${bpeChain("regexp_replace(x, '(.)', '(\\1)', 'g')")}) AS enc
+         |      FROM w),
+         |t AS (SELECT doc_id, enc,
+         |        CAST(len(enc) AS BIGINT) AS n_words,
+         |        CAST(list_sum(list_transform(enc,
+         |          x -> len(x) - len(replace(x, '(', '')))) AS BIGINT) AS n_tokens
+         |      FROM e)
+         |SELECT doc_id, n_words, n_tokens,
+         |  n_tokens * 1000000 // n_words AS fertility_micro,
+         |  ${duckH64("array_to_string(enc, '|')")} AS enc_hash
+         |FROM t""".stripMargin,
 
     "x_readability" ->
       """WITH w AS (

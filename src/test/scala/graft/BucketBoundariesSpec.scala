@@ -24,12 +24,30 @@ class BucketBoundariesSpec extends SparkSpec {
     assert(bb.values.forall(identity))
   }
 
-  test("boundaries form plans without a global sort or window; ntile form needs one") {
+  test("boundaries form plans without a global sort or window") {
     val bbPlan = SparkEntry.queries("x_bucket_boundaries")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(!bbPlan.contains("Sort") && !bbPlan.contains("Window"))
-    val ntPlan = SparkEntry.queries("x_ntile_bucketing")(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert(ntPlan.contains("Window")) // the contrast the scale path removes
+  }
+
+  test("distributed exact ntile equals the naive single-partition ntile bit-for-bit") {
+    // the histogram-rank decomposition must reproduce ntile(10) OVER
+    // (ORDER BY n_chars, doc_id) exactly — same buckets, same counts,
+    // same min/max — on the real table; the naive form lives only here,
+    // as the reference answer, never in a benched query
+    Tables(spark, dir, "documents").createOrReplaceTempView("documents")
+    val naive = spark.sql(
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM b GROUP BY bucket""".stripMargin)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val dist = SparkEntry.queries("x_ntile_bucketing")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(dist == naive)
   }
 }

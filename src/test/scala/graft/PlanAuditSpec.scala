@@ -53,16 +53,21 @@ class PlanAuditSpec extends SparkSpec {
       s"range must push through the DV anti-join into the scan:\n$p")
   }
 
-  test("scale-safe bucketing has no global sort; the ntile baseline funnels one partition") {
+  test("equal-frequency bucketing never range-partitions; full-table window is hash-parallel") {
     // the sketch-based form assigns buckets with no Window operator and
-    // no global-sort exchange anywhere in the plan; the exact-ntile
-    // baseline shows the anti-pattern it replaces: an unpartitioned
-    // Window fed through Exchange SinglePartition
+    // no global-sort exchange anywhere in the plan
     val sketch = plan("x_bucket_boundaries").toLowerCase
     assert(!sketch.contains("rangepartitioning"))
     assert(!sketch.contains(" window"))
+    // the EXACT form (histogram-rank decomposition) must also avoid the
+    // global sort: no RangePartitioning anywhere, and its per-row window
+    // (row_number) runs under hashpartitioning(n_chars) — the only
+    // single-partition pass allowed is over the distinct-length histogram
     val ntile = plan("x_ntile_bucketing").toLowerCase
-    assert(ntile.contains(" window") && ntile.contains("singlepartition"))
+    assert(!ntile.contains("rangepartitioning"),
+      "exact ntile must not reintroduce a global sort")
+    assert(ntile.contains("hashpartitioning(n_chars"),
+      "the full-table rank window must be hash-partitioned on n_chars")
   }
 
   test("banded similarity paths never degrade to a cartesian join") {
