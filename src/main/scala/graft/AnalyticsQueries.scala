@@ -72,6 +72,49 @@ object AnalyticsQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Bucketed co-located join: both sides are written CLUSTERED BY the
+    // join key into the same bucket count, so the SortMergeJoin reads
+    // bucket i of orders against bucket i of customer directly — ZERO
+    // shuffle exchanges anywhere in the plan (PlanAuditSpec pins it),
+    // and the per-custkey aggregate after the join reuses the same
+    // bucket distribution for free. THIS is the 100 TB join strategy
+    // for fact-fact joins too big to broadcast: pay the shuffle once at
+    // write time, then every subsequent join/aggregate on the bucket
+    // key is exchange-free. The MERGE hint keeps the demonstration
+    // honest at small SF (Catalyst would otherwise broadcast the
+    // customer side and hide the co-location).
+    "x_bucketed_join" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${dir.replaceAll("[^a-z0-9.]", "_")}"
+      def freshBucketed(table: String, ddl: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val d = new java.io.File(s"$base/$table")
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        if (d.exists()) del(d)
+        s.sql(ddl)
+      }
+      freshBucketed("bkt_orders",
+        s"""CREATE TABLE bkt_orders USING PARQUET
+           |CLUSTERED BY (o_custkey) INTO 8 BUCKETS
+           |LOCATION '$base/bkt_orders'
+           |AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders""".stripMargin)
+      freshBucketed("bkt_customer",
+        s"""CREATE TABLE bkt_customer USING PARQUET
+           |CLUSTERED BY (c_custkey) INTO 8 BUCKETS
+           |LOCATION '$base/bkt_customer'
+           |AS SELECT c_custkey, c_mktsegment FROM customer""".stripMargin)
+      s.sql(
+        """SELECT /*+ MERGE(c) */ o.o_custkey AS custkey, c.c_mktsegment AS mktsegment,
+          |  count(*) AS n_orders,
+          |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+          |FROM bkt_orders o JOIN bkt_customer c ON c.c_custkey = o.o_custkey
+          |GROUP BY o.o_custkey, c.c_mktsegment""".stripMargin)
+    }),
+
     // Live distinct-count view: the maintained registers after the two
     // churn windows, summarized exactly like x_hll_distinct.
     "x_hll_view_incremental" -> ((s, dir) =>
@@ -361,6 +404,13 @@ object AnalyticsQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "x_bucketed_join" ->
+      """SELECT o.o_custkey AS custkey, c.c_mktsegment AS mktsegment,
+        |  count(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY o.o_custkey, c.c_mktsegment""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -70,6 +70,18 @@ class PlanAuditSpec extends SparkSpec {
       "the full-table rank window must be hash-partitioned on n_chars")
   }
 
+  test("bucketed co-located join: SortMergeJoin with zero shuffle exchanges end-to-end") {
+    // both sides CLUSTERED BY the join key into the same bucket count:
+    // the join AND the downstream per-key aggregate must read bucket i
+    // against bucket i with no Exchange anywhere — the pay-shuffle-once-
+    // at-write-time contract bucketing exists for
+    val df = SparkEntry.queries("x_bucketed_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"bucketed join must sort-merge:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed join + bucket-key aggregate must be exchange-free:\n$p")
+  }
+
   test("banded similarity paths never degrade to a cartesian join") {
     Seq("x_dedup_embedding", "x_ann_lsh", "x_ann_multiprobe", "x_dedup_minhash_lsh")
       .foreach { n =>
