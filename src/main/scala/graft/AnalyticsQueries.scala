@@ -70,7 +70,52 @@ object AnalyticsQueries extends QueryPack {
       })
     }
 
+  // ------------------------------------------------------------------
+  // Materialized-view auto-rewrite fixture (plans/MvRewrite): a CdcTable
+  // of events with integer cents, its MaterializedView on event_type,
+  // registered with the optimizer rule — memoized per (session, sf).
+  // ------------------------------------------------------------------
+  private val mvRewriteViews =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ops.MaterializedView]
+
+  private def rewriteView(s: SparkSession, dir: String): graft.ops.MaterializedView =
+    mvRewriteViews.synchronized {
+      mvRewriteViews.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      mvRewriteViews.getOrElseUpdate((s, dir), {
+        val root = java.nio.file.Files.createTempDirectory("graft_mvrw").toString
+        val ev = Tables(s, dir, "events")
+          .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .select("event_id", "event_type", "cents")
+        val t = new graft.ops.CdcTable(s, s"$root/events", Seq("event_id"),
+          retainVersions = 5)
+        t.init(ev)
+        val mv = new graft.ops.MaterializedView(s, t, s"$root/view",
+          Seq("event_type"), Seq("cents"), Seq("cents"))
+        mv.refresh()
+        graft.plans.MvRewrite.register(mv)
+        mv
+      })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Materialized-view AUTO-REWRITE: the query below is written against
+    // the BASE table — count/sum/min/max of integer cents per event_type
+    // over a full scan — and the injected optimizer rule
+    // (plans/MvRewrite, via GraftExtensions) substitutes the registered
+    // MaterializedView, so the executed plan reads the group-cardinality
+    // view files instead of the corpus (PlanAuditSpec pins the leaf
+    // swap; MvRewriteSpec pins every fallback guard). At 100 TB this is
+    // the dashboard accelerator: the table scan the user WROTE never
+    // runs; the maintained aggregate serves it.
+    "x_mv_rewrite" -> ((s, dir) => {
+      val mv = rewriteView(s, dir)
+      mv.table.read.groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+    }),
 
     // Bucketed co-located join: both sides are written CLUSTERED BY the
     // join key into the same bucket count, so the SortMergeJoin reads
@@ -404,6 +449,13 @@ object AnalyticsQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "x_mv_rewrite" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(MIN(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "x_bucketed_join" ->
       """SELECT o.o_custkey AS custkey, c.c_mktsegment AS mktsegment,
         |  count(*) AS n_orders,

@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotI64(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.TopKViaSortLimit)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinViaBuckets)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }

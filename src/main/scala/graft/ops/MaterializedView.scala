@@ -28,11 +28,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 final class MaterializedView(
     spark: SparkSession,
-    table: CdcTable,
+    val table: CdcTable,
     val path: String,
-    groupCols: Seq[String],
-    sumCols: Seq[String],
-    extCols: Seq[String] = Nil,
+    val groupCols: Seq[String],
+    val sumCols: Seq[String],
+    val extCols: Seq[String] = Nil,
     retainVersions: Int = 3) {
 
   private def pointer = new File(path, CdcTable.CurrentPointer)

@@ -82,6 +82,22 @@ class PlanAuditSpec extends SparkSpec {
       s"bucketed join + bucket-key aggregate must be exchange-free:\n$p")
   }
 
+  test("materialized-view auto-rewrite swaps the corpus scan for the view files") {
+    // the query is WRITTEN against the base table; the optimizer rule
+    // must leave the view relation as the only scan in the plan
+    val df = SparkEntry.queries("x_mv_rewrite")(spark, dir)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Seq("<non-fs>")
+        }
+    }.flatten
+    assert(leaves.nonEmpty && leaves.forall(_.contains("/view/")),
+      s"aggregate must be served from the materialized view, scanned:\n${leaves.mkString("\n")}")
+  }
+
   test("banded similarity paths never degrade to a cartesian join") {
     Seq("x_dedup_embedding", "x_ann_lsh", "x_ann_multiprobe", "x_dedup_minhash_lsh")
       .foreach { n =>
