@@ -75,12 +75,14 @@ object MvRewrite extends Rule[LogicalPlan] {
   private val regs = TrieMap.empty[String, Reg]
 
   /** Register `view` for automatic substitution of queries over its
-    * table. Re-registering a table replaces the prior view.
+    * table. Keyed by the VIEW's path: a table may carry several views
+    * with different group sets, and a query is served by whichever
+    * fresh view can answer it (its groups a superset of the query's).
     */
   def register(view: MaterializedView): Unit =
-    regs.put(view.table.path, Reg(view)): Unit
+    regs.put(view.path, Reg(view)): Unit
 
-  def unregister(view: MaterializedView): Unit = regs.remove(view.table.path): Unit
+  def unregister(view: MaterializedView): Unit = regs.remove(view.path): Unit
   def clear(): Unit = regs.clear()
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -113,27 +115,24 @@ object MvRewrite extends Rule[LogicalPlan] {
     val groupAttrs = groups.collect { case a: AttributeReference => a }
     if (groupAttrs.size != groups.size) return None
 
-    // structural match first (pure in-memory tree walk); the freshness
-    // and file-set checks touch the table's pointer/manifest, so they
-    // run only for plans that already look like a candidate
-    regs.values.find { r =>
-      unwrap(child, r.view.groupCols.map(_.toLowerCase).toSet).exists {
-        case (lr, _) => lr.relation match {
-          case h: HadoopFsRelation =>
-            r.fresh && {
-              val files = h.location.inputFiles.toSet
-              files.nonEmpty && files == r.currentFiles()
-            }
-          case _ => false
+    // try every registered view until one can serve the query; the
+    // structural match (pure in-memory tree walk) runs first — the
+    // freshness and file-set checks touch the table's pointer/manifest,
+    // so they run only for plans that already look like a candidate
+    regs.values.iterator.flatMap { r =>
+      val lowerGroups = r.view.groupCols.map(_.toLowerCase).toSet
+      if (!groupAttrs.forall(a => lowerGroups.contains(a.name.toLowerCase))) None
+      else unwrap(child, lowerGroups).flatMap {
+        case (lr, filters) => lr.relation match {
+          case h: HadoopFsRelation if r.fresh && {
+                val files = h.location.inputFiles.toSet
+                files.nonEmpty && files == r.currentFiles()
+              } =>
+            buildView(r.view, groupAttrs, aggExprs, filters)
+          case _ => None
         }
       }
-    }.flatMap { r =>
-      val v = r.view
-      val lowerGroups = v.groupCols.map(_.toLowerCase).toSet
-      val (_, filters) = unwrap(child, lowerGroups).get
-      if (!groupAttrs.forall(a => lowerGroups.contains(a.name.toLowerCase))) None
-      else buildView(v, groupAttrs, aggExprs, filters)
-    }
+    }.nextOption()
   }
 
   // ---- construction ------------------------------------------------

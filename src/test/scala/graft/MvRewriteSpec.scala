@@ -125,6 +125,70 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRewrite.unregister(mv)
   }
 
+  test("multiple views per table: each query is served by a view that can answer it") {
+    val root = tmpDir("mvrw7")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"), retainVersions = 10)
+    t.init(Seq(
+      (1L, Some("a"), Some("x"), Some(10L)), (2L, Some("a"), Some("y"), Some(3L)),
+      (3L, Some("b"), Some("x"), Some(20L))).toDF("id", "grp", "sub", "amt"))
+    val byGrp = new MaterializedView(spark, t, s"$root/view_grp", Seq("grp"), Seq("amt"))
+    val byGrpSub = new MaterializedView(spark, t, s"$root/view_grpsub", Seq("grp", "sub"), Seq("amt"))
+    byGrp.refresh(); byGrpSub.refresh()
+    MvRewrite.register(byGrp); MvRewrite.register(byGrpSub)
+    try {
+      // grouping by (grp, sub) is NOT derivable from the grp-only view —
+      // only the finer view can serve it
+      val fine = t.read.groupBy("grp", "sub").agg(sum("amt").as("s"))
+      assert(scansView(fine, byGrpSub), fine.queryExecution.optimizedPlan.treeString)
+      assert(fine.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq ==
+        Seq(("a", "x", 10L), ("a", "y", 3L), ("b", "x", 20L)))
+      // grouping by grp alone is derivable from EITHER view
+      val coarse = t.read.groupBy("grp").agg(count(lit(1)).as("n"))
+      assert(scansView(coarse, byGrp) || scansView(coarse, byGrpSub),
+        coarse.queryExecution.optimizedPlan.treeString)
+      assert(coarse.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq ==
+        Seq(("a", 2L), ("b", 1L)))
+    } finally { MvRewrite.unregister(byGrp); MvRewrite.unregister(byGrpSub) }
+  }
+
+  test("streaming-maintained view serves the rewrite between micro-batches") {
+    import graft.cdc.CdcPipeline
+    import graft.envelope.EnvelopeCodec
+    val root = tmpDir("mvrw8")
+    val envDir = s"$root/env"; val ckpt = s"$root/ckpt"; val tables = s"$root/tables"
+    def envelopes(ids: Range, tsBase: Long) = EnvelopeCodec.synthesize(
+      ids.map { i =>
+        (i.toLong, new java.sql.Timestamp(tsBase + i), i.toLong % 10,
+          if (i % 5 == 0) "error" else "click", i * 1.5, s"""{"k": $i}""")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+
+    // run 1: ingest with a declaratively-maintained view on event_type
+    envelopes(0 until 60, 1700000000000L).write.parquet(envDir)
+    val spec = CdcPipeline.ViewSpec("events", s"$root/view", Seq("event_type"), Seq("user_id"))
+    new CdcPipeline(spark, envDir, ckpt, tables, Seq(spec)).runOnce()
+    val t = new CdcTable(spark, s"$tables/events", Seq("event_id"))
+    val mv = new MaterializedView(spark, t, s"$root/view", Seq("event_type"), Seq("user_id"))
+    MvRewrite.register(mv)
+    try {
+      val q1 = t.read.groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(scansView(q1, mv), q1.queryExecution.optimizedPlan.treeString)
+      // event_type 'error' synthesizes as a CDC DELETE (EnvelopeCodec op
+      // mapping), so only the click rows land in the table
+      assert(q1.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq ==
+        Seq(("click", 48L)))
+
+      // run 2: more envelopes stream in; the PIPELINE refreshes the view
+      // inside its foreachBatch — the registered instance re-arms off the
+      // shared pointer with no re-registration
+      envelopes(60 until 100, 1800000000000L).write.mode("append").parquet(envDir)
+      new CdcPipeline(spark, envDir, ckpt, tables, Seq(spec)).runOnce()
+      val q2 = t.read.groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(scansView(q2, mv), q2.queryExecution.optimizedPlan.treeString)
+      assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq ==
+        Seq(("click", 80L)))
+    } finally MvRewrite.unregister(mv)
+  }
+
   test("rewritten and direct results agree on a randomized table (property net)") {
     val root = tmpDir("mvrw6")
     val rnd = new scala.util.Random(42)
