@@ -97,7 +97,55 @@ object AnalyticsQueries extends QueryPack {
       })
     }
 
+  // ------------------------------------------------------------------
+  // Join-view auto-rewrite fixture (plans/JoinRewrite): orders as the
+  // fact, customer as the dimension, the maintained denormalized view
+  // bootstrapped and marker'd exactly as the streaming pipeline would —
+  // memoized per (session, sf).
+  // ------------------------------------------------------------------
+  private val joinRewriteViews =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (graft.ops.CdcTable, graft.ops.CdcTable)]
+
+  private def joinRewriteFixture(s: SparkSession, dir: String): (graft.ops.CdcTable, graft.ops.CdcTable) =
+    joinRewriteViews.synchronized {
+      joinRewriteViews.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      joinRewriteViews.getOrElseUpdate((s, dir), {
+        val root = java.nio.file.Files.createTempDirectory("graft_jvrw").toString
+        val on = Seq("o_custkey" -> "c_custkey")
+        val fact = new graft.ops.CdcTable(s, s"$root/orders", Seq("o_orderkey"), retainVersions = 5)
+        fact.init(Tables(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"))
+        val dim = new graft.ops.CdcTable(s, s"$root/customer", Seq("c_custkey"), retainVersions = 5)
+        dim.init(Tables(s, dir, "customer").select("c_custkey", "c_mktsegment"))
+        val view = new graft.ops.CdcTable(s, s"$root/jview", Seq("o_orderkey"), retainVersions = 5)
+        view.init(graft.ops.JoinView.compute(fact.read, dim.read, on)
+          .withColumn(graft.ops.JoinView.TsCol,
+            lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(view.path, graft.cdc.CdcPipeline.ReflectedMarker),
+          s"orders:${fact.currentVersion.get}\ncustomer:${dim.currentVersion.get}"): Unit
+        graft.plans.JoinRewrite.register("orders", fact, "customer", dim, on, view)
+        (fact, dim)
+      })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // JOIN-view AUTO-REWRITE: the query is written as fact JOIN dim +
+    // aggregate — and the injected rule (plans/JoinRewrite) swaps the
+    // join subtree for the maintained denormalized view, so the
+    // fact-dim join the user wrote never executes; the aggregate then
+    // runs over the view's rows. The star-schema dashboard accelerator:
+    // at 100 TB the enrichment join is paid once, incrementally, in the
+    // view's CDC-driven refresh — not per query.
+    "x_join_rewrite" -> ((s, dir) => {
+      val (fact, dim) = joinRewriteFixture(s, dir)
+      val f = fact.read; val d = dim.read
+      f.join(d, f("o_custkey") === d("c_custkey"))
+        .groupBy("c_mktsegment").agg(
+          count(lit(1)).as("n_orders"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").as("total_spend"))
+        .withColumnRenamed("c_mktsegment", "mktsegment")
+    }),
 
     // Materialized-view AUTO-REWRITE: the query below is written against
     // the BASE table — count/sum/min/max of integer cents per event_type
@@ -449,6 +497,12 @@ object AnalyticsQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "x_join_rewrite" ->
+      """SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin,
+
     "x_mv_rewrite" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,

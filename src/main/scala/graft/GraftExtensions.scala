@@ -28,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.TopKViaSortLimit)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinViaBuckets)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.JoinRewrite)
   }
 }

@@ -98,6 +98,20 @@ class PlanAuditSpec extends SparkSpec {
       s"aggregate must be served from the materialized view, scanned:\n${leaves.mkString("\n")}")
   }
 
+  test("join-view auto-rewrite swaps the fact-dim join for the denormalized view") {
+    val df = SparkEntry.queries("x_join_rewrite")(spark, dir)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Seq("<non-fs>")
+        }
+    }.flatten
+    assert(leaves.nonEmpty && leaves.forall(_.contains("/jview/")),
+      s"join must be served from the maintained join view, scanned:\n${leaves.mkString("\n")}")
+  }
+
   test("banded similarity paths never degrade to a cartesian join") {
     Seq("x_dedup_embedding", "x_ann_lsh", "x_ann_multiprobe", "x_dedup_minhash_lsh")
       .foreach { n =>
