@@ -45,10 +45,17 @@ final class MaterializedView(
 
   /** Current view content: one row per group with `n_rows` and the sums. */
   def read: DataFrame = reflectedVersion match {
-    case Some(v) => spark.read.parquet(dir(v).getPath)
+    case Some(v) => readAt(v)
     case None =>
       throw new java.io.FileNotFoundException(s"no materialized view at $path — refresh() first")
   }
+
+  /** The view AS OF source-table version `v` (the caller checked the
+    * directory exists — e.g. a version captured from [[reflectedVersion]]).
+    * Lets a reader pin the exact refresh it validated against instead of
+    * racing a concurrent [[refresh]]'s pointer move.
+    */
+  def readAt(v: Long): DataFrame = spark.read.parquet(dir(v).getPath)
 
   /** Bring the view to the table's CURRENT version: full compute on
     * bootstrap, CDF signed-delta afterwards (provably equal to the

@@ -59,13 +59,18 @@ object JoinRewrite extends Rule[LogicalPlan] {
           f
       }
     }
-    /** The `_reflected` marker names every table at its current version. */
-    def fresh: Boolean = (for {
+    /** The view's own version, iff the `_reflected` marker names every
+      * source table at its current version — returned so the caller can
+      * PIN its read to the refresh it validated instead of racing a
+      * concurrent refresh's pointer move.
+      */
+    def freshViewVersion: Option[Long] = (for {
       fv <- fact.currentVersion
       dvs <- Some(dims.map(_.table.currentVersion)) if dvs.forall(_.isDefined)
       m <- JoinRewrite.readReflected(view.path)
-    } yield m == (factName -> fv) +: dims.zip(dvs).map { case (d, dv) => d.name -> dv.get })
-      .getOrElse(false)
+      if m == (factName -> fv) +: dims.zip(dvs).map { case (d, dv) => d.name -> dv.get }
+      vv <- view.currentVersion
+    } yield vv)
   }
 
   private val regs = TrieMap.empty[String, Reg]
@@ -167,7 +172,8 @@ object JoinRewrite extends Rule[LogicalPlan] {
     if (fileSets.exists(_.isEmpty) || fileSets.distinct.size != fileSets.size) return None
 
     regs.values.iterator.flatMap { r =>
-      if (rels.size != 1 + r.dims.size || !r.fresh) None
+      val pinned = if (rels.size == 1 + r.dims.size) r.freshViewVersion else None
+      if (pinned.isEmpty) None
       else {
         // assign each scanned relation to the fact or exactly one dim by
         // snapshot file-set identity
@@ -203,20 +209,22 @@ object JoinRewrite extends Rule[LogicalPlan] {
             }
           }
           if (perDim.forall(identity) && covered)
-            buildSwap(r, j, rels.flatMap(_._2))
+            buildSwap(r, pinned.get, j, rels.flatMap(_._2))
           else None
         }
       }
     }.nextOption()
   }
 
-  private def buildSwap(r: Reg, j: Join, filters: Seq[Expression]): Option[LogicalPlan] = {
+  private def buildSwap(r: Reg, pinnedViewVersion: Long, j: Join,
+                        filters: Seq[Expression]): Option[LogicalPlan] = {
     val out = j.output
     if (out.map(_.name.toLowerCase).distinct.size != out.size) return None
     // dimension join-key columns are dropped from the view — they carry
     // the fact's foreign-key values, so map them back to the fk column
     val keyToFk = r.dims.flatMap(_.on).map { case (f, k) => k.toLowerCase -> f }.toMap
-    val viewCols = r.view.read.columns.map(c => c.toLowerCase -> c).toMap
+    val viewDf = r.view.readVersion(pinnedViewVersion)
+    val viewCols = viewDf.columns.map(c => c.toLowerCase -> c).toMap
     def viewName(n: String): Option[String] =
       viewCols.get(n.toLowerCase)
         .orElse(keyToFk.get(n.toLowerCase).flatMap(f => viewCols.get(f.toLowerCase)))
@@ -226,7 +234,7 @@ object JoinRewrite extends Rule[LogicalPlan] {
     // expose the view under the ORIGINAL column names (dim keys aliased
     // from the fk), re-apply the collected filters, then pin the
     // original attribute ids
-    var vdf = r.view.read.select(out.zip(sources.flatten).map {
+    var vdf = viewDf.select(out.zip(sources.flatten).map {
       case (a, src) => col(src).as(a.name)
     }: _*)
     filters.foreach(f => vdf = vdf.filter(f.sql))

@@ -67,9 +67,13 @@ object MvRewrite extends Rule[LogicalPlan] {
         files
       }
     }
-    def fresh: Boolean =
-      view.reflectedVersion.isDefined &&
-        view.reflectedVersion == view.table.currentVersion
+    /** The reflected version, iff it matches the table's current
+      * version — returned so the caller can PIN its read to exactly the
+      * refresh it validated (a concurrent refresh's pointer move between
+      * this check and the read must not swap in newer content).
+      */
+    def freshVersion: Option[Long] =
+      view.reflectedVersion.filter(v => view.table.currentVersion.contains(v))
   }
 
   private val regs = TrieMap.empty[String, Reg]
@@ -124,11 +128,11 @@ object MvRewrite extends Rule[LogicalPlan] {
       if (!groupAttrs.forall(a => lowerGroups.contains(a.name.toLowerCase))) None
       else unwrap(child, lowerGroups).flatMap {
         case (lr, filters) => lr.relation match {
-          case h: HadoopFsRelation if r.fresh && {
-                val files = h.location.inputFiles.toSet
-                files.nonEmpty && files == r.currentFiles()
-              } =>
-            buildView(r.view, groupAttrs, aggExprs, filters)
+          case h: HadoopFsRelation =>
+            r.freshVersion.filter { _ =>
+              val files = h.location.inputFiles.toSet
+              files.nonEmpty && files == r.currentFiles()
+            }.flatMap(pv => buildView(r.view, pv, groupAttrs, aggExprs, filters))
           case _ => None
         }
       }
@@ -140,7 +144,8 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** Build the substituted plan with the DataFrame API over `view.read`,
     * then graft it under the original output attribute ids.
     */
-  private def buildView(v: MaterializedView, groupAttrs: Seq[AttributeReference],
+  private def buildView(v: MaterializedView, pinnedVersion: Long,
+                        groupAttrs: Seq[AttributeReference],
                         aggExprs: Seq[NamedExpression],
                         filters: Seq[Expression]): Option[LogicalPlan] = {
     val sumSet = v.sumCols.map(_.toLowerCase).toSet
@@ -202,7 +207,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (cols.exists(_.isEmpty)) return None
     val outCols = cols.flatten
 
-    var vdf: DataFrame = v.read
+    var vdf: DataFrame = v.readAt(pinnedVersion)
     filters.foreach(f => vdf = vdf.filter(f.sql))
     val aggCols = aggExprs.zip(outCols).collect {
       case (ne, c) if !ne.isInstanceOf[AttributeReference] => c
