@@ -926,7 +926,33 @@ object OlapQueries extends QueryPack {
         |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |       / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3_cents
-        |FROM c""".stripMargin))
+        |FROM c""".stripMargin)),
+
+    // Market-basket association rules: support / confidence / lift for
+    // part pairs co-ordered in the same order, top-25 by lift. The pair
+    // generator is a WITHIN-ORDER self-join, so candidate count is
+    // Σ_orders (basket_size choose 2) — basket sizes are bounded (~7
+    // lines/order in TPC-H-shaped data), never |parts|². Item counts are
+    // a combine-friendly groupBy that BROADCASTS back onto the bounded
+    // pair table; all ratios are exact integer cross-multiplications
+    // quantized to ppm (lift_ppm = c12·n·10⁶ DIV (c1·c2) — no floating
+    // point anywhere), and the global top-25 plans as TakeOrdered.
+    "x_market_basket" -> ((s, dir) => sql(s, dir,
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+        |itm AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY l_partkey),
+        |pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS c12
+        |       FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+        |       GROUP BY a.l_partkey, b.l_partkey
+        |       HAVING count(*) >= 2),
+        |r AS (SELECT p1, p2, c12, ia.c AS c1, ib.c AS c2,
+        |        c12 * 1000000 DIV nb.n AS support_ppm,
+        |        c12 * 1000000 DIV ia.c AS confidence_ppm,
+        |        c12 * nb.n * 1000000 DIV (ia.c * ib.c) AS lift_ppm
+        |      FROM pr JOIN itm ia ON ia.l_partkey = pr.p1 JOIN itm ib ON ib.l_partkey = pr.p2 CROSS JOIN nb)
+        |SELECT p1, p2, c12 AS c_both, c1, c2, support_ppm, confidence_ppm, lift_ppm,
+        |  CAST(row_number() OVER (ORDER BY lift_ppm DESC, p1, p2) AS BIGINT) AS rank
+        |FROM r ORDER BY lift_ppm DESC, p1, p2 LIMIT 25""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -1496,6 +1522,23 @@ object OlapQueries extends QueryPack {
         |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |       / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3_cents
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "x_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+        |itm AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY l_partkey),
+        |pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS c12
+        |       FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+        |       GROUP BY a.l_partkey, b.l_partkey
+        |       HAVING count(*) >= 2),
+        |r AS (SELECT p1, p2, c12, ia.c AS c1, ib.c AS c2,
+        |        c12 * 1000000 // nb.n AS support_ppm,
+        |        c12 * 1000000 // ia.c AS confidence_ppm,
+        |        c12 * nb.n * 1000000 // (ia.c * ib.c) AS lift_ppm
+        |      FROM pr JOIN itm ia ON ia.l_partkey = pr.p1 JOIN itm ib ON ib.l_partkey = pr.p2 CROSS JOIN nb)
+        |SELECT p1, p2, c12 AS c_both, c1, c2, support_ppm, confidence_ppm, lift_ppm,
+        |  CAST(row_number() OVER (ORDER BY lift_ppm DESC, p1, p2) AS BIGINT) AS rank
+        |FROM r ORDER BY lift_ppm DESC, p1, p2 LIMIT 25""".stripMargin
   )
 }

@@ -831,7 +831,29 @@ object PipelineQueries extends QueryPack {
         |  FROM t)
         |SELECT d AS digit, n, n * 1000000 DIV tot AS observed_ppm, benford_ppm,
         |  abs(n * 1000000 DIV tot - benford_ppm) AS dev_ppm
-        |FROM e""".stripMargin))
+        |FROM e""".stripMargin)),
+
+    // Time-decayed engagement features (feature-store freshness
+    // weighting): per-user spend decayed by a 7-day HALF-LIFE, computed
+    // as cents DIV 2^k where k = age_days DIV 7 from the corpus max day
+    // — the staircase half-life form keeps every contribution EXACT
+    // integer arithmetic (no exp(), whose last-ulp behavior is libm-
+    // specific), so the aggregate is order-free and bit-identical in
+    // both engines. One scan; the anchor day is a broadcast scalar;
+    // shift amounts cap at 40 half-lives (contribution is 0 past 62
+    // anyway, and the cap keeps 1<<k in BIGINT range at any age).
+    "x_decayed_engagement" -> ((s, dir) => events(s, dir,
+      """WITH e AS (
+        |  SELECT user_id, unix_micros(ts) DIV 86400000000 AS day,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |a AS (SELECT max(day) AS anchor FROM e),
+        |w AS (SELECT user_id, cents, (anchor - day) DIV 7 AS k FROM e CROSS JOIN a)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+        |  CAST(sum(CASE WHEN k >= 40 THEN 0 ELSE cents DIV shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) END) AS BIGINT) AS decayed_cents,
+        |  CAST(sum(CASE WHEN k = 0 THEN cents ELSE 0 END) AS BIGINT) AS last_halflife_cents
+        |FROM w GROUP BY user_id""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
@@ -1326,6 +1348,19 @@ object PipelineQueries extends QueryPack {
         |  FROM t)
         |SELECT d AS digit, n, n * 1000000 // tot AS observed_ppm, benford_ppm,
         |  abs(n * 1000000 // tot - benford_ppm) AS dev_ppm
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    "x_decayed_engagement" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |a AS (SELECT max(day) AS anchor FROM e),
+        |w AS (SELECT user_id, cents, (anchor - day) // 7 AS k FROM e CROSS JOIN a)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+        |  CAST(sum(CASE WHEN k >= 40 THEN 0 ELSE cents // (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS decayed_cents,
+        |  CAST(sum(CASE WHEN k = 0 THEN cents ELSE 0 END) AS BIGINT) AS last_halflife_cents
+        |FROM w GROUP BY user_id""".stripMargin
   )
 }

@@ -258,10 +258,61 @@ object RetrievalQueries extends QueryPack {
         |      x -> x.e), ',') AS postings
         |  FROM top WHERE rn <= 10 GROUP BY term)
         |SELECT term, df, ctf, postings
-        |FROM post WHERE df >= 50""".stripMargin))
+        |FROM post WHERE df >= 50""".stripMargin)),
+
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): per-doc
+    // log-likelihood ratio between a TARGET-domain hashed-unigram LM
+    // (lang = 'en' here) and the SOURCE LM of everything else, add-one
+    // smoothed over 4096 hash buckets. The two LMs are ONE
+    // map-combinable groupBy over the tokenize scan (a conditional sum
+    // per side — the corpus is scanned once, not once per LM); the
+    // 4096-row log-ratio table is quantized to micro-nats per BUCKET
+    // (smallest-cardinality point, the x_tfidf discipline) and
+    // broadcast back onto per-doc feature counts, so the weight sum is
+    // exact integer arithmetic. Docs scoring highest are the ones
+    // importance resampling keeps when targeting the 'en' slice.
+    "x_importance_weights" -> ((s, dir) => docs(s, dir,
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, word
+         |  FROM documents LATERAL VIEW explode(split(text, '\\\\s+')) t AS word
+         |  WHERE word != ''),
+         |f AS (SELECT doc_id, lang, ${h64("word")} % 4096 AS f FROM tok),
+         |cnt AS (SELECT f,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tf,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS sf
+         |       FROM f GROUP BY f),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tt, CAST(sum(sf) AS BIGINT) AS st FROM cnt),
+         |lr AS (SELECT f, CAST(floor(ln((CAST(tf + 1 AS DOUBLE) * (st + 4096)) / (CAST(sf + 1 AS DOUBLE) * (tt + 4096))) * 1000000 + 0.5) AS BIGINT) AS lr_micro
+         |       FROM cnt CROSS JOIN tot),
+         |d AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY doc_id, f)
+         |SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(d.c * lr.lr_micro) AS BIGINT) AS llr_micro,
+         |  CAST(sum(d.c * lr.lr_micro) DIV sum(d.c) AS BIGINT) AS per_token_micro
+         |FROM d JOIN lr ON lr.f = d.f
+         |GROUP BY d.doc_id""".stripMargin))
   )
 
   def oracle: Map[String, String] = Map(
+    "x_importance_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, word FROM (
+         |    SELECT doc_id, lang, unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+         |  WHERE word != ''),
+         |f AS (SELECT doc_id, lang, ${duckH64("word")} % 4096 AS f FROM tok),
+         |cnt AS (SELECT f,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tf,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS sf
+         |       FROM f GROUP BY f),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tt, CAST(sum(sf) AS BIGINT) AS st FROM cnt),
+         |lr AS (SELECT f, CAST(floor(ln((CAST(tf + 1 AS DOUBLE) * (st + 4096)) / (CAST(sf + 1 AS DOUBLE) * (tt + 4096))) * 1000000 + 0.5) AS BIGINT) AS lr_micro
+         |       FROM cnt CROSS JOIN tot),
+         |d AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY doc_id, f)
+         |SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(d.c * lr.lr_micro) AS BIGINT) AS llr_micro,
+         |  CAST(sum(d.c * lr.lr_micro) // sum(d.c) AS BIGINT) AS per_token_micro
+         |FROM d JOIN lr ON lr.f = d.f
+         |GROUP BY d.doc_id""".stripMargin,
     "x_topic_keywords" ->
       """WITH tok AS (
         |  SELECT source, word FROM (

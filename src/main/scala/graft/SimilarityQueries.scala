@@ -171,6 +171,27 @@ object SimilarityQueries extends QueryPack {
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
+  // DuckDB truth for near-dup cluster labels: recursive-CTE transitive
+  // closure over the verified jaccard pairs — shared by x_dedup_clusters
+  // (pointer-jump propagation) and x_cc_largestar (large-star/small-star)
+  private val duckClusterClosure =
+    s"""WITH RECURSIVE $duckShingles,
+       |$duckBandCand,
+       |prs AS (
+       |  SELECT p.d1, p.d2 FROM (
+       |    SELECT c.d1, c.d2, count(*) AS inter
+       |    FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle_h = a.shingle_h
+       |    GROUP BY c.d1, c.d2) p
+       |  JOIN n n1 ON n1.doc_id = p.d1 JOIN n n2 ON n2.doc_id = p.d2
+       |  WHERE CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) >= 0.8),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
+       |closure(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |FROM closure GROUP BY a""".stripMargin
+
   // integer-quantized embeddings + exact integer norms (dot_i64 is the
   // engine's codegen'd Catalyst expression — see functions.DotI64)
   private val sparkQuant =
@@ -488,6 +509,20 @@ object SimilarityQueries extends QueryPack {
       val pairs = queries("x_dedup_ngram_jaccard")(s, dir)
         .select("d1", "d2").localCheckpoint()
       connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    }),
+
+    // Same labeling via the alternating large-star/small-star algorithm
+    // (ops.ConnectedComponents) — the shuffle-balanced formulation whose
+    // per-round keys are node ids (degree-distributed), never component
+    // labels: on a 100 TB graph with a giant component, pointer-jumping's
+    // label-keyed jump join concentrates on one reducer while this one
+    // doesn't. Both algorithms must produce the identical labeling; the
+    // oracle is the same recursive-CTE closure as x_dedup_clusters.
+    "x_cc_largestar" -> ((s, dir) => {
+      val pairs = queries("x_dedup_ngram_jaccard")(s, dir)
+        .select("d1", "d2").localCheckpoint()
+      ops.ConnectedComponents.largeStarSmallStar(pairs)
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
     }),
 
@@ -992,23 +1027,11 @@ object SimilarityQueries extends QueryPack {
          |FROM inter i JOIN n n1 ON n1.doc_id = i.d1 JOIN n n2 ON n2.doc_id = i.d2
          |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.8""".stripMargin,
 
-    "x_dedup_clusters" ->
-      s"""WITH RECURSIVE $duckShingles,
-         |$duckBandCand,
-         |prs AS (
-         |  SELECT p.d1, p.d2 FROM (
-         |    SELECT c.d1, c.d2, count(*) AS inter
-         |    FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.shingle_h = a.shingle_h
-         |    GROUP BY c.d1, c.d2) p
-         |  JOIN n n1 ON n1.doc_id = p.d1 JOIN n n2 ON n2.doc_id = p.d2
-         |  WHERE CAST(inter AS DOUBLE) / (n1.n + n2.n - inter) >= 0.8),
-         |edges AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
-         |closure(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a)
-         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |FROM closure GROUP BY a""".stripMargin,
+    "x_dedup_clusters" -> duckClusterClosure,
+
+    // identical truth for the large-star/small-star labeling — both
+    // Spark algorithms must match this one closure
+    "x_cc_largestar" -> duckClusterClosure,
 
     "x_dedup_survivorship" ->
       s"""WITH RECURSIVE $duckShingles,

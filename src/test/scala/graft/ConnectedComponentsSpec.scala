@@ -39,4 +39,49 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(mins.length == 1 && mins.head.getLong(0) == 0L)
     assert(out.filter(col("label") > col("node")).count() == 0L)
   }
+
+  // ---- large-star/small-star (ops.ConnectedComponents) ----
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("large-star/small-star: long path (diameter 63) converges to min label") {
+    val pairs = (0 until 63).map(i => (i.toLong, i.toLong + 1)).toDF("d1", "d2")
+    val labels = labelsOf(ops.ConnectedComponents.largeStarSmallStar(pairs))
+    assert(labels.size == 64)
+    assert(labels.values.forall(_ == 0L))
+  }
+
+  test("large-star/small-star == pointer-jump propagation on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 80 + trial * 40
+      val pairs = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).toDF("d1", "d2")
+      val lsss = labelsOf(ops.ConnectedComponents.largeStarSmallStar(pairs))
+      val prop = labelsOf(SimilarityQueries.connectedComponents(pairs))
+      assert(lsss == prop, s"trial $trial: labelings diverge")
+    }
+  }
+
+  test("large-star/small-star: giant component + duplicates + reversed edges") {
+    // a star into node 500 (degree 100 hub), bridged to a chain, with
+    // redundant duplicate/reversed edges — exercises canonicalization
+    val star = (401L to 499L).map(i => (500L, i))
+    val chain = (0 until 40).map(i => (i.toLong, i.toLong + 1))
+    val bridge = Seq((40L, 401L))
+    val dups = star.take(10).map(_.swap) ++ chain.take(5)
+    val labels = labelsOf(ops.ConnectedComponents.largeStarSmallStar(
+      (star ++ chain ++ bridge ++ dups).toDF("d1", "d2")))
+    assert(labels.size == 141)
+    assert(labels.values.forall(_ == 0L))
+  }
+
+  test("large-star/small-star: disjoint components keep distinct min labels") {
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 30L))
+      .toDF("d1", "d2")
+    val labels = labelsOf(ops.ConnectedComponents.largeStarSmallStar(pairs))
+    assert(labels == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
 }
