@@ -143,7 +143,8 @@ final class GraftSession(val spark: SparkSession, val root: String,
   private def isRead(statement: String): Boolean = Dml.parse(statement) match {
     case _: Dml.DescribeHistory | _: Dml.TableAsOf | _: Dml.TableAsOfTs |
          _: Dml.ShowPartitions | _: Dml.ShowBranches | _: Dml.ShowTables |
-         _: Dml.CountStar | _: Dml.DescribeFiles | _: Dml.DescribeTable => true
+         _: Dml.CountStar | _: Dml.DescribeFiles | _: Dml.DescribeTable |
+         _: Dml.AnalyzeTable => true
     case _ => false
   }
 }

@@ -83,6 +83,31 @@ object ParityQueries extends QueryPack {
       t
     }
 
+  // a month-partitioned orders copy with declared ndvColumns, mutated
+  // through every stats-relevant path — a second append commit (sidecars
+  // max-merge across commit dirs), a copy-on-write DELETE (rewritten
+  // months re-derive their sidecars), and a MERGE-ON-READ vectored
+  // delete (analyze must rescan exactly the masked dirs) — then
+  // ANALYZE'd. The oracle recomputes the identical HLL registers from
+  // the final row set in one full pass: metadata-only incremental stats
+  // hash-gated against a full-scan truth.
+  private val ndvTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
+  private def ndvTable(s: SparkSession, dir: String): CdcTable =
+    memoized(ndvTables)(s, dir) {
+      val root = java.nio.file.Files.createTempDirectory("graft_ndv").toString
+      val base = Tables(s, dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+      val t = new CdcTable(s, s"$root/orders", keys = Seq("o_orderkey"),
+        partitionSource = Some("o_orderdate"),
+        ndvColumns = Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
+      t.init(base.filter(col("o_orderkey") % 3 =!= 0))
+      t.append(base.filter(col("o_orderkey") % 3 === 0))
+      t.delete(col("o_custkey") % 7 === 0)
+      t.deleteVectored(col("o_orderkey") % 11 === 2)
+      t
+    }
+
   // a month-partitioned orders copy with a 1998-01 retention cut applied
   // metadata-only, once per (session, sfDir) — the dropMonths oracle fixture
   private val ttlTables =
@@ -429,6 +454,16 @@ object ParityQueries extends QueryPack {
     // timestamp filter exactly. The data stays on disk for time travel
     // until expiry GC (DeletionVectorSpec-style invariants in
     // CdcTableSpec cover the file-level claims).
+    // ANALYZE TABLE from the incremental NDV register sidecars
+    // (ops.TableStats): steady-state cost is O(live dirs × columns) of
+    // METADATA — zero data I/O — yet the merged registers must equal a
+    // one-pass full-scan recompute (copy-on-write keeps per-dir sketches
+    // exact; the vectored-delete dirs are rescanned, bounded by the
+    // debt). Output is one row per tracked column; `ndv` uses the raw
+    // cross-engine estimate formula (HllAggregator.estimateSql).
+    "k_analyze_ndv" -> ((s, dir) =>
+      ndvTable(s, dir).analyze().withColumnRenamed("column", "col_name")),
+
     "k_ttl_drop" -> ((s, dir) => ttlTable(s, dir).read
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")),
 
@@ -630,6 +665,37 @@ object ParityQueries extends QueryPack {
     "k_ttl_drop" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
+
+    "k_analyze_ndv" ->
+      """WITH rows_ AS (
+        |  SELECT * FROM orders
+        |  WHERE o_custkey % 7 <> 0 AND o_orderkey % 11 <> 2),
+        |vals AS (
+        |  SELECT 'o_custkey' AS col_name, o_custkey::VARCHAR AS v FROM rows_
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM rows_
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM rows_),
+        |hh AS (
+        |  SELECT col_name, ('0x' || substr(md5(v),1,15))::BIGINT AS hv
+        |  FROM vals WHERE v IS NOT NULL),
+        |r AS (
+        |  SELECT col_name, hv % 256 AS bucket,
+        |    max(CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END) AS rho
+        |  FROM hh GROUP BY 1, 2),
+        |b AS (
+        |  SELECT c.col_name, gs.bucket
+        |  FROM (SELECT DISTINCT col_name FROM vals) c,
+        |       (SELECT unnest(generate_series(0, 255)) AS bucket) gs),
+        |reg AS (
+        |  SELECT b.col_name, coalesce(r.rho, 0) AS rho
+        |  FROM b LEFT JOIN r ON b.col_name = r.col_name AND b.bucket = r.bucket),
+        |s AS (
+        |  SELECT col_name, CAST(SUM(1::BIGINT << (53 - rho)) AS BIGINT) AS hll_sum,
+        |    CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS INT) AS hll_zeros
+        |  FROM reg GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM rows_)
+        |SELECT col_name, n_rows, hll_sum, hll_zeros,
+        |  CAST(FLOOR(0.7213 / (1 + 1.079 / 256) * 256 * 256 * 9007199254740992 / CAST(hll_sum AS DOUBLE)) AS BIGINT) AS ndv
+        |FROM s CROSS JOIN n""".stripMargin,
 
     "k_dv_delete" ->
       """WITH base AS (

@@ -85,7 +85,17 @@ final class CdcTable(
       * the mint/parse sites depend on this. Persisted in `_table_meta`;
       * [[CdcTable.open]] restores it.
       */
-    val partitionGranularity: String = "month") {
+    val partitionGranularity: String = "month",
+    /** Columns tracked for incremental DISTINCT-COUNT statistics
+      * ([[TableStats]]): every committed data directory gets a 256-
+      * register HLL sidecar per tracked column, so [[analyze]] answers
+      * table-level NDV from metadata alone — the ANALYZE-without-a-scan
+      * contract. Pick join keys and grouping columns a planner would ask
+      * about; empty = no tracking (analyze falls back to scan+backfill).
+      * Cost: one delta-sized aggregation per commit. Persisted in
+      * `_table_meta`; [[CdcTable.open]] restores it.
+      */
+    val ndvColumns: Seq[String] = Nil) {
 
   import CdcTable._
 
@@ -161,7 +171,8 @@ final class CdcTable(
       s"keys\t${keys.mkString(",")}",
       s"partitionSource\t${partitionSource.getOrElse("")}",
       s"partitionGranularity\t$partitionGranularity",
-      s"bloomColumns\t${bloomColumns.mkString(",")}").mkString("\n")
+      s"bloomColumns\t${bloomColumns.mkString(",")}",
+      s"ndvColumns\t${ndvColumns.mkString(",")}").mkString("\n")
     if (!io.exists(tableMetaFile.getPath))
       io.writeAtomic(tableMetaFile.getPath, content)
     else if (io.readString(tableMetaFile.getPath) != content) {
@@ -825,6 +836,7 @@ final class CdcTable(
     // stats sidecar at write time: the footers just materialized and are
     // cache-hot — the first pruned read must not pay a metadata storm
     FileSkipping.writeStatsNow(spark.sessionState.newHadoopConf(), versionDir(next))
+    writeNdvSidecarFull(next)
     // schema sidecar on the unpartitioned layout too: metadata consumers
     // (append type alignment, typed empties) must not pay a mergeSchema
     // inference over the data files just to learn the column types
@@ -880,6 +892,7 @@ final class CdcTable(
         } finally pool.shutdown()
       }
     }
+    writeNdvSidecarsPartitioned(next, outMonths)
     val carried = expected.map(manifest).getOrElse(Nil)
       .filterNot { case (m, _) => replaced.contains(m) }
     writeManifest(next, carried ++ outMonths.map(m => m -> relDir(next, m)))
@@ -922,7 +935,8 @@ final class CdcTable(
     require(!io.exists(new File(destPath, CurrentPointer).getPath),
       s"clone destination $destPath already holds a table")
     val dest = new CdcTable(spark, destPath, keys, partitionSource,
-      retainVersions, autoCompactMaxFiles, bloomColumns, io, partitionGranularity)
+      retainVersions, autoCompactMaxFiles, bloomColumns, io, partitionGranularity,
+      ndvColumns)
     dest.io.mkdirs(destPath)
     require(dest.reserve(1L), s"clone destination $destPath already reserved")
     linkStateInto(dest, 1L)
@@ -973,6 +987,20 @@ final class CdcTable(
               }
           }.toMap
           FileSkipping.writeStatsNow(conf, dst, reuse = reuse)
+          // NDV sidecars carry too: a month folded from several source
+          // dirs max-merges their registers (union of sketches IS the
+          // sketch of the union); any source dir without one -> skip,
+          // analyze backfills
+          val srcNdv = es.map { case (_, rel) =>
+            TableStats.readSidecar(io, new File(path, rel))
+          }
+          if (srcNdv.nonEmpty && srcNdv.forall(_.isDefined)) {
+            val cols = srcNdv.flatMap(_.get.keys).distinct
+            TableStats.writeSidecar(dest.io, dst, cols.map { c =>
+              c -> srcNdv.map(_.get.getOrElse(c, TableStats.zero))
+                .reduce(TableStats.merged)
+            }.toMap)
+          }
           (m, dstRel)
         }
         dest.writeManifest(destV, entries)
@@ -1012,6 +1040,8 @@ final class CdcTable(
             new File(dest.versionDir(destV), e.name).getPath))
         FileSkipping.writeStatsNow(conf, dest.versionDir(destV),
           reuse = FileSkipping.statsForDir(conf, src))
+        TableStats.readSidecar(io, src).foreach(
+          TableStats.writeSidecar(dest.io, dest.versionDir(destV), _))
         if (io.exists(schemaFile(v).getPath))
           io.copy(schemaFile(v).getPath, dest.schemaFile(destV).getPath)
         // file names carry unchanged; only the dir component renames
@@ -1072,7 +1102,7 @@ final class CdcTable(
       s"no branch $name at $path (have: ${branches.mkString(", ")})")
     new CdcTable(spark, branchDir(name).getPath, keys, partitionSource,
       retainVersions = BranchRetain, autoCompactMaxFiles, bloomColumns, io,
-      partitionGranularity)
+      partitionGranularity, ndvColumns)
   }
 
   /** PUBLISH the branch: fast-forward this table to the branch's current
@@ -1295,6 +1325,8 @@ final class CdcTable(
           val conf = spark.sessionState.newHadoopConf()
           FileSkipping.writeStatsNow(conf, nd,
             reuse = FileSkipping.statsForDir(conf, versionDir(cur)))
+          // NDV sidecar at delta cost: prior registers ∪ the batch's
+          writeNdvSidecarAppended(cur, next, df)
           // schema sidecar: carried columns ∪ the batch's (a batch can add
           // columns; alignAppendTypes already rejected type changes)
           val priorFields = schemaAt(cur).map(_.fields).getOrElse(Array.empty)
@@ -1783,6 +1815,153 @@ final class CdcTable(
     run
   }
 
+  // ------------------------------------------------- column NDV statistics
+
+  /** Registers of `cols` over `df`'s rows, driver-collected (one job,
+    * ≤ cols × 256 bytes — see [[TableStats.regsByGroup]]).
+    */
+  private def ndvRegsOf(df: DataFrame, cols: Seq[String]): Map[String, Array[Byte]] =
+    if (cols.isEmpty) Map.empty
+    else TableStats.collectRegs(TableStats.regsByGroup(df, Nil, cols), Nil)
+      .getOrElse(Seq.empty, Map.empty)
+
+  /** Every tracked column's registers over `df`, zero registers for
+    * columns `df` does not carry (an all-null/absent column HAS zero
+    * distinct values — recording that keeps the sidecar complete, so
+    * analyze never rescans a dir that predates a schema evolution).
+    */
+  private def ndvRegsComplete(df: DataFrame): Map[String, Array[Byte]] = {
+    val present = ndvColumns.filter(df.columns.contains)
+    val got = ndvRegsOf(df, present)
+    ndvColumns.map(c => c -> got.getOrElse(c, TableStats.zero)).toMap
+  }
+
+  /** NDV sidecar for a freshly-committed unpartitioned version: a
+    * read-back of the just-written directory (columnar, tracked columns
+    * only, pages cache-hot — same timing argument as the footer-stats
+    * sidecar above it).
+    */
+  private def writeNdvSidecarFull(v: Long): Unit = if (ndvColumns.nonEmpty)
+    TableStats.writeSidecar(io, versionDir(v),
+      ndvRegsComplete(spark.read.parquet(versionDir(v).getPath)))
+
+  /** NDV sidecars for exactly the month directories commit `v` produced
+    * (carried months keep theirs — the dirs are immutable): ONE grouped
+    * job over the read-back of the written months, collected at
+    * months × columns × 256 bytes.
+    */
+  private def writeNdvSidecarsPartitioned(v: Long, outMonths: Seq[String]): Unit =
+    if (ndvColumns.nonEmpty && outMonths.nonEmpty) {
+      val base = commitDir(v)
+      val df = spark.read.option("basePath", base.getPath)
+        .parquet(outMonths.map(m => new File(base, s"$PartCol=$m").getPath): _*)
+        .withColumn(PartCol, col(PartCol).cast("string"))
+      val present = ndvColumns.filter(df.columns.contains)
+      val byMonth =
+        if (present.isEmpty) Map.empty[Seq[String], Map[String, Array[Byte]]]
+        else TableStats.collectRegs(
+          TableStats.regsByGroup(df, Seq(PartCol), present), Seq(PartCol))
+      outMonths.foreach { m =>
+        val got = byMonth.getOrElse(Seq(m), Map.empty[String, Array[Byte]])
+        TableStats.writeSidecar(io, new File(base, s"$PartCol=$m"),
+          ndvColumns.map(c => c -> got.getOrElse(c, TableStats.zero)).toMap)
+      }
+    }
+
+  /** Unpartitioned APPEND keeps delta cost: the next version's directory
+    * is the prior files (hard-linked, byte-identical) plus the batch, and
+    * registers max-merge — so the new sidecar is prior-sidecar ∪
+    * regs(batch) without touching carried data. No prior sidecar → skip;
+    * [[analyze]] backfills by scanning once.
+    */
+  private def writeNdvSidecarAppended(prev: Long, next: Long, batch: DataFrame): Unit =
+    if (ndvColumns.nonEmpty)
+      TableStats.readSidecar(io, versionDir(prev)).foreach { prior =>
+        val fresh = ndvRegsComplete(batch)
+        TableStats.writeSidecar(io, versionDir(next),
+          ndvColumns.map(c => c -> TableStats.merged(
+            prior.getOrElse(c, TableStats.zero), fresh(c))).toMap)
+      }
+
+  private def colStatsFile(v: Long) = new File(versionDir(v), ColStatsName)
+
+  /** Table-level column statistics — the `ANALYZE TABLE` body. NDV per
+    * tracked column and the exact live row count, answered from METADATA
+    * in the steady state: live directories' [[TableStats]] register
+    * sidecars byte-max-merge (copy-on-write keeps per-dir sketches exact
+    * forever), and rows come from the footer-stats sidecars minus the
+    * deletion vector's recorded positions — O(live dirs × columns), zero
+    * data I/O, at any table size. Two anomalies scan, each bounded by the
+    * anomaly and never the table: a dir with no/incomplete sidecar is
+    * scanned once and BACKFILLED (immutable dirs make late stats true
+    * stats), and a dir carrying deletion-vector entries recomputes
+    * through the vector-applied read (HLL cannot subtract; materializing
+    * the vector clears the debt). Returns one row per tracked column
+    * `(column, n_rows, hll_sum, hll_zeros, ndv)` — the estimate via
+    * [[graft.functions.HllAggregator.estimateSql]], identical SQL text
+    * to the cross-engine oracle — and persists the result as the
+    * version's `_colstats.tsv` ([[columnStats]] reads it back).
+    */
+  def analyze(): DataFrame = {
+    require(ndvColumns.nonEmpty,
+      s"$path declares no ndvColumns — construct/open the table with ndvColumns to track NDV")
+    val cur = currentOrThrow
+    val conf = spark.sessionState.newHadoopConf()
+    val dirs = dataDirsAt(cur)
+    val dirtyDirs = dvSummary(cur).map(_._1).toSet
+    val acc = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    ndvColumns.foreach(c => acc(c) = TableStats.zero)
+    dirs.foreach { case (rel, dir) =>
+      val dirty = dirtyDirs.contains(rel)
+      val sidecar =
+        if (dirty) None
+        else TableStats.readSidecar(io, dir).filter(m => ndvColumns.forall(m.contains))
+      val regs = sidecar.getOrElse {
+        val raw = spark.read.option("mergeSchema", "true").parquet(dir.getPath)
+        val live = if (dirty) applyDv(raw, cur) else raw
+        val full = ndvRegsComplete(live)
+        if (!dirty) TableStats.writeSidecar(io, dir, full)
+        full
+      }
+      ndvColumns.foreach(c => acc(c) = TableStats.merged(acc(c), regs(c)))
+    }
+    val nRows = dirs.map { case (_, d) =>
+      FileSkipping.statsForDir(conf, d).values.map(_.rows).sum
+    }.sum - dvSummary(cur).map(_._3).sum
+    val summary = ndvColumns.sorted.map { c =>
+      val (s, z) = TableStats.summarize(acc(c))
+      (c, nRows, s, z)
+    }
+    import spark.implicits._
+    val out = summary.toDF("column", "n_rows", "hll_sum", "hll_zeros")
+      .withColumn("ndv",
+        expr(graft.functions.HllAggregator.estimateSql("hll_sum")))
+      .localCheckpoint() // tiny; pin before the collect below reuses it
+    io.writeAtomic(colStatsFile(cur).getPath,
+      (ColStatsHeader +: out.collect().toSeq.map(r =>
+        Seq(r.getAs[String]("column"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("hll_sum"), r.getAs[Int]("hll_zeros"),
+          r.getAs[Long]("ndv")).mkString("\t"))).mkString("\n"))
+    out
+  }
+
+  /** The recorded ANALYZE result of the CURRENT version, if one was
+    * taken at this version — the planner-facing face (join-side sizing,
+    * broadcast decisions) that never recomputes.
+    */
+  def columnStats: Option[Seq[CdcTable.ColumnStat]] = {
+    val f = colStatsFile(currentOrThrow)
+    if (!io.exists(f.getPath)) None
+    else {
+      val lines = io.readLines(f.getPath)
+      if (lines.isEmpty || lines.head != ColStatsHeader) None
+      else Some(lines.tail.map { l =>
+        val p = l.split('\t')
+        CdcTable.ColumnStat(p(0), p(1).toLong, p(2).toLong, p(3).toInt, p(4).toLong)
+      })
+    }
+  }
+
   // ------------------------------------------------------------- DML / CDF
 
   /** Predicate UPDATE (copy-on-write, the reference's
@@ -2204,7 +2383,8 @@ object CdcTable {
       kv.get("partitionSource").filter(_.nonEmpty),
       retainVersions = retainVersions,
       bloomColumns = list("bloomColumns"), io = io,
-      partitionGranularity = kv.getOrElse("partitionGranularity", "month"))
+      partitionGranularity = kv.getOrElse("partitionGranularity", "month"),
+      ndvColumns = list("ndvColumns"))
   }
 
   /** How a metadata-answered COUNT ([[CdcTable.countWhereProfile]]) was
@@ -2297,6 +2477,14 @@ object CdcTable {
     * the vector parquet.
     */
   val DeletesSummaryName = "deletes_summary.tsv"
+
+  /** Per-version recorded ANALYZE result ([[CdcTable.analyze]]). */
+  val ColStatsName = "_colstats.tsv"
+  val ColStatsHeader = "colstats-v1"
+
+  /** One ANALYZE row read back from the version's `_colstats.tsv`. */
+  final case class ColumnStat(column: String, nRows: Long, hllSum: Long,
+                              hllZeros: Int, ndv: Long)
 
   private[ops] val DvDirCol = "__dv_dir"
   private[ops] val DvSubCol = "__dv_sub"

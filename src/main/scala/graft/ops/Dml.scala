@@ -77,6 +77,11 @@ object Dml {
     * sidecars ([[CdcTable.describe]]); metadata-only.
     */
   final case class DescribeTable(target: String) extends Stmt
+  /** `ANALYZE TABLE t` — column NDV + live row count from the register
+    * sidecars ([[CdcTable.analyze]]); metadata-only in the steady state,
+    * returns the stats rows.
+    */
+  final case class AnalyzeTable(target: String) extends Stmt
   /** `RESTORE t TO VERSION AS OF n` — rollback-as-new-version
     * ([[CdcTable.restore]]).
     */
@@ -144,6 +149,8 @@ object Dml {
     raw"(?is)^\s*DESCRIBE\s+FILES\s+(\S+)\s*$$".r
   private val DescTableRe =
     raw"(?is)^\s*DESCRIBE\s+TABLE\s+(\S+)\s*$$".r
+  private val AnalyzeRe =
+    raw"(?is)^\s*ANALYZE\s+TABLE\s+(\S+)\s*$$".r
 
   /** UTC wall-clock string (`yyyy-MM-dd HH:mm:ss[.fff]` or ISO) →
     * epoch millis; the commit log records absolute millis, so the
@@ -293,6 +300,7 @@ object Dml {
     case RestoreTsRe(target, ts) => RestoreTs(target, utcMillis(ts))
     case DescFilesRe(target) => DescribeFiles(target)
     case DescTableRe(target) => DescribeTable(target)
+    case AnalyzeRe(target) => AnalyzeTable(target)
     case CountRe(target, rest) =>
       Option(rest).map(_.trim).filter(_.nonEmpty) match {
         case None => CountStar(target, None)
@@ -472,10 +480,11 @@ object Dml {
           "SHOW BRANCHES / SHOW TABLES are reads — run them through Dml.query")
       case _: CreateTableAs | _: DropTable =>
         throw new IllegalStateException("unreachable: dispatched by executeDdl")
-      case _: TableAsOf | _: TableAsOfTs | _: DescribeFiles | _: DescribeTable =>
+      case _: TableAsOf | _: TableAsOfTs | _: DescribeFiles | _: DescribeTable |
+           _: AnalyzeTable | _: CountStar | _: ShowPartitions =>
         throw new IllegalArgumentException(
-          "TABLE ... VERSION|TIMESTAMP AS OF / DESCRIBE FILES|TABLE are reads — " +
-            "run them through Dml.query")
+          "TABLE ... VERSION|TIMESTAMP AS OF / DESCRIBE FILES|TABLE / ANALYZE TABLE / " +
+            "COUNT(*) / SHOW PARTITIONS are reads — run them through Dml.query")
       case Insert(_, cols, values, select) =>
         val incoming = (values, select) match {
           case (Some(tuples), _) =>
@@ -570,6 +579,7 @@ object Dml {
     case TableAsOfTs(target, ms) => open(target).readAtTimestamp(ms)
     case DescribeFiles(target) => open(target).filesInfo
     case DescribeTable(target) => open(target).describe
+    case AnalyzeTable(target) => open(target).analyze()
     case ShowPartitions(target) => open(target).partitions
     case ShowBranches(target) =>
       val sq = spark
