@@ -1,0 +1,337 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Statistical-inference and distributed-linear-algebra operators: the
+  * Poisson bootstrap (THE resampling scheme that distributes — each row
+  * draws its replica weights independently, so no replica ever needs a
+  * shuffled copy of the data), per-source corpus-divergence diagnostics,
+  * out-of-fold target encoding (the leakage-safe feature-engineering
+  * primitive), and exact Gram-matrix / power-iteration PCA over the
+  * embedding table (reference scope: the aggregation surface of
+  * sanpshot_script.py re-expressed for model-eval pipelines).
+  *
+  * Cross-engine determinism follows the StatsQueries discipline: exact
+  * integer moments, integer division (Spark `DIV` = DuckDB `//`, both
+  * truncate toward zero), the shared md5-based [[TextQueries.h64]] for
+  * every pseudo-random draw, and — where a statistic genuinely needs a
+  * transcendental (the JSD's ln) — per-term quantization to integer
+  * units BEFORE the sum, so no floating accumulation order can differ
+  * between engines (the x_benford idiom).
+  *
+  * Scale notes (the 100 TB shapes):
+  *  - bootstrap: replica weights are a pure row-local hash function, so
+  *    the expansion is a generator column + map-side-combinable hash agg
+  *    with R groups — the shuffle is R rows per task, never R copies of
+  *    the data.
+  *  - JSD: the p=0 tail (corpus terms absent from a source) is summed in
+  *    CLOSED FORM (ln2 · (1 − Q_s)), so the join touches only terms the
+  *    source actually contains — never |sources| × |vocabulary|.
+  *  - Gram matrix: double posexplode + hash agg on (i,j) — each task
+  *    emits at most d(d+1)/2 partial sums regardless of row count, so
+  *    the shuffle is O(d²·tasks), not O(n·d²).
+  *  - power iteration: 64-row × 4096-row joins after the one data pass;
+  *    max-norm rescaling in pure integer arithmetic keeps every
+  *    intermediate within int64 at any corpus size.
+  *
+  * The Spark-side SQL lives in named constants so `InferenceQueriesSpec`
+  * can run the identical text against hand-built frames with known
+  * closed-form answers.
+  */
+object InferenceQueries extends QueryPack {
+
+  import TextQueries.{h64, duckH64}
+
+  private def events(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(sql)
+  }
+
+  private def docs(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(sql)
+  }
+
+  private def embs(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql(sql)
+  }
+
+  /** Poisson(1) inverse-CDF thresholds in millionths: a hash-uniform
+    * u ∈ [0, 1e6) maps to the replica weight via cumulative-probability
+    * cutoffs (computed once from exp(-1); identical literals in both
+    * engines). P(w > 9) < 3e-7 — truncation is the standard bootstrap
+    * tail cut and applies identically to both engines.
+    */
+  private val poissonCase: String =
+    """CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+      | WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+      | WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+      | WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+      | WHEN u < 999998 THEN 8 ELSE 9 END""".stripMargin.replace("\n", "")
+
+  // Replica count: 200 gives rank-5 / rank-196 as the exact 2.5% / 97.5%
+  // order statistics. The per-replica plan is ONE hash aggregate with R
+  // groups — R scales the shuffle by R rows/task, not by data volume.
+  private val R = 200
+
+  /** Poisson bootstrap 95% CI for mean per-user revenue: each (user,
+    * replica) pair draws w ~ Poisson(1) from the shared deterministic
+    * hash, replica means are exact integer cents, and the CI bounds are
+    * the 5th and 196th order statistics of the 200 replica means. The
+    * weights being row-local is the whole point: at 100 TB no replica
+    * ever materializes a resampled copy — the expansion is a generator
+    * cross join feeding a 200-group map-combinable aggregate.
+    */
+  private[graft] val bootstrapSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY user_id),
+       |reps AS (SELECT explode(sequence(0, ${R - 1})) AS r),
+       |w AS (
+       |  SELECT reps.r, u.x,
+       |    ${h64(s"concat('bs', CAST(reps.r AS STRING), '_', CAST(u.user_id AS STRING))")} % 1000000 AS u
+       |  FROM u CROSS JOIN reps),
+       |m AS (
+       |  SELECT r,
+       |    CAST(SUM(($poissonCase) * x) DIV NULLIF(SUM($poissonCase), 0) AS BIGINT) AS mean_cents
+       |  FROM w GROUP BY r),
+       |rk AS (SELECT mean_cents, row_number() OVER (ORDER BY mean_cents, r) AS rn FROM m)
+       |SELECT
+       |  CAST((SELECT count(*) FROM u) AS BIGINT) AS n_users,
+       |  CAST((SELECT SUM(x) DIV count(*) FROM u) AS BIGINT) AS point_mean_cents,
+       |  CAST((SELECT mean_cents FROM rk WHERE rn = 5) AS BIGINT) AS ci_lo_cents,
+       |  CAST((SELECT mean_cents FROM rk WHERE rn = 196) AS BIGINT) AS ci_hi_cents""".stripMargin
+
+  /** Jensen-Shannon divergence of every source's term distribution from
+    * the whole corpus — "which slice is most atypical", the mixture-
+    * curation diagnostic. Per-term contributions are exact-integer
+    * ratios fed to ln and quantized to nano-units BEFORE summation; the
+    * p=0 tail (corpus terms the source lacks) collapses to
+    * ln2 · (1 − Q_s), so the join is bounded by the source's own terms.
+    */
+  private[graft] val jsDivergenceSql: String =
+    """WITH t AS (
+      |  SELECT source, word
+      |  FROM documents LATERAL VIEW explode(split(lower(text), '\\s+')) x AS word
+      |  WHERE length(word) >= 2),
+      |st AS (SELECT source, word, count(*) AS c FROM t GROUP BY source, word),
+      |sn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM st GROUP BY source),
+      |ct AS (SELECT word, CAST(SUM(c) AS BIGINT) AS cc FROM st GROUP BY word),
+      |cn AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM ct),
+      |terms AS (
+      |  SELECT st.source,
+      |    CAST(FLOOR((
+      |      (CAST(st.c AS DOUBLE) / CAST(sn.ns AS DOUBLE))
+      |        * ln(CAST(2 * st.c * cn.n AS DOUBLE) / CAST(st.c * cn.n + ct.cc * sn.ns AS DOUBLE))
+      |      + (CAST(ct.cc AS DOUBLE) / CAST(cn.n AS DOUBLE))
+      |        * ln(CAST(2 * ct.cc * sn.ns AS DOUBLE) / CAST(st.c * cn.n + ct.cc * sn.ns AS DOUBLE))
+      |    ) * 1000000000) AS BIGINT) AS nano,
+      |    ct.cc AS cc
+      |  FROM st JOIN sn ON sn.source = st.source
+      |          JOIN ct ON ct.word = st.word CROSS JOIN cn),
+      |agg AS (
+      |  SELECT source, CAST(SUM(nano) AS BIGINT) AS in_nano,
+      |    CAST(SUM(cc) AS BIGINT) AS covered
+      |  FROM terms GROUP BY source)
+      |SELECT agg.source,
+      |  CAST((agg.in_nano
+      |    + CAST(FLOOR(ln(CAST(2 AS DOUBLE))
+      |        * (CAST(1000000000 AS DOUBLE)
+      |           - CAST(1000000000 * agg.covered DIV cn.n AS DOUBLE))) AS BIGINT)
+      |  ) DIV 2000 AS BIGINT) AS jsd_micro
+      |FROM agg CROSS JOIN cn""".stripMargin
+
+  /** Out-of-fold target encoding: entity-level (user-hash) 5-fold
+    * assignment, then each (event_type, fold) cell gets the mean value
+    * computed from the OTHER four folds via total-minus-fold — the
+    * leakage-safe encoding plan that needs exactly one aggregate pass
+    * however many folds there are.
+    */
+  private[graft] val targetEncodingSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    ${h64("concat('kf_', CAST(user_id AS STRING))")} % 5 AS fold,
+       |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events),
+       |f AS (
+       |  SELECT event_type, fold, CAST(SUM(cents) AS BIGINT) AS sc,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM e GROUP BY event_type, fold),
+       |t AS (SELECT event_type, CAST(SUM(sc) AS BIGINT) AS ts,
+       |    CAST(SUM(n) AS BIGINT) AS tn FROM f GROUP BY event_type)
+       |SELECT f.event_type, CAST(f.fold AS BIGINT) AS fold, f.n AS fold_rows,
+       |  CAST((t.ts - f.sc) DIV NULLIF(t.tn - f.n, 0) AS BIGINT) AS oof_mean_cents
+       |FROM f JOIN t ON t.event_type = f.event_type""".stripMargin
+
+  /** Exact Gram/scatter matrix of the embedding table (upper triangle):
+    * values quantize to micro-units once, then every product and sum is
+    * exact int64. The double posexplode keeps the whole computation in
+    * one scan — each task pre-aggregates to ≤ d(d+1)/2 = 2080 cells, so
+    * the shuffle is O(d²) per task regardless of row count. This is the
+    * PCA/whitening front half at any scale.
+    */
+  private[graft] val gramMatrixSql: String =
+    """WITH q AS (
+      |  SELECT transform(embedding,
+      |    e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT i, j, qi * qj AS p
+      |  FROM q
+      |  LATERAL VIEW posexplode(qv) a AS i, qi
+      |  LATERAL VIEW posexplode(qv) b AS j, qj
+      |  WHERE i <= j)
+      |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+      |  CAST(SUM(p) AS BIGINT) AS s
+      |FROM x GROUP BY i, j""".stripMargin
+
+  /** Dominant eigenvector of the Gram matrix by three power iterations
+    * in pure integer arithmetic: the matrix and vector rescale by
+    * max-abs (integer division) every round, so intermediates stay
+    * within int64 at ANY corpus size and both engines walk the
+    * identical lattice. One data pass builds the matrix; the iterations
+    * are 64-row × 4096-row joins — driver-free, broadcast-sized.
+    */
+  private[graft] val pcaPowerSql: String =
+    """WITH q AS (
+      |  SELECT transform(embedding,
+      |    e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT i, j, qi * qj AS p
+      |  FROM q
+      |  LATERAL VIEW posexplode(qv) a AS i, qi
+      |  LATERAL VIEW posexplode(qv) b AS j, qj),
+      |g AS (SELECT i, j, CAST(SUM(p) AS BIGINT) AS s FROM x GROUP BY i, j),
+      |gm AS (SELECT CAST(MAX(ABS(s)) AS BIGINT) AS m FROM g),
+      |c AS (SELECT i, j, s DIV ((SELECT m FROM gm) DIV 1000000 + 1) AS cn FROM g),
+      |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM c),
+      |w1 AS (SELECT c.i, CAST(SUM(c.cn * v0.v) AS BIGINT) AS w
+      |  FROM c JOIN v0 ON v0.i = c.j GROUP BY c.i),
+      |v1 AS (SELECT i, w DIV ((SELECT MAX(ABS(w)) FROM w1) DIV 1000000 + 1) AS v FROM w1),
+      |w2 AS (SELECT c.i, CAST(SUM(c.cn * v1.v) AS BIGINT) AS w
+      |  FROM c JOIN v1 ON v1.i = c.j GROUP BY c.i),
+      |v2 AS (SELECT i, w DIV ((SELECT MAX(ABS(w)) FROM w2) DIV 1000000 + 1) AS v FROM w2),
+      |w3 AS (SELECT c.i, CAST(SUM(c.cn * v2.v) AS BIGINT) AS w
+      |  FROM c JOIN v2 ON v2.i = c.j GROUP BY c.i)
+      |SELECT CAST(i AS BIGINT) AS i,
+      |  CAST(w DIV ((SELECT MAX(ABS(w)) FROM w3) DIV 1000000 + 1) AS BIGINT) AS v_micro
+      |FROM w3""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_bootstrap_ci" -> ((s, dir) => events(s, dir, bootstrapSql)),
+    "x_js_divergence" -> ((s, dir) => docs(s, dir, jsDivergenceSql)),
+    "x_target_encoding" -> ((s, dir) => events(s, dir, targetEncodingSql)),
+    "x_gram_matrix" -> ((s, dir) => embs(s, dir, gramMatrixSql)),
+    "x_pca_power" -> ((s, dir) => embs(s, dir, pcaPowerSql))
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    "x_bootstrap_ci" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY user_id),
+         |reps AS (SELECT unnest(range(0, $R)) AS r),
+         |w AS (
+         |  SELECT reps.r, u.x,
+         |    ${duckH64("('bs' || reps.r || '_' || u.user_id)")} % 1000000 AS u
+         |  FROM u CROSS JOIN reps),
+         |m AS (
+         |  SELECT r,
+         |    CAST(SUM(($poissonCase) * x) // NULLIF(SUM($poissonCase), 0) AS BIGINT) AS mean_cents
+         |  FROM w GROUP BY r),
+         |rk AS (SELECT mean_cents, row_number() OVER (ORDER BY mean_cents, r) AS rn FROM m)
+         |SELECT
+         |  CAST((SELECT count(*) FROM u) AS BIGINT) AS n_users,
+         |  CAST((SELECT SUM(x) // count(*) FROM u) AS BIGINT) AS point_mean_cents,
+         |  CAST((SELECT mean_cents FROM rk WHERE rn = 5) AS BIGINT) AS ci_lo_cents,
+         |  CAST((SELECT mean_cents FROM rk WHERE rn = 196) AS BIGINT) AS ci_hi_cents""".stripMargin,
+
+    "x_js_divergence" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |  FROM documents),
+        |tf AS (SELECT source, word FROM t WHERE length(word) >= 2),
+        |st AS (SELECT source, word, count(*) AS c FROM tf GROUP BY source, word),
+        |sn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM st GROUP BY source),
+        |ct AS (SELECT word, CAST(SUM(c) AS BIGINT) AS cc FROM st GROUP BY word),
+        |cn AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM ct),
+        |terms AS (
+        |  SELECT st.source,
+        |    CAST(FLOOR((
+        |      (CAST(st.c AS DOUBLE) / CAST(sn.ns AS DOUBLE))
+        |        * ln(CAST(2 * st.c * cn.n AS DOUBLE) / CAST(st.c * cn.n + ct.cc * sn.ns AS DOUBLE))
+        |      + (CAST(ct.cc AS DOUBLE) / CAST(cn.n AS DOUBLE))
+        |        * ln(CAST(2 * ct.cc * sn.ns AS DOUBLE) / CAST(st.c * cn.n + ct.cc * sn.ns AS DOUBLE))
+        |    ) * 1000000000) AS BIGINT) AS nano,
+        |    ct.cc AS cc
+        |  FROM st JOIN sn ON sn.source = st.source
+        |          JOIN ct ON ct.word = st.word CROSS JOIN cn),
+        |agg AS (
+        |  SELECT source, CAST(SUM(nano) AS BIGINT) AS in_nano,
+        |    CAST(SUM(cc) AS BIGINT) AS covered
+        |  FROM terms GROUP BY source)
+        |SELECT agg.source,
+        |  CAST((agg.in_nano
+        |    + CAST(FLOOR(ln(CAST(2 AS DOUBLE))
+        |        * (CAST(1000000000 AS DOUBLE)
+        |           - CAST(1000000000 * agg.covered // cn.n AS DOUBLE))) AS BIGINT)
+        |  ) // 2000 AS BIGINT) AS jsd_micro
+        |FROM agg CROSS JOIN cn""".stripMargin,
+
+    "x_target_encoding" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    ${duckH64("('kf_' || user_id)")} % 5 AS fold,
+         |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events),
+         |f AS (
+         |  SELECT event_type, fold, CAST(SUM(cents) AS BIGINT) AS sc,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM e GROUP BY event_type, fold),
+         |t AS (SELECT event_type, CAST(SUM(sc) AS BIGINT) AS ts,
+         |    CAST(SUM(n) AS BIGINT) AS tn FROM f GROUP BY event_type)
+         |SELECT f.event_type, CAST(f.fold AS BIGINT) AS fold, f.n AS fold_rows,
+         |  CAST((t.ts - f.sc) // NULLIF(t.tn - f.n, 0) AS BIGINT) AS oof_mean_cents
+         |FROM f JOIN t ON t.event_type = f.event_type""".stripMargin,
+
+    "x_gram_matrix" ->
+      """WITH q AS (
+        |  SELECT [CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) FOR e IN embedding] AS qv
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT r1.i - 1 AS i, r2.j - 1 AS j, q.qv[r1.i] * q.qv[r2.j] AS p
+        |  FROM q, range(1, 65) r1(i), range(1, 65) r2(j)
+        |  WHERE r1.i <= r2.j)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  CAST(SUM(p) AS BIGINT) AS s
+        |FROM x GROUP BY i, j""".stripMargin,
+
+    "x_pca_power" ->
+      """WITH q AS (
+        |  SELECT [CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) FOR e IN embedding] AS qv
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT r1.i - 1 AS i, r2.j - 1 AS j, q.qv[r1.i] * q.qv[r2.j] AS p
+        |  FROM q, range(1, 65) r1(i), range(1, 65) r2(j)),
+        |g AS (SELECT i, j, CAST(SUM(p) AS BIGINT) AS s FROM x GROUP BY i, j),
+        |gm AS (SELECT CAST(MAX(ABS(s)) AS BIGINT) AS m FROM g),
+        |c AS (SELECT i, j, s // ((SELECT m FROM gm) // 1000000 + 1) AS cn FROM g),
+        |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM c),
+        |w1 AS (SELECT c.i, CAST(SUM(c.cn * v0.v) AS BIGINT) AS w
+        |  FROM c JOIN v0 ON v0.i = c.j GROUP BY c.i),
+        |v1 AS (SELECT i, w // ((SELECT MAX(ABS(w)) FROM w1) // 1000000 + 1) AS v FROM w1),
+        |w2 AS (SELECT c.i, CAST(SUM(c.cn * v1.v) AS BIGINT) AS w
+        |  FROM c JOIN v1 ON v1.i = c.j GROUP BY c.i),
+        |v2 AS (SELECT i, w // ((SELECT MAX(ABS(w)) FROM w2) // 1000000 + 1) AS v FROM w2),
+        |w3 AS (SELECT c.i, CAST(SUM(c.cn * v2.v) AS BIGINT) AS w
+        |  FROM c JOIN v2 ON v2.i = c.j GROUP BY c.i)
+        |SELECT CAST(i AS BIGINT) AS i,
+        |  CAST(w // ((SELECT MAX(ABS(w)) FROM w3) // 1000000 + 1) AS BIGINT) AS v_micro
+        |FROM w3""".stripMargin
+  )
+}

@@ -21,7 +21,8 @@ object SparkEntry {
     IndexQueries,
     RetrievalQueries,
     SamplingQueries,
-    StatsQueries
+    StatsQueries,
+    InferenceQueries
   )
 
   /** Flagship: the full CDC slice on sf0.001 — synthesize the Debezium

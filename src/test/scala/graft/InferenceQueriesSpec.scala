@@ -1,0 +1,153 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Closed-form checks for the InferenceQueries SQL (the same text the
+  * oracle queries run) on hand-built frames where the statistic is known
+  * exactly: a constant-revenue population for the bootstrap (every
+  * replica mean equals the population mean, so the CI collapses to a
+  * point), identical / disjoint term distributions for JSD (zero /
+  * hand-computed positive), a hash-replayed fold layout for target
+  * encoding, and axis-aligned embeddings for the Gram matrix and the
+  * power-iteration eigenvector.
+  */
+class InferenceQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = new Timestamp(1700000000000L)
+
+  /** Scala twin of TextQueries.h64 — md5 hex prefix as a 60-bit long,
+    * for replaying fold assignment in expectations.
+    */
+  private def h64(x: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def asEvents(rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .createOrReplaceTempView("events")
+
+  private def asDocs(rows: Seq[(Long, String, String)]): Unit =
+    rows.toDF("doc_id", "source", "text").createOrReplaceTempView("documents")
+
+  private def asEmbeddings(rows: Seq[(Long, Array[Float])]): Unit =
+    rows.toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+
+  test("bootstrap CI collapses to a point on a constant-revenue population") {
+    // 20 users, each exactly $3.00 — every replica's weighted mean is 300
+    // cents whatever the Poisson weights (as long as any weight is > 0).
+    asEvents((1 to 20).map(u => (u.toLong, t0, u.toLong, "buy", 3.0)))
+    val row = spark.sql(InferenceQueries.bootstrapSql).collect().head
+    assert(row.getAs[Long]("n_users") === 20L)
+    assert(row.getAs[Long]("point_mean_cents") === 300L)
+    assert(row.getAs[Long]("ci_lo_cents") === 300L)
+    assert(row.getAs[Long]("ci_hi_cents") === 300L)
+  }
+
+  test("bootstrap CI brackets the point estimate on a mixed population") {
+    // users 1..40 with revenue u dollars: the replica means vary, the CI
+    // must contain the point mean and be ordered.
+    asEvents((1 to 40).map(u => (u.toLong, t0, u.toLong, "buy", u.toDouble)))
+    val row = spark.sql(InferenceQueries.bootstrapSql).collect().head
+    val (p, lo, hi) = (row.getAs[Long]("point_mean_cents"),
+      row.getAs[Long]("ci_lo_cents"), row.getAs[Long]("ci_hi_cents"))
+    assert(lo < hi, s"degenerate CI [$lo, $hi]")
+    assert(lo <= p && p <= hi, s"point $p outside [$lo, $hi]")
+  }
+
+  test("JSD is zero when every source matches the corpus distribution") {
+    // two sources with IDENTICAL term distributions — each equals the
+    // corpus mixture, so both divergences are exactly zero.
+    asDocs(Seq((1L, "a", "xx yy"), (2L, "b", "xx yy")))
+    val rows = spark.sql(InferenceQueries.jsDivergenceSql).collect()
+    assert(rows.length === 2)
+    rows.foreach(r => assert(r.getAs[Long]("jsd_micro") === 0L))
+  }
+
+  test("JSD of disjoint-vocabulary halves matches the hand computation") {
+    // source a: 'aa' x2; source b: 'bb' x2 — NA=2, N=4, and for each
+    // source's one term c=2, cc=2, ns=2, n=4. Replay the query's exact
+    // quantization: per-term nano floor, closed-form ln2 tail, DIV 2000.
+    asDocs(Seq((1L, "a", "aa aa"), (2L, "b", "bb bb")))
+    val nano = math.floor((
+      (2.0 / 2.0) * math.log((2.0 * 2 * 4) / (2.0 * 4 + 2.0 * 2))
+        + (2.0 / 4.0) * math.log((2.0 * 2 * 2) / (2.0 * 4 + 2.0 * 2))
+      ) * 1e9).toLong
+    val tail = math.floor(math.log(2.0) * (1e9 - (1000000000L * 2 / 4))).toLong
+    val expected = (nano + tail) / 2000
+    val rows = spark.sql(InferenceQueries.jsDivergenceSql).collect()
+    assert(rows.length === 2)
+    rows.foreach(r => assert(r.getAs[Long]("jsd_micro") === expected))
+    assert(expected > 0L)
+  }
+
+  test("target encoding: out-of-fold mean excludes exactly the cell's own fold") {
+    // 10 users with value = $1.00 + fold dollars, so each user's cents
+    // depend only on their fold; the OOF mean for fold k is the mean of
+    // cents over users NOT in fold k — replayed from the same h64 rule.
+    val users = (1L to 10L)
+    def fold(u: Long): Long = h64(s"kf_$u") % 5
+    asEvents(users.map(u => (u, t0, u, "buy", 1.0 + fold(u))).toSeq)
+    val byFold = users.groupBy(fold).view.mapValues(_.size).toMap
+    val totalCents = users.map(u => 100L + 100L * fold(u)).sum
+    val rows = spark.sql(InferenceQueries.targetEncodingSql).collect()
+    rows.foreach { r =>
+      val k = r.getAs[Long]("fold")
+      val n = byFold(k).toLong
+      val cellCents = n * (100L + 100L * k)
+      assert(r.getAs[Long]("fold_rows") === n)
+      assert(r.getAs[Long]("oof_mean_cents") ===
+        (totalCents - cellCents) / (users.size - n))
+    }
+    assert(rows.map(_.getAs[Long]("fold")).toSet === byFold.keySet)
+  }
+
+  test("Gram matrix is exact on axis-aligned vectors") {
+    // e1 = 1e6·axis0, e2 = 5e5·(axis0+axis1) after micro-quantization:
+    // G(0,0) = 1e12 + 2.5e11, G(0,1) = G(1,1) = 2.5e11, all else 0.
+    val d = 64
+    val e1 = Array.tabulate(d)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(d)(i => if (i <= 1) 0.5f else 0.0f)
+    asEmbeddings(Seq((1L, e1), (2L, e2)))
+    val g = spark.sql(InferenceQueries.gramMatrixSql).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r.getAs[Long]("s"))
+      .toMap
+    assert(g.size === d * (d + 1) / 2)
+    assert(g((0L, 0L)) === 1000000000000L + 250000000000L)
+    assert(g((0L, 1L)) === 250000000000L)
+    assert(g((1L, 1L)) === 250000000000L)
+    assert(g((2L, 2L)) === 0L)
+    assert(g((0L, 5L)) === 0L)
+  }
+
+  test("power iteration recovers the dominant axis") {
+    // all mass on axis 0: the eigenvector is axis 0 — v_micro(0) at the
+    // max-norm scale (within the integer-rescale rounding), all else 0.
+    val d = 64
+    val e1 = Array.tabulate(d)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(d)(i => if (i == 0) 0.5f else 0.0f)
+    asEmbeddings(Seq((1L, e1), (2L, e2)))
+    val v = spark.sql(InferenceQueries.pcaPowerSql).collect()
+      .map(r => r.getAs[Long]("i") -> r.getAs[Long]("v_micro")).toMap
+    assert(v.size === d)
+    assert(v(0L) > 999000L && v(0L) <= 1000000L, s"v(0) = ${v(0L)}")
+    (1 until d).foreach(i => assert(v(i.toLong) === 0L))
+  }
+
+  test("power iteration separates a dominant from a minor axis") {
+    // 3 vectors on axis 0, 1 on axis 7 — axis 0 dominates; after three
+    // max-norm iterations the axis-7 component must be far below axis 0.
+    val d = 64
+    def axis(k: Int, s: Float) = Array.tabulate(d)(i => if (i == k) s else 0.0f)
+    asEmbeddings(Seq((1L, axis(0, 1.0f)), (2L, axis(0, 0.9f)),
+      (3L, axis(0, 0.8f)), (4L, axis(7, 0.6f))))
+    val v = spark.sql(InferenceQueries.pcaPowerSql).collect()
+      .map(r => r.getAs[Long]("i") -> r.getAs[Long]("v_micro")).toMap
+    assert(math.abs(v(0L)) > 999000L)
+    // Gram is diagonal here, so the ratio contracts by (λ2/λ1) each round
+    assert(math.abs(v(7L)) < v(0L) / 100L, s"v(7) = ${v(7L)} not contracted")
+  }
+}
