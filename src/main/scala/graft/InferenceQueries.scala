@@ -220,7 +220,158 @@ object InferenceQueries extends QueryPack {
       |  CAST(w DIV ((SELECT MAX(ABS(w)) FROM w3) DIV 1000000 + 1) AS BIGINT) AS v_micro
       |FROM w3""".stripMargin
 
+  /** One-way ANOVA F over event types: between/within sums of squares
+    * from exact integer moments (n, Σcents, Σcents²); the one genuinely
+    * non-integer term (S_g²/n_g) is a single IEEE multiply-divide chain
+    * per GROUP quantized to milli-units before the k-row sum, so no
+    * accumulation order exists to differ. The final F is one double
+    * division of exact integers — identical in both engines, and
+    * check.py's 9dp rounding guards the last ulp.
+    */
+  private[graft] val anovaSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS sg,
+      |    CAST(SUM(cents * cents) AS BIGINT) AS qg
+      |  FROM e GROUP BY event_type),
+      |q AS (
+      |  SELECT event_type, n, sg, qg,
+      |    CAST(FLOOR(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+      |      / CAST(n AS DOUBLE) * 1000) AS BIGINT) AS sq_milli
+      |  FROM g),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+      |    CAST(SUM(sg) AS BIGINT) AS s, CAST(SUM(qg) AS BIGINT) AS qq,
+      |    CAST(SUM(sq_milli) AS BIGINT) AS sqm
+      |  FROM q)
+      |SELECT k AS n_groups, nn AS n_rows,
+      |  CAST(sqm - CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |    / CAST(nn AS DOUBLE) * 1000) AS BIGINT) AS BIGINT) AS ssb_milli,
+      |  CAST(qq * 1000 - sqm AS BIGINT) AS ssw_milli,
+      |  CAST(
+      |    (CAST(sqm - CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |       / CAST(nn AS DOUBLE) * 1000) AS BIGINT) AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+      |    / (CAST(qq * 1000 - sqm AS DOUBLE) / CAST(nn - k AS DOUBLE))
+      |  AS DOUBLE) AS f_stat
+      |FROM t""".stripMargin
+
+  /** Randomization test for the purchase-vs-click mean-value gap: each
+    * replica reassigns every row a pseudo-label by the shared hash
+    * (proportions preserved in expectation — the binomial null), and the
+    * p-value is the fraction of replicas whose absolute mean gap reaches
+    * the observed one. Like the bootstrap, labels are row-local hash
+    * draws: no shuffled permutation ever materializes, and the whole
+    * null distribution is one R-group map-combinable aggregate.
+    */
+  private[graft] val permutationTestSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events WHERE event_type IN ('purchase', 'click')),
+       |cnt AS (
+       |  SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(count(*) AS BIGINT) AS nt,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS sa,
+       |    CAST(SUM(cents) AS BIGINT) AS st
+       |  FROM e),
+       |obs AS (
+       |  SELECT na, nt - na AS nb,
+       |    sa * 1000000 DIV na - (st - sa) * 1000000 DIV (nt - na) AS d_obs
+       |  FROM cnt),
+       |reps AS (SELECT explode(sequence(0, ${R - 1})) AS r),
+       |lab AS (
+       |  SELECT reps.r, e.cents,
+       |    CASE WHEN ${h64(s"concat('pm', CAST(reps.r AS STRING), '_', CAST(e.event_id AS STRING))")} % cnt.nt < cnt.na
+       |      THEN 1 ELSE 0 END AS la
+       |  FROM e CROSS JOIN cnt CROSS JOIN reps),
+       |d AS (
+       |  SELECT r,
+       |    SUM(la * cents) * 1000000 DIV NULLIF(SUM(la), 0)
+       |      - SUM((1 - la) * cents) * 1000000 DIV NULLIF(SUM(1 - la), 0) AS dr
+       |  FROM lab GROUP BY r)
+       |SELECT obs.na AS n_purchase, obs.nb AS n_click,
+       |  CAST(obs.d_obs AS BIGINT) AS d_obs_microcents,
+       |  CAST(1000 * SUM(CASE WHEN ABS(d.dr) >= ABS(obs.d_obs) THEN 1 ELSE 0 END)
+       |    DIV ${R} AS BIGINT) AS p_permille
+       |FROM d CROSS JOIN obs
+       |GROUP BY obs.na, obs.nb, obs.d_obs""".stripMargin
+
+  /** Two-feature OLS (value on hour-of-day and day-of-week, both offset-
+    * centered) by the centered normal equations: every moment is an exact
+    * int64 sum from ONE aggregate pass; the 2×2 Cramer determinants run
+    * in DECIMAL(38,0) (they exceed int64 at 100 TB row counts but not
+    * decimal128), and only the final beta divisions leave exact
+    * arithmetic — as single IEEE divides. The intercept-free centered
+    * system never forms a 3×3, keeping the widest product within
+    * decimal128 headroom through sf100.
+    */
+  private[graft] val olsMultiSql: String =
+    """WITH e AS (
+      |  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y,
+      |    hour(ts) - 12 AS x1, (dayofweek(ts) - 1) - 3 AS x2
+      |  FROM events),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+      |    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+      |    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+      |    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+      |    CAST(SUM(x2 * y) AS BIGINT) AS s2y
+      |  FROM e),
+      |c AS (
+      |  SELECT n, sy,
+      |    CAST(n * s11 - s1 * s1 AS DECIMAL(38, 0)) AS c11,
+      |    CAST(n * s12 - s1 * s2 AS DECIMAL(38, 0)) AS c12,
+      |    CAST(n * s22 - s2 * s2 AS DECIMAL(38, 0)) AS c22,
+      |    CAST(n * s1y - s1 * sy AS DECIMAL(38, 0)) AS c1y,
+      |    CAST(n * s2y - s2 * sy AS DECIMAL(38, 0)) AS c2y,
+      |    s1, s2
+      |  FROM m)
+      |SELECT n AS n_rows,
+      |  CAST(CAST(c1y * c22 - c2y * c12 AS DOUBLE)
+      |    / CAST(c11 * c22 - c12 * c12 AS DOUBLE) AS DOUBLE) AS beta_hour_cents,
+      |  CAST(CAST(c2y * c11 - c1y * c12 AS DOUBLE)
+      |    / CAST(c11 * c22 - c12 * c12 AS DOUBLE) AS DOUBLE) AS beta_dow_cents
+      |FROM c""".stripMargin
+
+  /** Calibration curve with a leakage-free temporal split: per-user
+    * purchase propensity scored on the first half of the global time
+    * range, outcomes observed on the second half, users bucketed by
+    * score decile — mean score vs observed rate per bin is the
+    * reliability diagram every model-quality gate plots. Two aggregate
+    * passes over one scan; the split boundary is a broadcast scalar.
+    */
+  private[graft] val calibrationSql: String =
+    """WITH b AS (
+      |  SELECT (min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2 AS mid FROM events),
+      |fh AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000
+      |      DIV count(*) AS BIGINT) AS score_permille
+      |  FROM events CROSS JOIN b WHERE unix_micros(ts) < b.mid
+      |  GROUP BY user_id),
+      |sh AS (
+      |  SELECT user_id,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      |  FROM events CROSS JOIN b WHERE unix_micros(ts) >= b.mid
+      |  GROUP BY user_id)
+      |SELECT CAST(fh.score_permille DIV 100 AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(fh.score_permille) DIV count(*) AS BIGINT) AS mean_score_permille,
+      |  CAST(SUM(COALESCE(sh.converted, 0)) * 1000 DIV count(*) AS BIGINT) AS observed_permille
+      |FROM fh LEFT JOIN sh ON sh.user_id = fh.user_id
+      |GROUP BY fh.score_permille DIV 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_anova_f" -> ((s, dir) => events(s, dir, anovaSql)),
+    "x_permutation_test" -> ((s, dir) => events(s, dir, permutationTestSql)),
+    "x_ols_multi" -> ((s, dir) => events(s, dir, olsMultiSql)),
+    "x_calibration" -> ((s, dir) => events(s, dir, calibrationSql)),
     "x_bootstrap_ci" -> ((s, dir) => events(s, dir, bootstrapSql)),
     "x_js_divergence" -> ((s, dir) => docs(s, dir, jsDivergenceSql)),
     "x_target_encoding" -> ((s, dir) => events(s, dir, targetEncodingSql)),
@@ -229,6 +380,121 @@ object InferenceQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_anova_f" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sg,
+        |    CAST(SUM(cents * cents) AS BIGINT) AS qg
+        |  FROM e GROUP BY event_type),
+        |q AS (
+        |  SELECT event_type, n, sg, qg,
+        |    CAST(FLOOR(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |      / CAST(n AS DOUBLE) * 1000) AS BIGINT) AS sq_milli
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(sg) AS BIGINT) AS s, CAST(SUM(qg) AS BIGINT) AS qq,
+        |    CAST(SUM(sq_milli) AS BIGINT) AS sqm
+        |  FROM q)
+        |SELECT k AS n_groups, nn AS n_rows,
+        |  CAST(sqm - CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |    / CAST(nn AS DOUBLE) * 1000) AS BIGINT) AS BIGINT) AS ssb_milli,
+        |  CAST(qq * 1000 - sqm AS BIGINT) AS ssw_milli,
+        |  CAST(
+        |    (CAST(sqm - CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |       / CAST(nn AS DOUBLE) * 1000) AS BIGINT) AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |    / (CAST(qq * 1000 - sqm AS DOUBLE) / CAST(nn - k AS DOUBLE))
+        |  AS DOUBLE) AS f_stat
+        |FROM t""".stripMargin,
+
+    "x_permutation_test" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type,
+         |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('purchase', 'click')),
+         |cnt AS (
+         |  SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(count(*) AS BIGINT) AS nt,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS sa,
+         |    CAST(SUM(cents) AS BIGINT) AS st
+         |  FROM e),
+         |obs AS (
+         |  SELECT na, nt - na AS nb,
+         |    sa * 1000000 // na - (st - sa) * 1000000 // (nt - na) AS d_obs
+         |  FROM cnt),
+         |reps AS (SELECT unnest(range(0, $R)) AS r),
+         |lab AS (
+         |  SELECT reps.r, e.cents,
+         |    CASE WHEN ${duckH64("('pm' || reps.r || '_' || e.event_id)")} % cnt.nt < cnt.na
+         |      THEN 1 ELSE 0 END AS la
+         |  FROM e CROSS JOIN cnt CROSS JOIN reps),
+         |d AS (
+         |  SELECT r,
+         |    SUM(la * cents) * 1000000 // NULLIF(SUM(la), 0)
+         |      - SUM((1 - la) * cents) * 1000000 // NULLIF(SUM(1 - la), 0) AS dr
+         |  FROM lab GROUP BY r)
+         |SELECT obs.na AS n_purchase, obs.nb AS n_click,
+         |  CAST(obs.d_obs AS BIGINT) AS d_obs_microcents,
+         |  CAST(1000 * SUM(CASE WHEN ABS(d.dr) >= ABS(obs.d_obs) THEN 1 ELSE 0 END)
+         |    // ${R} AS BIGINT) AS p_permille
+         |FROM d CROSS JOIN obs
+         |GROUP BY obs.na, obs.nb, obs.d_obs""".stripMargin,
+
+    "x_ols_multi" ->
+      """WITH e AS (
+        |  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y,
+        |    hour(ts) - 12 AS x1, dayofweek(ts) - 3 AS x2
+        |  FROM events),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+        |    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+        |    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+        |    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+        |    CAST(SUM(x2 * y) AS BIGINT) AS s2y
+        |  FROM e),
+        |c AS (
+        |  SELECT n, sy,
+        |    CAST(n * s11 - s1 * s1 AS DECIMAL(38, 0)) AS c11,
+        |    CAST(n * s12 - s1 * s2 AS DECIMAL(38, 0)) AS c12,
+        |    CAST(n * s22 - s2 * s2 AS DECIMAL(38, 0)) AS c22,
+        |    CAST(n * s1y - s1 * sy AS DECIMAL(38, 0)) AS c1y,
+        |    CAST(n * s2y - s2 * sy AS DECIMAL(38, 0)) AS c2y,
+        |    s1, s2
+        |  FROM m)
+        |SELECT n AS n_rows,
+        |  CAST(CAST(c1y * c22 - c2y * c12 AS DOUBLE)
+        |    / CAST(c11 * c22 - c12 * c12 AS DOUBLE) AS DOUBLE) AS beta_hour_cents,
+        |  CAST(CAST(c2y * c11 - c1y * c12 AS DOUBLE)
+        |    / CAST(c11 * c22 - c12 * c12 AS DOUBLE) AS DOUBLE) AS beta_dow_cents
+        |FROM c""".stripMargin,
+
+    "x_calibration" ->
+      """WITH b AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+        |fh AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000
+        |      // count(*) AS BIGINT) AS score_permille
+        |  FROM events CROSS JOIN b WHERE epoch_us(ts) < b.mid
+        |  GROUP BY user_id),
+        |sh AS (
+        |  SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |  FROM events CROSS JOIN b WHERE epoch_us(ts) >= b.mid
+        |  GROUP BY user_id)
+        |SELECT CAST(fh.score_permille // 100 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(fh.score_permille) // count(*) AS BIGINT) AS mean_score_permille,
+        |  CAST(SUM(COALESCE(sh.converted, 0)) * 1000 // count(*) AS BIGINT) AS observed_permille
+        |FROM fh LEFT JOIN sh ON sh.user_id = fh.user_id
+        |GROUP BY fh.score_permille // 100""".stripMargin,
 
     "x_bootstrap_ci" ->
       s"""WITH u AS (

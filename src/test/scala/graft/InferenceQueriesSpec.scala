@@ -137,6 +137,97 @@ class InferenceQueriesSpec extends SparkSpec {
     (1 until d).foreach(i => assert(v(i.toLong) === 0L))
   }
 
+  test("ANOVA F is zero for identical group means, huge for disjoint ones") {
+    // 3 groups, each {1, 2, 3} dollars — identical means, SSB = 0, F = 0.
+    asEvents(for {
+      (g, gi) <- Seq("a", "b", "c").zipWithIndex
+      (v, vi) <- Seq(1.0, 2.0, 3.0).zipWithIndex
+    } yield ((gi * 3 + vi).toLong, t0, 1L, g, v))
+    val r0 = spark.sql(InferenceQueries.anovaSql).collect().head
+    assert(r0.getAs[Long]("n_groups") === 3L)
+    assert(r0.getAs[Long]("ssb_milli") === 0L)
+    assert(r0.getAs[Double]("f_stat") === 0.0)
+
+    // two constant groups far apart: within-variance 0 would blow up F;
+    // add one epsilon point so SSW > 0 and F is enormous.
+    asEvents(Seq(
+      (1L, t0, 1L, "lo", 1.0), (2L, t0, 1L, "lo", 1.0), (3L, t0, 1L, "lo", 1.01),
+      (4L, t0, 1L, "hi", 100.0), (5L, t0, 1L, "hi", 100.0), (6L, t0, 1L, "hi", 100.0)))
+    val r1 = spark.sql(InferenceQueries.anovaSql).collect().head
+    assert(r1.getAs[Long]("ssb_milli") > 0L)
+    assert(r1.getAs[Double]("f_stat") > 1000.0)
+  }
+
+  test("permutation test: identical constant groups give p = 1000 permille") {
+    // purchase and click all $2.00 — observed gap 0, every replica gap 0,
+    // so every replica reaches the observed statistic.
+    asEvents((1 to 30).map(i =>
+      (i.toLong, t0, i.toLong, if (i % 2 == 0) "purchase" else "click", 2.0)))
+    val row = spark.sql(InferenceQueries.permutationTestSql).collect().head
+    assert(row.getAs[Long]("n_purchase") === 15L)
+    assert(row.getAs[Long]("n_click") === 15L)
+    assert(row.getAs[Long]("d_obs_microcents") === 0L)
+    assert(row.getAs[Long]("p_permille") === 1000L)
+  }
+
+  test("permutation test: a huge separation is never reproduced by the null") {
+    // purchases $100, clicks $1 — the hash-null reassignments mix the two
+    // populations, so no replica reaches the observed 99-dollar gap.
+    asEvents((1 to 40).map(i =>
+      (i.toLong, t0, i.toLong, if (i % 2 == 0) "purchase" else "click",
+        if (i % 2 == 0) 100.0 else 1.0)))
+    val row = spark.sql(InferenceQueries.permutationTestSql).collect().head
+    assert(row.getAs[Long]("d_obs_microcents") === 99L * 100 * 1000000)
+    assert(row.getAs[Long]("p_permille") === 0L)
+  }
+
+  test("two-feature OLS recovers exact coefficients from an exact-fit plane") {
+    // y = 100 + 7·(hour−12) + 2·(dow−3) dollars on a grid of hours × days:
+    // an exact fit, so the centered normal equations return exactly
+    // 700/200 cents per unit.
+    val rows = for {
+      day <- 0 until 7
+      hour <- Seq(6, 10, 14, 18)
+    } yield {
+      val ts = Timestamp.valueOf(java.time.LocalDateTime.of(2024, 3, 4 + day, hour, 0, 0))
+      val dowSpark = ((day + 1) % 7) + 1 // 2024-03-04 is a Monday → dayofweek=2
+      val x1 = hour - 12
+      val x2 = (dowSpark - 1) - 3
+      ((day * 24 + hour).toLong, ts, 1L, "e", 100.0 + 7 * x1 + 2 * x2)
+    }
+    asEvents(rows)
+    val r = spark.sql(InferenceQueries.olsMultiSql).collect().head
+    assert(r.getAs[Long]("n_rows") === rows.size.toLong)
+    assert(math.abs(r.getAs[Double]("beta_hour_cents") - 700.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("beta_dow_cents") - 200.0) < 1e-6)
+  }
+
+  test("calibration: a perfectly calibrated split lands on the diagonal") {
+    // first half: user u has u purchases out of 10 events → score 100·u
+    // permille; second half: user u converts iff u >= 5. Bins are exact.
+    val firstTs = new Timestamp(1700000000000L)
+    val secondTs = new Timestamp(1700000800000L) // mid = +400s
+    val first = for {
+      u <- 1 to 9
+      i <- 0 until 10
+    } yield ((u * 100 + i).toLong, firstTs, u.toLong,
+      if (i < u) "purchase" else "view", 1.0)
+    val second = (1 to 9).map(u =>
+      (9000L + u, secondTs, u.toLong, if (u >= 5) "purchase" else "view", 1.0))
+    asEvents(first ++ second)
+    val bins = spark.sql(InferenceQueries.calibrationSql).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("mean_score_permille"),
+          r.getAs[Long]("observed_permille"))).toMap
+    // user u: score u·100 permille → bin u; observed = 1000·[u >= 5]
+    (1 to 9).foreach { u =>
+      val (n, score, obs) = bins(u.toLong)
+      assert(n === 1L)
+      assert(score === u * 100L)
+      assert(obs === (if (u >= 5) 1000L else 0L))
+    }
+  }
+
   test("power iteration separates a dominant from a minor axis") {
     // 3 vectors on axis 0, 1 on axis 7 — axis 0 dominates; after three
     // max-norm iterations the axis-7 component must be far below axis 0.
