@@ -367,7 +367,92 @@ object InferenceQueries extends QueryPack {
       |FROM fh LEFT JOIN sh ON sh.user_id = fh.user_id
       |GROUP BY fh.score_permille DIV 100""".stripMargin
 
+  /** Explained-variance share of the dominant eigenvector: the Rayleigh
+    * quotient λ = vᵀCv / vᵀv over the scaled Gram matrix, divided by its
+    * trace — scale-invariant, so the integer max-norm rescaling cancels.
+    * The one product that outgrows int64 (v·(Cv) terms) runs in
+    * DECIMAL(38,0); the share is two IEEE divisions of exact values.
+    * Completes the x_pca_power story: "the top component carries X% of
+    * the variance" is the number that decides how many components a
+    * whitening/compression pass keeps.
+    */
+  private[graft] val pcaExplainedSql: String =
+    """WITH q AS (
+      |  SELECT transform(embedding,
+      |    e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT i, j, qi * qj AS p
+      |  FROM q
+      |  LATERAL VIEW posexplode(qv) a AS i, qi
+      |  LATERAL VIEW posexplode(qv) b AS j, qj),
+      |g AS (SELECT i, j, CAST(SUM(p) AS BIGINT) AS s FROM x GROUP BY i, j),
+      |gm AS (SELECT CAST(MAX(ABS(s)) AS BIGINT) AS m FROM g),
+      |c AS (SELECT i, j, s DIV ((SELECT m FROM gm) DIV 1000000 + 1) AS cn FROM g),
+      |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM c),
+      |w1 AS (SELECT c.i, CAST(SUM(c.cn * v0.v) AS BIGINT) AS w
+      |  FROM c JOIN v0 ON v0.i = c.j GROUP BY c.i),
+      |v1 AS (SELECT i, w DIV ((SELECT MAX(ABS(w)) FROM w1) DIV 1000000 + 1) AS v FROM w1),
+      |w2 AS (SELECT c.i, CAST(SUM(c.cn * v1.v) AS BIGINT) AS w
+      |  FROM c JOIN v1 ON v1.i = c.j GROUP BY c.i),
+      |v2 AS (SELECT i, w DIV ((SELECT MAX(ABS(w)) FROM w2) DIV 1000000 + 1) AS v FROM w2),
+      |w3 AS (SELECT c.i, CAST(SUM(c.cn * v2.v) AS BIGINT) AS w
+      |  FROM c JOIN v2 ON v2.i = c.j GROUP BY c.i),
+      |v3 AS (SELECT i, w DIV ((SELECT MAX(ABS(w)) FROM w3) DIV 1000000 + 1) AS v FROM w3),
+      |w4 AS (SELECT c.i, CAST(SUM(c.cn * v3.v) AS BIGINT) AS w
+      |  FROM c JOIN v3 ON v3.i = c.j GROUP BY c.i),
+      |r AS (
+      |  SELECT
+      |    CAST(SUM(CAST(v3.v AS DECIMAL(38, 0)) * CAST(w4.w AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS num,
+      |    CAST(SUM(v3.v * v3.v) AS BIGINT) AS den
+      |  FROM v3 JOIN w4 ON w4.i = v3.i),
+      |tr AS (SELECT CAST(SUM(cn) AS BIGINT) AS trace FROM c WHERE i = j)
+      |SELECT tr.trace AS trace_scaled, r.den AS rayleigh_den,
+      |  CAST(CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE)
+      |    / CAST(tr.trace AS DOUBLE) AS DOUBLE) AS explained_share
+      |FROM r CROSS JOIN tr""".stripMargin
+
+  /** Tie-aware Spearman rank correlation between per-user activity and
+    * revenue: average ranks come from the VALUE-GROUPED distribution
+    * (doubled to stay integer: 2·rank = 2·cumprev + c + 1 — the Gini/AUC
+    * rank-block idiom), so users never individually rank and every
+    * moment is an exact int64 sum. Windows run over distinct metric
+    * values, the user-level join maps ranks back, and ρ leaves exact
+    * arithmetic only in the final sqrt/divide chain of single IEEE ops.
+    */
+  private[graft] val spearmanSql: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |rx AS (
+      |  SELECT x, 2 * (CAST(SUM(c) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - c) + c + 1 AS r2
+      |  FROM (SELECT x, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY x)),
+      |ry AS (
+      |  SELECT y, 2 * (CAST(SUM(c) OVER (ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - c) + c + 1 AS r2
+      |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY y)),
+      |j AS (
+      |  SELECT rx.r2 AS a, ry.r2 AS b
+      |  FROM u JOIN rx ON rx.x = u.x JOIN ry ON ry.y = u.y),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+      |    CAST(SUM(a * b) AS BIGINT) AS sab,
+      |    CAST(SUM(a * a) AS BIGINT) AS saa,
+      |    CAST(SUM(b * b) AS BIGINT) AS sbb
+      |  FROM j)
+      |SELECT n AS n_users,
+      |  CAST(n * sab - sa * sb AS BIGINT) AS cov_num,
+      |  CAST(CAST(n * sab - sa * sb AS DOUBLE)
+      |    / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
+      |       * SQRT(CAST(n * sbb - sb * sb AS DOUBLE))) AS DOUBLE) AS rho
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pca_explained" -> ((s, dir) => embs(s, dir, pcaExplainedSql)),
+    "x_spearman" -> ((s, dir) => events(s, dir, spearmanSql)),
     "x_anova_f" -> ((s, dir) => events(s, dir, anovaSql)),
     "x_permutation_test" -> ((s, dir) => events(s, dir, permutationTestSql)),
     "x_ols_multi" -> ((s, dir) => events(s, dir, olsMultiSql)),
@@ -380,6 +465,69 @@ object InferenceQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_pca_explained" ->
+      """WITH q AS (
+        |  SELECT [CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) FOR e IN embedding] AS qv
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT r1.i - 1 AS i, r2.j - 1 AS j, q.qv[r1.i] * q.qv[r2.j] AS p
+        |  FROM q, range(1, 65) r1(i), range(1, 65) r2(j)),
+        |g AS (SELECT i, j, CAST(SUM(p) AS BIGINT) AS s FROM x GROUP BY i, j),
+        |gm AS (SELECT CAST(MAX(ABS(s)) AS BIGINT) AS m FROM g),
+        |c AS (SELECT i, j, s // ((SELECT m FROM gm) // 1000000 + 1) AS cn FROM g),
+        |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM c),
+        |w1 AS (SELECT c.i, CAST(SUM(c.cn * v0.v) AS BIGINT) AS w
+        |  FROM c JOIN v0 ON v0.i = c.j GROUP BY c.i),
+        |v1 AS (SELECT i, w // ((SELECT MAX(ABS(w)) FROM w1) // 1000000 + 1) AS v FROM w1),
+        |w2 AS (SELECT c.i, CAST(SUM(c.cn * v1.v) AS BIGINT) AS w
+        |  FROM c JOIN v1 ON v1.i = c.j GROUP BY c.i),
+        |v2 AS (SELECT i, w // ((SELECT MAX(ABS(w)) FROM w2) // 1000000 + 1) AS v FROM w2),
+        |w3 AS (SELECT c.i, CAST(SUM(c.cn * v2.v) AS BIGINT) AS w
+        |  FROM c JOIN v2 ON v2.i = c.j GROUP BY c.i),
+        |v3 AS (SELECT i, w // ((SELECT MAX(ABS(w)) FROM w3) // 1000000 + 1) AS v FROM w3),
+        |w4 AS (SELECT c.i, CAST(SUM(c.cn * v3.v) AS BIGINT) AS w
+        |  FROM c JOIN v3 ON v3.i = c.j GROUP BY c.i),
+        |r AS (
+        |  SELECT
+        |    CAST(SUM(CAST(v3.v AS DECIMAL(38, 0)) * CAST(w4.w AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS num,
+        |    CAST(SUM(v3.v * v3.v) AS BIGINT) AS den
+        |  FROM v3 JOIN w4 ON w4.i = v3.i),
+        |tr AS (SELECT CAST(SUM(cn) AS BIGINT) AS trace FROM c WHERE i = j)
+        |SELECT tr.trace AS trace_scaled, r.den AS rayleigh_den,
+        |  CAST(CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE)
+        |    / CAST(tr.trace AS DOUBLE) AS DOUBLE) AS explained_share
+        |FROM r CROSS JOIN tr""".stripMargin,
+
+    "x_spearman" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |rx AS (
+        |  SELECT x, 2 * (CAST(SUM(c) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - c) + c + 1 AS r2
+        |  FROM (SELECT x, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY x)),
+        |ry AS (
+        |  SELECT y, 2 * (CAST(SUM(c) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - c) + c + 1 AS r2
+        |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY y)),
+        |j AS (
+        |  SELECT rx.r2 AS a, ry.r2 AS b
+        |  FROM u JOIN rx ON rx.x = u.x JOIN ry ON ry.y = u.y),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+        |    CAST(SUM(a * b) AS BIGINT) AS sab,
+        |    CAST(SUM(a * a) AS BIGINT) AS saa,
+        |    CAST(SUM(b * b) AS BIGINT) AS sbb
+        |  FROM j)
+        |SELECT n AS n_users,
+        |  CAST(n * sab - sa * sb AS BIGINT) AS cov_num,
+        |  CAST(CAST(n * sab - sa * sb AS DOUBLE)
+        |    / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
+        |       * SQRT(CAST(n * sbb - sb * sb AS DOUBLE))) AS DOUBLE) AS rho
+        |FROM m""".stripMargin,
 
     "x_anova_f" ->
       """WITH e AS (

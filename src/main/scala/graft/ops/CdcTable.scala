@@ -1929,31 +1929,38 @@ final class CdcTable(
       }
     }
     if (needScan.nonEmpty) {
-      // per-dir legs keep `_metadata` resolvable for the DV key columns
-      // and carry the dir tag; unionByName tolerates schema evolution
-      // (absent columns null out, and nulls never touch a register)
-      val legs = needScan.map { case (rel, dir, _) =>
-        val raw = spark.read.option("mergeSchema", "true").parquet(dir.getPath)
-        val present = ndvColumns.filter(raw.columns.contains)
-        raw.select(lit(rel).as("__dir") +: dvSubExpr.as(DvSubCol) +:
+      // ONE multi-dir read (mergeSchema absorbs evolution across dirs;
+      // absent columns null out, and nulls never touch a register). The
+      // runtime dir tag is the file's PARENT directory name — unique
+      // among one version's data dirs by construction (months appear
+      // once per manifest; the unpartitioned layout holds one dir) —
+      // so the whole recompute is one grouped job however many dirs a
+      // table-wide vectored delete dirtied.
+      def tagOf(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
+      val relByTag = needScan.map { case (rel, _, _) => tagOf(rel) -> rel }.toMap
+      require(relByTag.size == needScan.size,
+        s"duplicate data-dir names within version $cur of $path — cannot tag the batched scan")
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(needScan.map(_._2.getPath).toSeq: _*)
+      val present = ndvColumns.filter(raw.columns.contains)
+      val tagged = raw.select(
+        element_at(split(col("_metadata.file_path"), "/"), -2).as("__dir") +:
+          dvSubExpr.as(DvSubCol) +:
           col("_metadata.file_name").as(DvFileCol) +:
           col("_metadata.row_index").as(DvIdxCol) +:
           present.map(col): _*)
-      }
-      val all = legs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
       val live = dvAt(cur) match {
-        case Some(dv) => all.join(dv.select(col("sub").as(DvSubCol),
+        case Some(dv) => tagged.join(dv.select(col("sub").as(DvSubCol),
             col("file").as(DvFileCol), col("idx").as(DvIdxCol)),
           Seq(DvSubCol, DvFileCol, DvIdxCol), "left_anti")
-        case None => all
+        case None => tagged
       }
-      val present = ndvColumns.filter(live.columns.contains)
       val byDir =
         if (present.isEmpty) Map.empty[Seq[String], Map[String, Array[Byte]]]
         else TableStats.collectRegs(
           TableStats.regsByGroup(live, Seq("__dir"), present), Seq("__dir"))
       needScan.foreach { case (rel, dir, dirty) =>
-        val got = byDir.getOrElse(Seq(rel), Map.empty[String, Array[Byte]])
+        val got = byDir.getOrElse(Seq(tagOf(rel)), Map.empty[String, Array[Byte]])
         val full = ndvColumns.map(c => c -> got.getOrElse(c, TableStats.zero)).toMap
         // backfill only clean dirs: a vector-applied read is not the
         // dir's true registers (HLL cannot subtract)

@@ -228,6 +228,38 @@ class InferenceQueriesSpec extends SparkSpec {
     }
   }
 
+  test("explained share is ~1 for rank-1 data, ~1/2 for two equal axes") {
+    val d = 64
+    def axis(k: Int, s: Float) = Array.tabulate(d)(i => if (i == k) s else 0.0f)
+    // all variance on one axis: the top component explains everything
+    asEmbeddings(Seq((1L, axis(0, 1.0f)), (2L, axis(0, 0.5f)), (3L, axis(0, 0.25f))))
+    val r1 = spark.sql(InferenceQueries.pcaExplainedSql).collect().head
+    assert(math.abs(r1.getAs[Double]("explained_share") - 1.0) < 0.01)
+
+    // two orthogonal axes with EQUAL mass: the top component carries half
+    asEmbeddings(Seq((1L, axis(0, 1.0f)), (2L, axis(7, 1.0f))))
+    val r2 = spark.sql(InferenceQueries.pcaExplainedSql).collect().head
+    assert(math.abs(r2.getAs[Double]("explained_share") - 0.5) < 0.01)
+  }
+
+  test("Spearman is exactly 1 on increasing and -1 on decreasing data") {
+    // y strictly increasing in x (user u: u events, total u dollars)
+    asEvents((1 to 8).flatMap(u =>
+      (1 to u).map(i => ((u * 100 + i).toLong, t0, u.toLong, "e", 1.0))))
+    val up = spark.sql(InferenceQueries.spearmanSql).collect().head
+    assert(up.getAs[Long]("n_users") === 8L)
+    assert(math.abs(up.getAs[Double]("rho") - 1.0) < 1e-12)
+
+    // y strictly DECREASING in x: user u has u events each worth 100/u… use
+    // totals 9-u dollars so revenue ranks reverse the activity ranks
+    asEvents((1 to 8).flatMap { u =>
+      val per = (9 - u).toDouble / u
+      (1 to u).map(i => ((u * 100 + i).toLong, t0, u.toLong, "e", per))
+    })
+    val down = spark.sql(InferenceQueries.spearmanSql).collect().head
+    assert(math.abs(down.getAs[Double]("rho") + 1.0) < 1e-9)
+  }
+
   test("power iteration separates a dominant from a minor axis") {
     // 3 vectors on axis 0, 1 on axis 7 — axis 0 dominates; after three
     // max-norm iterations the axis-7 component must be far below axis 0.
