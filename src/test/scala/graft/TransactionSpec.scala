@@ -96,6 +96,58 @@ class TransactionSpec extends SparkSpec {
     assert(g.recoverTransactions().isEmpty)
   }
 
+  test("streaming foreachBatch commits two tables per micro-batch transactionally") {
+    val g = freshSession("tx_stream")
+    val srcDir = tmpDir("tx_stream_src")
+    val ckpt = tmpDir("tx_stream_ckpt")
+    Seq((2L, "o2", 200L), (3L, "o3", 300L)).toDF("id", "v", "amt")
+      .write.mode("overwrite").parquet(srcDir)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("id BIGINT, v STRING, amt BIGINT").parquet(srcDir)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!df.isEmpty) {
+            // the fan-out of ONE micro-batch to both tables is atomic:
+            // orders and items land together or the batch retries whole
+            g.transaction(Seq("orders", "items")) { tx =>
+              tx("orders").merge(df.select(col("id"), col("v"),
+                lit("c").as("__op"), lit(9L).as("__ts_ms")), "__ts_ms")
+              tx("items").merge(df.select(col("id"), col("amt"),
+                lit("c").as("__op"), lit(9L).as("__ts_ms")), "__ts_ms")
+            }
+            (): Unit
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(g.read("orders").select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    assert(g.read("items").select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    assert(g.pendingTransactions.isEmpty)
+
+    // restart with no new files: checkpoint prevents reprocessing — no
+    // version burned on either table
+    val (vo, vi) = (g.table("orders").currentVersion.get,
+      g.table("items").currentVersion.get)
+    runOnce()
+    assert(g.table("orders").currentVersion.get === vo)
+    assert(g.table("items").currentVersion.get === vi)
+
+    // a late file lands in BOTH tables through one more transaction
+    Seq((4L, "o4", 400L)).toDF("id", "v", "amt")
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(g.read("orders").count() === 4)
+    assert(g.read("items").filter(col("id") === 4L).select("amt").head().getLong(0) === 400L)
+    assert(g.table("orders").branches.isEmpty)
+  }
+
   test("transactions compose with reads inside the body and return values") {
     val g = freshSession("tx_read")
     val n = g.transaction(Seq("orders")) { tx =>
