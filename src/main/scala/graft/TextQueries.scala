@@ -55,6 +55,32 @@ object TextQueries extends QueryPack {
       s"replace($acc, '($a)($b)', '($a$b)')"
     }
 
+  /** Zipf log-log OLS text (shared with TextQueriesSpec — see the
+    * x_zipf_fit query comment for the design).
+    */
+  private[graft] val zipfSql: String =
+    """WITH f AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM documents LATERAL VIEW explode(split(lower(text), '\\s+')) t AS word
+      |  WHERE length(word) >= 2 GROUP BY word),
+      |r AS (
+      |  SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rnk
+      |  FROM f),
+      |q AS (
+      |  SELECT CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000) AS BIGINT) AS x,
+      |    CAST(FLOOR(ln(CAST(freq AS DOUBLE)) * 1000) AS BIGINT) AS y
+      |  FROM r WHERE rnk <= 500),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM q)
+      |SELECT n AS n_terms,
+      |  CAST((n * sxy - sx * sy) * 1000 DIV (n * sxx - sx * sx) AS BIGINT) AS zipf_slope_milli,
+      |  CAST((sy - ((n * sxy - sx * sy) * 1000 DIV (n * sxx - sx * sx)) * sx DIV 1000)
+      |    DIV n AS BIGINT) AS intercept_milli_ln
+      |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace tokens + a BPE-ish regex segmentation.
@@ -312,6 +338,14 @@ object TextQueries extends QueryPack {
         |  ws.long_words * 1000 DIV ws.n_words AS long_word_permille
         |FROM ws JOIN s ON s.lang = ws.lang""".stripMargin)),
 
+    // Zipf-exponent fit: log-log OLS over the top-500 term ranks — the
+    // standard "is this corpus natural language or template spam" QA
+    // gate (natural text slopes ≈ -1). Per-term ln(rank)/ln(freq)
+    // quantize to MILLI-units before the integer moments (the x_benford
+    // discipline), so the slope is exact integer arithmetic end-to-end
+    // and the model table is bounded at 500 rows however big the corpus.
+    "x_zipf_fit" -> ((s, dir) => run(s, dir, zipfSql)),
+
     "x_term_stats" -> ((s, dir) => run(s, dir,
       """WITH t AS (
         |  SELECT lang, word
@@ -510,6 +544,29 @@ object TextQueries extends QueryPack {
         |  ws.n_words * 1000 // s.n_sent AS milli_words_per_sentence,
         |  ws.long_words * 1000 // ws.n_words AS long_word_permille
         |FROM ws JOIN s ON s.lang = ws.lang""".stripMargin,
+
+    "x_zipf_fit" ->
+      """WITH f AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |r AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rnk
+        |  FROM f),
+        |q AS (
+        |  SELECT CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000) AS BIGINT) AS x,
+        |    CAST(FLOOR(ln(CAST(freq AS DOUBLE)) * 1000) AS BIGINT) AS y
+        |  FROM r WHERE rnk <= 500),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM q)
+        |SELECT n AS n_terms,
+        |  CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) AS BIGINT) AS zipf_slope_milli,
+        |  CAST((sy - ((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)) * sx // 1000)
+        |    // n AS BIGINT) AS intercept_milli_ln
+        |FROM m""".stripMargin,
 
     "x_term_stats" ->
       """WITH t AS (
