@@ -63,12 +63,12 @@ object InferenceQueries extends QueryPack {
     * engines). P(w > 9) < 3e-7 — truncation is the standard bootstrap
     * tail cut and applies identically to both engines.
     */
-  private val poissonCase: String =
-    """CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
-      | WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
-      | WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
-      | WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
-      | WHEN u < 999998 THEN 8 ELSE 9 END""".stripMargin.replace("\n", "")
+  private def poissonOf(u: String): String =
+    s"""CASE WHEN ($u) < 367879 THEN 0 WHEN ($u) < 735758 THEN 1
+       | WHEN ($u) < 919698 THEN 2 WHEN ($u) < 981011 THEN 3
+       | WHEN ($u) < 996340 THEN 4 WHEN ($u) < 999405 THEN 5
+       | WHEN ($u) < 999916 THEN 6 WHEN ($u) < 999989 THEN 7
+       | WHEN ($u) < 999998 THEN 8 ELSE 9 END""".stripMargin.replace("\n", "")
 
   // Replica count: 200 gives rank-5 / rank-196 as the exact 2.5% / 97.5%
   // order statistics. The per-replica plan is ONE hash aggregate with R
@@ -88,21 +88,27 @@ object InferenceQueries extends QueryPack {
        |  SELECT user_id,
        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
        |  FROM events GROUP BY user_id),
-       |reps AS (SELECT explode(sequence(0, ${R - 1})) AS r),
+       |reps AS (SELECT explode(sequence(-1, ${R - 1})) AS r),
        |w AS (
        |  SELECT reps.r, u.x,
-       |    ${h64(s"concat('bs', CAST(reps.r AS STRING), '_', CAST(u.user_id AS STRING))")} % 1000000 AS u
+       |    CASE WHEN reps.r = -1 THEN 1 ELSE (
+       |      ${poissonOf(h64(s"concat('bs', CAST(reps.r AS STRING), '_', CAST(u.user_id AS STRING))") + " % 1000000")}
+       |    ) END AS wt
        |  FROM u CROSS JOIN reps),
        |m AS (
-       |  SELECT r,
-       |    CAST(SUM(($poissonCase) * x) DIV NULLIF(SUM($poissonCase), 0) AS BIGINT) AS mean_cents
+       |  SELECT r, CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(SUM(wt * x) DIV NULLIF(SUM(wt), 0) AS BIGINT) AS mean_cents
        |  FROM w GROUP BY r),
-       |rk AS (SELECT mean_cents, row_number() OVER (ORDER BY mean_cents, r) AS rn FROM m)
+       |rk AS (SELECT r, n_users, mean_cents,
+       |  row_number() OVER (PARTITION BY CASE WHEN r = -1 THEN 0 ELSE 1 END
+       |    ORDER BY mean_cents, r) AS rn
+       |  FROM m)
        |SELECT
-       |  CAST((SELECT count(*) FROM u) AS BIGINT) AS n_users,
-       |  CAST((SELECT SUM(x) DIV count(*) FROM u) AS BIGINT) AS point_mean_cents,
-       |  CAST((SELECT mean_cents FROM rk WHERE rn = 5) AS BIGINT) AS ci_lo_cents,
-       |  CAST((SELECT mean_cents FROM rk WHERE rn = 196) AS BIGINT) AS ci_hi_cents""".stripMargin
+       |  CAST(MAX(CASE WHEN r = -1 THEN n_users END) AS BIGINT) AS n_users,
+       |  CAST(MAX(CASE WHEN r = -1 THEN mean_cents END) AS BIGINT) AS point_mean_cents,
+       |  CAST(MAX(CASE WHEN r >= 0 AND rn = 5 THEN mean_cents END) AS BIGINT) AS ci_lo_cents,
+       |  CAST(MAX(CASE WHEN r >= 0 AND rn = 196 THEN mean_cents END) AS BIGINT) AS ci_hi_cents
+       |FROM rk""".stripMargin
 
   /** Jensen-Shannon divergence of every source's term distribution from
     * the whole corpus — "which slice is most atypical", the mixture-
@@ -158,12 +164,11 @@ object InferenceQueries extends QueryPack {
        |f AS (
        |  SELECT event_type, fold, CAST(SUM(cents) AS BIGINT) AS sc,
        |    CAST(count(*) AS BIGINT) AS n
-       |  FROM e GROUP BY event_type, fold),
-       |t AS (SELECT event_type, CAST(SUM(sc) AS BIGINT) AS ts,
-       |    CAST(SUM(n) AS BIGINT) AS tn FROM f GROUP BY event_type)
-       |SELECT f.event_type, CAST(f.fold AS BIGINT) AS fold, f.n AS fold_rows,
-       |  CAST((t.ts - f.sc) DIV NULLIF(t.tn - f.n, 0) AS BIGINT) AS oof_mean_cents
-       |FROM f JOIN t ON t.event_type = f.event_type""".stripMargin
+       |  FROM e GROUP BY event_type, fold)
+       |SELECT event_type, CAST(fold AS BIGINT) AS fold, n AS fold_rows,
+       |  CAST((SUM(sc) OVER (PARTITION BY event_type) - sc)
+       |    DIV NULLIF(SUM(n) OVER (PARTITION BY event_type) - n, 0) AS BIGINT) AS oof_mean_cents
+       |FROM f""".stripMargin
 
   /** Exact Gram/scatter matrix of the embedding table (upper triangle):
     * values quantize to micro-units once, then every product and sum is
@@ -273,31 +278,30 @@ object InferenceQueries extends QueryPack {
        |  FROM events WHERE event_type IN ('purchase', 'click')),
        |cnt AS (
        |  SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS na,
-       |    CAST(count(*) AS BIGINT) AS nt,
-       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS sa,
-       |    CAST(SUM(cents) AS BIGINT) AS st
+       |    CAST(count(*) AS BIGINT) AS nt
        |  FROM e),
-       |obs AS (
-       |  SELECT na, nt - na AS nb,
-       |    sa * 1000000 DIV na - (st - sa) * 1000000 DIV (nt - na) AS d_obs
-       |  FROM cnt),
-       |reps AS (SELECT explode(sequence(0, ${R - 1})) AS r),
+       |reps AS (SELECT explode(sequence(-1, ${R - 1})) AS r),
        |lab AS (
        |  SELECT reps.r, e.cents,
-       |    CASE WHEN ${h64(s"concat('pm', CAST(reps.r AS STRING), '_', CAST(e.event_id AS STRING))")} % cnt.nt < cnt.na
+       |    CASE WHEN reps.r = -1 THEN (CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      WHEN ${h64(s"concat('pm', CAST(reps.r AS STRING), '_', CAST(e.event_id AS STRING))")} % cnt.nt < cnt.na
        |      THEN 1 ELSE 0 END AS la
        |  FROM e CROSS JOIN cnt CROSS JOIN reps),
        |d AS (
-       |  SELECT r,
+       |  SELECT r, CAST(SUM(la) AS BIGINT) AS na,
+       |    CAST(SUM(1 - la) AS BIGINT) AS nb,
        |    SUM(la * cents) * 1000000 DIV NULLIF(SUM(la), 0)
        |      - SUM((1 - la) * cents) * 1000000 DIV NULLIF(SUM(1 - la), 0) AS dr
-       |  FROM lab GROUP BY r)
-       |SELECT obs.na AS n_purchase, obs.nb AS n_click,
-       |  CAST(obs.d_obs AS BIGINT) AS d_obs_microcents,
-       |  CAST(1000 * SUM(CASE WHEN ABS(d.dr) >= ABS(obs.d_obs) THEN 1 ELSE 0 END)
+       |  FROM lab GROUP BY r),
+       |z AS (SELECT r, na, nb, dr,
+       |  MAX(CASE WHEN r = -1 THEN dr END) OVER () AS dobs FROM d)
+       |SELECT
+       |  CAST(MAX(CASE WHEN r = -1 THEN na END) AS BIGINT) AS n_purchase,
+       |  CAST(MAX(CASE WHEN r = -1 THEN nb END) AS BIGINT) AS n_click,
+       |  CAST(MAX(CASE WHEN r = -1 THEN dr END) AS BIGINT) AS d_obs_microcents,
+       |  CAST(1000 * SUM(CASE WHEN r >= 0 AND ABS(dr) >= ABS(dobs) THEN 1 ELSE 0 END)
        |    DIV ${R} AS BIGINT) AS p_permille
-       |FROM d CROSS JOIN obs
-       |GROUP BY obs.na, obs.nb, obs.d_obs""".stripMargin
+       |FROM z""".stripMargin
 
   /** Two-feature OLS (value on hour-of-day and day-of-week, both offset-
     * centered) by the centered normal equations: every moment is an exact
@@ -349,23 +353,22 @@ object InferenceQueries extends QueryPack {
   private[graft] val calibrationSql: String =
     """WITH b AS (
       |  SELECT (min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2 AS mid FROM events),
-      |fh AS (
+      |u AS (
       |  SELECT user_id,
-      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000
-      |      DIV count(*) AS BIGINT) AS score_permille
-      |  FROM events CROSS JOIN b WHERE unix_micros(ts) < b.mid
-      |  GROUP BY user_id),
-      |sh AS (
-      |  SELECT user_id,
-      |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
-      |  FROM events CROSS JOIN b WHERE unix_micros(ts) >= b.mid
-      |  GROUP BY user_id)
-      |SELECT CAST(fh.score_permille DIV 100 AS BIGINT) AS bin,
+      |    CAST(SUM(CASE WHEN unix_micros(ts) < b.mid
+      |        AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN unix_micros(ts) < b.mid THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(MAX(CASE WHEN unix_micros(ts) >= b.mid
+      |        AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      |  FROM events CROSS JOIN b GROUP BY user_id),
+      |s AS (
+      |  SELECT CAST(fp * 1000 DIV fn AS BIGINT) AS score_permille, converted
+      |  FROM u WHERE fn > 0)
+      |SELECT CAST(score_permille DIV 100 AS BIGINT) AS bin,
       |  CAST(count(*) AS BIGINT) AS n_users,
-      |  CAST(SUM(fh.score_permille) DIV count(*) AS BIGINT) AS mean_score_permille,
-      |  CAST(SUM(COALESCE(sh.converted, 0)) * 1000 DIV count(*) AS BIGINT) AS observed_permille
-      |FROM fh LEFT JOIN sh ON sh.user_id = fh.user_id
-      |GROUP BY fh.score_permille DIV 100""".stripMargin
+      |  CAST(SUM(score_permille) DIV count(*) AS BIGINT) AS mean_score_permille,
+      |  CAST(SUM(converted) * 1000 DIV count(*) AS BIGINT) AS observed_permille
+      |FROM s GROUP BY score_permille DIV 100""".stripMargin
 
   /** Explained-variance share of the dominant eigenvector: the Rayleigh
     * quotient λ = vᵀCv / vᵀv over the scaled Gram matrix, divided by its
@@ -420,11 +423,18 @@ object InferenceQueries extends QueryPack {
     * values, the user-level join maps ranks back, and ρ leaves exact
     * arithmetic only in the final sqrt/divide chain of single IEEE ops.
     */
-  private[graft] val spearmanSql: String =
-    """WITH u AS (
-      |  SELECT user_id, CAST(count(*) AS BIGINT) AS x,
-      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
-      |  FROM events GROUP BY user_id),
+  /** The one events pass behind [[spearmanRankSql]] — materialized once
+    * (localCheckpoint) because the rank stage references it three times
+    * and Spark inlines CTEs: without the checkpoint the corpus would
+    * scan three times.
+    */
+  private[graft] val spearmanUserSql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      |FROM events GROUP BY user_id""".stripMargin
+
+  private[graft] val spearmanRankSql: String =
+    """WITH u AS (SELECT * FROM spearman_u),
       |rx AS (
       |  SELECT x, 2 * (CAST(SUM(c) OVER (ORDER BY x
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - c) + c + 1 AS r2
@@ -452,7 +462,11 @@ object InferenceQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pca_explained" -> ((s, dir) => embs(s, dir, pcaExplainedSql)),
-    "x_spearman" -> ((s, dir) => events(s, dir, spearmanSql)),
+    "x_spearman" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(spearmanUserSql).localCheckpoint().createOrReplaceTempView("spearman_u")
+      s.sql(spearmanRankSql)
+    }),
     "x_anova_f" -> ((s, dir) => events(s, dir, anovaSql)),
     "x_permutation_test" -> ((s, dir) => events(s, dir, permutationTestSql)),
     "x_ols_multi" -> ((s, dir) => events(s, dir, olsMultiSql)),
@@ -566,31 +580,30 @@ object InferenceQueries extends QueryPack {
          |  FROM events WHERE event_type IN ('purchase', 'click')),
          |cnt AS (
          |  SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS na,
-         |    CAST(count(*) AS BIGINT) AS nt,
-         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS sa,
-         |    CAST(SUM(cents) AS BIGINT) AS st
+         |    CAST(count(*) AS BIGINT) AS nt
          |  FROM e),
-         |obs AS (
-         |  SELECT na, nt - na AS nb,
-         |    sa * 1000000 // na - (st - sa) * 1000000 // (nt - na) AS d_obs
-         |  FROM cnt),
-         |reps AS (SELECT unnest(range(0, $R)) AS r),
+         |reps AS (SELECT unnest(range(-1, $R)) AS r),
          |lab AS (
          |  SELECT reps.r, e.cents,
-         |    CASE WHEN ${duckH64("('pm' || reps.r || '_' || e.event_id)")} % cnt.nt < cnt.na
+         |    CASE WHEN reps.r = -1 THEN (CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      WHEN ${duckH64("('pm' || reps.r || '_' || e.event_id)")} % cnt.nt < cnt.na
          |      THEN 1 ELSE 0 END AS la
          |  FROM e CROSS JOIN cnt CROSS JOIN reps),
          |d AS (
-         |  SELECT r,
+         |  SELECT r, CAST(SUM(la) AS BIGINT) AS na,
+         |    CAST(SUM(1 - la) AS BIGINT) AS nb,
          |    SUM(la * cents) * 1000000 // NULLIF(SUM(la), 0)
          |      - SUM((1 - la) * cents) * 1000000 // NULLIF(SUM(1 - la), 0) AS dr
-         |  FROM lab GROUP BY r)
-         |SELECT obs.na AS n_purchase, obs.nb AS n_click,
-         |  CAST(obs.d_obs AS BIGINT) AS d_obs_microcents,
-         |  CAST(1000 * SUM(CASE WHEN ABS(d.dr) >= ABS(obs.d_obs) THEN 1 ELSE 0 END)
+         |  FROM lab GROUP BY r),
+         |z AS (SELECT r, na, nb, dr,
+         |  MAX(CASE WHEN r = -1 THEN dr END) OVER () AS dobs FROM d)
+         |SELECT
+         |  CAST(MAX(CASE WHEN r = -1 THEN na END) AS BIGINT) AS n_purchase,
+         |  CAST(MAX(CASE WHEN r = -1 THEN nb END) AS BIGINT) AS n_click,
+         |  CAST(MAX(CASE WHEN r = -1 THEN dr END) AS BIGINT) AS d_obs_microcents,
+         |  CAST(1000 * SUM(CASE WHEN r >= 0 AND ABS(dr) >= ABS(dobs) THEN 1 ELSE 0 END)
          |    // ${R} AS BIGINT) AS p_permille
-         |FROM d CROSS JOIN obs
-         |GROUP BY obs.na, obs.nb, obs.d_obs""".stripMargin,
+         |FROM z""".stripMargin,
 
     "x_ols_multi" ->
       """WITH e AS (
@@ -626,44 +639,49 @@ object InferenceQueries extends QueryPack {
     "x_calibration" ->
       """WITH b AS (
         |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
-        |fh AS (
+        |u AS (
         |  SELECT user_id,
-        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000
-        |      // count(*) AS BIGINT) AS score_permille
-        |  FROM events CROSS JOIN b WHERE epoch_us(ts) < b.mid
-        |  GROUP BY user_id),
-        |sh AS (
-        |  SELECT user_id,
-        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
-        |  FROM events CROSS JOIN b WHERE epoch_us(ts) >= b.mid
-        |  GROUP BY user_id)
-        |SELECT CAST(fh.score_permille // 100 AS BIGINT) AS bin,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) < b.mid
+        |        AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN epoch_us(ts) < b.mid THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(MAX(CASE WHEN epoch_us(ts) >= b.mid
+        |        AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |  FROM events CROSS JOIN b GROUP BY user_id),
+        |s AS (
+        |  SELECT CAST(fp * 1000 // fn AS BIGINT) AS score_permille, converted
+        |  FROM u WHERE fn > 0)
+        |SELECT CAST(score_permille // 100 AS BIGINT) AS bin,
         |  CAST(count(*) AS BIGINT) AS n_users,
-        |  CAST(SUM(fh.score_permille) // count(*) AS BIGINT) AS mean_score_permille,
-        |  CAST(SUM(COALESCE(sh.converted, 0)) * 1000 // count(*) AS BIGINT) AS observed_permille
-        |FROM fh LEFT JOIN sh ON sh.user_id = fh.user_id
-        |GROUP BY fh.score_permille // 100""".stripMargin,
+        |  CAST(SUM(score_permille) // count(*) AS BIGINT) AS mean_score_permille,
+        |  CAST(SUM(converted) * 1000 // count(*) AS BIGINT) AS observed_permille
+        |FROM s GROUP BY score_permille // 100""".stripMargin,
 
     "x_bootstrap_ci" ->
       s"""WITH u AS (
          |  SELECT user_id,
          |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
          |  FROM events GROUP BY user_id),
-         |reps AS (SELECT unnest(range(0, $R)) AS r),
+         |reps AS (SELECT unnest(range(-1, $R)) AS r),
          |w AS (
          |  SELECT reps.r, u.x,
-         |    ${duckH64("('bs' || reps.r || '_' || u.user_id)")} % 1000000 AS u
+         |    CASE WHEN reps.r = -1 THEN 1 ELSE (
+         |      ${poissonOf(duckH64("('bs' || reps.r || '_' || u.user_id)") + " % 1000000")}
+         |    ) END AS wt
          |  FROM u CROSS JOIN reps),
          |m AS (
-         |  SELECT r,
-         |    CAST(SUM(($poissonCase) * x) // NULLIF(SUM($poissonCase), 0) AS BIGINT) AS mean_cents
+         |  SELECT r, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(wt * x) // NULLIF(SUM(wt), 0) AS BIGINT) AS mean_cents
          |  FROM w GROUP BY r),
-         |rk AS (SELECT mean_cents, row_number() OVER (ORDER BY mean_cents, r) AS rn FROM m)
+         |rk AS (SELECT r, n_users, mean_cents,
+         |  row_number() OVER (PARTITION BY CASE WHEN r = -1 THEN 0 ELSE 1 END
+         |    ORDER BY mean_cents, r) AS rn
+         |  FROM m)
          |SELECT
-         |  CAST((SELECT count(*) FROM u) AS BIGINT) AS n_users,
-         |  CAST((SELECT SUM(x) // count(*) FROM u) AS BIGINT) AS point_mean_cents,
-         |  CAST((SELECT mean_cents FROM rk WHERE rn = 5) AS BIGINT) AS ci_lo_cents,
-         |  CAST((SELECT mean_cents FROM rk WHERE rn = 196) AS BIGINT) AS ci_hi_cents""".stripMargin,
+         |  CAST(MAX(CASE WHEN r = -1 THEN n_users END) AS BIGINT) AS n_users,
+         |  CAST(MAX(CASE WHEN r = -1 THEN mean_cents END) AS BIGINT) AS point_mean_cents,
+         |  CAST(MAX(CASE WHEN r >= 0 AND rn = 5 THEN mean_cents END) AS BIGINT) AS ci_lo_cents,
+         |  CAST(MAX(CASE WHEN r >= 0 AND rn = 196 THEN mean_cents END) AS BIGINT) AS ci_hi_cents
+         |FROM rk""".stripMargin,
 
     "x_js_divergence" ->
       """WITH t AS (
@@ -706,12 +724,11 @@ object InferenceQueries extends QueryPack {
          |f AS (
          |  SELECT event_type, fold, CAST(SUM(cents) AS BIGINT) AS sc,
          |    CAST(count(*) AS BIGINT) AS n
-         |  FROM e GROUP BY event_type, fold),
-         |t AS (SELECT event_type, CAST(SUM(sc) AS BIGINT) AS ts,
-         |    CAST(SUM(n) AS BIGINT) AS tn FROM f GROUP BY event_type)
-         |SELECT f.event_type, CAST(f.fold AS BIGINT) AS fold, f.n AS fold_rows,
-         |  CAST((t.ts - f.sc) // NULLIF(t.tn - f.n, 0) AS BIGINT) AS oof_mean_cents
-         |FROM f JOIN t ON t.event_type = f.event_type""".stripMargin,
+         |  FROM e GROUP BY event_type, fold)
+         |SELECT event_type, CAST(fold AS BIGINT) AS fold, n AS fold_rows,
+         |  CAST((SUM(sc) OVER (PARTITION BY event_type) - sc)
+         |    // NULLIF(SUM(n) OVER (PARTITION BY event_type) - n, 0) AS BIGINT) AS oof_mean_cents
+         |FROM f""".stripMargin,
 
     "x_gram_matrix" ->
       """WITH q AS (

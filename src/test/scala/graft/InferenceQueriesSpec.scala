@@ -246,7 +246,8 @@ class InferenceQueriesSpec extends SparkSpec {
     // y strictly increasing in x (user u: u events, total u dollars)
     asEvents((1 to 8).flatMap(u =>
       (1 to u).map(i => ((u * 100 + i).toLong, t0, u.toLong, "e", 1.0))))
-    val up = spark.sql(InferenceQueries.spearmanSql).collect().head
+    spark.sql(InferenceQueries.spearmanUserSql).createOrReplaceTempView("spearman_u")
+    val up = spark.sql(InferenceQueries.spearmanRankSql).collect().head
     assert(up.getAs[Long]("n_users") === 8L)
     assert(math.abs(up.getAs[Double]("rho") - 1.0) < 1e-12)
 
@@ -256,7 +257,8 @@ class InferenceQueriesSpec extends SparkSpec {
       val per = (9 - u).toDouble / u
       (1 to u).map(i => ((u * 100 + i).toLong, t0, u.toLong, "e", per))
     })
-    val down = spark.sql(InferenceQueries.spearmanSql).collect().head
+    spark.sql(InferenceQueries.spearmanUserSql).createOrReplaceTempView("spearman_u")
+    val down = spark.sql(InferenceQueries.spearmanRankSql).collect().head
     assert(math.abs(down.getAs[Double]("rho") + 1.0) < 1e-9)
   }
 

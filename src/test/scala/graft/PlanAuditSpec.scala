@@ -359,6 +359,48 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("inference pack: single-scan discipline and broadcast-only cross joins") {
+    // one data pass each: the bootstrap's 200 replicas, the fold
+    // encoding's two-level aggregate, and the Gram matrix's d² partials
+    // all derive from ONE scan of their source table
+    Seq("x_bootstrap_ci", "x_target_encoding", "x_gram_matrix",
+      "x_anova_f", "x_ols_multi").foreach { n =>
+      val scans = plan(n).linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*"))
+      assert(scans == 1, s"$n: expected one source scan, saw $scans")
+    }
+    // spearman's one events pass materializes (localCheckpoint) because
+    // the rank stage references it three times — the final plan reads
+    // the in-memory leaf, never parquet
+    val sp = plan("x_spearman")
+    assert(sp.linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*")) == 0,
+      "spearman rank stage must read the checkpointed user pass")
+    assert(sp.contains("Scan ExistingRDD") || sp.contains("LocalTableScan"))
+    // calibration pays one split-boundary probe, the permutation null one
+    // label-proportion probe — exactly one extra pass each, never more
+    Seq("x_calibration", "x_permutation_test").foreach { n =>
+      val scans = plan(n).linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*"))
+      assert(scans == 2, s"$n: expected main scan + one probe, saw $scans")
+    }
+    // the replica fan-outs cross-join only 1-row/200-row generator sides
+    // — never a cartesian product over data
+    Seq("x_bootstrap_ci", "x_permutation_test", "x_js_divergence",
+      "x_pca_power", "x_pca_explained", "x_calibration").foreach { n =>
+      assert(!plan(n).contains("CartesianProduct"),
+        s"$n: generator/scalar cross joins must broadcast")
+    }
+  }
+
+  test("bootstrap replica aggregation is map-side combinable (partial HashAggregate)") {
+    // the 200-replica null distribution must pre-aggregate before the
+    // exchange — the property that makes the bootstrap shuffle R rows
+    // per task instead of R copies of the data
+    val p = plan("x_bootstrap_ci")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate pairs, saw $aggs")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      "no global sort anywhere in the bootstrap plan")
+  }
+
   test("triangle count runs over the checkpointed edge table, not re-derived scans") {
     // the support-2 edge build happens once at view-build time; the
     // triangle/degree/orientation joins must read the in-memory leaf
