@@ -117,12 +117,19 @@ object InferenceQueries extends QueryPack {
     * p=0 tail (corpus terms the source lacks) collapses to
     * ln2 · (1 − Q_s), so the join is bounded by the source's own terms.
     */
-  private[graft] val jsDivergenceSql: String =
-    """WITH t AS (
-      |  SELECT source, word
-      |  FROM documents LATERAL VIEW explode(split(lower(text), '\\s+')) x AS word
-      |  WHERE length(word) >= 2),
-      |st AS (SELECT source, word, count(*) AS c FROM t GROUP BY source, word),
+  /** The one documents pass behind [[jsDivergenceRankSql]]: per-(source,
+    * term) counts — materialized once (localCheckpoint) because the
+    * divergence stage references it four times and Spark inlines CTEs.
+    * The table is vocabulary × sources, corpus-independent in width.
+    */
+  private[graft] val jsTermCountsSql: String =
+    """SELECT source, word, count(*) AS c
+      |FROM documents LATERAL VIEW explode(split(lower(text), '\\s+')) x AS word
+      |WHERE length(word) >= 2
+      |GROUP BY source, word""".stripMargin
+
+  private[graft] val jsDivergenceRankSql: String =
+    """WITH st AS (SELECT * FROM js_st),
       |sn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM st GROUP BY source),
       |ct AS (SELECT word, CAST(SUM(c) AS BIGINT) AS cc FROM st GROUP BY word),
       |cn AS (SELECT CAST(SUM(cc) AS BIGINT) AS n FROM ct),
@@ -472,7 +479,11 @@ object InferenceQueries extends QueryPack {
     "x_ols_multi" -> ((s, dir) => events(s, dir, olsMultiSql)),
     "x_calibration" -> ((s, dir) => events(s, dir, calibrationSql)),
     "x_bootstrap_ci" -> ((s, dir) => events(s, dir, bootstrapSql)),
-    "x_js_divergence" -> ((s, dir) => docs(s, dir, jsDivergenceSql)),
+    "x_js_divergence" -> ((s, dir) => {
+      Tables(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(jsTermCountsSql).localCheckpoint().createOrReplaceTempView("js_st")
+      s.sql(jsDivergenceRankSql)
+    }),
     "x_target_encoding" -> ((s, dir) => events(s, dir, targetEncodingSql)),
     "x_gram_matrix" -> ((s, dir) => embs(s, dir, gramMatrixSql)),
     "x_pca_power" -> ((s, dir) => embs(s, dir, pcaPowerSql))

@@ -62,7 +62,8 @@ class InferenceQueriesSpec extends SparkSpec {
     // two sources with IDENTICAL term distributions — each equals the
     // corpus mixture, so both divergences are exactly zero.
     asDocs(Seq((1L, "a", "xx yy"), (2L, "b", "xx yy")))
-    val rows = spark.sql(InferenceQueries.jsDivergenceSql).collect()
+    spark.sql(InferenceQueries.jsTermCountsSql).createOrReplaceTempView("js_st")
+    val rows = spark.sql(InferenceQueries.jsDivergenceRankSql).collect()
     assert(rows.length === 2)
     rows.foreach(r => assert(r.getAs[Long]("jsd_micro") === 0L))
   }
@@ -78,7 +79,8 @@ class InferenceQueriesSpec extends SparkSpec {
       ) * 1e9).toLong
     val tail = math.floor(math.log(2.0) * (1e9 - (1000000000L * 2 / 4))).toLong
     val expected = (nano + tail) / 2000
-    val rows = spark.sql(InferenceQueries.jsDivergenceSql).collect()
+    spark.sql(InferenceQueries.jsTermCountsSql).createOrReplaceTempView("js_st")
+    val rows = spark.sql(InferenceQueries.jsDivergenceRankSql).collect()
     assert(rows.length === 2)
     rows.foreach(r => assert(r.getAs[Long]("jsd_micro") === expected))
     assert(expected > 0L)

@@ -375,6 +375,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(sp.linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*")) == 0,
       "spearman rank stage must read the checkpointed user pass")
     assert(sp.contains("Scan ExistingRDD") || sp.contains("LocalTableScan"))
+    // market basket references its distinct (order, part) set four times
+    // — the checkpoint caps it at ONE lineitem pass however it's used
+    val mb = plan("x_market_basket")
+    assert(mb.linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*")) == 0,
+      "basket stages must read the checkpointed distinct set, not lineitem")
+    // JS divergence references its (source, term) counts four times —
+    // the checkpoint caps it at ONE documents tokenize pass
+    val js = plan("x_js_divergence")
+    assert(js.linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*")) == 0,
+      "divergence stages must read the checkpointed term counts, not documents")
     // calibration pays one split-boundary probe, the permutation null one
     // label-proportion probe — exactly one extra pass each, never more
     Seq("x_calibration", "x_permutation_test").foreach { n =>
