@@ -36,12 +36,36 @@ final class GraftSession(val spark: SparkSession, val root: String,
     * batch-INSERT form need the micro-batch — use the two-argument
     * overload.
     */
-  def sql(statement: String): DataFrame =
-    if (isRead(statement)) Dml.query(spark, statement, path, io)
-    else {
+  def sql(statement: String): DataFrame = statement match {
+    // session-level statements (savepoints pin EVERY table, transaction
+    // recovery spans tables) resolve here; table statements route to Dml
+    case CreateSpRe(n)  => savepoint(n); spark.emptyDataFrame
+    case DropSpRe(n)    => dropSavepoint(n); spark.emptyDataFrame
+    case RestoreSpRe(n) => restoreAll(n); spark.emptyDataFrame
+    case ShowSpRe() =>
+      import spark.implicits._
+      savepoints.map(n => (n, savepointEntries(n).size.toLong))
+        .toDF("savepoint", "n_tables")
+    case ShowTxRe() =>
+      import spark.implicits._
+      pendingTransactions.map(id =>
+        (id, io.readLines(txFile(id).getPath).count(_.nonEmpty).toLong))
+        .toDF("transaction", "n_tables")
+    case RecoverTxRe() =>
+      import spark.implicits._
+      recoverTransactions().toDF("recovered")
+    case _ if isRead(statement) => Dml.query(spark, statement, path, io)
+    case _ =>
       Dml.execute(spark, statement, path, io): Unit
       spark.emptyDataFrame
-    }
+  }
+
+  private val CreateSpRe = "(?is)^\\s*CREATE\\s+SAVEPOINT\\s+(\\S+)\\s*$".r
+  private val DropSpRe = "(?is)^\\s*DROP\\s+SAVEPOINT\\s+(\\S+)\\s*$".r
+  private val RestoreSpRe = "(?is)^\\s*RESTORE\\s+SAVEPOINT\\s+(\\S+)\\s*$".r
+  private val ShowSpRe = "(?is)^\\s*SHOW\\s+SAVEPOINTS\\s*$".r
+  private val ShowTxRe = "(?is)^\\s*SHOW\\s+TRANSACTIONS\\s*$".r
+  private val RecoverTxRe = "(?is)^\\s*RECOVER\\s+TRANSACTIONS\\s*$".r
 
   /** Statement + source batch: `MERGE INTO` / the reference's
     * batch-INSERT fallback consume `source`; everything else routes as

@@ -148,6 +148,39 @@ class TransactionSpec extends SparkSpec {
     assert(g.table("orders").branches.isEmpty)
   }
 
+  test("session statements: savepoints and transaction recovery by SQL") {
+    val g = freshSession("tx_stmt")
+    g.sql("CREATE SAVEPOINT before")
+    assert(g.sql("SHOW SAVEPOINTS").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq === Seq(("before", 2L)))
+
+    g.transaction(Seq("orders", "items")) { tx =>
+      tx("orders").merge(ordersBatch(5L, "o5"), "__ts_ms")
+      tx("items").merge(itemsBatch(5L, 500L), "__ts_ms")
+    }
+    assert(g.read("orders").count() === 2)
+    assert(g.sql("SHOW TRANSACTIONS").isEmpty)
+
+    // a crash window shows up in SHOW TRANSACTIONS and RECOVER completes it
+    val id = "tx-stmt-crash"
+    g.table("orders").createBranch(id).merge(ordersBatch(6L, "o6"), "__ts_ms")
+    g.table("items").createBranch(id).merge(itemsBatch(6L, 600L), "__ts_ms")
+    g.io.mkdirs(s"${g.root}/_transactions")
+    g.io.writeAtomic(s"${g.root}/_transactions/$id", "orders\nitems")
+    g.table("orders").publish(id)
+    assert(g.sql("SHOW TRANSACTIONS").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq === Seq((id, 2L)))
+    assert(g.sql("RECOVER TRANSACTIONS").collect().map(_.getString(0)).toSeq === Seq(id))
+    assert(g.read("items").count() === 3)
+
+    // rewind the whole dataset to the savepoint in one statement
+    g.sql("RESTORE SAVEPOINT before")
+    assert(g.read("orders").count() === 1)
+    assert(g.read("items").count() === 1)
+    g.sql("DROP SAVEPOINT before")
+    assert(g.sql("SHOW SAVEPOINTS").isEmpty)
+  }
+
   test("transactions compose with reads inside the body and return values") {
     val g = freshSession("tx_read")
     val n = g.transaction(Seq("orders")) { tx =>
