@@ -467,7 +467,46 @@ object InferenceQueries extends QueryPack {
       |       * SQRT(CAST(n * sbb - sb * sb AS DOUBLE))) AS DOUBLE) AS rho
       |FROM m""".stripMargin
 
+  // Incrementally-maintained Gram matrix over a versioned embedding
+  // table: bootstrap on 80% of the vectors, then one churn window of
+  // modulo-gated inserts / an exact-in-float ×2 update / deletes — all
+  // replayable by the DuckDB oracle from the raw table. Memoized per
+  // (session, dir) like the HLL-view fixture.
+  private val gramViews =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.ops.GramView]
+
+  private def maintainedGram(s: SparkSession, dir: String): graft.ops.GramView =
+    gramViews.synchronized {
+      gramViews.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      gramViews.getOrElseUpdate((s, dir), {
+        import org.apache.spark.sql.functions._
+        val root = java.nio.file.Files.createTempDirectory("graft_gramview").toString
+        val em = Tables(s, dir, "embeddings")
+        val source = new graft.ops.CdcTable(s, s"$root/vecs", Seq("vec_id"),
+          retainVersions = 5)
+        source.init(em.filter(col("vec_id") % 10 < 8))
+        val view = new graft.ops.GramView(s, source, s"$root/gram", "embedding")
+        view.refresh()
+        // churn window: late inserts, a ×2 rescale (exact in float32, so
+        // the oracle's replay quantizes identically), and deletes
+        source.merge(
+          em.filter(col("vec_id") % 10 >= 8).withColumn("__op", lit("c"))
+            .unionByName(em.filter(col("vec_id") % 10 === 0)
+              .withColumn("embedding",
+                expr("transform(embedding, e -> CAST(e * CAST(2.0 AS FLOAT) AS FLOAT))"))
+              .withColumn("__op", lit("u")))
+            .unionByName(em.filter(col("vec_id") % 10 === 1)
+              .withColumn("__op", lit("d")))
+            .withColumn("v_ts", lit(2L)),
+          "v_ts")
+        view.refresh()
+        view
+      })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_gram_view_incremental" -> ((s, dir) =>
+      maintainedGram(s, dir).table.read.select("i", "j", "s")),
     "x_pca_explained" -> ((s, dir) => embs(s, dir, pcaExplainedSql)),
     "x_spearman" -> ((s, dir) => {
       Tables(s, dir, "events").createOrReplaceTempView("events")
@@ -490,6 +529,24 @@ object InferenceQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_gram_view_incremental" ->
+      """WITH src AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 10 = 0
+        |      THEN [CAST(e * CAST(2.0 AS FLOAT) AS FLOAT) FOR e IN embedding]
+        |      ELSE embedding END AS embedding
+        |  FROM embeddings WHERE vec_id % 10 != 1),
+        |q AS (
+        |  SELECT [CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) FOR e IN embedding] AS qv
+        |  FROM src),
+        |x AS (
+        |  SELECT r1.i - 1 AS i, r2.j - 1 AS j, q.qv[r1.i] * q.qv[r2.j] AS p
+        |  FROM q, range(1, 65) r1(i), range(1, 65) r2(j)
+        |  WHERE r1.i <= r2.j)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  CAST(SUM(p) AS BIGINT) AS s
+        |FROM x GROUP BY i, j""".stripMargin,
 
     "x_pca_explained" ->
       """WITH q AS (

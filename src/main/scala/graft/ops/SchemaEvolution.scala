@@ -39,6 +39,15 @@ object SchemaEvolution {
         if (intDigits + scale <= DecimalType.MAX_PRECISION)
           Some(DecimalType(intDigits + scale, scale))
         else None
+      // containers widen element-wise; containsNull/valueContainsNull
+      // widen by OR (false -> true is lossless — in-memory frames carry
+      // containsNull=false where the same data read back from parquet
+      // carries true, and that pair must not reject)
+      case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+        widenedType(ea, eb).map(e => ArrayType(e, na || nb))
+      case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
+        for { k <- widenedType(ka, kb); v <- widenedType(va, vb) }
+          yield MapType(k, v, na || nb)
       case _ => None
     }
   }

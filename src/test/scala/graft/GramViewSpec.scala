@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{CdcTable, GramView}
+
+/** Incrementally-maintained exact Gram matrix: additive maintenance
+  * (inserts add, deletes subtract, updates cancel pre/post) must equal a
+  * full recompute cell-for-cell after every window — the property HLL
+  * views cannot have and sums do.
+  */
+class GramViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Array[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  private def axis(k: Int, s: Float, d: Int = 8) =
+    Array.tabulate(d)(i => if (i == k) s else 0.0f)
+
+  private def cells(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+    df.collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r.getAs[Long]("s")).toMap
+
+  test("bootstrap equals the one-shot Gram; churn windows stay exact") {
+    val root = tmpDir("gramview")
+    val src = new CdcTable(spark, s"$root/vecs", Seq("vec_id"))
+    src.init(vecs(1L -> axis(0, 1.0f), 2L -> axis(1, 2.0f), 3L -> axis(0, 0.5f)))
+    val view = new GramView(spark, src, s"$root/gram", "embedding")
+    view.refresh()
+    assert(cells(view.table.read) === cells(GramView.gramOf(src.read, "embedding")))
+
+    // window 1: insert a vector, delete one, update one (scale by 2 —
+    // exact in float): the maintained matrix must equal the recompute
+    def batch(rows: (Long, Array[Float], String)*) =
+      rows.toSeq.toDF("vec_id", "embedding", "__op")
+        .withColumn("__ts_ms", lit(10L))
+    src.merge(batch(
+      (4L, axis(2, 3.0f), "c"),
+      (3L, axis(0, 0.0f), "d"),
+      (2L, axis(1, 4.0f), "u")), "__ts_ms")
+    view.refresh()
+    val expect = cells(GramView.gramOf(src.read, "embedding"))
+    assert(cells(view.table.read) === expect)
+    // the deleted axis-0 mass really subtracted: only vec 1 remains on axis 0
+    assert(expect((0L, 0L)) === 1000000L * 1000000L)
+    // the update replaced 2e6² with 4e6² on axis 1
+    assert(expect((1L, 1L)) === 4000000L * 4000000L)
+
+    // window 2: delete-then-reinsert the same vector cancels exactly
+    src.merge(batch((1L, axis(0, 1.0f), "d")), "__ts_ms")
+    src.merge(batch((1L, axis(0, 1.0f), "c")), "__ts_ms")
+    view.refresh()
+    assert(cells(view.table.read) === expect)
+  }
+
+  test("refresh is idempotent and an up-to-date view burns no version") {
+    val root = tmpDir("gramview2")
+    val src = new CdcTable(spark, s"$root/vecs", Seq("vec_id"))
+    src.init(vecs(1L -> axis(0, 1.0f)))
+    val view = new GramView(spark, src, s"$root/gram", "embedding")
+    view.refresh()
+    val v = view.table.currentVersion.get
+    view.refresh() // already current: no-op
+    assert(view.table.currentVersion.get === v)
+    assert(view.reflectedVersion === src.currentVersion)
+  }
+}

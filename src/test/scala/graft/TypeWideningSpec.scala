@@ -86,6 +86,26 @@ class TypeWideningSpec extends SparkSpec {
     assert(t.read.select("qty").as[Int].head() == 10)
   }
 
+  test("containers widen element-wise; nullability widens by OR; lossy elements refuse") {
+    import org.apache.spark.sql.types._
+    // parquet round-trips flip containsNull false->true — that pair must
+    // widen, not reject (caught live by GramViewSpec's merge)
+    assert(SchemaEvolution.widenedType(
+      ArrayType(FloatType, containsNull = false),
+      ArrayType(FloatType, containsNull = true))
+      .contains(ArrayType(FloatType, containsNull = true)))
+    assert(SchemaEvolution.widenedType(
+      ArrayType(IntegerType, containsNull = false),
+      ArrayType(LongType, containsNull = false))
+      .contains(ArrayType(LongType, containsNull = false)))
+    assert(SchemaEvolution.widenedType(
+      MapType(StringType, FloatType, valueContainsNull = false),
+      MapType(StringType, DoubleType, valueContainsNull = true))
+      .contains(MapType(StringType, DoubleType, valueContainsNull = true)))
+    assert(SchemaEvolution.widenedType(
+      ArrayType(StringType), ArrayType(LongType)).isEmpty)
+  }
+
   test("append upcasts a narrower batch; a widening append rejects with merge guidance") {
     val root = tmpDir("widen4")
     val t = new CdcTable(spark, s"$root/t", Nil)
