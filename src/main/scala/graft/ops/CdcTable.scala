@@ -1460,6 +1460,45 @@ final class CdcTable(
     maybeAutoCompact()
   }
 
+  /** Snapshot SYNC — make the table's contents equal `snapshot`
+    * (latest-wins within it), with the difference applied as an ordinary
+    * [[merge]] so the change feed carries TRUE row-level diffs: present
+    * keys upsert, keys the snapshot lacks delete (`MERGE ... WHEN NOT
+    * MATCHED BY SOURCE THEN DELETE` — the full-table-ingest shape where
+    * the source re-exports everything and disappearing rows mean
+    * deletions). Maintained views (incremental/join/sketch/Gram) refresh
+    * off the emitted deletes exactly like any other churn.
+    *
+    * One anti-join computes the vanished keys (AQE picks broadcast vs
+    * shuffle — a "snapshot" can be anything from a dimension re-export
+    * to the whole table); their CURRENT rows ride the batch as
+    * `__op = 'd'`, so the merge's pre-image machinery sees real rows,
+    * and a sync that changes nothing is the usual empty-batch no-op.
+    */
+  def syncFrom(snapshot: DataFrame, tsCol: String): Unit = {
+    require(keys.nonEmpty, s"$path: snapshot sync needs merge keys")
+    val cur = read
+    // VALUE-level diff, not key-level: a periodic full re-export mostly
+    // repeats yesterday's rows, and re-merging identical rows would
+    // rewrite the whole table every sync. Rows compare on the shared
+    // columns EXCLUDING tsCol (an export stamp changes every run by
+    // definition); EXCEPT ALL is null-safe and exact, and its output is
+    // delta-sized. An unchanged sync degenerates to the empty-batch
+    // no-op — zero versions burned.
+    val compareCols = snapshot.columns.filter(c => cur.columns.contains(c) && c != tsCol)
+    require(keys.forall(compareCols.contains),
+      s"$path: snapshot must carry the merge keys ${keys.mkString(", ")}")
+    val changedKeys = snapshot.select(compareCols.map(col): _*)
+      .exceptAll(cur.select(compareCols.map(col): _*))
+      .select(keys.map(col): _*).distinct()
+    val ups = snapshot.join(changedKeys, keys, "left_semi")
+      .withColumn(CdcMerge.OpColumn, lit("u"))
+    val gone = cur
+      .join(snapshot.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .withColumn(CdcMerge.OpColumn, lit("d"))
+    merge(ups.unionByName(gone, allowMissingColumns = true), tsCol)
+  }
+
   /** [[merge]] wrapped in the reference's merge-conflict retry loop
     * (incremental_kafka_s3_cdc.py:281-291 — 10 tries x 10 s sleep +
     * REFRESH): every attempt re-reads the CURRENT table state, so a retry

@@ -35,10 +35,16 @@ object MergeInto {
       target: String,
       keys: Seq[String],
       partitionColumn: Option[String],
-      columns: Seq[String])
+      columns: Seq[String],
+      /** `WHEN NOT MATCHED BY SOURCE THEN DELETE` present: target keys
+        * absent from the source delete — the SQL:2023 snapshot-sync
+        * clause ([[CdcTable.syncFrom]] semantics with the batch's own
+        * `__op` rows kept).
+        */
+      bySourceDelete: Boolean = false)
 
   private val MergeRe =
-    raw"(?is)^\s*MERGE\s+INTO\s+(\S+)\s+t\s+USING\s*\(\s*select\s+\*\s+from\s+(\S+)\s*\)\s+s\s+on\s+(.*?)\s*WHEN\s+MATCHED\s+AND\s+s\.__op\s*=\s*'d'\s+THEN\s+DELETE\s+WHEN\s+MATCHED\s+AND\s*\(\s*s\.__op\s*=\s*'u'\s+or\s+s\.__op\s*=\s*'c'\s+or\s+s\.__op\s*=\s*'r'\s*\)\s+THEN\s+UPDATE\s+SET\s+(.*?)\s+WHEN\s+NOT\s+MATCHED\s+AND\s+NOT\s+s\.__op\s*=\s*'d'\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)\s*$$".r
+    raw"(?is)^\s*MERGE\s+INTO\s+(\S+)\s+t\s+USING\s*\(\s*select\s+\*\s+from\s+(\S+)\s*\)\s+s\s+on\s+(.*?)\s*WHEN\s+MATCHED\s+AND\s+s\.__op\s*=\s*'d'\s+THEN\s+DELETE\s+WHEN\s+MATCHED\s+AND\s*\(\s*s\.__op\s*=\s*'u'\s+or\s+s\.__op\s*=\s*'c'\s+or\s+s\.__op\s*=\s*'r'\s*\)\s+THEN\s+UPDATE\s+SET\s+(.*?)\s+WHEN\s+NOT\s+MATCHED\s+AND\s+NOT\s+s\.__op\s*=\s*'d'\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)(\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE)?\s*$$".r
   private val InsertRe =
     raw"(?is)^\s*INSERT\s+INTO\s+(\S+)\s*\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)\s*$$".r
   private val EqRe = raw"(?i)t\.(\w+)\s*=\s*s\.(\w+)".r
@@ -49,7 +55,7 @@ object MergeInto {
     * than silently merging with different semantics).
     */
   def parse(sql: String): Stmt = sql match {
-    case MergeRe(target, _, on, setList, insCols, insVals) =>
+    case MergeRe(target, _, on, setList, insCols, insVals, bySource) =>
       var keys = Vector.empty[String]
       var part: Option[String] = None
       on.split("(?i)\\s+and\\s+").map(_.trim).filter(_.nonEmpty).foreach {
@@ -76,7 +82,7 @@ object MergeInto {
         s"INSERT columns $inserted do not match VALUES $insertVals")
       require(updated.sorted == inserted.sorted,
         s"UPDATE SET columns $updated do not match INSERT columns $inserted")
-      Stmt(target, keys, part, inserted)
+      Stmt(target, keys, part, inserted, bySourceDelete = bySource != null)
     case InsertRe(target, cols, vals) =>
       val columns = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       val values = vals.split(",").map(_.trim.stripPrefix("s.")).toSeq
@@ -102,7 +108,16 @@ object MergeInto {
          else Nil)): _*)
     val table = new CdcTable(spark, tablePath(stmt.target), stmt.keys, stmt.partitionColumn)
     if (stmt.keys.isEmpty) table.append(batch)
-    else table.merge(batch, tsCol)
+    else if (stmt.bySourceDelete && table.currentVersion.isDefined) {
+      // BY SOURCE deletes: target keys the batch lacks ride along as
+      // delete rows (their CURRENT rows, so pre-images are real) — one
+      // anti-join, then the ordinary merge plan
+      import org.apache.spark.sql.functions.{col, lit}
+      val gone = table.read
+        .join(batch.select(stmt.keys.map(col): _*).distinct(), stmt.keys, "left_anti")
+        .withColumn(CdcMerge.OpColumn, lit("d"))
+      table.merge(batch.unionByName(gone, allowMissingColumns = true), tsCol)
+    } else table.merge(batch, tsCol)
     table
   }
 }

@@ -86,6 +86,50 @@ class MergeIntoSpec extends SparkSpec {
     assert(new CdcTable(spark, s"$root/events", Nil).read.count() == 4)
   }
 
+  test("WHEN NOT MATCHED BY SOURCE THEN DELETE: snapshot-sync semantics") {
+    val root = tmpDir("mergebysrc")
+    val t = new CdcTable(spark, s"$root/dim", Seq("__rds_id", "__tenant_id", "id"))
+    t.init(Seq(
+      (0L, 0L, 1L, "a", 1L),
+      (0L, 0L, 2L, "b", 1L),
+      (0L, 0L, 3L, "c", 1L)
+    ).toDF("__rds_id", "__tenant_id", "id", "v", "__ts_ms"))
+
+    // the re-export carries 2 (updated) and 4 (new); 1 and 3 vanished
+    val src = Seq(
+      (0L, 0L, 2L, "b2", 2L, "u"),
+      (0L, 0L, 4L, "d", 2L, "c")
+    ).toDF("__rds_id", "__tenant_id", "id", "v", "__ts_ms", "__op")
+
+    val sql = refMergeSql("cat.db.dim", "id",
+      Seq("__rds_id", "__tenant_id", "id", "v", "__ts_ms")) +
+      "\n            WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    assert(MergeInto.parse(sql).bySourceDelete)
+    val table = MergeInto.execute(spark, sql, src, _ => s"$root/dim")
+    val got = table.read.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "b2"), (4L, "d")))
+    // the implicit deletes are REAL CDF rows (view maintenance sees them)
+    val feed = table.changesBetween(1L, table.currentVersion.get)
+    val deleted = feed.filter(org.apache.spark.sql.functions.col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet
+    assert(deleted == Set(1L, 3L))
+    // without the clause the same batch leaves 1 and 3 in place
+    assert(!MergeInto.parse(refMergeSql("t", "id", Seq("id", "v"))).bySourceDelete)
+  }
+
+  test("CdcTable.syncFrom makes contents equal the snapshot with true diffs") {
+    val root = tmpDir("syncfrom")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"))
+    t.init(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "__ts_ms"))
+    t.syncFrom(Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "v", "__ts_ms"), "__ts_ms")
+    assert(t.read.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq ==
+      Seq((2L, "b2"), (3L, "c")))
+    // an identical re-sync is a complete no-op: no version burned
+    val v = t.currentVersion.get
+    t.syncFrom(Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "v", "__ts_ms"), "__ts_ms")
+    assert(t.currentVersion.get == v)
+  }
+
   test("statements outside the reference grammar are rejected loudly") {
     intercept[IllegalArgumentException](MergeInto.parse("DELETE FROM t WHERE 1=1"))
     // cross-wired SET item
