@@ -504,7 +504,38 @@ object InferenceQueries extends QueryPack {
       })
     }
 
+  /** Difference-in-differences: the causal-analytics workhorse — a
+    * hash-assigned treatment group, a temporal pre/post split, and the
+    * estimator (ΔT − ΔC) from the four cell means. One probe for the
+    * split boundary, then ONE pass of conditional integer sums; every
+    * mean is exact micro-cents by integer division.
+    */
+  private[graft] val didSql: String =
+    s"""WITH b AS (
+       |  SELECT (min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2 AS mid FROM events),
+       |e AS (
+       |  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+       |    CASE WHEN ${h64("concat('did_', CAST(user_id AS STRING))")} % 2 = 1 THEN 1 ELSE 0 END AS treated,
+       |    CASE WHEN unix_micros(ts) >= b.mid THEN 1 ELSE 0 END AS post
+       |  FROM events CROSS JOIN b),
+       |m AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN cents ELSE 0 END) * 1000000
+       |      DIV NULLIF(SUM(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_t_post,
+       |    CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN cents ELSE 0 END) * 1000000
+       |      DIV NULLIF(SUM(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_t_pre,
+       |    CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN cents ELSE 0 END) * 1000000
+       |      DIV NULLIF(SUM(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_c_post,
+       |    CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN cents ELSE 0 END) * 1000000
+       |      DIV NULLIF(SUM(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_c_pre,
+       |    CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM e)
+       |SELECT n_rows, m_t_pre, m_t_post, m_c_pre, m_c_post,
+       |  CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS BIGINT) AS did_microcents
+       |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_did" -> ((s, dir) => events(s, dir, didSql)),
     "x_gram_view_incremental" -> ((s, dir) =>
       maintainedGram(s, dir).table.read.select("i", "j", "s")),
     "x_pca_explained" -> ((s, dir) => embs(s, dir, pcaExplainedSql)),
@@ -529,6 +560,30 @@ object InferenceQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_did" ->
+      s"""WITH b AS (
+         |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+         |e AS (
+         |  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         |    CASE WHEN ${duckH64("('did_' || user_id)")} % 2 = 1 THEN 1 ELSE 0 END AS treated,
+         |    CASE WHEN epoch_us(ts) >= b.mid THEN 1 ELSE 0 END AS post
+         |  FROM events CROSS JOIN b),
+         |m AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN cents ELSE 0 END) * 1000000
+         |      // NULLIF(SUM(CASE WHEN treated = 1 AND post = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_t_post,
+         |    CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN cents ELSE 0 END) * 1000000
+         |      // NULLIF(SUM(CASE WHEN treated = 1 AND post = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_t_pre,
+         |    CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN cents ELSE 0 END) * 1000000
+         |      // NULLIF(SUM(CASE WHEN treated = 0 AND post = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_c_post,
+         |    CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN cents ELSE 0 END) * 1000000
+         |      // NULLIF(SUM(CASE WHEN treated = 0 AND post = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m_c_pre,
+         |    CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM e)
+         |SELECT n_rows, m_t_pre, m_t_post, m_c_pre, m_c_post,
+         |  CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS BIGINT) AS did_microcents
+         |FROM m""".stripMargin,
 
     "x_gram_view_incremental" ->
       """WITH src AS (

@@ -804,6 +804,52 @@ object SimilarityQueries extends QueryPack {
          |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5
          |FROM hits""".stripMargin)),
 
+    // Dimension-truncation recall (the Matryoshka question): recall@5 of
+    // brute-force search over only the FIRST 16 of 64 dims vs the
+    // full-dimension ground truth — the number that decides whether a
+    // prefix-truncated index (4× less memory and bandwidth per vector)
+    // is retrieval-safe for this corpus. Same qsel and total-order
+    // discipline as the other recall rows; zero-norm prefixes rank last
+    // via a coalesced sentinel, identically in both engines.
+    "x_ann_recall_trunc" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuant,
+         |$sparkQsel,
+         |tv AS (SELECT vec_id, slice(qe, 1, 16) AS te FROM v),
+         |tn AS (SELECT vec_id, te, dot_i64(te, te) AS tnrm FROM tv),
+         |trunc_scored AS (
+         |  SELECT qs.vec_id AS query_id, t2.vec_id AS neighbor_id,
+         |    coalesce(CAST(dot_i64(t1.te, t2.te) AS DOUBLE)
+         |      / (sqrt(CAST(NULLIF(t1.tnrm, 0) AS DOUBLE))
+         |         * sqrt(CAST(NULLIF(t2.tnrm, 0) AS DOUBLE))), CAST(-2 AS DOUBLE)) AS cos
+         |  FROM qsel qs
+         |  JOIN tn t1 ON t1.vec_id = qs.vec_id
+         |  JOIN tn t2 ON t2.vec_id != qs.vec_id),
+         |trunc_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM trunc_scored) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
+         |    CAST(dot_i64(q2.qe, v2.qe) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
+         |  FROM qsel q2
+         |  JOIN v v2 ON q2.vec_id != v2.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN trunc_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5
+         |FROM hits""".stripMargin)),
+
     // IVF twin of the recall harness: recall@5 when probing only the
     // query's own coarse list (nprobe=1). Quantifies what the
     // partition-bounded probe gives up vs the banded LSH — together the
@@ -1164,6 +1210,46 @@ object SimilarityQueries extends QueryPack {
          |SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "x_ann_recall_trunc" ->
+      s"""WITH $duckQuant,
+         |$duckQsel,
+         |tn AS (SELECT vec_id, qe[1:16] AS te,
+         |  CAST(list_dot_product((qe[1:16])::DOUBLE[], (qe[1:16])::DOUBLE[]) AS BIGINT) AS tnrm
+         |  FROM v),
+         |trunc_scored AS (
+         |  SELECT qs.vec_id AS query_id, t2.vec_id AS neighbor_id,
+         |    coalesce(CAST(list_dot_product(t1.te::DOUBLE[], t2.te::DOUBLE[]) AS DOUBLE)
+         |      / (sqrt(CAST(NULLIF(t1.tnrm, 0) AS DOUBLE))
+         |         * sqrt(CAST(NULLIF(t2.tnrm, 0) AS DOUBLE))), CAST(-2 AS DOUBLE)) AS cos
+         |  FROM qsel qs
+         |  JOIN tn t1 ON t1.vec_id = qs.vec_id
+         |  JOIN tn t2 ON t2.vec_id != qs.vec_id),
+         |trunc_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM trunc_scored) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(q2.qe::DOUBLE[], v2.qe::DOUBLE[]) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
+         |  FROM qsel q2
+         |  JOIN v v2 ON q2.vec_id != v2.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN trunc_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5
+         |FROM hits""".stripMargin,
 
     "x_ann_ivf" ->
       s"""WITH $duckQuant,
