@@ -534,7 +534,87 @@ object InferenceQueries extends QueryPack {
        |  CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS BIGINT) AS did_microcents
        |FROM m""".stripMargin
 
+  /** Split-conformal prediction interval: a 3-way hash split (train →
+    * per-type mean model; calibration → nonconformity scores; test →
+    * coverage), q̂ as the exact ⌈0.9(n+1)⌉-th order statistic of the
+    * calibration scores via value-grouped cumulative counts (never a
+    * per-row rank), and the empirical test coverage of μ ± q̂ — the
+    * distribution-free ML-eval guarantee, all integer. The whole
+    * score side lives in ONE tree: q̂ attaches by window, so events
+    * scans twice (model probe + score pass), never more.
+    */
+  private[graft] val conformalSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+       |    ${h64("concat('cf_', CAST(event_id AS STRING))")} % 3 AS split
+       |  FROM events),
+       |m AS (
+       |  SELECT event_type, CAST(SUM(cents) DIV count(*) AS BIGINT) AS mu
+       |  FROM e WHERE split = 0 GROUP BY event_type),
+       |scored AS (
+       |  SELECT e.split, ABS(e.cents - m.mu) AS score
+       |  FROM e JOIN m ON m.event_type = e.event_type WHERE e.split >= 1),
+       |p AS (
+       |  SELECT score,
+       |    CAST(SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN split = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM scored GROUP BY score),
+       |w AS (
+       |  SELECT score, c1, c2,
+       |    SUM(c1) OVER (ORDER BY score) AS cum1,
+       |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+       |  FROM p),
+       |w2 AS (
+       |  SELECT *, MIN(CASE WHEN cum1 * 10 >= (n1 + 1) * 9 THEN score END) OVER () AS qhat
+       |  FROM w)
+       |SELECT CAST(MAX(n1) AS BIGINT) AS n_cal, CAST(MAX(n2) AS BIGINT) AS n_test,
+       |  CAST(MAX(qhat) AS BIGINT) AS qhat_cents,
+       |  CAST(1000 * SUM(CASE WHEN score <= qhat THEN c2 ELSE 0 END)
+       |    DIV MAX(n2) AS BIGINT) AS coverage_permille
+       |FROM w2""".stripMargin
+
+  /** Poisson bootstrap CI for the MEDIAN of per-user revenue — the
+    * order-statistic bootstrap: each replica's weighted median comes
+    * from value-grouped cumulative weights (distinct dollar totals,
+    * never ranked users), the truth rides as sentinel replica r = -1
+    * with weight 1, and the CI is the same rank-5/196 order statistics
+    * as the mean bootstrap. Everything is one scan → one grouped
+    * aggregate → replica-partitioned windows over the value grid.
+    */
+  private[graft] val bootstrapMedianSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+       |  FROM events GROUP BY user_id),
+       |reps AS (SELECT explode(sequence(-1, ${R - 1})) AS r),
+       |w AS (
+       |  SELECT reps.r, u.x,
+       |    CASE WHEN reps.r = -1 THEN 1 ELSE (
+       |      ${poissonOf(h64(s"concat('bm', CAST(reps.r AS STRING), '_', CAST(u.user_id AS STRING))") + " % 1000000")}
+       |    ) END AS wt
+       |  FROM u CROSS JOIN reps),
+       |g AS (SELECT r, x, CAST(SUM(wt) AS BIGINT) AS c FROM w GROUP BY r, x),
+       |cw AS (
+       |  SELECT r, x,
+       |    SUM(c) OVER (PARTITION BY r ORDER BY x) AS cum,
+       |    SUM(c) OVER (PARTITION BY r) AS n
+       |  FROM g),
+       |med AS (
+       |  SELECT r, CAST(MIN(CASE WHEN 2 * cum >= n THEN x END) AS BIGINT) AS med
+       |  FROM cw WHERE n > 0 GROUP BY r),
+       |rk AS (SELECT r, med,
+       |  row_number() OVER (PARTITION BY CASE WHEN r = -1 THEN 0 ELSE 1 END
+       |    ORDER BY med, r) AS rn
+       |  FROM med)
+       |SELECT
+       |  CAST(MAX(CASE WHEN r = -1 THEN med END) AS BIGINT) AS point_median_cents,
+       |  CAST(MAX(CASE WHEN r >= 0 AND rn = 5 THEN med END) AS BIGINT) AS ci_lo_cents,
+       |  CAST(MAX(CASE WHEN r >= 0 AND rn = 196 THEN med END) AS BIGINT) AS ci_hi_cents
+       |FROM rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_conformal" -> ((s, dir) => events(s, dir, conformalSql)),
+    "x_bootstrap_median" -> ((s, dir) => events(s, dir, bootstrapMedianSql)),
     "x_did" -> ((s, dir) => events(s, dir, didSql)),
     "x_gram_view_incremental" -> ((s, dir) =>
       maintainedGram(s, dir).table.read.select("i", "j", "s")),
@@ -560,6 +640,67 @@ object InferenceQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_conformal" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         |    ${duckH64("('cf_' || event_id)")} % 3 AS split
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type, CAST(SUM(cents) // count(*) AS BIGINT) AS mu
+         |  FROM e WHERE split = 0 GROUP BY event_type),
+         |scored AS (
+         |  SELECT e.split, ABS(e.cents - m.mu) AS score
+         |  FROM e JOIN m ON m.event_type = e.event_type WHERE e.split >= 1),
+         |p AS (
+         |  SELECT score,
+         |    CAST(SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN split = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM scored GROUP BY score),
+         |w AS (
+         |  SELECT score, c1, c2,
+         |    SUM(c1) OVER (ORDER BY score) AS cum1,
+         |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+         |  FROM p),
+         |w2 AS (
+         |  SELECT *, MIN(CASE WHEN cum1 * 10 >= (n1 + 1) * 9 THEN score END) OVER () AS qhat
+         |  FROM w)
+         |SELECT CAST(MAX(n1) AS BIGINT) AS n_cal, CAST(MAX(n2) AS BIGINT) AS n_test,
+         |  CAST(MAX(qhat) AS BIGINT) AS qhat_cents,
+         |  CAST(1000 * SUM(CASE WHEN score <= qhat THEN c2 ELSE 0 END)
+         |    // MAX(n2) AS BIGINT) AS coverage_permille
+         |FROM w2""".stripMargin,
+
+    "x_bootstrap_median" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY user_id),
+         |reps AS (SELECT unnest(range(-1, $R)) AS r),
+         |w AS (
+         |  SELECT reps.r, u.x,
+         |    CASE WHEN reps.r = -1 THEN 1 ELSE (
+         |      ${poissonOf(duckH64("('bm' || reps.r || '_' || u.user_id)") + " % 1000000")}
+         |    ) END AS wt
+         |  FROM u CROSS JOIN reps),
+         |g AS (SELECT r, x, CAST(SUM(wt) AS BIGINT) AS c FROM w GROUP BY r, x),
+         |cw AS (
+         |  SELECT r, x,
+         |    SUM(c) OVER (PARTITION BY r ORDER BY x) AS cum,
+         |    SUM(c) OVER (PARTITION BY r) AS n
+         |  FROM g),
+         |med AS (
+         |  SELECT r, CAST(MIN(CASE WHEN 2 * cum >= n THEN x END) AS BIGINT) AS med
+         |  FROM cw WHERE n > 0 GROUP BY r),
+         |rk AS (SELECT r, med,
+         |  row_number() OVER (PARTITION BY CASE WHEN r = -1 THEN 0 ELSE 1 END
+         |    ORDER BY med, r) AS rn
+         |  FROM med)
+         |SELECT
+         |  CAST(MAX(CASE WHEN r = -1 THEN med END) AS BIGINT) AS point_median_cents,
+         |  CAST(MAX(CASE WHEN r >= 0 AND rn = 5 THEN med END) AS BIGINT) AS ci_lo_cents,
+         |  CAST(MAX(CASE WHEN r >= 0 AND rn = 196 THEN med END) AS BIGINT) AS ci_hi_cents
+         |FROM rk""".stripMargin,
 
     "x_did" ->
       s"""WITH b AS (

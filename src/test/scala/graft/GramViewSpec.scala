@@ -52,6 +52,44 @@ class GramViewSpec extends SparkSpec {
     assert(cells(view.table.read) === expect)
   }
 
+  test("streaming foreachBatch keeps the matrix current per micro-batch") {
+    val root = tmpDir("gramstream")
+    val srcDir = s"$root/in"
+    vecs(1L -> axis(0, 1.0f), 2L -> axis(1, 2.0f))
+      .write.mode("overwrite").parquet(srcDir)
+    val table = new CdcTable(spark, s"$root/vecs", Seq("vec_id"))
+    val view = new GramView(spark, table, s"$root/gram", "embedding")
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>").parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!df.isEmpty) {
+            table.merge(df.withColumn("__op", lit("c")).withColumn("__ts_ms", lit(1L)),
+              "__ts_ms")
+            view.refresh()
+            (): Unit
+          }
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(cells(view.table.read) === cells(GramView.gramOf(table.read, "embedding")))
+
+    // a late file flows through the SAME checkpointed stream: the matrix
+    // absorbs only the delta and still equals the recompute
+    vecs(3L -> axis(0, 3.0f)).write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(cells(view.table.read) === cells(GramView.gramOf(table.read, "embedding")))
+    assert(cells(view.table.read)((0L, 0L)) ===
+      1000000L * 1000000L + 3000000L * 3000000L)
+  }
+
   test("refresh is idempotent and an up-to-date view burns no version") {
     val root = tmpDir("gramview2")
     val src = new CdcTable(spark, s"$root/vecs", Seq("vec_id"))

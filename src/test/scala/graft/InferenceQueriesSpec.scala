@@ -139,6 +139,68 @@ class InferenceQueriesSpec extends SparkSpec {
     (1 until d).foreach(i => assert(v(i.toLong) === 0L))
   }
 
+  test("conformal: a perfect model gives qhat 0 and full coverage") {
+    // every event of a type has the same value — scores are all 0 on
+    // calibration AND test, so the interval is a point with coverage 1000
+    asEvents((1 to 90).map(i =>
+      (i.toLong, t0, i.toLong, if (i % 2 == 0) "a" else "b",
+        if (i % 2 == 0) 5.0 else 9.0)))
+    val row = spark.sql(InferenceQueries.conformalSql).collect().head
+    assert(row.getAs[Long]("qhat_cents") === 0L)
+    assert(row.getAs[Long]("coverage_permille") === 1000L)
+    assert(row.getAs[Long]("n_cal") + row.getAs[Long]("n_test") <= 90L)
+  }
+
+  test("conformal: coverage lands near the 90% target on noisy data") {
+    // values u % 7 dollars around a per-type model: the calibration
+    // quantile must cover ~90% of test scores by construction
+    asEvents((1 to 600).map(i =>
+      (i.toLong, t0, i.toLong, "e", 10.0 + (i % 7))))
+    val row = spark.sql(InferenceQueries.conformalSql).collect().head
+    val cov = row.getAs[Long]("coverage_permille")
+    assert(cov >= 850L && cov <= 1000L, s"coverage $cov far from the 900 target")
+  }
+
+  test("bootstrap median collapses to a point on a constant population") {
+    asEvents((1 to 25).map(u => (u.toLong, t0, u.toLong, "buy", 7.0)))
+    val row = spark.sql(InferenceQueries.bootstrapMedianSql).collect().head
+    assert(row.getAs[Long]("point_median_cents") === 700L)
+    assert(row.getAs[Long]("ci_lo_cents") === 700L)
+    assert(row.getAs[Long]("ci_hi_cents") === 700L)
+  }
+
+  test("bootstrap median CI brackets the exact median on a spread population") {
+    asEvents((1 to 41).map(u => (u.toLong, t0, u.toLong, "buy", u.toDouble)))
+    val row = spark.sql(InferenceQueries.bootstrapMedianSql).collect().head
+    // 41 users with totals 100..4100: the exact (lower) median is user 21
+    assert(row.getAs[Long]("point_median_cents") === 2100L)
+    val (lo, hi) = (row.getAs[Long]("ci_lo_cents"), row.getAs[Long]("ci_hi_cents"))
+    assert(lo <= 2100L && 2100L <= hi && lo < hi)
+  }
+
+  test("DiD recovers an injected treatment effect exactly") {
+    // control: 10 pre + 10 post at $10; treated: 10 pre at $10, 10 post
+    // at $13 — DiD = +$3.00 exactly (all cells constant)
+    val pre = new Timestamp(1700000000000L)
+    val post = new Timestamp(1700000800000L)
+    def fold(u: Long) = h64(s"did_$u") % 2
+    val users = (1L to 40L)
+    val treated = users.filter(fold(_) == 1)
+    val control = users.filter(fold(_) == 0)
+    assert(treated.nonEmpty && control.nonEmpty)
+    val rows = users.flatMap { u =>
+      val postVal = if (fold(u) == 1) 13.0 else 10.0
+      Seq((u * 10 + 1, pre, u, "e", 10.0), (u * 10 + 2, post, u, "e", postVal))
+    }
+    asEvents(rows.toSeq)
+    val r = spark.sql(InferenceQueries.didSql).collect().head
+    assert(r.getAs[Long]("m_t_pre") === 1000L * 1000000L)
+    assert(r.getAs[Long]("m_t_post") === 1300L * 1000000L)
+    assert(r.getAs[Long]("m_c_pre") === 1000L * 1000000L)
+    assert(r.getAs[Long]("m_c_post") === 1000L * 1000000L)
+    assert(r.getAs[Long]("did_microcents") === 300L * 1000000L)
+  }
+
   test("ANOVA F is zero for identical group means, huge for disjoint ones") {
     // 3 groups, each {1, 2, 3} dollars — identical means, SSB = 0, F = 0.
     asEvents(for {

@@ -385,12 +385,18 @@ class PlanAuditSpec extends SparkSpec {
     val js = plan("x_js_divergence")
     assert(js.linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*")) == 0,
       "divergence stages must read the checkpointed term counts, not documents")
-    // calibration pays one split-boundary probe, the permutation null one
-    // label-proportion probe — exactly one extra pass each, never more
-    Seq("x_calibration", "x_permutation_test").foreach { n =>
+    // calibration/DiD pay one split-boundary probe, the permutation null
+    // one label-proportion probe, conformal one model-fit probe —
+    // exactly one extra pass each, never more
+    Seq("x_calibration", "x_permutation_test", "x_did", "x_conformal").foreach { n =>
       val scans = plan(n).linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*"))
       assert(scans == 2, s"$n: expected main scan + one probe, saw $scans")
     }
+    // the median bootstrap is the same one-pass sentinel-replica shape as
+    // the mean bootstrap
+    val bm = plan("x_bootstrap_median")
+    assert(bm.linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*")) == 1,
+      "median bootstrap must stay a single events pass")
     // the replica fan-outs cross-join only 1-row/200-row generator sides
     // — never a cartesian product over data
     Seq("x_bootstrap_ci", "x_permutation_test", "x_js_divergence",
