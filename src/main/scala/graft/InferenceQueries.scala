@@ -89,12 +89,16 @@ object InferenceQueries extends QueryPack {
        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
        |  FROM events GROUP BY user_id),
        |reps AS (SELECT explode(sequence(-1, ${R - 1})) AS r),
-       |w AS (
+       |w0 AS (
        |  SELECT reps.r, u.x,
-       |    CASE WHEN reps.r = -1 THEN 1 ELSE (
-       |      ${poissonOf(h64(s"concat('bs', CAST(reps.r AS STRING), '_', CAST(u.user_id AS STRING))") + " % 1000000")}
-       |    ) END AS wt
+       |    CASE WHEN reps.r = -1 THEN -1 ELSE
+       |      ${h64(s"concat('bs', CAST(reps.r AS STRING), '_', CAST(u.user_id AS STRING))")} % 1000000
+       |    END AS uu
        |  FROM u CROSS JOIN reps),
+       |w AS (
+       |  SELECT r, x,
+       |    CASE WHEN uu = -1 THEN 1 ELSE (${poissonOf("uu")}) END AS wt
+       |  FROM w0),
        |m AS (
        |  SELECT r, CAST(count(*) AS BIGINT) AS n_users,
        |    CAST(SUM(wt * x) DIV NULLIF(SUM(wt), 0) AS BIGINT) AS mean_cents
@@ -587,12 +591,16 @@ object InferenceQueries extends QueryPack {
        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
        |  FROM events GROUP BY user_id),
        |reps AS (SELECT explode(sequence(-1, ${R - 1})) AS r),
-       |w AS (
+       |w0 AS (
        |  SELECT reps.r, u.x,
-       |    CASE WHEN reps.r = -1 THEN 1 ELSE (
-       |      ${poissonOf(h64(s"concat('bm', CAST(reps.r AS STRING), '_', CAST(u.user_id AS STRING))") + " % 1000000")}
-       |    ) END AS wt
+       |    CASE WHEN reps.r = -1 THEN -1 ELSE
+       |      ${h64(s"concat('bm', CAST(reps.r AS STRING), '_', CAST(u.user_id AS STRING))")} % 1000000
+       |    END AS uu
        |  FROM u CROSS JOIN reps),
+       |w AS (
+       |  SELECT r, x,
+       |    CASE WHEN uu = -1 THEN 1 ELSE (${poissonOf("uu")}) END AS wt
+       |  FROM w0),
        |g AS (SELECT r, x, CAST(SUM(wt) AS BIGINT) AS c FROM w GROUP BY r, x),
        |cw AS (
        |  SELECT r, x,
@@ -677,12 +685,16 @@ object InferenceQueries extends QueryPack {
          |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
          |  FROM events GROUP BY user_id),
          |reps AS (SELECT unnest(range(-1, $R)) AS r),
-         |w AS (
+         |w0 AS (
          |  SELECT reps.r, u.x,
-         |    CASE WHEN reps.r = -1 THEN 1 ELSE (
-         |      ${poissonOf(duckH64("('bm' || reps.r || '_' || u.user_id)") + " % 1000000")}
-         |    ) END AS wt
+         |    CASE WHEN reps.r = -1 THEN -1 ELSE
+         |      ${duckH64("('bm' || reps.r || '_' || u.user_id)")} % 1000000
+         |    END AS uu
          |  FROM u CROSS JOIN reps),
+         |w AS (
+         |  SELECT r, x,
+         |    CASE WHEN uu = -1 THEN 1 ELSE (${poissonOf("uu")}) END AS wt
+         |  FROM w0),
          |g AS (SELECT r, x, CAST(SUM(wt) AS BIGINT) AS c FROM w GROUP BY r, x),
          |cw AS (
          |  SELECT r, x,
@@ -926,12 +938,16 @@ object InferenceQueries extends QueryPack {
          |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
          |  FROM events GROUP BY user_id),
          |reps AS (SELECT unnest(range(-1, $R)) AS r),
-         |w AS (
+         |w0 AS (
          |  SELECT reps.r, u.x,
-         |    CASE WHEN reps.r = -1 THEN 1 ELSE (
-         |      ${poissonOf(duckH64("('bs' || reps.r || '_' || u.user_id)") + " % 1000000")}
-         |    ) END AS wt
+         |    CASE WHEN reps.r = -1 THEN -1 ELSE
+         |      ${duckH64("('bs' || reps.r || '_' || u.user_id)")} % 1000000
+         |    END AS uu
          |  FROM u CROSS JOIN reps),
+         |w AS (
+         |  SELECT r, x,
+         |    CASE WHEN uu = -1 THEN 1 ELSE (${poissonOf("uu")}) END AS wt
+         |  FROM w0),
          |m AS (
          |  SELECT r, CAST(count(*) AS BIGINT) AS n_users,
          |    CAST(SUM(wt * x) // NULLIF(SUM(wt), 0) AS BIGINT) AS mean_cents
