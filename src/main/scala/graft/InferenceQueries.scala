@@ -620,7 +620,47 @@ object InferenceQueries extends QueryPack {
        |  CAST(MAX(CASE WHEN r >= 0 AND rn = 196 THEN med END) AS BIGINT) AS ci_hi_cents
        |FROM rk""".stripMargin
 
+  /** Inverse-propensity-weighted ATE: treatment assignment deliberately
+    * CONFOUNDED with a covariate (daypart shifts the assignment rate),
+    * propensities estimated as exact per-stratum shares, and the
+    * Horvitz-Thompson estimator computed per stratum from integer
+    * moments — each stratum's two weighted terms quantize to micro-cents
+    * before the order-free sum. The naive treated-minus-control gap
+    * rides along so the output shows what the reweighting corrected.
+    * One pass: strata are a 4-row conditional aggregate.
+    */
+  private[graft] val ipwSql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+       |    hour(ts) DIV 6 AS daypart,
+       |    CASE WHEN ${h64("concat('ipw_', CAST(user_id AS STRING))")} % 100
+       |      < 20 + 10 * (hour(ts) DIV 6) THEN 1 ELSE 0 END AS t
+       |  FROM events),
+       |g AS (
+       |  SELECT daypart, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(t) AS BIGINT) AS nt,
+       |    CAST(SUM(t * cents) AS BIGINT) AS syt,
+       |    CAST(SUM((1 - t) * cents) AS BIGINT) AS syc
+       |  FROM e GROUP BY daypart),
+       |terms AS (
+       |  SELECT daypart, n, nt, syt, syc,
+       |    CAST(syt * 1000000 DIV NULLIF(nt, 0) AS BIGINT) * n AS ht_t_micro,
+       |    CAST(syc * 1000000 DIV NULLIF(n - nt, 0) AS BIGINT) * n AS ht_c_micro,
+       |    CAST(1000 * nt DIV n AS BIGINT) AS p_permille
+       |  FROM g)
+       |SELECT
+       |  CAST(SUM(n) AS BIGINT) AS n_rows,
+       |  CAST(min(p_permille) AS BIGINT) AS p_min_permille,
+       |  CAST(max(p_permille) AS BIGINT) AS p_max_permille,
+       |  CAST((SUM(ht_t_micro) - SUM(ht_c_micro)) DIV SUM(n) AS BIGINT)
+       |    AS ate_ipw_microcents,
+       |  CAST(SUM(syt) * 1000000 DIV NULLIF(SUM(nt), 0)
+       |    - SUM(syc) * 1000000 DIV NULLIF(SUM(n) - SUM(nt), 0) AS BIGINT)
+       |    AS naive_gap_microcents
+       |FROM terms""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_ipw" -> ((s, dir) => events(s, dir, ipwSql)),
     "x_conformal" -> ((s, dir) => events(s, dir, conformalSql)),
     "x_bootstrap_median" -> ((s, dir) => events(s, dir, bootstrapMedianSql)),
     "x_did" -> ((s, dir) => events(s, dir, didSql)),
@@ -648,6 +688,36 @@ object InferenceQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_ipw" ->
+      s"""WITH e AS (
+         |  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         |    hour(ts) // 6 AS daypart,
+         |    CASE WHEN ${duckH64("('ipw_' || user_id)")} % 100
+         |      < 20 + 10 * (hour(ts) // 6) THEN 1 ELSE 0 END AS t
+         |  FROM events),
+         |g AS (
+         |  SELECT daypart, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(t) AS BIGINT) AS nt,
+         |    CAST(SUM(t * cents) AS BIGINT) AS syt,
+         |    CAST(SUM((1 - t) * cents) AS BIGINT) AS syc
+         |  FROM e GROUP BY daypart),
+         |terms AS (
+         |  SELECT daypart, n, nt, syt, syc,
+         |    CAST(syt * 1000000 // NULLIF(nt, 0) AS BIGINT) * n AS ht_t_micro,
+         |    CAST(syc * 1000000 // NULLIF(n - nt, 0) AS BIGINT) * n AS ht_c_micro,
+         |    CAST(1000 * nt // n AS BIGINT) AS p_permille
+         |  FROM g)
+         |SELECT
+         |  CAST(SUM(n) AS BIGINT) AS n_rows,
+         |  CAST(min(p_permille) AS BIGINT) AS p_min_permille,
+         |  CAST(max(p_permille) AS BIGINT) AS p_max_permille,
+         |  CAST((SUM(ht_t_micro) - SUM(ht_c_micro)) // SUM(n) AS BIGINT)
+         |    AS ate_ipw_microcents,
+         |  CAST(SUM(syt) * 1000000 // NULLIF(SUM(nt), 0)
+         |    - SUM(syc) * 1000000 // NULLIF(SUM(n) - SUM(nt), 0) AS BIGINT)
+         |    AS naive_gap_microcents
+         |FROM terms""".stripMargin,
 
     "x_conformal" ->
       s"""WITH e AS (

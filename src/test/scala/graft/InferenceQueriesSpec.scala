@@ -201,6 +201,27 @@ class InferenceQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("did_microcents") === 300L * 1000000L)
   }
 
+  test("IPW recovers a zero effect under confounding where the naive gap is biased") {
+    // outcome depends ONLY on the confounder (daypart): y = 10 + 10·dp
+    // dollars. The assignment rate rises with daypart, so the naive
+    // treated-minus-control gap is positive — but within every stratum
+    // treated and control means are equal, so the IPW ATE is exactly 0.
+    val rows = for {
+      dp <- 0 until 4
+      u <- 1 to 50
+    } yield {
+      val ts = Timestamp.valueOf(java.time.LocalDateTime.of(2024, 3, 4, dp * 6 + 1, 0, 0))
+      ((dp * 100 + u).toLong, ts, (dp * 100 + u).toLong, "e", 10.0 + 10 * dp)
+    }
+    asEvents(rows)
+    val r = spark.sql(InferenceQueries.ipwSql).collect().head
+    assert(r.getAs[Long]("ate_ipw_microcents") === 0L)
+    assert(r.getAs[Long]("naive_gap_microcents") > 0L,
+      "the confounded naive gap must be biased upward")
+    assert(r.getAs[Long]("p_min_permille") < r.getAs[Long]("p_max_permille"),
+      "assignment rates must actually vary across strata")
+  }
+
   test("ANOVA F is zero for identical group means, huge for disjoint ones") {
     // 3 groups, each {1, 2, 3} dollars — identical means, SSB = 0, F = 0.
     asEvents(for {
