@@ -467,8 +467,8 @@ object InferenceQueries extends QueryPack {
       |SELECT n AS n_users,
       |  CAST(n * sab - sa * sb AS BIGINT) AS cov_num,
       |  CAST(CAST(n * sab - sa * sb AS DOUBLE)
-      |    / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
-      |       * SQRT(CAST(n * sbb - sb * sb AS DOUBLE))) AS DOUBLE) AS rho
+      |    / (SQRT(CAST(NULLIF(n * saa - sa * sa, 0) AS DOUBLE))
+      |       * SQRT(CAST(NULLIF(n * sbb - sb * sb, 0) AS DOUBLE))) AS DOUBLE) AS rho
       |FROM m""".stripMargin
 
   // Incrementally-maintained Gram matrix over a versioned embedding
@@ -885,8 +885,8 @@ object InferenceQueries extends QueryPack {
         |SELECT n AS n_users,
         |  CAST(n * sab - sa * sb AS BIGINT) AS cov_num,
         |  CAST(CAST(n * sab - sa * sb AS DOUBLE)
-        |    / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
-        |       * SQRT(CAST(n * sbb - sb * sb AS DOUBLE))) AS DOUBLE) AS rho
+        |    / (SQRT(CAST(NULLIF(n * saa - sa * sa, 0) AS DOUBLE))
+        |       * SQRT(CAST(NULLIF(n * sbb - sb * sb, 0) AS DOUBLE))) AS DOUBLE) AS rho
         |FROM m""".stripMargin,
 
     "x_anova_f" ->
