@@ -90,6 +90,50 @@ class GramViewSpec extends SparkSpec {
       1000000L * 1000000L + 3000000L * 3000000L)
   }
 
+  test("property: random churn sequences keep the maintained matrix equal to the recompute") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val d = 6
+    val vecGen = Gen.listOfN(d, Gen.choose(-8, 8).map(_ / 4.0f)).map(_.toArray)
+    // a batch: per id in a small space, one op (insert/update/delete)
+    val batchGen = for {
+      ids <- Gen.someOf(1L to 8L)
+      if ids.nonEmpty
+      ops <- Gen.listOfN(ids.size, Gen.oneOf("c", "u", "d"))
+      vs <- Gen.listOfN(ids.size, vecGen)
+    } yield ids.toList.lazyZip(ops).lazyZip(vs).toList
+    val seqGen = for {
+      init <- Gen.listOfN(5, vecGen)
+      batches <- Gen.listOfN(3, batchGen)
+    } yield (init, batches)
+
+    val prop = Prop.forAll(seqGen) { case (init, batches) =>
+      val root = tmpDir("gramprop")
+      val src = new CdcTable(spark, s"$root/vecs", Seq("vec_id"))
+      src.init(init.zipWithIndex.map { case (v, i) => (i.toLong + 1, v) }.toDF("vec_id", "embedding"))
+      val view = new GramView(spark, src, s"$root/gram", "embedding")
+      view.refresh()
+      var ok = true
+      batches.zipWithIndex.foreach { case (b, bi) =>
+        // deletes of absent keys are dropped (merge ignores them anyway);
+        // timestamps advance per batch so latest-wins is deterministic
+        val df = b.map { case (id, op, v) => (id, v, op) }
+          .toDF("vec_id", "embedding", "__op")
+          .withColumn("__ts_ms", lit(bi.toLong + 10))
+        src.merge(df, "__ts_ms")
+        view.refresh()
+        val got = cells(view.table.read)
+        val want = cells(GramView.gramOf(src.read, "embedding"))
+        if (got != want) {
+          println(s"MISMATCH after batch $bi: ${got.toSeq.diff(want.toSeq).take(5)}")
+          ok = false
+        }
+      }
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("refresh is idempotent and an up-to-date view burns no version") {
     val root = tmpDir("gramview2")
     val src = new CdcTable(spark, s"$root/vecs", Seq("vec_id"))
