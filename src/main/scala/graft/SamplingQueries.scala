@@ -309,6 +309,37 @@ object SamplingQueries extends QueryPack {
         |SELECT side, d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM deg GROUP BY side, d""".stripMargin)),
 
+    // Frontier BFS over the bipartite supplier↔customer graph: hop
+    // levels 0-3 from the min-supplier seed. The iterative shape is the
+    // honest one at scale — each ROUND is one hash-join pass over the
+    // cached edge set (localCheckpoint per frontier, the connected-
+    // components discipline), never a re-derivation: without the
+    // checkpoints Spark's CTE inlining would re-expand the edge join
+    // exponentially across rounds. Visited sets subtract by anti-join;
+    // bipartite parity keeps supplier/customer frontiers disjoint.
+    "x_bfs_levels" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      val e = s.sql(
+        """SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+          |FROM lineitem JOIN orders ON o_orderkey = l_orderkey""".stripMargin)
+        .localCheckpoint()
+      val seed = e.agg(min(col("sk")).as("k")).localCheckpoint()
+      val l1 = e.join(seed, e("sk") === seed("k"), "left_semi")
+        .select(col("ck").as("k")).distinct().localCheckpoint()
+      val l2 = e.join(l1, e("ck") === l1("k"), "left_semi")
+        .select(col("sk").as("k")).distinct()
+        .join(seed, Seq("k"), "left_anti").localCheckpoint()
+      val l3 = e.join(l2, e("sk") === l2("k"), "left_semi")
+        .select(col("ck").as("k")).distinct()
+        .join(l1, Seq("k"), "left_anti").localCheckpoint()
+      def cnt(df: org.apache.spark.sql.DataFrame, lvl: Int) =
+        df.agg(count(lit(1)).as("n_nodes"))
+          .select(lit(lvl.toLong).as("level"), col("n_nodes"))
+      cnt(seed, 0).unionByName(cnt(l1, 1)).unionByName(cnt(l2, 2)).unionByName(cnt(l3, 3))
+    }),
+
     // Z-order layout audit (the SQL face of ops.ZOrder): 16-bit Morton
     // interleave of two bucketized order dimensions (price byte, coarse
     // date byte), bucketed by the top 4 Morton bits — exactly the ranges
@@ -473,6 +504,21 @@ object SamplingQueries extends QueryPack {
          |  r AS rank_micro,
          |  row_number() OVER (ORDER BY r DESC, node) AS pos
          |FROM top""".stripMargin,
+
+    "x_bfs_levels" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |seed AS (SELECT min(sk) AS k FROM e),
+        |l1 AS (SELECT DISTINCT ck AS k FROM e, seed WHERE e.sk = seed.k),
+        |l2 AS (SELECT DISTINCT e.sk AS k FROM e JOIN l1 ON e.ck = l1.k
+        |       WHERE e.sk != (SELECT k FROM seed)),
+        |l3 AS (SELECT DISTINCT e.ck AS k FROM e JOIN l2 ON e.sk = l2.k
+        |       WHERE e.ck NOT IN (SELECT k FROM l1))
+        |SELECT CAST(0 AS BIGINT) AS level, CAST(count(*) AS BIGINT) AS n_nodes FROM seed
+        |UNION ALL SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT) FROM l1
+        |UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM l2
+        |UNION ALL SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM l3""".stripMargin,
 
     "x_graph_degree" ->
       """WITH e0 AS (
