@@ -659,7 +659,38 @@ object InferenceQueries extends QueryPack {
        |    AS naive_gap_microcents
        |FROM terms""".stripMargin
 
+  /** Power iteration CONSUMED FROM the maintained Gram view — the
+    * end-to-end maintained-statistic story: the matrix was kept current
+    * by CDF deltas (never recomputed), and the PCA reads it as a
+    * d²-row table. Same integer max-norm rounds as x_pca_power; the
+    * stored upper triangle mirrors to the full matrix first.
+    */
+  private[graft] val pcaFromViewSql: String =
+    """WITH tri AS (SELECT i, j, s FROM gram_view_tbl),
+      |g AS (
+      |  SELECT i, j, s FROM tri
+      |  UNION ALL
+      |  SELECT j AS i, i AS j, s FROM tri WHERE i < j),
+      |gm AS (SELECT CAST(MAX(ABS(s)) AS BIGINT) AS m FROM g),
+      |c AS (SELECT i, j, s DIV ((SELECT m FROM gm) DIV 1000000 + 1) AS cn FROM g),
+      |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM c),
+      |w1 AS (SELECT c.i, CAST(SUM(c.cn * v0.v) AS BIGINT) AS w
+      |  FROM c JOIN v0 ON v0.i = c.j GROUP BY c.i),
+      |v1 AS (SELECT i, w DIV ((SELECT MAX(ABS(w)) FROM w1) DIV 1000000 + 1) AS v FROM w1),
+      |w2 AS (SELECT c.i, CAST(SUM(c.cn * v1.v) AS BIGINT) AS w
+      |  FROM c JOIN v1 ON v1.i = c.j GROUP BY c.i),
+      |v2 AS (SELECT i, w DIV ((SELECT MAX(ABS(w)) FROM w2) DIV 1000000 + 1) AS v FROM w2),
+      |w3 AS (SELECT c.i, CAST(SUM(c.cn * v2.v) AS BIGINT) AS w
+      |  FROM c JOIN v2 ON v2.i = c.j GROUP BY c.i)
+      |SELECT CAST(i AS BIGINT) AS i,
+      |  CAST(w DIV ((SELECT MAX(ABS(w)) FROM w3) DIV 1000000 + 1) AS BIGINT) AS v_micro
+      |FROM w3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pca_view_incremental" -> ((s, dir) => {
+      maintainedGram(s, dir).table.read.createOrReplaceTempView("gram_view_tbl")
+      s.sql(pcaFromViewSql)
+    }),
     "x_ipw" -> ((s, dir) => events(s, dir, ipwSql)),
     "x_conformal" -> ((s, dir) => events(s, dir, conformalSql)),
     "x_bootstrap_median" -> ((s, dir) => events(s, dir, bootstrapMedianSql)),
@@ -688,6 +719,35 @@ object InferenceQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_pca_view_incremental" ->
+      """WITH src AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 10 = 0
+        |      THEN [CAST(e * CAST(2.0 AS FLOAT) AS FLOAT) FOR e IN embedding]
+        |      ELSE embedding END AS embedding
+        |  FROM embeddings WHERE vec_id % 10 != 1),
+        |q AS (
+        |  SELECT [CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) FOR e IN embedding] AS qv
+        |  FROM src),
+        |x AS (
+        |  SELECT r1.i - 1 AS i, r2.j - 1 AS j, q.qv[r1.i] * q.qv[r2.j] AS p
+        |  FROM q, range(1, 65) r1(i), range(1, 65) r2(j)),
+        |g AS (SELECT i, j, CAST(SUM(p) AS BIGINT) AS s FROM x GROUP BY i, j),
+        |gm AS (SELECT CAST(MAX(ABS(s)) AS BIGINT) AS m FROM g),
+        |c AS (SELECT i, j, s // ((SELECT m FROM gm) // 1000000 + 1) AS cn FROM g),
+        |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM c),
+        |w1 AS (SELECT c.i, CAST(SUM(c.cn * v0.v) AS BIGINT) AS w
+        |  FROM c JOIN v0 ON v0.i = c.j GROUP BY c.i),
+        |v1 AS (SELECT i, w // ((SELECT MAX(ABS(w)) FROM w1) // 1000000 + 1) AS v FROM w1),
+        |w2 AS (SELECT c.i, CAST(SUM(c.cn * v1.v) AS BIGINT) AS w
+        |  FROM c JOIN v1 ON v1.i = c.j GROUP BY c.i),
+        |v2 AS (SELECT i, w // ((SELECT MAX(ABS(w)) FROM w2) // 1000000 + 1) AS v FROM w2),
+        |w3 AS (SELECT c.i, CAST(SUM(c.cn * v2.v) AS BIGINT) AS w
+        |  FROM c JOIN v2 ON v2.i = c.j GROUP BY c.i)
+        |SELECT CAST(i AS BIGINT) AS i,
+        |  CAST(w // ((SELECT MAX(ABS(w)) FROM w3) // 1000000 + 1) AS BIGINT) AS v_micro
+        |FROM w3""".stripMargin,
 
     "x_ipw" ->
       s"""WITH e AS (
