@@ -2412,6 +2412,31 @@ final class CdcTable(
     }
   }
 
+  /** One-call maintenance pass — the operation a nightly scheduler runs
+    * per table instead of wiring four policies by hand. Order matters
+    * and is deliberate:
+    *
+    *   1. [[materializeDeletesIfNeeded]] — clear merge-on-read debt
+    *      FIRST (its rewrite also resets the touched files' layout, and
+    *      a later compaction would materialize the vector anyway);
+    *   2. [[compactIfNeeded]] — bound per-partition file counts;
+    *   3. [[expire]] — drop versions past retention and GC unreferenced
+    *      commit dirs (after the rewrites, so their inputs can age out);
+    *   4. [[analyze]] — refresh table-level column statistics when
+    *      NDV columns are declared (metadata-speed in the steady state,
+    *      and the rewrites above just changed the dir layout).
+    *
+    * Every step is the existing idempotent primitive; a no-op pass
+    * burns zero versions. Returns what ran, for the scheduler's log.
+    */
+  def maintain(maxFiles: Int = 16, maxDvRatio: Double = 0.05): CdcTable.MaintenanceReport = {
+    val dv = materializeDeletesIfNeeded(maxDvRatio)
+    val compacted = compactIfNeeded(maxFiles)
+    expire()
+    val analyzed = if (ndvColumns.nonEmpty) { analyze(): Unit; true } else false
+    CdcTable.MaintenanceReport(dv, compacted, analyzed, currentOrThrow)
+  }
+
   /** Best-effort policy hook run after write commits when the table was
     * constructed with `autoCompactMaxFiles`. Any failure here must NOT
     * make the already-committed write look failed to the caller (a lost
@@ -2490,6 +2515,13 @@ object CdcTable {
     * (staged merges are idempotent) or merge the branch's rows directly.
     */
   final class PublishConflictException(msg: String) extends RuntimeException(msg)
+
+  /** What a [[CdcTable.maintain]] pass actually did. */
+  final case class MaintenanceReport(
+      materializedDeletes: Boolean,
+      compacted: Boolean,
+      analyzed: Boolean,
+      versionAfter: Long)
 
   /** Directory under the table root holding WAP branches (each a full
     * CdcTable cloned at fork time).

@@ -564,6 +564,28 @@ class CdcTableSpec extends SparkSpec {
     assert(t.read.orderBy("id").collect().toSeq == before)
   }
 
+  test("maintain(): one pass clears DV debt, compacts, expires, analyzes; repeat is a no-op") {
+    val path = tmpDir("cdcmaint") + "/t"
+    val t = new CdcTable(spark, path, Seq("id"), retainVersions = 2,
+      ndvColumns = Seq("v"))
+    t.init(spark.range(1000).select($"id", ($"id" % 7).as("v")).repartition(8))
+    t.deleteVectored($"id" % 3 === 0L) // heavy debt: a third of the rows
+    val before = t.read.orderBy("id").collect().toSeq
+
+    val r1 = t.maintain(maxFiles = 4)
+    assert(r1.materializedDeletes, "a 33% vector must trip the default 5% policy")
+    assert(r1.analyzed)
+    assert(t.dvSummary(t.currentVersion.get).isEmpty, "debt cleared")
+    assert(t.read.orderBy("id").collect().toSeq == before, "content unchanged")
+    assert(t.columnStats.exists(_.exists(_.column == "v")), "ANALYZE persisted")
+
+    // steady state: nothing to do — zero versions burned
+    val v = t.currentVersion.get
+    val r2 = t.maintain(maxFiles = 4)
+    assert(!r2.materializedDeletes && !r2.compacted && r2.analyzed)
+    assert(t.currentVersion.get == v)
+  }
+
   /** Physical files currently serving `month`, resolved via the live
     * manifest (the commit-dir paths change per version; identity of the
     * untouched files should not).
