@@ -48,6 +48,10 @@ object Dml {
     * ([[CdcTable.expire]]).
     */
   final case class Vacuum(target: String) extends Stmt
+  /** `MAINTAIN t` — the one-call nightly pass ([[CdcTable.maintain]]):
+    * materialize DV debt, bound file counts, expire+GC, refresh ANALYZE.
+    */
+  final case class Maintain(target: String) extends Stmt
   /** `SELECT COUNT(*) FROM t [WHERE ...]` — metadata-answered when the
     * condition is exactly skip-expressible
     * ([[FileSkipping.predsOfExact]]), scan fallback otherwise; always
@@ -139,6 +143,8 @@ object Dml {
     raw"(?is)^\s*OPTIMIZE\s+([^\s(]+)\s*(?:PARTITIONS\s*\(([^)]*)\)\s*)?(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?$$".r
   private val VacuumRe =
     raw"(?is)^\s*VACUUM\s+(\S+)\s*$$".r
+  private val MaintainRe =
+    raw"(?is)^\s*MAINTAIN\s+(\S+)\s*$$".r
   private val AsOfRe =
     raw"(?is)^\s*TABLE\s+(\S+)\s+VERSION\s+AS\s+OF\s+(\d+)\s*$$".r
   private val AsOfTsRe =
@@ -295,6 +301,7 @@ object Dml {
       require(parts == null || months.nonEmpty, "PARTITIONS needs at least one month")
       Optimize(target, cols, months)
     case VacuumRe(target) => Vacuum(target)
+    case MaintainRe(target) => Maintain(target)
     case AsOfRe(target, v) => TableAsOf(target, v.toLong)
     case AsOfTsRe(target, ts) => TableAsOfTs(target, utcMillis(ts))
     case RestoreTsRe(target, ts) => RestoreTs(target, utcMillis(ts))
@@ -470,6 +477,7 @@ object Dml {
         else if (zcols.isEmpty) table.compact()
         else table.compact(zorderBy = zcols)
       case Vacuum(_) => table.expire()
+      case Maintain(_) => table.maintain(): Unit
       case Restore(_, v) => table.restore(v)
       case RestoreTs(_, ms) => table.restore(table.versionAtTimestamp(ms))
       case CreateBranch(_, b) => table.createBranch(b): Unit

@@ -244,6 +244,11 @@ class CdcDmlSpec extends SparkSpec {
     assert(opt.versions.size <= 2, "VACUUM must expire history beyond retention")
     intercept[IllegalArgumentException](graft.ops.Dml.parse("OPTIMIZE o ZORDER BY ()"))
 
+    // MAINTAIN: the one-call nightly pass through the statement face
+    graft.ops.Dml.execute(spark, "MAINTAIN o", n => s"$root/$n", Seq("id"))
+    assert(opt.read.count() == 100L, "maintenance must not change content")
+    assert(opt.versions.size <= 2)
+
     // SHOW PARTITIONS: the manifest's live months with file counts
     val sp = new CdcTable(spark, s"$root/sp", Seq("id"), partitionSource = Some("created"))
     sp.init(Seq((1L, ts("2001-01-05 00:00:00")), (2L, ts("2001-02-05 00:00:00")))
