@@ -686,7 +686,47 @@ object InferenceQueries extends QueryPack {
       |  CAST(w DIV ((SELECT MAX(ABS(w)) FROM w3) DIV 1000000 + 1) AS BIGINT) AS v_micro
       |FROM w3""".stripMargin
 
+  /** Doubly-robust (AIPW) ATE with a deliberately MISSPECIFIED outcome
+    * model: the outcome regressions are the GLOBAL treated/control means
+    * (wrong under confounding — that bias is the naive column), the
+    * propensities are the exact per-stratum shares (right), and the
+    * augmentation terms repair the model bias stratum by stratum — the
+    * double-robustness guarantee as an executable fact. Same one-pass
+    * stratum aggregate as x_ipw; the global model attaches by window
+    * over the 4-row stratum table, inner divisions run before the n_g
+    * scale-up so every intermediate stays within int64.
+    */
+  private[graft] val aipwSql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+       |    hour(ts) DIV 6 AS daypart,
+       |    CASE WHEN ${h64("concat('ipw_', CAST(user_id AS STRING))")} % 100
+       |      < 20 + 10 * (hour(ts) DIV 6) THEN 1 ELSE 0 END AS t
+       |  FROM events),
+       |g AS (
+       |  SELECT daypart, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(t) AS BIGINT) AS nt,
+       |    CAST(SUM(t * cents) AS BIGINT) AS syt,
+       |    CAST(SUM((1 - t) * cents) AS BIGINT) AS syc
+       |  FROM e GROUP BY daypart),
+       |w AS (
+       |  SELECT daypart, n, nt, syt, syc,
+       |    SUM(syt) OVER () * 1000000 DIV SUM(nt) OVER () AS m1,
+       |    SUM(syc) OVER () * 1000000 DIV (SUM(n) OVER () - SUM(nt) OVER ()) AS m0
+       |  FROM g),
+       |terms AS (
+       |  SELECT n, m1, m0,
+       |    n * (m1 - m0)
+       |      + ((syt * 1000000 - nt * m1) DIV NULLIF(nt, 0)) * n
+       |      - ((syc * 1000000 - (n - nt) * m0) DIV NULLIF(n - nt, 0)) * n AS contrib
+       |  FROM w)
+       |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       |  CAST(MAX(m1) - MAX(m0) AS BIGINT) AS naive_model_gap_microcents,
+       |  CAST(SUM(contrib) DIV SUM(n) AS BIGINT) AS ate_aipw_microcents
+       |FROM terms""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_aipw" -> ((s, dir) => events(s, dir, aipwSql)),
     "x_pca_view_incremental" -> ((s, dir) => {
       maintainedGram(s, dir).table.read.createOrReplaceTempView("gram_view_tbl")
       s.sql(pcaFromViewSql)
@@ -719,6 +759,35 @@ object InferenceQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_aipw" ->
+      s"""WITH e AS (
+         |  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         |    hour(ts) // 6 AS daypart,
+         |    CASE WHEN ${duckH64("('ipw_' || user_id)")} % 100
+         |      < 20 + 10 * (hour(ts) // 6) THEN 1 ELSE 0 END AS t
+         |  FROM events),
+         |g AS (
+         |  SELECT daypart, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(t) AS BIGINT) AS nt,
+         |    CAST(SUM(t * cents) AS BIGINT) AS syt,
+         |    CAST(SUM((1 - t) * cents) AS BIGINT) AS syc
+         |  FROM e GROUP BY daypart),
+         |w AS (
+         |  SELECT daypart, n, nt, syt, syc,
+         |    SUM(syt) OVER () * 1000000 // SUM(nt) OVER () AS m1,
+         |    SUM(syc) OVER () * 1000000 // (SUM(n) OVER () - SUM(nt) OVER ()) AS m0
+         |  FROM g),
+         |terms AS (
+         |  SELECT n, m1, m0,
+         |    n * (m1 - m0)
+         |      + ((syt * 1000000 - nt * m1) // NULLIF(nt, 0)) * n
+         |      - ((syc * 1000000 - (n - nt) * m0) // NULLIF(n - nt, 0)) * n AS contrib
+         |  FROM w)
+         |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+         |  CAST(MAX(m1) - MAX(m0) AS BIGINT) AS naive_model_gap_microcents,
+         |  CAST(SUM(contrib) // SUM(n) AS BIGINT) AS ate_aipw_microcents
+         |FROM terms""".stripMargin,
 
     "x_pca_view_incremental" ->
       """WITH src AS (

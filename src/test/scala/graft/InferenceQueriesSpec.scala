@@ -222,6 +222,26 @@ class InferenceQueriesSpec extends SparkSpec {
       "assignment rates must actually vary across strata")
   }
 
+  test("AIPW repairs a misspecified outcome model: ATE exactly 0 where the model gap is biased") {
+    // the same confounded null as the IPW spec: outcome depends only on
+    // daypart, assignment rate rises with daypart. The GLOBAL outcome
+    // model is then biased (naive_model_gap > 0) but the augmentation
+    // terms cancel it stratum-by-stratum — exactly, because constant
+    // within-stratum outcomes make every truncated division exact.
+    val rows = for {
+      dp <- 0 until 4
+      u <- 1 to 50
+    } yield {
+      val ts = Timestamp.valueOf(java.time.LocalDateTime.of(2024, 3, 4, dp * 6 + 1, 0, 0))
+      ((dp * 100 + u).toLong, ts, (dp * 100 + u).toLong, "e", 10.0 + 10 * dp)
+    }
+    asEvents(rows)
+    val r = spark.sql(InferenceQueries.aipwSql).collect().head
+    assert(r.getAs[Long]("naive_model_gap_microcents") > 0L,
+      "the global outcome model must be biased under confounding")
+    assert(r.getAs[Long]("ate_aipw_microcents") === 0L)
+  }
+
   test("ANOVA F is zero for identical group means, huge for disjoint ones") {
     // 3 groups, each {1, 2, 3} dollars — identical means, SSB = 0, F = 0.
     asEvents(for {
