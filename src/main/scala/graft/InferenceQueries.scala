@@ -725,7 +725,40 @@ object InferenceQueries extends QueryPack {
        |  CAST(SUM(contrib) DIV SUM(n) AS BIGINT) AS ate_aipw_microcents
        |FROM terms""".stripMargin
 
+  /** The one events pass behind [[theilSenRankSql]] — the daily-revenue
+    * table, materialized (localCheckpoint) because the pairwise-slope
+    * self-join references it twice.
+    */
+  private[graft] val theilSenDaySql: String =
+    """SELECT unix_micros(ts) DIV 86400000000 AS day,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      |FROM events GROUP BY unix_micros(ts) DIV 86400000000""".stripMargin
+
+  /** Theil–Sen robust trend: the exact (lower) median of all pairwise
+    * daily-revenue slopes — outlier-days move OLS arbitrarily but shift
+    * a median slope by at most one rank. The pair table is days², a
+    * BOUNDED model table at any corpus size (the corpus term is the
+    * daily roll-up); the median comes from value-grouped cumulative
+    * counts, never a per-pair rank.
+    */
+  private[graft] val theilSenRankSql: String =
+    """WITH d AS (SELECT * FROM theil_days),
+      |p AS (
+      |  SELECT (b.y - a.y) * 1000000 DIV (b.day - a.day) AS slope
+      |  FROM d a JOIN d b ON b.day > a.day),
+      |g AS (SELECT slope, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY slope),
+      |w AS (SELECT slope, SUM(c) OVER (ORDER BY slope) AS cum, SUM(c) OVER () AS n FROM g)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+      |  CAST(MIN(CASE WHEN 2 * cum >= n THEN slope END) AS BIGINT)
+      |    AS theil_slope_microcents_per_day
+      |FROM w""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_theil_sen" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(theilSenDaySql).localCheckpoint().createOrReplaceTempView("theil_days")
+      s.sql(theilSenRankSql)
+    }),
     "x_aipw" -> ((s, dir) => events(s, dir, aipwSql)),
     "x_pca_view_incremental" -> ((s, dir) => {
       maintainedGram(s, dir).table.read.createOrReplaceTempView("gram_view_tbl")
@@ -759,6 +792,21 @@ object InferenceQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_theil_sen" ->
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY epoch_us(ts) // 86400000000),
+        |p AS (
+        |  SELECT (b.y - a.y) * 1000000 // (b.day - a.day) AS slope
+        |  FROM d a JOIN d b ON b.day > a.day),
+        |g AS (SELECT slope, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY slope),
+        |w AS (SELECT slope, SUM(c) OVER (ORDER BY slope) AS cum, SUM(c) OVER () AS n FROM g)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+        |  CAST(MIN(CASE WHEN 2 * cum >= n THEN slope END) AS BIGINT)
+        |    AS theil_slope_microcents_per_day
+        |FROM w""".stripMargin,
 
     "x_aipw" ->
       s"""WITH e AS (

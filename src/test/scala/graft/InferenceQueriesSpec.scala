@@ -242,6 +242,25 @@ class InferenceQueriesSpec extends SparkSpec {
     assert(r.getAs[Long]("ate_aipw_microcents") === 0L)
   }
 
+  test("Theil-Sen recovers an exact slope and shrugs off an outlier day") {
+    def dayTs(d: Int) = Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 3, 1 + d, 12, 0, 0))
+    // exact line: daily revenue 100 + 5d dollars over 9 days
+    asEvents((0 until 9).map(d => (d.toLong, dayTs(d), 1L, "e", 100.0 + 5 * d)))
+    spark.sql(InferenceQueries.theilSenDaySql).createOrReplaceTempView("theil_days")
+    val r1 = spark.sql(InferenceQueries.theilSenRankSql).collect().head
+    assert(r1.getAs[Long]("n_pairs") === 36L)
+    assert(r1.getAs[Long]("theil_slope_microcents_per_day") === 500L * 1000000L)
+
+    // one wild outlier day: OLS would swing, the median slope must not
+    asEvents((0 until 9).map(d =>
+      (d.toLong, dayTs(d), 1L, "e", if (d == 4) 9999.0 else 100.0 + 5 * d)))
+    spark.sql(InferenceQueries.theilSenDaySql).createOrReplaceTempView("theil_days")
+    val r2 = spark.sql(InferenceQueries.theilSenRankSql).collect().head
+    assert(r2.getAs[Long]("theil_slope_microcents_per_day") === 500L * 1000000L,
+      "a single outlier day must not move the median slope")
+  }
+
   test("ANOVA F is zero for identical group means, huge for disjoint ones") {
     // 3 groups, each {1, 2, 3} dollars — identical means, SSB = 0, F = 0.
     asEvents(for {
