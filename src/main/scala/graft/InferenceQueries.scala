@@ -753,7 +753,58 @@ object InferenceQueries extends QueryPack {
       |    AS theil_slope_microcents_per_day
       |FROM w""".stripMargin
 
+  /** Brown–Forsythe variance-homogeneity test: ANOVA's F applied to
+    * |y − median_g| — the robust Levene variant, the diagnostic that
+    * decides whether ANOVA's equal-variance assumption holds at all.
+    * Group medians come from value-grouped cumulative counts (windows
+    * over each type's distinct cent values, never rows), broadcast back
+    * as a tiny model table; the deviation ANOVA reuses the exact-moment
+    * + per-group-milli-quantization discipline of x_anova_f. Two passes:
+    * the median model probe and the deviation aggregate.
+    */
+  private[graft] val brownForsytheSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |vg AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS c
+      |  FROM e GROUP BY event_type, cents),
+      |cw AS (
+      |  SELECT event_type, cents,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM vg),
+      |med AS (
+      |  SELECT event_type,
+      |    CAST(MIN(CASE WHEN 2 * cum >= n THEN cents END) AS BIGINT) AS m
+      |  FROM cw GROUP BY event_type),
+      |z AS (
+      |  SELECT e.event_type, ABS(e.cents - med.m) AS zv
+      |  FROM e JOIN med ON med.event_type = e.event_type),
+      |g AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(zv) AS BIGINT) AS sg,
+      |    CAST(SUM(zv * zv) AS BIGINT) AS qg
+      |  FROM z GROUP BY event_type),
+      |q AS (
+      |  SELECT event_type, n, sg, qg,
+      |    CAST(FLOOR(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+      |      / CAST(n AS DOUBLE) * 1000) AS BIGINT) AS sq_milli
+      |  FROM g),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+      |    CAST(SUM(sg) AS BIGINT) AS s, CAST(SUM(qg) AS BIGINT) AS qq,
+      |    CAST(SUM(sq_milli) AS BIGINT) AS sqm
+      |  FROM q)
+      |SELECT k AS n_groups, nn AS n_rows,
+      |  CAST(
+      |    (CAST(sqm - CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |       / CAST(nn AS DOUBLE) * 1000) AS BIGINT) AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+      |    / (CAST(qq * 1000 - sqm AS DOUBLE) / CAST(nn - k AS DOUBLE))
+      |  AS DOUBLE) AS bf_stat
+      |FROM t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_brown_forsythe" -> ((s, dir) => events(s, dir, brownForsytheSql)),
     "x_theil_sen" -> ((s, dir) => {
       Tables(s, dir, "events").createOrReplaceTempView("events")
       s.sql(theilSenDaySql).localCheckpoint().createOrReplaceTempView("theil_days")
@@ -792,6 +843,47 @@ object InferenceQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_brown_forsythe" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |vg AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY event_type, cents),
+        |cw AS (
+        |  SELECT event_type, cents,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM vg),
+        |med AS (
+        |  SELECT event_type,
+        |    CAST(MIN(CASE WHEN 2 * cum >= n THEN cents END) AS BIGINT) AS m
+        |  FROM cw GROUP BY event_type),
+        |z AS (
+        |  SELECT e.event_type, ABS(e.cents - med.m) AS zv
+        |  FROM e JOIN med ON med.event_type = e.event_type),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(zv) AS BIGINT) AS sg,
+        |    CAST(SUM(zv * zv) AS BIGINT) AS qg
+        |  FROM z GROUP BY event_type),
+        |q AS (
+        |  SELECT event_type, n, sg, qg,
+        |    CAST(FLOOR(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |      / CAST(n AS DOUBLE) * 1000) AS BIGINT) AS sq_milli
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(sg) AS BIGINT) AS s, CAST(SUM(qg) AS BIGINT) AS qq,
+        |    CAST(SUM(sq_milli) AS BIGINT) AS sqm
+        |  FROM q)
+        |SELECT k AS n_groups, nn AS n_rows,
+        |  CAST(
+        |    (CAST(sqm - CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |       / CAST(nn AS DOUBLE) * 1000) AS BIGINT) AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |    / (CAST(qq * 1000 - sqm AS DOUBLE) / CAST(nn - k AS DOUBLE))
+        |  AS DOUBLE) AS bf_stat
+        |FROM t""".stripMargin,
 
     "x_theil_sen" ->
       """WITH d AS (

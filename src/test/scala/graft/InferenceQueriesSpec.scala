@@ -261,6 +261,29 @@ class InferenceQueriesSpec extends SparkSpec {
       "a single outlier day must not move the median slope")
   }
 
+  test("Brown-Forsythe: equal spreads score ~0, a wide group scores large") {
+    // two groups with IDENTICAL deviation patterns around different
+    // medians: |y - med| distributions match, so BF = 0 exactly
+    asEvents(Seq(1.0, 2.0, 3.0).zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, t0, 1L, "a", v), (100L + i, t0, 1L, "b", v + 50)) } )
+    val r0 = spark.sql(InferenceQueries.brownForsytheSql).collect().head
+    assert(r0.getAs[Long]("n_groups") === 2L)
+    assert(r0.getAs[Double]("bf_stat") === 0.0)
+
+    // a tight group vs a wide one: the deviations separate and BF grows
+    // with n (here 30+30 points, |z| ~ 0 vs ~ 100 dollars)
+    // wide group symmetric around its median (40 / 100 / 160), so its
+    // deviations are nearly CONSTANT at $60 — within-variance of |z|
+    // stays tiny while the between-group gap is huge
+    asEvents(
+      (1 to 31).map(i => (i.toLong, t0, 1L, "tight", 100.0)) ++
+        (1 to 15).map(i => (100L + i, t0, 1L, "wide", 40.0)) ++
+        Seq((200L, t0, 1L, "wide", 100.0)) ++
+        (1 to 15).map(i => (300L + i, t0, 1L, "wide", 160.0)))
+    val r1 = spark.sql(InferenceQueries.brownForsytheSql).collect().head
+    assert(r1.getAs[Double]("bf_stat") > 100.0, s"got ${r1.getAs[Double]("bf_stat")}")
+  }
+
   test("ANOVA F is zero for identical group means, huge for disjoint ones") {
     // 3 groups, each {1, 2, 3} dollars — identical means, SSB = 0, F = 0.
     asEvents(for {
