@@ -105,13 +105,16 @@ object InferenceQueries extends QueryPack {
        |  FROM w GROUP BY r),
        |rk AS (SELECT r, n_users, mean_cents,
        |  row_number() OVER (PARTITION BY CASE WHEN r = -1 THEN 0 ELSE 1 END
-       |    ORDER BY mean_cents, r) AS rn
-       |  FROM m)
+       |    ORDER BY mean_cents, r) AS rn,
+       |  count(*) OVER (PARTITION BY CASE WHEN r = -1 THEN 0 ELSE 1 END) AS m
+       |  FROM m WHERE mean_cents IS NOT NULL)
        |SELECT
        |  CAST(MAX(CASE WHEN r = -1 THEN n_users END) AS BIGINT) AS n_users,
        |  CAST(MAX(CASE WHEN r = -1 THEN mean_cents END) AS BIGINT) AS point_mean_cents,
-       |  CAST(MAX(CASE WHEN r >= 0 AND rn = 5 THEN mean_cents END) AS BIGINT) AS ci_lo_cents,
-       |  CAST(MAX(CASE WHEN r >= 0 AND rn = 196 THEN mean_cents END) AS BIGINT) AS ci_hi_cents
+       |  CAST(MAX(CASE WHEN r >= 0 AND rn = GREATEST(1, m * 25 DIV 1000)
+       |    THEN mean_cents END) AS BIGINT) AS ci_lo_cents,
+       |  CAST(MAX(CASE WHEN r >= 0 AND rn = m + 1 - GREATEST(1, m * 25 DIV 1000)
+       |    THEN mean_cents END) AS BIGINT) AS ci_hi_cents
        |FROM rk""".stripMargin
 
   /** Jensen-Shannon divergence of every source's term distribution from
@@ -612,12 +615,15 @@ object InferenceQueries extends QueryPack {
        |  FROM cw WHERE n > 0 GROUP BY r),
        |rk AS (SELECT r, med,
        |  row_number() OVER (PARTITION BY CASE WHEN r = -1 THEN 0 ELSE 1 END
-       |    ORDER BY med, r) AS rn
-       |  FROM med)
+       |    ORDER BY med, r) AS rn,
+       |  count(*) OVER (PARTITION BY CASE WHEN r = -1 THEN 0 ELSE 1 END) AS m
+       |  FROM med WHERE med IS NOT NULL)
        |SELECT
        |  CAST(MAX(CASE WHEN r = -1 THEN med END) AS BIGINT) AS point_median_cents,
-       |  CAST(MAX(CASE WHEN r >= 0 AND rn = 5 THEN med END) AS BIGINT) AS ci_lo_cents,
-       |  CAST(MAX(CASE WHEN r >= 0 AND rn = 196 THEN med END) AS BIGINT) AS ci_hi_cents
+       |  CAST(MAX(CASE WHEN r >= 0 AND rn = GREATEST(1, m * 25 DIV 1000)
+       |    THEN med END) AS BIGINT) AS ci_lo_cents,
+       |  CAST(MAX(CASE WHEN r >= 0 AND rn = m + 1 - GREATEST(1, m * 25 DIV 1000)
+       |    THEN med END) AS BIGINT) AS ci_hi_cents
        |FROM rk""".stripMargin
 
   /** Inverse-propensity-weighted ATE: treatment assignment deliberately
@@ -1045,12 +1051,15 @@ object InferenceQueries extends QueryPack {
          |  FROM cw WHERE n > 0 GROUP BY r),
          |rk AS (SELECT r, med,
          |  row_number() OVER (PARTITION BY CASE WHEN r = -1 THEN 0 ELSE 1 END
-         |    ORDER BY med, r) AS rn
-         |  FROM med)
+         |    ORDER BY med, r) AS rn,
+         |  count(*) OVER (PARTITION BY CASE WHEN r = -1 THEN 0 ELSE 1 END) AS m
+         |  FROM med WHERE med IS NOT NULL)
          |SELECT
          |  CAST(MAX(CASE WHEN r = -1 THEN med END) AS BIGINT) AS point_median_cents,
-         |  CAST(MAX(CASE WHEN r >= 0 AND rn = 5 THEN med END) AS BIGINT) AS ci_lo_cents,
-         |  CAST(MAX(CASE WHEN r >= 0 AND rn = 196 THEN med END) AS BIGINT) AS ci_hi_cents
+         |  CAST(MAX(CASE WHEN r >= 0 AND rn = GREATEST(1, m * 25 // 1000)
+         |    THEN med END) AS BIGINT) AS ci_lo_cents,
+         |  CAST(MAX(CASE WHEN r >= 0 AND rn = m + 1 - GREATEST(1, m * 25 // 1000)
+         |    THEN med END) AS BIGINT) AS ci_hi_cents
          |FROM rk""".stripMargin,
 
     "x_did" ->
@@ -1293,13 +1302,16 @@ object InferenceQueries extends QueryPack {
          |  FROM w GROUP BY r),
          |rk AS (SELECT r, n_users, mean_cents,
          |  row_number() OVER (PARTITION BY CASE WHEN r = -1 THEN 0 ELSE 1 END
-         |    ORDER BY mean_cents, r) AS rn
-         |  FROM m)
+         |    ORDER BY mean_cents, r) AS rn,
+         |  count(*) OVER (PARTITION BY CASE WHEN r = -1 THEN 0 ELSE 1 END) AS m
+         |  FROM m WHERE mean_cents IS NOT NULL)
          |SELECT
          |  CAST(MAX(CASE WHEN r = -1 THEN n_users END) AS BIGINT) AS n_users,
          |  CAST(MAX(CASE WHEN r = -1 THEN mean_cents END) AS BIGINT) AS point_mean_cents,
-         |  CAST(MAX(CASE WHEN r >= 0 AND rn = 5 THEN mean_cents END) AS BIGINT) AS ci_lo_cents,
-         |  CAST(MAX(CASE WHEN r >= 0 AND rn = 196 THEN mean_cents END) AS BIGINT) AS ci_hi_cents
+         |  CAST(MAX(CASE WHEN r >= 0 AND rn = GREATEST(1, m * 25 // 1000)
+         |    THEN mean_cents END) AS BIGINT) AS ci_lo_cents,
+         |  CAST(MAX(CASE WHEN r >= 0 AND rn = m + 1 - GREATEST(1, m * 25 // 1000)
+         |    THEN mean_cents END) AS BIGINT) AS ci_hi_cents
          |FROM rk""".stripMargin,
 
     "x_js_divergence" ->
