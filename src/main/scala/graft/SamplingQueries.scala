@@ -146,7 +146,11 @@ object SamplingQueries extends QueryPack {
     // DLT-expectations shape. One map-side pass: codegen'd built-in
     // predicates + array_compact, zero shuffles/joins/UDFs; the verdict
     // filter stays inside the scan stage. Oracle rebuilds the identical
-    // arrays with list_filter, hash-comparing verdicts row by row.
+    // lists with list_filter, hash-comparing verdicts row by row. The
+    // board projection joins the rule list to ONE comma-separated string
+    // (the driver's row hasher handles scalar columns only — r13's sole
+    // array-typed output broke its pandas sort); the operator itself
+    // still returns the typed ARRAY<STRING>.
     "x_expectations" -> ((s, dir) => {
       val rules = Seq(
         graft.ops.Expectation("value_cap", "value <= 250"),
@@ -155,8 +159,11 @@ object SamplingQueries extends QueryPack {
           "CAST(get_json_object(props, '$.k') AS BIGINT) BETWEEN 0 AND 89"),
         graft.ops.Expectation("type_known",
           "event_type IN ('click', 'view', 'purchase', 'signup', 'error')"))
+      import org.apache.spark.sql.functions.{array_join, col}
       graft.ops.Expectations.quarantine(Tables(s, dir, "events"), rules)
-        .select("event_id", graft.ops.Expectations.ViolationsCol)
+        .select(col("event_id"),
+          array_join(col(graft.ops.Expectations.ViolationsCol), ",")
+            .as(graft.ops.Expectations.ViolationsCol))
     }),
 
     // JSON property extraction from the string props column into typed
@@ -420,7 +427,8 @@ object SamplingQueries extends QueryPack {
         |        FALSE) THEN 'type_known' END
         |    ], x -> x IS NOT NULL) AS violations
         |  FROM events)
-        |SELECT event_id, violations FROM v WHERE len(violations) > 0""".stripMargin,
+        |SELECT event_id, array_to_string(violations, ',') AS violations
+        |FROM v WHERE len(violations) > 0""".stripMargin,
 
     "x_json_extract" ->
       """WITH j AS (

@@ -41,4 +41,13 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracle).toMap
+
+  /** Queries intentionally shipped WITHOUT a DuckDB oracle (the driver
+    * records a weaker rows-only check, which its board counts as red).
+    * Empty by design — every current query has an oracle; any future
+    * exemption must be listed here with a COVERAGE.md justification, or
+    * `BoardContractSpec` and `Verify` fail the build. (r13 lesson: one
+    * oracle-less entry, x_bpe_train, sat on the board as `no_oracle`.)
+    */
+  val oracleExempt: Set[String] = Set.empty
 }

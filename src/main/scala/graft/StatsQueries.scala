@@ -669,11 +669,15 @@ object StatsQueries extends QueryPack {
 
     // Iterative BPE tokenizer training (ops.BpeTrainer): 6 merges over
     // the corpus word-frequency table; output is the learned rule list —
-    // deterministic (exact long counts, lexicographic tie-break), so the
-    // row content is stable, but the k-iteration loop is not
-    // SQL-expressible in one statement → rows-only check here, exact
-    // distributed==reference equality in BpeTrainerSpec, and the first
-    // iteration's pair table is the hash-checked x_bpe_pairs oracle.
+    // deterministic (exact long counts, lexicographic tie-break). The
+    // oracle unrolls the 6 iterations as CTE stages: symbol sequences
+    // ride as DOUBLE-\x1f-separated strings, where one non-overlapping
+    // left-to-right replace() of "\x1fa\x1f\x1fb\x1f" → "\x1fab\x1f" IS
+    // the greedy fold of BpeTrainer.mergeOnce (the shared boundary
+    // group's outer halves survive the match, so back-to-back pairs
+    // both merge; a chained a==b run merges every other position —
+    // "aaa" → [aa, a] in both engines). Distributed==single-threaded-
+    // reference equality is additionally spec-pinned in BpeTrainerSpec.
     "x_bpe_train" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val words = Tables(s, dir, "documents")
@@ -1069,6 +1073,55 @@ object StatsQueries extends QueryPack {
         |    + (CAST(196 AS DOUBLE) / 100) * sqrt((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * (1 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
         |      + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
         |    / (1 + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS ci_high_micro
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "x_bpe_train" -> bpeTrainOracle
   )
+
+  /** DuckDB oracle for `x_bpe_train`: the 6 merge iterations unrolled as
+    * CTE stages replaying pair-count → (count DESC, a, b) argmax → greedy
+    * merge. Iteration state is a DOUBLE-\x1f-separated symbol string, so
+    * one non-overlapping left-to-right `replace()` of "\x1fa\x1f\x1fb\x1f"
+    * → "\x1fab\x1f" is exactly `BpeTrainer.mergeOnce`'s greedy fold: the
+    * outer halves of each boundary group survive a match, letting
+    * back-to-back pairs both merge, while a chained a==b run consumes the
+    * shared group and merges every other position ("aaa" → [aa, a]).
+    * MATERIALIZED pins each stage to one evaluation (it_k feeds both
+    * p_{k+1} and it_{k+1}); without it the plan re-expands 2^6-fold.
+    */
+  private def bpeTrainOracle: String = {
+    val sep = "chr(31)"
+    val dsep = "repeat(chr(31), 2)"
+    val head = Seq(
+      s"""wf AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY word)""".stripMargin,
+      s"""it0 AS MATERIALIZED (
+         |  SELECT freq, $dsep ||
+         |    array_to_string(list_transform(generate_series(1, length(word)), i -> word[i]), $dsep)
+         |    || $dsep || '</w>' || $dsep AS s
+         |  FROM wf)""".stripMargin)
+    val stages = (1 to 6).flatMap { k =>
+      val pairs =
+        s"""p$k AS MATERIALIZED (
+           |  SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS c FROM (
+           |    SELECT freq, unnest(list_transform(generate_series(1, len(toks) - 1),
+           |      i -> {'a': toks[i], 'b': toks[i + 1]})) AS p
+           |    FROM (SELECT freq, string_split(trim(s, $sep), $dsep) AS toks FROM it${k - 1})
+           |    WHERE len(toks) >= 2)
+           |  GROUP BY 1, 2)""".stripMargin
+      val rule = s"r$k AS MATERIALIZED (SELECT a, b FROM p$k ORDER BY c DESC, a, b LIMIT 1)"
+      val merged =
+        if (k == 6) Nil
+        else Seq(s"it$k AS MATERIALIZED (SELECT freq, replace(s, " +
+          s"$sep || r.a || $sep || $sep || r.b || $sep, " +
+          s"$sep || r.a || r.b || $sep) AS s FROM it${k - 1}, r$k r)")
+      Seq(pairs, rule) ++ merged
+    }
+    val finals = (1 to 6).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS merge_idx, a AS "left", b AS "right", a || b AS merged FROM r$k"""
+    }
+    "WITH " + (head ++ stages).mkString(",\n") + "\n" + finals.mkString("\nUNION ALL ")
+  }
 }

@@ -26,12 +26,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Board contract (also spec-pinned in BoardContractSpec): every query
+    // must have an oracle (or an explicit exemption) — the driver counts
+    // an oracle-less query as a red `no_oracle` row.
+    val noOracle =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- SparkEntry.oracleExempt
+    require(noOracle.isEmpty,
+      s"board contract: queries without oracleSql: ${noOracle.toSeq.sorted.mkString(", ")}")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Board contract: scalar-only top-level schema — the driver's
+        // pandas row hasher cannot sort/factorize array/map/struct cells
+        // (r13's x_expectations red row). Fail the ROW, not the run.
+        val complex = df.schema.fields.filter(f => f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType
+             | _: org.apache.spark.sql.types.MapType
+             | _: org.apache.spark.sql.types.StructType => true
+          case _ => false
+        })
+        require(complex.isEmpty, s"board contract: non-scalar output columns " +
+          complex.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
