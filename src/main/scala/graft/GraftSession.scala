@@ -212,9 +212,14 @@ final class GraftSession(val spark: SparkSession, val root: String,
     val result =
       try body(staged)
       catch { case e: Throwable => abortAll(); throw e }
-    // PREPARE
+    // PREPARE — record each participant's PRE-transaction version beside
+    // its name, so [[abortTransaction]] can later restore exactly the
+    // states this transaction displaced and nothing else
     io.mkdirs(txDir.getPath)
-    io.writeAtomic(txFile(id).getPath, names.mkString("\n"))
+    io.writeAtomic(txFile(id).getPath, tables.map { case (n, t) =>
+      val forkV = t.branchInfo.collectFirst { case (`id`, f, _) => f }.getOrElse(-1L)
+      s"$n\t$forkV"
+    }.mkString("\n"))
     // VALIDATE (before any pointer moves: an abort here publishes nothing)
     try tables.foreach { case (n, t) =>
       val forkedAt = t.branchInfo.collectFirst { case (`id`, f, _) => f }
@@ -237,7 +242,8 @@ final class GraftSession(val spark: SparkSession, val root: String,
       case e: Throwable =>
         throw new IllegalStateException(
           s"transaction $id interrupted mid-commit — the coordinator manifest " +
-            s"remains; run recoverTransactions() to complete it", e)
+            s"remains; run recoverTransactions() to complete it (with rebaseTsCol " +
+            s"if a concurrent commit landed), or abortTransaction(\"$id\") to roll back", e)
     }
     result
   }
@@ -249,20 +255,86 @@ final class GraftSession(val spark: SparkSession, val root: String,
     if (!io.exists(txDir.getPath)) Nil
     else io.list(txDir.getPath).filterNot(_.isDir).map(_.name).sorted
 
+  /** Participant `(name, pre-transaction version)` rows of a pending
+    * transaction's coordinator manifest (version -1 when the manifest
+    * predates fork-version recording).
+    */
+  private def txParticipants(id: String): Seq[(String, Long)] =
+    io.readLines(txFile(id).getPath).filter(_.nonEmpty).map(_.split('\t') match {
+      case Array(n, v) => (n, v.toLong)
+      case Array(n)    => (n, -1L)
+    })
+
   /** Roll every pending transaction FORWARD: publish the participant
     * branches that haven't published yet (already-published ones are
     * gone — skipped), then clear the manifest. Returns the completed
-    * ids. A participant whose parent moved since the crash surfaces as
-    * [[CdcTable.PublishConflictException]] — the remaining branches stay
-    * staged for inspection; nothing is silently dropped.
+    * ids.
+    *
+    * A participant whose parent moved since the crash (a concurrent
+    * commit landed between VALIDATE and the crashed COMMIT) no longer
+    * fast-forwards. With `rebaseTsCol` set, its staged DELTA replays
+    * onto the moved parent through [[CdcTable.publishRebased]] — the
+    * concurrent commit survives, the staged keys land, and the
+    * transaction still completes (the only resolution that loses
+    * neither writer). Without it, the conflict surfaces as
+    * [[CdcTable.PublishConflictException]] — the manifest and remaining
+    * branches stay for inspection (nothing silently dropped); resolve
+    * by re-running with `rebaseTsCol`, or roll the whole transaction
+    * back with [[abortTransaction]].
     */
-  def recoverTransactions(): Seq[String] = pendingTransactions.map { id =>
-    io.readLines(txFile(id).getPath).filter(_.nonEmpty).foreach { n =>
+  def recoverTransactions(rebaseTsCol: Option[String] = None): Seq[String] =
+    pendingTransactions.map { id =>
+      txParticipants(id).foreach { case (n, _) =>
+        val t = table(n)
+        if (t.branches.contains(id)) rebaseTsCol match {
+          case Some(ts) =>
+            try t.publish(id)
+            catch { case _: CdcTable.PublishConflictException =>
+              t.publishRebased(id, ts) }
+          case None => t.publish(id)
+        }
+      }
+      io.deleteRecursively(txFile(id).getPath)
+      id
+    }
+
+  /** Roll a pending transaction BACK: drop the participants' staged
+    * branches and RESTORE every already-published participant to its
+    * recorded pre-transaction version — the explicit abort for a
+    * half-published crash window when replaying forward is not wanted.
+    *
+    * Refuses (nothing touched on that table) when a participant's head
+    * is not THIS transaction's own publish commit — i.e. a concurrent
+    * writer committed after the publish; restoring would wipe their
+    * commit. The attribution check is exact: a fast-forward publish
+    * tags its commit with the branch id ([[CdcTable.PublishedBranchTag]]).
+    * Such a participant needs [[recoverTransactions]] with `rebaseTsCol`
+    * instead.
+    */
+  def abortTransaction(id: String): Unit = {
+    require(pendingTransactions.contains(id),
+      s"no pending transaction $id (have: ${pendingTransactions.mkString(", ")})")
+    val parts = txParticipants(id)
+    // validate EVERY restore target before touching ANY table: an abort
+    // must not itself half-apply
+    parts.foreach { case (n, forkV) =>
       val t = table(n)
-      if (t.branches.contains(id)) t.publish(id)
+      if (!t.branches.contains(id)) {
+        val cur = t.currentVersion.getOrElse(-1L)
+        require(forkV >= 0L,
+          s"abort $id: manifest records no pre-transaction version for $n")
+        if (cur != forkV)
+          require(t.commitTags(cur).get(CdcTable.PublishedBranchTag).contains(id),
+            s"abort $id: $n's head v$cur is not this transaction's publish — " +
+              "a later commit would be lost; recover forward with rebaseTsCol instead")
+      }
+    }
+    parts.foreach { case (n, forkV) =>
+      val t = table(n)
+      if (t.branches.contains(id)) t.dropBranch(id)
+      else if (!t.currentVersion.contains(forkV)) t.restore(forkV)
     }
     io.deleteRecursively(txFile(id).getPath)
-    id
   }
 
   private def isRead(statement: String): Boolean = Dml.parse(statement) match {

@@ -108,6 +108,26 @@ object ParityQueries extends QueryPack {
       t
     }
 
+  // an HOUR-partitioned events slice (3 days → 72 hour dirs) with an
+  // hour-granular retention cut, once per (session, sfDir) — the fixture
+  // for string-timestamp-bound pruning on hours(col) tables. The r13
+  // HIGH bug (wrong results: ' '/'T' separators sorting on the wrong
+  // side of the hour key's '-' at index 10) was caught by driver advice,
+  // not the board, because no oracle row ran an hour-partitioned scan.
+  private val hourTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
+  private def hourTable(s: SparkSession, dir: String): CdcTable =
+    memoized(hourTables)(s, dir) {
+      val root = java.nio.file.Files.createTempDirectory("graft_hour").toString
+      val t = new CdcTable(s, s"$root/events", keys = Seq("event_id"),
+        partitionSource = Some("ts"), partitionGranularity = "hour")
+      t.init(Tables(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-04 00:00:00"))
+        .select("event_id", "user_id", "event_type", "value", "ts"))
+      t.retainMonthsFrom("2024-01-02-00"): Unit // drop day 1, manifest-only
+      t
+    }
+
   // a month-partitioned orders copy with a 1998-01 retention cut applied
   // metadata-only, once per (session, sfDir) — the dropMonths oracle fixture
   private val ttlTables =
@@ -467,6 +487,18 @@ object ParityQueries extends QueryPack {
     "k_ttl_drop" -> ((s, dir) => ttlTable(s, dir).read
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")),
 
+    // K6/K10 at HOUR granularity: a stats-pruned scan of an hours(ts)
+    // table driven by STRING timestamp bounds — one with the SQL ' '
+    // separator, one ISO 'T'-separated — exercising scanDirs' hour-key
+    // normalization (the r13 wrong-results fix) plus the hour-granular
+    // retention cut. Values must equal DuckDB's plain timestamp filter;
+    // ts compares as exact epoch-micros on both sides.
+    "k_hour_pruned_scan" -> ((s, dir) => hourTable(s, dir).readWhere(Seq(
+        FileSkipping.Range("ts",
+          Some("2024-01-02 05:30:00"), Some("2024-01-03T11:00:00"))))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))),
+
     // K10/K2, merge-on-read DELETE: two overlapping vectored deletes (the
     // union must not double-delete) followed by an append whose
     // hard-linked carry must keep the vector live — the read equals
@@ -665,6 +697,13 @@ object ParityQueries extends QueryPack {
     "k_ttl_drop" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
+
+    // micros-exact bounds on both sides: the engine stores ts floored to
+    // micros, so the oracle compares epoch_us (truncation == the floor)
+    "k_hour_pruned_scan" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |WHERE epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-02 05:30:00')
+        |  AND epoch_us(ts) <= epoch_us(TIMESTAMP '2024-01-03 11:00:00')""".stripMargin,
 
     "k_analyze_ndv" ->
       """WITH rows_ AS (

@@ -662,8 +662,39 @@ final class CdcTable(
     // its record and a crashed commit's orphan record dies with its dir
     io.writeString(new File(versionDir(next), CommitInfoName).getPath,
       s"$pendingOp\t${System.currentTimeMillis()}")
+    if (pendingTags.nonEmpty)
+      io.writeString(new File(versionDir(next), CommitTagsName).getPath,
+        pendingTags.toSeq.sorted.map { case (k, v) => s"$k\t$v" }.mkString("\n"))
     io.writeAtomic(pointer.getPath, f"v$next%08d")
     expire()
+  }
+
+  // Caller-supplied tags the NEXT commit publishes atomically with its
+  // version (see [[CdcTable.CommitTagsName]]). Instance-local in-flight
+  // state, same rationale as `pendingOp`.
+  private var pendingTags: Map[String, String] = Map.empty
+
+  /** Run `body` with `tags` attached to every commit it publishes; the
+    * tags land in the version dir before the pointer flip, so they are
+    * visible exactly iff the commit is.
+    */
+  def withCommitTags[A](tags: Map[String, String])(body: => A): A = {
+    require(tags.forall { case (k, v) =>
+      !k.exists(c => c == '\t' || c == '\n') && !v.exists(c => c == '\t' || c == '\n') },
+      "commit tags must not contain tabs or newlines")
+    val prev = pendingTags
+    pendingTags = prev ++ tags
+    try body finally pendingTags = prev
+  }
+
+  /** Tags recorded with retained version `v` (empty when none). */
+  def commitTags(v: Long): Map[String, String] = {
+    val f = new File(versionDir(v), CommitTagsName)
+    if (!io.exists(f.getPath)) Map.empty
+    else io.readString(f.getPath).linesIterator.flatMap(_.split('\t') match {
+      case Array(k, value) => Some(k -> value)
+      case _ => None
+    }).toMap
   }
 
   // The operation name the NEXT commit records (DESCRIBE HISTORY
@@ -1132,6 +1163,7 @@ final class CdcTable(
         s"branch $name forked at v$forkV but $path is now at v$cur — the branch " +
           "no longer fast-forwards; re-branch and replay, or merge its rows")
     if (b.currentOrThrow > 1L) withOp("PUBLISH") {
+      withCommitTags(Map(PublishedBranchTag -> name)) {
       val next = cur + 1
       reserveOrConflict(next)
       // a crashed writer of this same (reclaimed) number may have left a
@@ -1143,6 +1175,7 @@ final class CdcTable(
       b.constraints.filterNot(c => mine(c._1))
         .foreach { case (n, p) => addConstraintUnchecked(n, p) }
       commitPointer(next)
+      }
     } else {
       // No staged data commits — still carry branch-added CHECK
       // constraints to the parent: an auditor whose whole batch was
@@ -1480,16 +1513,25 @@ final class CdcTable(
     val cur = read
     // VALUE-level diff, not key-level: a periodic full re-export mostly
     // repeats yesterday's rows, and re-merging identical rows would
-    // rewrite the whole table every sync. Rows compare on the shared
-    // columns EXCLUDING tsCol (an export stamp changes every run by
-    // definition); EXCEPT ALL is null-safe and exact, and its output is
+    // rewrite the whole table every sync. Rows compare on EVERY snapshot
+    // column EXCLUDING tsCol (an export stamp changes every run by
+    // definition); a snapshot-NEW column compares against a typed NULL
+    // pad on the current side, so a row whose only change is a value in
+    // that column is still detected and the column's values land through
+    // the merge's ordinary schema evolution (diffing only the shared
+    // columns would silently classify such rows unchanged — partial
+    // evolution). EXCEPT ALL is null-safe and exact, and its output is
     // delta-sized. An unchanged sync degenerates to the empty-batch
     // no-op — zero versions burned.
-    val compareCols = snapshot.columns.filter(c => cur.columns.contains(c) && c != tsCol)
+    val compareCols = snapshot.columns.filter(_ != tsCol).toSeq
     require(keys.forall(compareCols.contains),
       s"$path: snapshot must carry the merge keys ${keys.mkString(", ")}")
+    val snapTypes = snapshot.schema.fields.map(f => f.name -> f.dataType).toMap
+    val curPadded = compareCols.foldLeft(cur) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(snapTypes(c)))
+    }
     val changedKeys = snapshot.select(compareCols.map(col): _*)
-      .exceptAll(cur.select(compareCols.map(col): _*))
+      .exceptAll(curPadded.select(compareCols.map(col): _*))
       .select(keys.map(col): _*).distinct()
     val ups = snapshot.join(changedKeys, keys, "left_semi")
       .withColumn(CdcMerge.OpColumn, lit("u"))
@@ -1970,20 +2012,30 @@ final class CdcTable(
     if (needScan.nonEmpty) {
       // ONE multi-dir read (mergeSchema absorbs evolution across dirs;
       // absent columns null out, and nulls never touch a register). The
-      // runtime dir tag is the file's PARENT directory name — unique
-      // among one version's data dirs by construction (months appear
-      // once per manifest; the unpartitioned layout holds one dir) —
-      // so the whole recompute is one grouped job however many dirs a
-      // table-wide vectored delete dirtied.
-      def tagOf(rel: String) = rel.substring(rel.lastIndexOf('/') + 1)
+      // runtime dir tag is the file's last TWO path segments — commit
+      // dir + partition dir (`cNNNNNNNN/__part_month=M`) — because a
+      // month's PARTITION dir name alone recurs across commit dirs on
+      // append-only partitioned tables (each append() lands the month
+      // under its own commit; the manifest then lists several dirs for
+      // one month). The two-segment tag is unique by construction: the
+      // manifest never lists one (commit, partition) dir twice, and the
+      // unpartitioned layout holds one dir per version (its tag pairs
+      // the table dir name with the version dir — constant prefix,
+      // unique suffix).
+      def tagOf(rel: String) =
+        if (rel.contains('/')) rel.substring(rel.lastIndexOf('/', rel.lastIndexOf('/') - 1) + 1)
+        else s"${new File(path).getName}/$rel"
       val relByTag = needScan.map { case (rel, _, _) => tagOf(rel) -> rel }.toMap
       require(relByTag.size == needScan.size,
-        s"duplicate data-dir names within version $cur of $path — cannot tag the batched scan")
+        s"duplicate data-dir tags within version $cur of $path — cannot tag the batched scan")
       val raw = spark.read.option("mergeSchema", "true")
         .parquet(needScan.map(_._2.getPath).toSeq: _*)
       val present = ndvColumns.filter(raw.columns.contains)
+      val dirTag = concat_ws("/",
+        element_at(split(col("_metadata.file_path"), "/"), -3),
+        element_at(split(col("_metadata.file_path"), "/"), -2))
       val tagged = raw.select(
-        element_at(split(col("_metadata.file_path"), "/"), -2).as("__dir") +:
+        dirTag.as("__dir") +:
           dvSubExpr.as(DvSubCol) +:
           col("_metadata.file_name").as(DvFileCol) +:
           col("_metadata.row_index").as(DvIdxCol) +:
@@ -2565,6 +2617,22 @@ object CdcTable {
 
   /** Per-version operation-provenance sidecar: `op TAB tsMillis`. */
   val CommitInfoName = "_commit_info"
+
+  /** Per-version caller-supplied tag sidecar: `key TAB value` lines
+    * (the Iceberg snapshot-summary shape). Written into the version dir
+    * BEFORE the pointer flips, so tags publish atomically with the
+    * version — a crashed commit's tags die with its orphan dir. The
+    * maintained-view ops use this to record the reflected source
+    * version IN the refresh commit itself (a post-commit sidecar marker
+    * would double-apply a signed delta on crash replay).
+    */
+  val CommitTagsName = "_commit_tags"
+
+  /** Commit-tag key recording WHICH branch a fast-forward PUBLISH commit
+    * published — lets a transaction abort attribute a participant's head
+    * commit to the transaction (vs a concurrent writer) precisely.
+    */
+  val PublishedBranchTag = "publish.branch"
 
   /** Table-root CHECK-constraint registry: `name TAB predicate` lines. */
   val ConstraintsName = "_constraints"

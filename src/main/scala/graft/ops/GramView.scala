@@ -22,11 +22,16 @@ import org.apache.spark.sql.functions._
   * row deleted and re-inserted cancels exactly.
   *
   * The view table is d(d+1)/2 rows (the upper triangle) whatever the
-  * corpus size, commits one version of its own [[CdcTable]] per refresh
-  * (atomic pointer, time travel), and the `_gram_reflected` marker —
-  * written only after the commit — makes crash replays idempotent in
-  * the SAME way as [[SketchView]]: a replayed window re-derives the
-  * same delta against the same stored matrix.
+  * corpus size and commits one version of its own [[CdcTable]] per
+  * refresh (atomic pointer, time travel). Because the delta is a SIGNED
+  * SUM — additive, not idempotent like [[SketchView]]'s register
+  * max-merge — the reflected source version must move atomically WITH
+  * the matrix: it rides the refresh commit as a [[CdcTable]] commit tag
+  * (visible exactly iff the commit is), never a post-commit sidecar,
+  * so a crash replay can only re-run a window whose delta was never
+  * published. The `_gram_reflected` sidecar survives ONLY as the
+  * empty-window fast-forward (nothing to apply → nothing a replay
+  * could double-apply → no view version burned).
   *
   * At 100 TB: the delta pass is one scan of the CDF window (never the
   * table), each task pre-aggregates to ≤ d(d+1)/2 cells, and the merge
@@ -46,9 +51,20 @@ final class GramView(
 
   private def marker = new File(path, ReflectedMarker).getPath
 
-  /** Source version the persisted matrix reflects, if any. */
-  def reflectedVersion: Option[Long] =
-    if (!io.exists(marker)) None else Some(io.readString(marker).trim.toLong)
+  /** Source version the persisted matrix reflects, if any: the commit
+    * tag of the view's CURRENT version (atomic with the matrix it
+    * describes), fast-forwarded by the empty-window sidecar when that
+    * is ahead — the sidecar only ever skips windows verified empty, so
+    * trusting the later of the two can never replay a published delta
+    * nor skip an unpublished one.
+    */
+  def reflectedVersion: Option[Long] = {
+    val committed = table.currentVersion
+      .flatMap(v => table.commitTags(v).get(ReflectedTag)).map(_.toLong)
+    val fastForward =
+      if (!io.exists(marker)) None else Some(io.readString(marker).trim.toLong)
+    (committed.toSeq ++ fastForward.toSeq).maxOption
+  }
 
   /** Bring the matrix current with the source's head: bootstrap on
     * first call, CDF-windowed signed delta afterwards; a no-op when
@@ -59,10 +75,10 @@ final class GramView(
       case Some(v) if v >= cur => ()
       case Some(v) =>
         applyWindow(v, cur)
-        io.writeAtomic(marker, cur.toString)
       case None =>
-        table.init(gramOf(source.readVersion(cur), vecCol))
-        io.writeAtomic(marker, cur.toString)
+        table.withCommitTags(Map(ReflectedTag -> cur.toString)) {
+          table.init(gramOf(source.readVersion(cur), vecCol))
+        }
     }
   }
 
@@ -71,20 +87,37 @@ final class GramView(
       .select(col(vecCol).as("__vec"),
         when(col(CdcTable.ChangeTypeCol).isin("insert", "update_postimage"), 1L)
           .otherwise(-1L).as("__sign"))
-    if (feed.isEmpty) return // empty window: marker still advances, no version burned
+    if (feed.isEmpty) {
+      // Empty window: nothing to apply, so a replay cannot double-apply
+      // — fast-forward via the sidecar instead of burning a view version.
+      io.writeAtomic(marker, to.toString)
+      return
+    }
     val delta = signedGramOf(feed, "__vec", "__sign")
     val merged = table.read.select("i", "j", "s").alias("a")
       .join(delta.alias("d"), Seq("i", "j"), "full_outer")
       .select(col("i"), col("j"),
         (coalesce(col("a.s"), lit(0L)) + coalesce(col("d.s"), lit(0L))).as("s"))
-    table.init(merged)
+    // The reflected version rides THIS commit: a crash before the
+    // pointer flip leaves both the matrix and the reflected version at
+    // `from` (replay re-derives the same delta); after it, both at `to`.
+    table.withCommitTags(Map(ReflectedTag -> to.toString)) {
+      table.init(merged)
+    }
   }
 }
 
 object GramView {
 
-  /** Marker beside the view recording the reflected source version
-    * (written post-commit; replays idempotent).
+  /** Commit-tag key carrying the reflected source version INSIDE each
+    * refresh commit (atomic with the matrix — the signed delta is not
+    * replay-idempotent, so a post-commit marker would double-apply).
+    */
+  val ReflectedTag = "gram.reflected_source_version"
+
+  /** Empty-window fast-forward sidecar beside the view: advances the
+    * reflected version WITHOUT burning a view version when a CDF window
+    * carries no rows (safe — an empty window has nothing to replay).
     */
   val ReflectedMarker = "_gram_reflected"
 

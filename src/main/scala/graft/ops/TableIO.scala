@@ -254,3 +254,87 @@ final class ObjectStoreSimTableIO extends TableIO {
     f.delete(): Unit
   }
 }
+
+/** Fault-injecting [[TableIO]] wrapper: deterministic (seeded) latency
+  * on every primitive plus transient failures on the MUTATING ones —
+  * including the nastiest store behavior, the POST-APPLY failure, where
+  * the request landed but the response was lost (S3 timeout after a
+  * successful PUT). Running the commit protocol through this wrapper
+  * over [[ObjectStoreSimTableIO]] proves the retry/takeover design's
+  * actual claims:
+  *
+  *   - a post-apply failure on the RESERVATION marker strands the
+  *     writer's own claim — its retry sees "already reserved" and must
+  *     come back through the crashed-writer TAKEOVER path (stale
+  *     prefix Last-Modified), never deadlock;
+  *   - a post-apply failure on the POINTER PUT publishes a commit the
+  *     writer believes failed — the caller-level replay then re-merges
+  *     the same batch on top, and keyed-merge idempotency keeps the
+  *     final state exact (no duplicate, no lost update);
+  *   - a pre-apply failure mid-commit (manifest/sidecar writes) leaves
+  *     a partial, never-published commit dir — invisible to readers,
+  *     reclaimed by takeover when its version number comes up;
+  *   - a failure inside expire()'s prefix delete leaves a partially
+  *     GC'd retired version — harmless, re-swept by the next expire.
+  *
+  * Failures fire on every `failEveryN`-th mutating op, alternating
+  * pre-apply / post-apply; latency is 0..`maxDelayMs` per op. All
+  * scheduling is derived from `seed` so a failing schedule replays.
+  */
+final class ChaosTableIO(
+    val inner: TableIO,
+    seed: Long,
+    failEveryN: Int = 13,
+    maxDelayMs: Int = 2) extends TableIO {
+  import TableIO.Entry
+
+  final class TransientStoreException(msg: String)
+    extends java.io.IOException(msg)
+
+  private val opCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val rng = new java.util.Random(seed)
+  private def jitter(): Unit = {
+    val d = rng.synchronized(rng.nextInt(maxDelayMs + 1))
+    if (d > 0) Thread.sleep(d.toLong)
+  }
+
+  /** Latency-only wrap for reads/listings (a read failure retries
+    * trivially at the client; the interesting races are write-side).
+    */
+  private def slow[A](body: => A): A = { jitter(); body }
+
+  /** Latency + alternating pre/post-apply transient failures. */
+  private def chaos[A](op: String)(apply: => A): A = {
+    val n = opCount.incrementAndGet()
+    jitter()
+    if (failEveryN > 0 && n % failEveryN == 0) {
+      if ((n / failEveryN) % 2 == 0) {
+        apply // the request LANDED...
+        throw new TransientStoreException(
+          s"injected post-apply failure on $op (op #$n)") // ...the response died
+      } else
+        throw new TransientStoreException(
+          s"injected pre-apply failure on $op (op #$n)")
+    } else apply
+  }
+
+  def exists(p: String): Boolean = slow(inner.exists(p))
+  def readString(p: String): String = slow(inner.readString(p))
+  def readLines(p: String): Seq[String] = slow(inner.readLines(p))
+  def list(p: String): Seq[Entry] = slow(inner.list(p))
+  def lastModified(p: String): Long = slow(inner.lastModified(p))
+  def mkdirs(p: String): Unit = slow(inner.mkdirs(p))
+
+  def writeString(p: String, c: String): Unit =
+    chaos(s"writeString $p")(inner.writeString(p, c))
+  def writeAtomic(p: String, c: String): Unit =
+    chaos(s"writeAtomic $p")(inner.writeAtomic(p, c))
+  def createDirExclusive(p: String): Boolean =
+    chaos(s"createDirExclusive $p")(inner.createDirExclusive(p))
+  def linkOrCopy(s: String, d: String): Unit =
+    chaos(s"linkOrCopy $d")(inner.linkOrCopy(s, d))
+  def copy(s: String, d: String): Unit =
+    chaos(s"copy $d")(inner.copy(s, d))
+  def deleteRecursively(p: String): Unit =
+    chaos(s"deleteRecursively $p")(inner.deleteRecursively(p))
+}

@@ -134,6 +134,40 @@ class GramViewSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("reflected version rides the refresh commit; a stale sidecar cannot double-apply") {
+    val root = tmpDir("gramcrash")
+    val src = new CdcTable(spark, s"$root/vecs", Seq("vec_id"))
+    src.init(vecs(1L -> axis(0, 1.0f), 2L -> axis(1, 2.0f)))
+    val view = new GramView(spark, src, s"$root/gram", "embedding")
+    view.refresh()
+    val bootSrcV = src.currentVersion.get
+
+    // the reflected version is a COMMIT TAG of the view's own version —
+    // atomic with the matrix, not a post-commit sidecar
+    assert(view.table.commitTags(view.table.currentVersion.get)
+      .get(GramView.ReflectedTag).map(_.toLong) === Some(bootSrcV))
+
+    def batch(rows: (Long, Array[Float], String)*) =
+      rows.toSeq.toDF("vec_id", "embedding", "__op").withColumn("__ts_ms", lit(10L))
+    src.merge(batch((3L, axis(2, 3.0f), "c")), "__ts_ms")
+    view.refresh()
+    val expect = cells(GramView.gramOf(src.read, "embedding"))
+    assert(cells(view.table.read) === expect)
+
+    // Simulate the r13-advice crash state under the OLD post-commit-marker
+    // scheme: matrix already reflects the window, sidecar still points at
+    // the pre-window source version. The commit tag is newer and wins, so
+    // a re-refresh must NOT re-apply the window's signed delta.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/gram", GramView.ReflectedMarker),
+      bootSrcV.toString)
+    assert(view.reflectedVersion === src.currentVersion)
+    val vAfter = view.table.currentVersion.get
+    view.refresh()
+    assert(view.table.currentVersion.get === vAfter, "no version burned")
+    assert(cells(view.table.read) === expect, "signed delta not double-applied")
+  }
+
   test("refresh is idempotent and an up-to-date view burns no version") {
     val root = tmpDir("gramview2")
     val src = new CdcTable(spark, s"$root/vecs", Seq("vec_id"))

@@ -130,6 +130,26 @@ class MergeIntoSpec extends SparkSpec {
     assert(t.currentVersion.get == v)
   }
 
+  test("syncFrom: a change only in a snapshot-NEW column still lands (schema evolution)") {
+    val root = tmpDir("syncfrom_evo")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"))
+    t.init(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "__ts_ms"))
+    // the export adds a column; row 1's shared columns are UNCHANGED —
+    // only the new column carries a value (the r13-advice silent-partial-
+    // evolution case). Row 2's new column is null (genuinely unchanged).
+    t.syncFrom(Seq((1L, "a", Some("x1"), 2L), (2L, "b", Option.empty[String], 2L))
+      .toDF("id", "v", "extra", "__ts_ms"), "__ts_ms")
+    assert(t.read.columns.contains("extra"), "table must evolve to the snapshot schema")
+    assert(t.read.orderBy("id").select("id", "v", "extra")
+      .as[(Long, String, Option[String])].collect().toSeq ==
+      Seq((1L, "a", Some("x1")), (2L, "b", None)))
+    // re-sync of the same snapshot: no-op again (new column now shared)
+    val v = t.currentVersion.get
+    t.syncFrom(Seq((1L, "a", Some("x1"), 2L), (2L, "b", Option.empty[String], 2L))
+      .toDF("id", "v", "extra", "__ts_ms"), "__ts_ms")
+    assert(t.currentVersion.get == v)
+  }
+
   test("statements outside the reference grammar are rejected loudly") {
     intercept[IllegalArgumentException](MergeInto.parse("DELETE FROM t WHERE 1=1"))
     // cross-wired SET item

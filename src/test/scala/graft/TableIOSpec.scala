@@ -154,6 +154,60 @@ class TableIOSpec extends SparkSpec {
       s"pointer history: ${puts.toSeq}")
   }
 
+  test("chaos: latency + transient pre/post-apply failures never lose an update") {
+    // 4 writers × 2 sequential batches each through a ChaosTableIO over
+    // the object-store sim: every 11th mutating op fails (alternating
+    // BEFORE and AFTER it applied — the lost-response case), every op
+    // carries jitter. Client-level replay on transient failure + the
+    // protocol's conflict retry/takeover must converge to the exact
+    // final state with a monotonic pointer history.
+    val store = new ObjectStoreSimTableIO
+    val io = new graft.ops.ChaosTableIO(store, seed = 42L, failEveryN = 11, maxDelayMs = 2)
+    val path = tmpDir("osschaos") + "/t"
+    new CdcTable(spark, path, Seq("id"), io = store) // seed via the clean store
+      .init(Seq((0L, "seed", 0L)).toDF("id", "v", "ts"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = (1 to 4).map { w =>
+      scala.concurrent.Future {
+        val mine = new CdcTable(spark, path, Seq("id"), io = io)
+        Seq((1L, s"w$w"), (2L, s"w${w}_final")).foreach { case (ts, v) =>
+          var tries = 0
+          var ok = false
+          while (!ok) {
+            try {
+              mine.mergeWithRetry(Seq((w.toLong, v, ts, "c")).toDF("id", "v", "ts", "__op"),
+                "ts", maxTries = 8, sleepMs = 150L)
+              ok = true
+            } catch {
+              // transient store failure, or conflict budget exhausted
+              // under extreme interleaving: replay the batch (idempotent)
+              case e @ (_: java.io.IOException | _: CdcTable.CommitConflictException) =>
+                tries += 1
+                assert(tries < 60, s"writer $w: chaos replays exhausted — $e")
+            }
+          }
+        }
+      }
+    }
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration(300, "s"))
+    pool.shutdown()
+    val t = new CdcTable(spark, path, Seq("id"), io = store)
+    val got = t.read.select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "seed", 1L -> "w1_final", 2L -> "w2_final",
+      3L -> "w3_final", 4L -> "w4_final"), s"state after chaos: $got")
+    // a post-apply pointer failure means the writer replays a PUBLISHED
+    // commit — versions may burn, but the pointer history must still be
+    // strictly increasing with no duplicate publish
+    val puts = store.writeLog.toArray(Array.empty[(String, String)])
+      .filter(_._1.endsWith("_current")).map(_._2.stripPrefix("v").toLong)
+    assert(puts.sameElements(puts.sorted) && puts.distinct.length == puts.length,
+      s"pointer history: ${puts.toSeq}")
+  }
+
   test("object-store primitives: crashed reservation is taken over via prefix Last-Modified polling") {
     val io = new ObjectStoreSimTableIO
     val path = tmpDir("osscrash") + "/t"

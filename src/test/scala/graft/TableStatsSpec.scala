@@ -97,6 +97,28 @@ class TableStatsSpec extends SparkSpec {
     assertMatchesScan(t)
   }
 
+  test("batched scan disambiguates same-month dirs across commit dirs (append-only layout)") {
+    // append() lands each batch's months under its OWN commit dir, so a
+    // month's partition-dir NAME recurs across commits; when several such
+    // dirs need scanning at once (here: every sidecar lost), the batched
+    // job must tag by (commit dir, partition dir) — the r13-advice bug
+    // tagged by partition dir alone and hard-failed on the collision.
+    val t = new CdcTable(spark, tmpDir("ndv_dup") + "/t", keys = Seq("id"),
+      partitionSource = Some("created"), ndvColumns = Seq("id", "actor"))
+    t.init(rows(120))
+    t.append(rows(90, idOffset = 120))  // same three months, new commit dir
+    t.append(rows(60, idOffset = 210))  // and a third dir per month
+    val dirs = t.filesInfo.select("data_dir").distinct().as[String].collect()
+    val monthNames = dirs.map(_.split('/').last)
+    assert(monthNames.distinct.length < monthNames.length,
+      "test setup: months must span multiple commit dirs")
+    val sidecars = dirs.map(d => new File(new File(t.path, d), TableStats.SidecarName))
+    sidecars.foreach(f => assert(f.delete(), s"test setup: $f"))
+    assertMatchesScan(t) // one batched job over colliding month names
+    assert(sidecars.forall(_.exists()), "backfill must reach every dir")
+    assertMatchesScan(t)
+  }
+
   test("lost sidecar degrades to scan + backfill, never a wrong answer") {
     val t = new CdcTable(spark, tmpDir("ndv_back") + "/t", keys = Seq("id"),
       partitionSource = Some("created"), ndvColumns = Seq("actor"))

@@ -96,6 +96,70 @@ class TransactionSpec extends SparkSpec {
     assert(g.recoverTransactions().isEmpty)
   }
 
+  test("concurrent commit inside the crash window: recovery rebases, both writers survive") {
+    // the r13-advice scenario: a commit lands on a participant AFTER the
+    // first pointer flipped — plain recovery must fail LOUDLY (manifest
+    // kept), and rebase recovery must complete the transaction without
+    // losing the concurrent write
+    val g = freshSession("tx_rebase")
+    val id = "tx-crash-2"
+    g.table("orders").createBranch(id).merge(ordersBatch(5L, "o5"), "__ts_ms")
+    g.table("items").createBranch(id).merge(itemsBatch(5L, 500L), "__ts_ms")
+    val itemsPreTx = g.table("items").currentVersion.get
+    g.io.mkdirs(s"${g.root}/_transactions")
+    g.io.writeAtomic(s"${g.root}/_transactions/$id", s"orders\t1\nitems\t$itemsPreTx")
+    g.table("orders").publish(id) // ...crash here...
+    g.table("items").merge(itemsBatch(77L, 770L), "__ts_ms") // ...concurrent commit lands
+
+    intercept[ops.CdcTable.PublishConflictException] { g.recoverTransactions() }
+    assert(g.pendingTransactions === Seq(id), "failed recovery must keep the manifest")
+    assert(g.table("items").branches.contains(id), "staged branch must survive for rebase")
+
+    assert(g.recoverTransactions(rebaseTsCol = Some("__ts_ms")) === Seq(id))
+    val items = g.read("items").select("id").as[Long].collect().toSet
+    assert(items === Set(1L, 5L, 77L), "staged AND concurrent rows must both land")
+    assert(g.pendingTransactions.isEmpty)
+    assert(g.table("items").branches.isEmpty)
+  }
+
+  test("abortTransaction rolls a half-published window back to pre-transaction state") {
+    val g = freshSession("tx_abort")
+    val id = "tx-crash-3"
+    val ordersPreTx = g.table("orders").currentVersion.get
+    g.table("orders").createBranch(id).merge(ordersBatch(6L, "o6"), "__ts_ms")
+    g.table("items").createBranch(id).merge(itemsBatch(6L, 600L), "__ts_ms")
+    g.io.mkdirs(s"${g.root}/_transactions")
+    g.io.writeAtomic(s"${g.root}/_transactions/$id", s"orders\t$ordersPreTx\nitems\t1")
+    g.table("orders").publish(id) // ...crash here
+    assert(g.read("orders").count() === 2)
+
+    g.abortTransaction(id)
+    assert(g.read("orders").count() === 1, "published participant restored")
+    assert(g.read("items").count() === 1)
+    assert(g.pendingTransactions.isEmpty)
+    assert(g.table("orders").branches.isEmpty)
+    assert(g.table("items").branches.isEmpty, "staged branch dropped on abort")
+  }
+
+  test("abortTransaction refuses when a later commit would be lost") {
+    val g = freshSession("tx_abort_refuse")
+    val id = "tx-crash-4"
+    val ordersPreTx = g.table("orders").currentVersion.get
+    g.table("orders").createBranch(id).merge(ordersBatch(8L, "o8"), "__ts_ms")
+    g.table("items").createBranch(id).merge(itemsBatch(8L, 800L), "__ts_ms")
+    g.io.mkdirs(s"${g.root}/_transactions")
+    g.io.writeAtomic(s"${g.root}/_transactions/$id", s"orders\t$ordersPreTx\nitems\t1")
+    g.table("orders").publish(id)
+    g.table("orders").merge(ordersBatch(9L, "o9"), "__ts_ms") // someone else's commit
+
+    val e = intercept[IllegalArgumentException] { g.abortTransaction(id) }
+    assert(e.getMessage.contains("later commit would be lost"))
+    // nothing touched: both writes still visible, manifest + branch intact
+    assert(g.read("orders").select("id").as[Long].collect().toSet === Set(1L, 8L, 9L))
+    assert(g.pendingTransactions === Seq(id))
+    assert(g.table("items").branches.contains(id))
+  }
+
   test("streaming foreachBatch commits two tables per micro-batch transactionally") {
     val g = freshSession("tx_stream")
     val srcDir = tmpDir("tx_stream_src")
