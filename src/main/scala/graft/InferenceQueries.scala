@@ -809,7 +809,84 @@ object InferenceQueries extends QueryPack {
       |  AS DOUBLE) AS bf_stat
       |FROM t""".stripMargin
 
+  /** Logistic-regression TRAINING (two IRLS/Newton iterations) — the
+    * quality-classifier primitive of an LLM data pipeline, distributed
+    * the only way iterative GLM fitting distributes: each iteration is
+    * ONE map-side-combinable aggregate producing the 3×3 weighted
+    * normal-equation moments (9 int64 cells cross the shuffle, never
+    * rows), and the 1-row Cramer solve feeds the next iteration as
+    * quantized micro-betas. Cross-engine exactness: the per-row sigmoid
+    * is the ONLY transcendental and is floored onto the micro lattice
+    * immediately (the x_benford idiom); the IRLS weight w = p(1−p) and
+    * working response w·η + (y − p) are then PURE INTEGER functions of
+    * p_micro, so every moment is an exact int64 and the double Cramer
+    * chain evaluates the identical expression tree in both engines.
+    * Feeding the QUANTIZED betas forward makes iteration 2's η an exact
+    * integer ratio too — no double drift can compound across iterations.
+    *
+    * At 100 TB: per-iteration cost is one scan + a 9-cell aggregate; the
+    * model (3 numbers) is the only driver-side data. k features would be
+    * a k²-cell aggregate with the same shape (k ≪ corpus always).
+    */
+  private[graft] val lrBaseSql =
+    """SELECT CAST(FLOOR(value) AS BIGINT) AS x1, CAST(hour(ts) AS BIGINT) AS x2,
+      |  CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS y
+      |FROM events WHERE value IS NOT NULL""".stripMargin
+
+  /** One IRLS iteration: betas(micro) from `bView` applied over `dView`
+    * (x1, x2, y), new quantized betas out. `div` is the integer-division
+    * token (Spark ` DIV `, DuckDB ` // `); every other character is
+    * identical in both dialects — the determinism contract.
+    */
+  private[graft] def lrIterSql(div: String, dView: String, bView: String): String =
+    s"""SELECT
+       |  CAST(FLOOR((R0*(D*F - E*E) - B*(R1*F - E*R2) + C*(R1*E - D*R2)) / (A*(D*F - E*E) - B*(B*F - C*E) + C*(B*E - C*D)) * 1000000 + 0.5) AS BIGINT) AS b0,
+       |  CAST(FLOOR((A*(R1*F - E*R2) - R0*(B*F - E*C) + C*(B*R2 - R1*C)) / (A*(D*F - E*E) - B*(B*F - C*E) + C*(B*E - C*D)) * 1000000 + 0.5) AS BIGINT) AS b1,
+       |  CAST(FLOOR((A*(D*R2 - R1*E) - B*(B*R2 - R1*C) + R0*(B*E - D*C)) / (A*(D*F - E*E) - B*(B*F - C*E) + C*(B*E - C*D)) * 1000000 + 0.5) AS BIGINT) AS b2
+       |FROM (
+       |  SELECT CAST(sw AS DOUBLE) AS A, CAST(swx1 AS DOUBLE) AS B, CAST(swx2 AS DOUBLE) AS C,
+       |    CAST(swx11 AS DOUBLE) AS D, CAST(swx12 AS DOUBLE) AS E, CAST(swx22 AS DOUBLE) AS F,
+       |    CAST(sz AS DOUBLE) AS R0, CAST(szx1 AS DOUBLE) AS R1, CAST(szx2 AS DOUBLE) AS R2
+       |  FROM (
+       |    SELECT CAST(SUM(wm) AS BIGINT) AS sw,
+       |      CAST(SUM(wm * x1) AS BIGINT) AS swx1, CAST(SUM(wm * x2) AS BIGINT) AS swx2,
+       |      CAST(SUM(wm * x1 * x1) AS BIGINT) AS swx11,
+       |      CAST(SUM(wm * x1 * x2) AS BIGINT) AS swx12,
+       |      CAST(SUM(wm * x2 * x2) AS BIGINT) AS swx22,
+       |      CAST(SUM(wzn) AS BIGINT) AS sz,
+       |      CAST(SUM(wzn * x1) AS BIGINT) AS szx1, CAST(SUM(wzn * x2) AS BIGINT) AS szx2
+       |    FROM (
+       |      SELECT x1, x2, y, wm,
+       |        ((wm * etan)$div 1000000) + (y * 1000000 - pm) AS wzn
+       |      FROM (
+       |        SELECT x1, x2, y, etan, pm,
+       |          (pm * (1000000 - pm))$div 1000000 AS wm
+       |        FROM (
+       |          SELECT x1, x2, y, etan,
+       |            CAST(FLOOR(1000000 / (1 + exp(-(CAST(etan AS DOUBLE) / 1000000.0)))) AS BIGINT) AS pm
+       |          FROM (
+       |            SELECT d.x1, d.x2, d.y,
+       |              (b.b0 + b.b1 * d.x1 + b.b2 * d.x2) AS etan
+       |            FROM $dView d CROSS JOIN $bView b) q1) q2) q3) q4) q5) q6""".stripMargin
+
+  private[graft] val lrZeroBetas =
+    "(SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1, CAST(0 AS BIGINT) AS b2)"
+
+  private[graft] val lrFinalSql =
+    """SELECT CAST(1 AS BIGINT) AS iter, b0 AS b0_micro, b1 AS b1_micro, b2 AS b2_micro FROM lr_b1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS iter, b0 AS b0_micro, b1 AS b1_micro, b2 AS b2_micro FROM lr_b2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_logreg_irls" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events")
+      Tables.cacheView("lr_base", s.sql(lrBaseSql)) // scanned once per iteration
+      s.sql(lrIterSql(" DIV", "lr_base", lrZeroBetas))
+        .localCheckpoint().createOrReplaceTempView("lr_b1")
+      s.sql(lrIterSql(" DIV", "lr_base", "lr_b1"))
+        .localCheckpoint().createOrReplaceTempView("lr_b2")
+      s.sql(lrFinalSql)
+    }),
     "x_brown_forsythe" -> ((s, dir) => events(s, dir, brownForsytheSql)),
     "x_theil_sen" -> ((s, dir) => {
       Tables(s, dir, "events").createOrReplaceTempView("events")
@@ -849,6 +926,18 @@ object InferenceQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_logreg_irls" -> {
+      s"""WITH d AS MATERIALIZED (
+         |${lrBaseSql}),
+         |b1t AS MATERIALIZED (
+         |${lrIterSql(" //", "d", lrZeroBetas)}),
+         |b2t AS MATERIALIZED (
+         |${lrIterSql(" //", "d", "b1t")})
+         |SELECT CAST(1 AS BIGINT) AS iter, b0 AS b0_micro, b1 AS b1_micro, b2 AS b2_micro FROM b1t
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS iter, b0 AS b0_micro, b1 AS b1_micro, b2 AS b2_micro FROM b2t""".stripMargin
+    },
 
     "x_brown_forsythe" ->
       """WITH e AS (

@@ -422,4 +422,79 @@ class InferenceQueriesSpec extends SparkSpec {
     // Gram is diagonal here, so the ratio contracts by (λ2/λ1) each round
     assert(math.abs(v(7L)) < v(0L) / 100L, s"v(7) = ${v(7L)} not contracted")
   }
+
+  // ------------------------------------------------ logistic IRLS (r14)
+
+  /** Run the two lrIterSql iterations over a hand-built (x1, x2, y)
+    * frame, exactly as the x_logreg_irls query does.
+    */
+  private def irlsBetas(rows: Seq[(Long, Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    rows.toDF("x1", "x2", "y").createOrReplaceTempView("lr_spec_base")
+    spark.sql(InferenceQueries.lrIterSql(" DIV", "lr_spec_base", InferenceQueries.lrZeroBetas))
+      .localCheckpoint().createOrReplaceTempView("lr_b1")
+    spark.sql(InferenceQueries.lrIterSql(" DIV", "lr_spec_base", "lr_b1"))
+      .localCheckpoint().createOrReplaceTempView("lr_b2")
+    spark.sql(InferenceQueries.lrFinalSql).collect()
+      .map(r => r.getAs[Long]("iter") ->
+        ((r.getAs[Long]("b0_micro"), r.getAs[Long]("b1_micro"), r.getAs[Long]("b2_micro"))))
+      .toMap
+  }
+
+  /** Unquantized double-precision IRLS twin (2 iterations from 0). */
+  private def irlsRef(rows: Seq[(Long, Long, Long)]): Array[Double] = {
+    var beta = Array(0.0, 0.0, 0.0)
+    (1 to 2).foreach { _ =>
+      var a = Array.ofDim[Double](3, 3); var r = new Array[Double](3)
+      rows.foreach { case (x1, x2, y) =>
+        val xs = Array(1.0, x1.toDouble, x2.toDouble)
+        val eta = xs.zip(beta).map { case (x, b) => x * b }.sum
+        val p = 1.0 / (1.0 + math.exp(-eta))
+        val w = p * (1 - p)
+        val wz = w * eta + (y - p)
+        for (i <- 0 to 2; j <- 0 to 2) a(i)(j) += w * xs(i) * xs(j)
+        for (i <- 0 to 2) r(i) += wz * xs(i)
+      }
+      // Cramer, same as the SQL
+      val (aa, b, c, d, e, f) = (a(0)(0), a(0)(1), a(0)(2), a(1)(1), a(1)(2), a(2)(2))
+      val det = aa * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d)
+      beta = Array(
+        (r(0) * (d * f - e * e) - b * (r(1) * f - e * r(2)) + c * (r(1) * e - d * r(2))) / det,
+        (aa * (r(1) * f - e * r(2)) - r(0) * (b * f - e * c) + c * (b * r(2) - r(1) * c)) / det,
+        (aa * (d * r(2) - r(1) * e) - b * (b * r(2) - r(1) * c) + r(0) * (b * e - d * c)) / det)
+    }
+    beta
+  }
+
+  test("logistic IRLS: y independent of features in balanced cells fits betas exactly 0") {
+    // every (x1, x2) cell holds one y=1 and one y=0 row: p̂ = 0.5
+    // everywhere, the working response sums to zero per cell, and both
+    // iterations must return EXACTLY (0, 0, 0) — the integer path never
+    // manufactures a spurious coefficient.
+    val rows = for {
+      x1 <- 0L to 3L; x2 <- 0L to 2L; y <- Seq(0L, 1L)
+    } yield (x1, x2, y)
+    val got = irlsBetas(rows)
+    assert(got(1L) === ((0L, 0L, 0L)), s"iter 1: ${got(1L)}")
+    assert(got(2L) === ((0L, 0L, 0L)), s"iter 2: ${got(2L)}")
+  }
+
+  test("logistic IRLS: quantized distributed fit matches the double-precision twin to 1e-3") {
+    // y depends on x1 positively and x2 negatively, with hash-shaped
+    // noise — a real (non-degenerate, non-separable) fit
+    val rows = (0 until 400).map { i =>
+      val x1 = (i % 7).toLong
+      val x2 = (i % 5).toLong
+      val noise = (h64(s"lr$i") % 100).toDouble / 100.0
+      val p = 1.0 / (1.0 + math.exp(-(-0.8 + 0.5 * x1 - 0.4 * x2)))
+      (x1, x2, if (noise < p) 1L else 0L)
+    }
+    val got = irlsBetas(rows)
+    val want = irlsRef(rows)
+    val (b0, b1, b2) = got(2L)
+    assert(math.abs(b0 / 1e6 - want(0)) < 1e-3, s"b0 ${b0 / 1e6} vs ${want(0)}")
+    assert(math.abs(b1 / 1e6 - want(1)) < 1e-3, s"b1 ${b1 / 1e6} vs ${want(1)}")
+    assert(math.abs(b2 / 1e6 - want(2)) < 1e-3, s"b2 ${b2 / 1e6} vs ${want(2)}")
+    // and the fit actually learned the planted directions
+    assert(b1 > 0 && b2 < 0, s"signs: $b1, $b2")
+  }
 }
