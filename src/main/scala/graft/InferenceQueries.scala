@@ -872,12 +872,91 @@ object InferenceQueries extends QueryPack {
   private[graft] val lrZeroBetas =
     "(SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1, CAST(0 AS BIGINT) AS b2)"
 
+  /** Gradient-boosted decision STUMPS (3 squared-error rounds) — the
+    * tree half of the quality-classifier story, distributed the way
+    * histogram GBDT actually distributes (the LightGBM shape): a round
+    * never materializes per-row state — residuals are a CASE expression
+    * over the prior stumps' 1-row parameter tables — and the split
+    * search is ONE map-side-combinable histogram aggregate per feature
+    * (value-bounded: ≤ |feature domain| groups) followed by a window
+    * cumsum over the HISTOGRAM, so candidate thresholds never touch the
+    * corpus again. Only the 1-row argmax stump reaches the driver.
+    *
+    * Determinism: residuals/counts/sums are exact int64 on the micro
+    * lattice (no transcendental anywhere — unlike the logistic fit, the
+    * squared-loss path is integer end-to-end); the split gain
+    * S_L²/n_L + S_R²/n_R is a double computed from exact ints by an
+    * identical expression tree, tie-broken (gain DESC, feature,
+    * threshold); leaf values are integer divisions.
+    */
+  private[graft] def gbRowsSql(dView: String, stumps: Seq[String]): String = {
+    val joins = stumps.map(s => s" CROSS JOIN $s").mkString
+    val fExpr =
+      if (stumps.isEmpty) "CAST(0 AS BIGINT)"
+      else stumps.map(s =>
+        s"(CASE WHEN (CASE WHEN $s.feature = 1 THEN d.x1 ELSE d.x2 END) <= " +
+          s"$s.threshold THEN $s.w_left_micro ELSE $s.w_right_micro END)").mkString(" + ")
+    s"SELECT d.x1, d.x2, d.y * 1000000 - ($fExpr) AS r FROM $dView d$joins"
+  }
+
+  /** One boosting round's split search over `rowsRef` (a table/CTE name
+    * or a parenthesized subquery yielding (x1, x2, r)). `div` is the
+    * integer-division token; all other text is engine-identical.
+    */
+  private[graft] def gbRoundSql(div: String, rowsRef: String): String =
+    s"""SELECT feature, threshold, n_left, w_left_micro, w_right_micro
+       |FROM (
+       |  SELECT feature, threshold, nL AS n_left,
+       |    SL$div nL AS w_left_micro,
+       |    (S - SL)$div (n - nL) AS w_right_micro,
+       |    (CAST(SL AS DOUBLE) * CAST(SL AS DOUBLE)) / CAST(nL AS DOUBLE)
+       |      + (CAST(S - SL AS DOUBLE) * CAST(S - SL AS DOUBLE)) / CAST(n - nL AS DOUBLE) AS gain
+       |  FROM (
+       |    SELECT feature, value AS threshold,
+       |      CAST(SUM(cnt) OVER wv AS BIGINT) AS nL, CAST(SUM(sr) OVER wv AS BIGINT) AS SL,
+       |      CAST(SUM(cnt) OVER wf AS BIGINT) AS n, CAST(SUM(sr) OVER wf AS BIGINT) AS S
+       |    FROM (
+       |      SELECT 1 AS feature, x1 AS value, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(r) AS BIGINT) AS sr
+       |      FROM $rowsRef GROUP BY x1
+       |      UNION ALL
+       |      SELECT 2 AS feature, x2 AS value, CAST(count(*) AS BIGINT) AS cnt, CAST(SUM(r) AS BIGINT) AS sr
+       |      FROM $rowsRef GROUP BY x2) h
+       |    WINDOW wv AS (PARTITION BY feature ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |      wf AS (PARTITION BY feature)) c
+       |  WHERE nL < n) g
+       |ORDER BY gain DESC, feature, threshold LIMIT 1""".stripMargin
+
+  private[graft] def gbFinalSql(stumps: Seq[String]): String =
+    stumps.zipWithIndex.map { case (s, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS round, feature, threshold, n_left, " +
+        s"w_left_micro, w_right_micro FROM $s"
+    }.mkString("\nUNION ALL ")
+
+  /** Spec hook: fit 3 boosting rounds over whatever view holds
+    * (x1, x2, y) — board query and spec share this path.
+    */
+  private[graft] def gbdtOver(s: SparkSession, baseView: String): DataFrame = {
+    val stumps = scala.collection.mutable.Buffer.empty[String]
+    (1 to 3).foreach { t =>
+      val rows = s"(${gbRowsSql(baseView, stumps.toSeq)})"
+      val name = s"gb_s$t"
+      s.sql(gbRoundSql(" DIV", rows)).localCheckpoint().createOrReplaceTempView(name)
+      stumps += name
+    }
+    s.sql(gbFinalSql(stumps.toSeq))
+  }
+
   private[graft] val lrFinalSql =
     """SELECT CAST(1 AS BIGINT) AS iter, b0 AS b0_micro, b1 AS b1_micro, b2 AS b2_micro FROM lr_b1
       |UNION ALL
       |SELECT CAST(2 AS BIGINT) AS iter, b0 AS b0_micro, b1 AS b1_micro, b2 AS b2_micro FROM lr_b2""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_gbdt_stumps" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events")
+      Tables.cacheView("gb_base", s.sql(lrBaseSql)) // shared feature frame
+      gbdtOver(s, "gb_base")
+    }),
     "x_logreg_irls" -> ((s, dir) => {
       Tables(s, dir, "events").createOrReplaceTempView("events")
       Tables.cacheView("lr_base", s.sql(lrBaseSql)) // scanned once per iteration
@@ -926,6 +1005,18 @@ object InferenceQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "x_gbdt_stumps" -> {
+      val parts = scala.collection.mutable.Buffer(
+        s"d AS MATERIALIZED (\n$lrBaseSql)")
+      val stumps = scala.collection.mutable.Buffer.empty[String]
+      (1 to 3).foreach { t =>
+        parts += s"rows$t AS MATERIALIZED (${gbRowsSql("d", stumps.toSeq)})"
+        parts += s"st$t AS MATERIALIZED (\n${gbRoundSql(" //", s"rows$t")})"
+        stumps += s"st$t"
+      }
+      "WITH " + parts.mkString(",\n") + "\n" + gbFinalSql(stumps.toSeq)
+    },
 
     "x_logreg_irls" -> {
       s"""WITH d AS MATERIALIZED (

@@ -81,7 +81,61 @@ object TextQueries extends QueryPack {
       |    DIV n AS BIGINT) AS intercept_milli_ln
       |FROM m""".stripMargin
 
+  /** Perplexity filtering (the CCNet-shape quality gate): an add-one-
+    * smoothed bigram LM trained ON the corpus scores every document's
+    * average negative log-likelihood — the classic "weird text scores
+    * high" filter a downstream threshold consumes. Shapes:
+    *   - ONE corpus tokenization pass materializes the positional
+    *     bigram table (cached view — three consumers, zero re-scans);
+    *   - the MODEL (bigram counts) is corpus-bigram-bounded, its
+    *     unigram/vocab reductions are model-table-sized aggregates, and
+    *     the scoring pass is two equi-joins against it — broadcast-able
+    *     at any corpus size where the model fits, shuffle-join beyond;
+    *   - determinism: counts are exact int64; the per-bigram
+    *     −ln P = ln((c1 + V)/(c12 + 1)) is a single ln of one exact
+    *     integer ratio, FLOOR-quantized to micro-nats PER TERM before
+    *     any sum (the x_benford idiom), and (c1 ≥ c12, V ≥ 1) makes
+    *     every term non-negative by construction.
+    */
+  private val pplBigramsSql =
+    """WITH w AS (SELECT doc_id,
+      |    filter(split(lower(text), '[^a-z]+'), x -> x <> '') AS ws
+      |  FROM documents)
+      |SELECT doc_id, element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2
+      |FROM w LATERAL VIEW explode(sequence(1, size(ws) - 1)) t AS i
+      |WHERE size(ws) >= 2""".stripMargin
+
+  private val pplModelSql =
+    "SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM ppl_bg GROUP BY w1, w2"
+
+  private val pplScoreSql =
+    """WITH c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cu FROM ppl_c12 GROUP BY w1),
+      |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vocab FROM ppl_c12),
+      |t AS (SELECT b.doc_id,
+      |    CAST(FLOOR(ln(CAST(c1.cu + v.vocab AS DOUBLE) / CAST(m.c + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS nll_micro
+      |  FROM ppl_bg b
+      |  JOIN ppl_c12 m ON m.w1 = b.w1 AND m.w2 = b.w2
+      |  JOIN c1 ON c1.w1 = b.w1 CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(nll_micro) AS BIGINT) DIV CAST(count(*) AS BIGINT) AS nll_avg_micro
+      |FROM t GROUP BY doc_id""".stripMargin
+
+  /** Spec hook: run the three perplexity stages over whatever table is
+    * registered as `documents` in `s` (the board query binds the sfDir
+    * table; `TextQueriesSpec` binds hand-built frames).
+    */
+  private[graft] def perplexityOver(s: SparkSession): DataFrame = {
+    Tables.cacheView("ppl_bg", s.sql(pplBigramsSql))
+    Tables.cacheView("ppl_c12", s.sql(pplModelSql))
+    s.sql(pplScoreSql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x_perplexity_lm" -> ((s, dir) => {
+      Tables(s, dir, "documents").createOrReplaceTempView("documents")
+      perplexityOver(s)
+    }),
 
     // Token counting: whitespace tokens + a BPE-ish regex segmentation.
     "x_token_count" -> ((s, dir) => run(s, dir,
@@ -403,6 +457,24 @@ object TextQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "x_perplexity_lm" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, ws[CAST(i AS INTEGER)] AS w1, ws[CAST(i + 1 AS INTEGER)] AS w2
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w WHERE len(ws) >= 2)),
+        |c12 AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cu FROM c12 GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vocab FROM c12),
+        |t AS (SELECT b.doc_id,
+        |    CAST(FLOOR(ln(CAST(c1.cu + v.vocab AS DOUBLE) / CAST(m.c + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS nll_micro
+        |  FROM bg b JOIN c12 m ON m.w1 = b.w1 AND m.w2 = b.w2
+        |  JOIN c1 ON c1.w1 = b.w1 CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(nll_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS nll_avg_micro
+        |FROM t GROUP BY doc_id""".stripMargin,
+
     "x_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(text, '\s+')) AS ws_tokens,

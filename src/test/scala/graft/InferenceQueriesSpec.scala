@@ -465,6 +465,61 @@ class InferenceQueriesSpec extends SparkSpec {
     beta
   }
 
+  private def gbdtStumps(rows: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    rows.toDF("x1", "x2", "y").createOrReplaceTempView("gb_spec_base")
+    InferenceQueries.gbdtOver(spark, "gb_spec_base").collect().toSeq
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("feature").toString.toLong,
+        r.getAs[Long]("threshold"), r.getAs[Long]("n_left"),
+        r.getAs[Long]("w_left_micro"), r.getAs[Long]("w_right_micro")))
+      .sortBy(_._1)
+  }
+
+  /** Exact-integer single-threaded twin of the distributed boosting. */
+  private def gbdtRef(rows: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    def idiv(a: Long, b: Long): Long = a / b // JVM / truncates toward zero, same as DIV
+    var f = rows.map(_ => 0L)
+    (1 to 3).map { t =>
+      val residual = rows.zip(f).map { case ((_, _, y), fi) => y * 1000000L - fi }
+      val best = (1 to 2).flatMap { feat =>
+        val vOf = (r: (Long, Long, Long)) => if (feat == 1) r._1 else r._2
+        val hist = rows.zip(residual).groupBy { case (r, _) => vOf(r) }
+          .map { case (v, g) => (v, g.size.toLong, g.map(_._2).sum) }.toSeq.sortBy(_._1)
+        val (n, s) = (hist.map(_._2).sum, hist.map(_._3).sum)
+        hist.scanLeft((0L, 0L, 0L)) { case ((_, cn, cs), (v, c, sr)) => (v, cn + c, cs + sr) }
+          .drop(1).filter(_._2 < n).map { case (v, nL, sL) =>
+            val gain = sL.toDouble * sL / nL + (s - sL).toDouble * (s - sL) / (n - nL)
+            (-gain, feat.toLong, v, nL, idiv(sL, nL), idiv(s - sL, n - nL))
+          }
+      }.min
+      val (_, feat, thr, nL, wl, wr) = best
+      f = rows.zip(f).map { case (r, fi) =>
+        fi + (if ((if (feat == 1) r._1 else r._2) <= thr) wl else wr) }
+      (t.toLong, feat, thr, nL, wl, wr)
+    }
+  }
+
+  test("gbdt stumps: a separable single feature is fit exactly in round 1, then zero residuals") {
+    // y = [x1 >= 5]; x2 is pure noise-free constant. Round 1 must split
+    // feature 1 at threshold 4 with exact leaf means 0 / 1e6; rounds 2-3
+    // see all-zero residuals and fit zero-valued leaves.
+    val rows = (0L to 9L).flatMap(v => Seq.fill(3)((v, 0L, if (v >= 5) 1L else 0L)))
+    val got = gbdtStumps(rows)
+    assert(got.head === ((1L, 1L, 4L, 15L, 0L, 1000000L)), s"round 1: ${got.head}")
+    assert(got.tail.forall(s => s._5 == 0L && s._6 == 0L),
+      s"later rounds must fit zero leaves: $got")
+  }
+
+  test("gbdt stumps: distributed fit equals the exact-integer reference on a noisy frame") {
+    val rows = (0 until 300).map { i =>
+      val x1 = (i % 11).toLong
+      val x2 = (i % 6).toLong
+      val noisy = (h64(s"gb$i") % 10) < 2 // 20% label noise
+      val signal = x1 >= 6 || x2 == 3
+      (x1, x2, if (signal ^ noisy) 1L else 0L)
+    }
+    assert(gbdtStumps(rows) === gbdtRef(rows))
+  }
+
   test("logistic IRLS: y independent of features in balanced cells fits betas exactly 0") {
     // every (x1, x2) cell holds one y=1 and one y=0 row: p̂ = 0.5
     // everywhere, the working response sums to zero per cell, and both

@@ -37,4 +37,38 @@ class TextQueriesSpec extends SparkSpec {
     val row = spark.sql(TextQueries.zipfSql).collect().head
     assert(row.getAs[Long]("n_terms") === 500L)
   }
+
+  // ------------------------------------------- perplexity filter (r14)
+
+  private def perplexities(texts: Seq[String]): Map[Long, (Long, Long)] =
+    { asDocs(texts)
+      TextQueries.perplexityOver(spark).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("nll_avg_micro")))).toMap }
+
+  test("perplexity: a single-word-vocabulary corpus scores exactly zero nll") {
+    // one bigram type (a,a): c12 = c1, V = 1 -> every term is
+    // ln((c1+1)/(c12+1)) = ln 1 = 0, exactly, through the integer path
+    val got = perplexities(Seq("a a a a", "a a a"))
+    assert(got(0L) === ((3L, 0L)) && got(1L) === ((2L, 0L)))
+  }
+
+  test("perplexity: exact closed form on a two-word alternation") {
+    // 'a b a b a': bigrams ab x2, ba x2; V = 2; c1(a) = c1(b) = 2 ->
+    // every term is ln((2+2)/(2+1)) = ln(4/3); avg = floor(ln(4/3)*1e6)
+    val got = perplexities(Seq("a b a b a"))
+    assert(got(0L) === ((4L, 287682L)), s"got ${got(0L)}")
+  }
+
+  test("perplexity: rare-bigram documents score above common-bigram documents") {
+    // 10 fluent docs share one template; one weird doc uses bigrams seen
+    // only once — the filter must rank it strictly higher, and docs with
+    // fewer than 2 tokens drop out entirely
+    val fluent = Seq.fill(10)("the cat sat on the mat")
+    val got = perplexities(fluent ++ Seq("mat the on cat sat the", "x"))
+    assert(!got.contains(11L), "a 1-token doc has no bigrams and no row")
+    val fluentNll = got(0L)._2
+    val weirdNll = got(10L)._2
+    assert(weirdNll > fluentNll, s"weird $weirdNll !> fluent $fluentNll")
+  }
 }
