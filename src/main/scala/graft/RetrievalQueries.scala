@@ -145,9 +145,15 @@ object RetrievalQueries extends QueryPack {
     // information over document co-occurrence (min support 5). The pair
     // space is bounded by |vocabulary|^2 regardless of corpus size —
     // the per-doc self-join feeds one map-side-combinable count.
-    "x_cooccurrence_pmi" -> ((s, dir) => docs(s, dir,
-      s"""WITH $sparkTok,
-         |dw AS (SELECT DISTINCT doc_id, word FROM tok),
+    "x_cooccurrence_pmi" -> ((s, dir) => {
+      // the distinct (doc, word) set feeds the self-join twice plus the
+      // word-count side — materialize it once (r14: as a plain CTE,
+      // Catalyst inlined it into 4 corpus re-scans)
+      Tables(s, dir, "documents").createOrReplaceTempView("documents")
+      Tables.cacheView("pmi_dw", s.sql(
+        s"WITH $sparkTok SELECT DISTINCT doc_id, word FROM tok"))
+      s.sql(
+      s"""WITH dw AS (SELECT doc_id, word FROM pmi_dw),
          |nd AS (SELECT count(*) AS n FROM documents),
          |wc AS (SELECT word, count(*) AS c FROM dw GROUP BY word),
          |pairs AS (
@@ -162,7 +168,8 @@ object RetrievalQueries extends QueryPack {
          |top AS (SELECT w1, w2, c12, pmi_micro FROM pmi ORDER BY pmi_micro DESC, w1, w2 LIMIT 20)
          |SELECT w1, w2, c12, pmi_micro,
          |  CAST(row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS BIGINT) AS rank
-         |FROM top""".stripMargin)),
+         |FROM top""".stripMargin)
+    }),
 
     // Corpus-trained character-bigram LM quality score: per-doc average
     // negative log-probability (micro-nats) under P(c2|c1) =

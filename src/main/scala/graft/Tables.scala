@@ -127,29 +127,44 @@ object Tables {
     countCache.getOrElseUpdate((spark, sfDir, name), apply(spark, sfDir, name).count())
   }
 
+  // (original-plan df for the reuse check, materialized df served as the view)
   private val cachedViews =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
 
-  /** Cache `df` and register it as temp view `name`, reusing the live
-    * cache when the SAME computation is re-requested (cross-query sharing
-    * within one scale factor) and unpersisting the stale one when the
-    * computation changed (e.g. a different sfDir) — so repeated
-    * Verify/Bench invocations don't accumulate orphaned cached blocks in
-    * executor storage memory.
+  /** Materialize `df` ONCE (eager localCheckpoint) and register the
+    * result as temp view `name`, reusing the live materialization when
+    * the SAME computation is re-requested (cross-query sharing within
+    * one scale factor; the comparison runs on the ORIGINAL plan, which
+    * the checkpoint would otherwise erase).
+    *
+    * Why a checkpoint and not `df.cache()` (the r14 fix — this function
+    * used lazy cache before): Spark's CacheManager substitutes a cached
+    * plan into consumers via canonicalized `sameResult`, and that lookup
+    * MISSES for several of this engine's view shapes (measured: the
+    * lateral-explode + higher-order-function shapes of the bigram /
+    * shingle / edge views) — so consumers silently recomputed the whole
+    * subtree per reference (x_pagerank re-derived its distinct-edge join
+    * up to 20× per run) while the never-scanned cache entry wasted the
+    * bookkeeping. A checkpointed view needs NO substitution machinery:
+    * the view IS an ExistingRDD leaf, every reference reads the
+    * materialized blocks by construction, and the plan-audit suite can
+    * assert the leaf directly. Stale entries drop on replacement; their
+    * blocks free with the RDD (context cleaner), same as every other
+    * localCheckpoint in the engine.
     */
   def cacheView(name: String, df: DataFrame): DataFrame = {
     val reuse = cachedViews.get(name)
-      .filter(_.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+      .filter(_._1.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
     reuse match {
-      case Some(old) =>
-        old.createOrReplaceTempView(name)
-        old
+      case Some((_, served)) =>
+        served.createOrReplaceTempView(name)
+        served
       case None =>
-        cachedViews.remove(name).foreach(_.unpersist())
-        val c = df.cache()
-        c.createOrReplaceTempView(name)
-        cachedViews.update(name, c)
-        c
+        cachedViews.remove(name): Unit
+        val served = df.localCheckpoint()
+        served.createOrReplaceTempView(name)
+        cachedViews.update(name, (df, served))
+        served
     }
   }
 }
