@@ -239,25 +239,30 @@ object PipelineQueries extends QueryPack {
 
     // Conversion funnel: strictly-ordered signup -> view -> click ->
     // purchase per user (each stage's timestamp must follow the prior
-    // stage's). Four aggregations co-partitioned on user_id — the reused
-    // hash partitioning means one physical shuffle's worth of movement,
-    // and each stage table shrinks monotonically.
+    // stage's). ONE scan + ONE user_id shuffle: the four stage times are
+    // chained per-user window minimums over the same partitioning (each
+    // stage's CASE references the prior window's result), the per-user
+    // roll-up counts non-null stage times, and stack() emits the four
+    // stage rows. (r14 rewrite — the prior chained-CTE form re-expanded
+    // under Catalyst inlining into 5 corpus scans; hash-identical.)
     "x_funnel_analysis" -> ((s, dir) => events(s, dir,
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-        |            WHERE event_type = 'signup' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-        |       JOIN s1 ON s1.user_id = e.user_id
-        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-        |       JOIN s2 ON s2.user_id = e.user_id
-        |       WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id),
-        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
-        |       JOIN s3 ON s3.user_id = e.user_id
-        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id)
-        |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
-        |UNION ALL SELECT '2_view', count(*) FROM s2
-        |UNION ALL SELECT '3_click', count(*) FROM s3
-        |UNION ALL SELECT '4_purchase', count(*) FROM s4""".stripMargin)),
+      """WITH w AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+        |a1 AS (SELECT user_id, event_type, ts,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM w),
+        |a2 AS (SELECT user_id, event_type, ts, t1,
+        |  min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM a1),
+        |a3 AS (SELECT user_id, event_type, ts, t1, t2,
+        |  min(CASE WHEN event_type = 'click' AND ts > t2 THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM a2),
+        |a4 AS (SELECT user_id, t1, t2, t3,
+        |  min(CASE WHEN event_type = 'purchase' AND ts > t3 THEN ts END) OVER (PARTITION BY user_id) AS t4 FROM a3),
+        |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3, max(t4) AS t4
+        |      FROM a4 GROUP BY user_id),
+        |c AS (SELECT CAST(count(t1) AS BIGINT) AS c1, CAST(count(t2) AS BIGINT) AS c2,
+        |             CAST(count(t3) AS BIGINT) AS c3, CAST(count(t4) AS BIGINT) AS c4 FROM u)
+        |SELECT stack(4, '1_signup', c1, '2_view', c2, '3_click', c3, '4_purchase', c4)
+        |  AS (stage, n_users) FROM c""".stripMargin)),
 
     // Weekly retention cohorts: users grouped by first-seen week, counted
     // in each later week they return. Two aggregations on user_id plus
@@ -500,25 +505,30 @@ object PipelineQueries extends QueryPack {
     // Deadline funnel: unlike x_funnel_analysis (any later time), each
     // stage must land within 72 h of the previous stage's first event —
     // the conversion-window semantics real funnel dashboards use. Same
-    // scale shape: four user-keyed min-aggregates chained by
-    // broadcastable user joins; the deadline is a per-row predicate,
-    // no extra shuffle.
+    // r14 one-scan shape as x_funnel_analysis (chained per-user window
+    // minimums over one user_id shuffle); the deadline is a per-row
+    // predicate inside each stage's CASE.
     "x_funnel_windowed" -> ((s, dir) => events(s, dir,
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-        |            WHERE event_type = 'signup' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-        |       JOIN s1 ON s1.user_id = e.user_id
-        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 72 HOUR GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-        |       JOIN s2 ON s2.user_id = e.user_id
-        |       WHERE e.event_type = 'click' AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 72 HOUR GROUP BY e.user_id),
-        |s4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM events e
-        |       JOIN s3 ON s3.user_id = e.user_id
-        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 AND e.ts <= s3.t3 + INTERVAL 72 HOUR GROUP BY e.user_id)
-        |SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
-        |UNION ALL SELECT '2_view_72h', CAST(count(*) AS BIGINT) FROM s2
-        |UNION ALL SELECT '3_click_72h', CAST(count(*) AS BIGINT) FROM s3
-        |UNION ALL SELECT '4_purchase_72h', CAST(count(*) AS BIGINT) FROM s4""".stripMargin)),
+      """WITH w AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+        |a1 AS (SELECT user_id, event_type, ts,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM w),
+        |a2 AS (SELECT user_id, event_type, ts, t1,
+        |  min(CASE WHEN event_type = 'view' AND ts > t1 AND ts <= t1 + INTERVAL 72 HOUR THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM a1),
+        |a3 AS (SELECT user_id, event_type, ts, t1, t2,
+        |  min(CASE WHEN event_type = 'click' AND ts > t2 AND ts <= t2 + INTERVAL 72 HOUR THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM a2),
+        |a4 AS (SELECT user_id, t1, t2, t3,
+        |  min(CASE WHEN event_type = 'purchase' AND ts > t3 AND ts <= t3 + INTERVAL 72 HOUR THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t4 FROM a3),
+        |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3, max(t4) AS t4
+        |      FROM a4 GROUP BY user_id),
+        |c AS (SELECT CAST(count(t1) AS BIGINT) AS c1, CAST(count(t2) AS BIGINT) AS c2,
+        |             CAST(count(t3) AS BIGINT) AS c3, CAST(count(t4) AS BIGINT) AS c4 FROM u)
+        |SELECT stack(4, '1_signup', c1, '2_view_72h', c2, '3_click_72h', c3, '4_purchase_72h', c4)
+        |  AS (stage, n_users) FROM c""".stripMargin)),
 
     // Day-of-week seasonality profile: per (type, ISO weekday) volume,
     // mean value, and the ratio to the type's overall mean in integer

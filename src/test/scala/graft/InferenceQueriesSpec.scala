@@ -132,7 +132,7 @@ class InferenceQueriesSpec extends SparkSpec {
     val e1 = Array.tabulate(d)(i => if (i == 0) 1.0f else 0.0f)
     val e2 = Array.tabulate(d)(i => if (i == 0) 0.5f else 0.0f)
     asEmbeddings(Seq((1L, e1), (2L, e2)))
-    val v = spark.sql(InferenceQueries.pcaPowerSql).collect()
+    val v = InferenceQueries.overGram(spark, InferenceQueries.pcaPowerSql).collect()
       .map(r => r.getAs[Long]("i") -> r.getAs[Long]("v_micro")).toMap
     assert(v.size === d)
     assert(v(0L) > 999000L && v(0L) <= 1000000L, s"v(0) = ${v(0L)}")
@@ -380,12 +380,12 @@ class InferenceQueriesSpec extends SparkSpec {
     def axis(k: Int, s: Float) = Array.tabulate(d)(i => if (i == k) s else 0.0f)
     // all variance on one axis: the top component explains everything
     asEmbeddings(Seq((1L, axis(0, 1.0f)), (2L, axis(0, 0.5f)), (3L, axis(0, 0.25f))))
-    val r1 = spark.sql(InferenceQueries.pcaExplainedSql).collect().head
+    val r1 = InferenceQueries.overGram(spark, InferenceQueries.pcaExplainedSql).collect().head
     assert(math.abs(r1.getAs[Double]("explained_share") - 1.0) < 0.01)
 
     // two orthogonal axes with EQUAL mass: the top component carries half
     asEmbeddings(Seq((1L, axis(0, 1.0f)), (2L, axis(7, 1.0f))))
-    val r2 = spark.sql(InferenceQueries.pcaExplainedSql).collect().head
+    val r2 = InferenceQueries.overGram(spark, InferenceQueries.pcaExplainedSql).collect().head
     assert(math.abs(r2.getAs[Double]("explained_share") - 0.5) < 0.01)
   }
 
@@ -416,7 +416,7 @@ class InferenceQueriesSpec extends SparkSpec {
     def axis(k: Int, s: Float) = Array.tabulate(d)(i => if (i == k) s else 0.0f)
     asEmbeddings(Seq((1L, axis(0, 1.0f)), (2L, axis(0, 0.9f)),
       (3L, axis(0, 0.8f)), (4L, axis(7, 0.6f))))
-    val v = spark.sql(InferenceQueries.pcaPowerSql).collect()
+    val v = InferenceQueries.overGram(spark, InferenceQueries.pcaPowerSql).collect()
       .map(r => r.getAs[Long]("i") -> r.getAs[Long]("v_micro")).toMap
     assert(math.abs(v(0L)) > 999000L)
     // Gram is diagonal here, so the ratio contracts by (λ2/λ1) each round

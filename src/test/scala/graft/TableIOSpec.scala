@@ -178,21 +178,26 @@ class TableIOSpec extends SparkSpec {
           while (!ok) {
             try {
               mine.mergeWithRetry(Seq((w.toLong, v, ts, "c")).toDF("id", "v", "ts", "__op"),
-                "ts", maxTries = 8, sleepMs = 150L)
+                "ts", maxTries = 12, sleepMs = 100L)
               ok = true
             } catch {
               // transient store failure, or conflict budget exhausted
-              // under extreme interleaving: replay the batch (idempotent)
+              // under extreme interleaving: replay the batch (idempotent).
+              // Budgets are sized for a LOADED host (this spec also runs
+              // inside the full parallel suite, where every Spark job is
+              // slow and conflict windows stretch) — the assertions that
+              // matter are the exact final state and pointer history, not
+              // how many replays the schedule needed.
               case e @ (_: java.io.IOException | _: CdcTable.CommitConflictException) =>
                 tries += 1
-                assert(tries < 60, s"writer $w: chaos replays exhausted — $e")
+                assert(tries < 200, s"writer $w: chaos replays exhausted — $e")
             }
           }
         }
       }
     }
     scala.concurrent.Await.result(scala.concurrent.Future.sequence(futs),
-      scala.concurrent.duration.Duration(300, "s"))
+      scala.concurrent.duration.Duration(900, "s"))
     pool.shutdown()
     val t = new CdcTable(spark, path, Seq("id"), io = store)
     val got = t.read.select("id", "v").collect()
