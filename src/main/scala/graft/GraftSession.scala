@@ -316,10 +316,14 @@ final class GraftSession(val spark: SparkSession, val root: String,
       s"no pending transaction $id (have: ${pendingTransactions.mkString(", ")})")
     val parts = txParticipants(id)
     // validate EVERY restore target before touching ANY table: an abort
-    // must not itself half-apply
-    parts.foreach { case (n, forkV) =>
+    // must not itself half-apply. Record the head version each check
+    // validated — the restore below is CAS-fenced on it, so a commit
+    // landing BETWEEN this loop and the restore throws instead of being
+    // silently replaced (the validate-then-restore race).
+    val validatedHead = parts.flatMap { case (n, forkV) =>
       val t = table(n)
-      if (!t.branches.contains(id)) {
+      if (t.branches.contains(id)) None
+      else {
         val cur = t.currentVersion.getOrElse(-1L)
         require(forkV >= 0L,
           s"abort $id: manifest records no pre-transaction version for $n")
@@ -327,12 +331,14 @@ final class GraftSession(val spark: SparkSession, val root: String,
           require(t.commitTags(cur).get(CdcTable.PublishedBranchTag).contains(id),
             s"abort $id: $n's head v$cur is not this transaction's publish — " +
               "a later commit would be lost; recover forward with rebaseTsCol instead")
+        Some(n -> cur)
       }
-    }
+    }.toMap
     parts.foreach { case (n, forkV) =>
       val t = table(n)
       if (t.branches.contains(id)) t.dropBranch(id)
-      else if (!t.currentVersion.contains(forkV)) t.restore(forkV)
+      else if (!t.currentVersion.contains(forkV))
+        t.restore(forkV, ifHeadIs = validatedHead.get(n))
     }
     io.deleteRecursively(txFile(id).getPath)
   }

@@ -848,10 +848,13 @@ object InferenceQueries extends QueryPack {
     */
   private[graft] def lrIterSql(div: String, dView: String, bView: String): String =
     s"""SELECT
-       |  CAST(FLOOR((R0*(D*F - E*E) - B*(R1*F - E*R2) + C*(R1*E - D*R2)) / (A*(D*F - E*E) - B*(B*F - C*E) + C*(B*E - C*D)) * 1000000 + 0.5) AS BIGINT) AS b0,
-       |  CAST(FLOOR((A*(R1*F - E*R2) - R0*(B*F - E*C) + C*(B*R2 - R1*C)) / (A*(D*F - E*E) - B*(B*F - C*E) + C*(B*E - C*D)) * 1000000 + 0.5) AS BIGINT) AS b1,
-       |  CAST(FLOOR((A*(D*R2 - R1*E) - B*(B*R2 - R1*C) + R0*(B*E - D*C)) / (A*(D*F - E*E) - B*(B*F - C*E) + C*(B*E - C*D)) * 1000000 + 0.5) AS BIGINT) AS b2
+       |  CASE WHEN det = 0 THEN CAST(0 AS BIGINT) ELSE CAST(FLOOR((R0*(D*F - E*E) - B*(R1*F - E*R2) + C*(R1*E - D*R2)) / det * 1000000 + 0.5) AS BIGINT) END AS b0,
+       |  CASE WHEN det = 0 THEN CAST(0 AS BIGINT) ELSE CAST(FLOOR((A*(R1*F - E*R2) - R0*(B*F - E*C) + C*(B*R2 - R1*C)) / det * 1000000 + 0.5) AS BIGINT) END AS b1,
+       |  CASE WHEN det = 0 THEN CAST(0 AS BIGINT) ELSE CAST(FLOOR((A*(D*R2 - R1*E) - B*(B*R2 - R1*C) + R0*(B*E - D*C)) / det * 1000000 + 0.5) AS BIGINT) END AS b2
        |FROM (
+       |  SELECT A, B, C, D, E, F, R0, R1, R2,
+       |    A*(D*F - E*E) - B*(B*F - C*E) + C*(B*E - C*D) AS det
+       |  FROM (
        |  SELECT CAST(sw AS DOUBLE) AS A, CAST(swx1 AS DOUBLE) AS B, CAST(swx2 AS DOUBLE) AS C,
        |    CAST(swx11 AS DOUBLE) AS D, CAST(swx12 AS DOUBLE) AS E, CAST(swx22 AS DOUBLE) AS F,
        |    CAST(sz AS DOUBLE) AS R0, CAST(szx1 AS DOUBLE) AS R1, CAST(szx2 AS DOUBLE) AS R2
@@ -875,7 +878,7 @@ object InferenceQueries extends QueryPack {
        |          FROM (
        |            SELECT d.x1, d.x2, d.y,
        |              (b.b0 + b.b1 * d.x1 + b.b2 * d.x2) AS etan
-       |            FROM $dView d CROSS JOIN $bView b) q1) q2) q3) q4) q5) q6""".stripMargin
+       |            FROM $dView d CROSS JOIN $bView b) q1) q2) q3) q4) q5) q6) q7""".stripMargin
 
   private[graft] val lrZeroBetas =
     "(SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1, CAST(0 AS BIGINT) AS b2)"

@@ -160,7 +160,17 @@ object Tables {
         served.createOrReplaceTempView(name)
         served
       case None =>
-        cachedViews.remove(name): Unit
+        // release the replaced entry's checkpoint blocks EAGERLY: the
+        // ContextCleaner frees them only when the RDD is GC'd, so a
+        // long session re-materializing views (e.g. Verify across
+        // sfDirs) would otherwise accumulate executor storage memory
+        cachedViews.remove(name).foreach { case (_, stale) =>
+          stale.queryExecution.analyzed.foreach {
+            case l: org.apache.spark.sql.execution.LogicalRDD =>
+              l.rdd.unpersist(blocking = false)
+            case _ => ()
+          }
+        }
         val served = df.localCheckpoint()
         served.createOrReplaceTempView(name)
         cachedViews.update(name, (df, served))

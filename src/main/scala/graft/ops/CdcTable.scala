@@ -2257,8 +2257,22 @@ final class CdcTable(
     * re-materializes through the normal commit path, so the usual
     * crash-safety and conflict rules apply.
     */
-  def restore(v: Long): Unit = withOp("RESTORE") {
+  def restore(v: Long): Unit = restore(v, ifHeadIs = None)
+
+  /** RESTORE with a compare-and-set fence: when `ifHeadIs` is given, the
+    * rollback only applies if the table's head is STILL that version —
+    * a commit that landed after the caller validated the head makes the
+    * restore throw instead of silently replacing it (the abort-recovery
+    * race: validate-then-restore is two reads of the head).
+    */
+  def restore(v: Long, ifHeadIs: Option[Long]): Unit = withOp("RESTORE") {
     val expected = currentOrThrow
+    ifHeadIs.foreach { want =>
+      if (expected != want)
+        throw new CommitConflictException(
+          s"RESTORE fence: $path head moved to v$expected after the caller " +
+            s"validated v$want — a concurrent commit would be lost; re-validate")
+    }
     if (v == expected) return
     val next = expected + 1
     partitionSource match {

@@ -79,8 +79,24 @@ final class GramView(
         table.withCommitTags(Map(ReflectedTag -> cur.toString)) {
           table.init(gramOf(source.readVersion(cur), vecCol))
         }
+        clearSidecarUpTo(cur)
     }
   }
+
+  /** Drop the empty-window fast-forward sidecar once a TAGGED refresh
+    * commit reaches (or passes) its value: the sidecar's information is
+    * now carried by the commit tag, and leaving it behind is a trap —
+    * RESTORE commits carry no tags, so after a restore of the view's
+    * backing table `reflectedVersion` would promote the stale sidecar
+    * and skip windows against a rolled-back matrix. (restore() on a
+    * maintained view's table is still only supported in lockstep with
+    * restoring its SOURCE — the signed deltas are relative — but with
+    * the sidecar cleared the view re-syncs instead of silently
+    * skipping.)
+    */
+  private def clearSidecarUpTo(committedTo: Long): Unit =
+    if (io.exists(marker) && io.readString(marker).trim.toLong <= committedTo)
+      io.deleteRecursively(marker)
 
   private def applyWindow(from: Long, to: Long): Unit = {
     val feed = source.changesBetween(from, to)
@@ -104,6 +120,7 @@ final class GramView(
     table.withCommitTags(Map(ReflectedTag -> to.toString)) {
       table.init(merged)
     }
+    clearSidecarUpTo(to)
   }
 }
 

@@ -168,6 +168,31 @@ class GramViewSpec extends SparkSpec {
     assert(cells(view.table.read) === expect, "signed delta not double-applied")
   }
 
+  test("a tagged refresh commit at/past the sidecar value clears the sidecar") {
+    // r14-advice trap: a stale fast-forward sidecar left behind after a
+    // tagged refresh would be PROMOTED if the view's table were ever
+    // restored (RESTORE commits carry no tags) — refreshes would then
+    // skip windows against a rolled-back matrix. The fix: a tagged
+    // refresh commit that reaches the sidecar's value deletes it.
+    val root = tmpDir("gramsidecar")
+    val src = new CdcTable(spark, s"$root/vecs", Seq("vec_id"))
+    src.init(vecs(1L -> axis(0, 1.0f)))
+    val view = new GramView(spark, src, s"$root/gram", "embedding")
+    view.refresh()
+    val marker = java.nio.file.Paths.get(s"$root/gram", GramView.ReflectedMarker)
+    // simulate an empty-window fast-forward: sidecar at the current head
+    java.nio.file.Files.writeString(marker, src.currentVersion.get.toString)
+    def batch(rows: (Long, Array[Float], String)*) =
+      rows.toSeq.toDF("vec_id", "embedding", "__op").withColumn("__ts_ms", lit(10L))
+    src.merge(batch((2L, axis(1, 2.0f), "c")), "__ts_ms")
+    view.refresh() // tagged commit lands PAST the sidecar value
+    assert(!java.nio.file.Files.exists(marker), "stale sidecar not cleared")
+    // reflected version now derives from the commit tag ALONE, so a
+    // restore of the view's table can no longer promote stale state
+    assert(view.reflectedVersion === src.currentVersion)
+    assert(cells(view.table.read) === cells(GramView.gramOf(src.read, "embedding")))
+  }
+
   test("refresh is idempotent and an up-to-date view burns no version") {
     val root = tmpDir("gramview2")
     val src = new CdcTable(spark, s"$root/vecs", Seq("vec_id"))

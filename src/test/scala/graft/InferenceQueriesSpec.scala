@@ -533,6 +533,21 @@ class InferenceQueriesSpec extends SparkSpec {
     assert(got(2L) === ((0L, 0L, 0L)), s"iter 2: ${got(2L)}")
   }
 
+  test("logistic IRLS: a singular design (constant feature) degrades to zero betas, not NaN") {
+    // x1 is constant — collinear with the intercept, so the 3×3 normal
+    // equations are singular and the Cramer determinant is exactly 0.
+    // The guard must return (0, 0, 0) in BOTH engines rather than NaN/Inf
+    // (Spark non-ANSI casts NaN to 0/NULL where DuckDB errors — an
+    // engine-vs-oracle divergence if left unguarded).
+    // 12 rows keeps every moment product under 2^53, so the determinant
+    // cancellation is EXACT in doubles (larger frames can leave a tiny
+    // rounding residue — still engine-identical, but not exactly 0)
+    val rows = (0 until 12).map(i => (7L, (i % 3).toLong, (i % 2).toLong))
+    val got = irlsBetas(rows)
+    assert(got(1L) === ((0L, 0L, 0L)), s"iter 1: ${got(1L)}")
+    assert(got(2L) === ((0L, 0L, 0L)), s"iter 2: ${got(2L)}")
+  }
+
   test("logistic IRLS: quantized distributed fit matches the double-precision twin to 1e-3") {
     // y depends on x1 positively and x2 negatively, with hash-shaped
     // noise — a real (non-degenerate, non-separable) fit

@@ -255,4 +255,24 @@ class TransactionSpec extends SparkSpec {
     assert(n === 1L)
     assert(g.read("orders").count() === 2)
   }
+
+  test("restore's CAS fence refuses when the head moved after validation") {
+    // the abortTransaction race: validate the head in one read, restore in
+    // a second — a commit landing between must make the restore THROW, not
+    // be silently replaced with pre-transaction content
+    val g = freshSession("tx_cas")
+    val t = g.table("orders")
+    val v0 = t.currentVersion.get
+    t.merge(ordersBatch(2L, "o2"), "__ts_ms")
+    val validated = t.currentVersion.get
+    t.merge(ordersBatch(3L, "o3"), "__ts_ms") // the concurrent commit
+    val e = intercept[graft.ops.CdcTable.CommitConflictException] {
+      t.restore(v0, ifHeadIs = Some(validated))
+    }
+    assert(e.getMessage.contains("fence"))
+    assert(g.read("orders").count() === 3, "concurrent commit survived")
+    // the unfenced form still restores (explicit, caller-owned rollback)
+    t.restore(v0)
+    assert(g.read("orders").count() === 1)
+  }
 }
