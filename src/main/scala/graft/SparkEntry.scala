@@ -16,6 +16,7 @@ object SparkEntry {
     AnalyticsQueries,
     OlapQueries,
     TextQueries,
+    UnicodeQueries,
     SimilarityQueries,
     PipelineQueries,
     IndexQueries,

@@ -1089,14 +1089,20 @@ object StatsQueries extends QueryPack {
     * MATERIALIZED pins each stage to one evaluation (it_k feeds both
     * p_{k+1} and it_{k+1}); without it the plan re-expands 2^6-fold.
     */
-  private def bpeTrainOracle: String = {
+  private def bpeTrainOracle: String = bpeTrainOracleOver(
+    s"""SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word""".stripMargin)
+
+  /** The same 6-iteration unroll over an arbitrary (word, freq) CTE body
+    * — shared with `x_bpe_unicode`, whose corpus is the multi-script
+    * fixture through the unicode tokenizer.
+    */
+  private[graft] def bpeTrainOracleOver(wfBody: String): String = {
     val sep = "chr(31)"
     val dsep = "repeat(chr(31), 2)"
     val head = Seq(
-      s"""wf AS MATERIALIZED (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-         |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
-         |  WHERE word <> '' GROUP BY word)""".stripMargin,
+      s"wf AS MATERIALIZED (\n  $wfBody)",
       s"""it0 AS MATERIALIZED (
          |  SELECT freq, $dsep ||
          |    array_to_string(list_transform(generate_series(1, length(word)), i -> word[i]), $dsep)

@@ -98,12 +98,12 @@ object TextQueries extends QueryPack {
     *     every term non-negative by construction.
     */
   private val pplBigramsSql =
-    """WITH w AS (SELECT doc_id,
-      |    filter(split(lower(text), '[^a-z]+'), x -> x <> '') AS ws
-      |  FROM documents)
-      |SELECT doc_id, element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2
-      |FROM w LATERAL VIEW explode(sequence(1, size(ws) - 1)) t AS i
-      |WHERE size(ws) >= 2""".stripMargin
+    s"""WITH w AS (SELECT doc_id,
+       |    ${UnicodeQueries.uniWords("spark", "lower(text)")} AS ws
+       |  FROM documents_uni)
+       |SELECT doc_id, element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2
+       |FROM w LATERAL VIEW explode(sequence(1, size(ws) - 1)) t AS i
+       |WHERE size(ws) >= 2""".stripMargin
 
   private val pplModelSql =
     "SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM ppl_bg GROUP BY w1, w2"
@@ -133,17 +133,22 @@ object TextQueries extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "x_perplexity_lm" -> ((s, dir) => {
-      Tables(s, dir, "documents").createOrReplaceTempView("documents")
+      UnicodeQueries.bindUni(s, dir)
       perplexityOver(s)
     }),
 
-    // Token counting: whitespace tokens + a BPE-ish regex segmentation.
-    "x_token_count" -> ((s, dir) => run(s, dir,
-      """SELECT doc_id,
-        |  CAST(size(split(text, '\\s+')) AS BIGINT) AS ws_tokens,
-        |  CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS bpe_ish_tokens,
-        |  CAST(length(text) AS BIGINT) AS n_chars_actual
-        |FROM documents""".stripMargin)),
+    // Token counting: whitespace tokens + unicode-aware BPE-ish
+    // segmentation (UnicodeQueries.uniTokens — \p{L}\p{M}\p{N} classes
+    // with CJK pre-spacing), over the multi-script corpus.
+    "x_token_count" -> ((s, dir) => {
+      UnicodeQueries.bindUni(s, dir)
+      s.sql(
+        s"""SELECT doc_id,
+           |  CAST(size(split(text, '\\\\s+')) AS BIGINT) AS ws_tokens,
+           |  CAST(size(${UnicodeQueries.uniTokens("spark", "text")}) AS BIGINT) AS bpe_ish_tokens,
+           |  CAST(length(text) AS BIGINT) AS n_chars_actual
+           |FROM documents_uni""".stripMargin)
+    }),
 
     // Quality scoring: word stats, stopword/unique ratios, composite score.
     "x_quality_score" -> ((s, dir) => run(s, dir,
@@ -158,20 +163,8 @@ object TextQueries extends QueryPack {
         |    + 0.2 * least(CAST(size(words) AS DOUBLE) / 50.0, 1.0) AS quality_score
         |FROM w""".stripMargin)),
 
-    // Language-ID: stopword-marker voting with a deterministic tie order.
-    "x_lang_id" -> ((s, dir) => run(s, dir,
-      """WITH w AS (SELECT doc_id, lang, split(text, '\\s+') AS words FROM documents),
-        |hits AS (SELECT doc_id, lang,
-        |  CAST(size(filter(words, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS en_hits,
-        |  CAST(size(filter(words, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits,
-        |  CAST(size(filter(words, x -> x IN ('el','la','los','de','es'))) AS BIGINT) AS es_hits
-        |FROM w)
-        |SELECT doc_id, lang, en_hits, de_hits, es_hits,
-        |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
-        |       WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
-        |       WHEN es_hits > 0 THEN 'es'
-        |       ELSE 'unknown' END AS predicted_lang
-        |FROM hits""".stripMargin)),
+    // Language-ID moved to UnicodeQueries (x_lang_id): script-range
+    // voting + character-trigram profiles over the multi-script corpus.
 
     // Position-salted rolling fingerprint: order-sensitive content hash,
     // map-side combinable (sum of per-token hashes mod a prime).
@@ -458,9 +451,10 @@ object TextQueries extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "x_perplexity_lm" ->
-      """WITH w AS MATERIALIZED (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ws
-        |  FROM documents),
+      s"""WITH documents_uni AS (${UnicodeQueries.docsUniSql("duck")}),
+        |w AS MATERIALIZED (
+        |  SELECT doc_id, ${UnicodeQueries.uniWords("duck", "lower(text)")} AS ws
+        |  FROM documents_uni),
         |bg AS MATERIALIZED (
         |  SELECT doc_id, ws[CAST(i AS INTEGER)] AS w1, ws[CAST(i + 1 AS INTEGER)] AS w2
         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w WHERE len(ws) >= 2)),
@@ -476,11 +470,12 @@ object TextQueries extends QueryPack {
         |FROM t GROUP BY doc_id""".stripMargin,
 
     "x_token_count" ->
-      """SELECT doc_id,
-        |  len(string_split_regex(text, '\s+')) AS ws_tokens,
-        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+      s"""WITH documents_uni AS (${UnicodeQueries.docsUniSql("duck")})
+        |SELECT doc_id,
+        |  len(string_split_regex(text, '\\s+')) AS ws_tokens,
+        |  len(${UnicodeQueries.uniTokens("duck", "text")}) AS bpe_ish_tokens,
         |  length(text) AS n_chars_actual
-        |FROM documents""".stripMargin,
+        |FROM documents_uni""".stripMargin,
 
     "x_quality_score" ->
       """WITH w AS (SELECT doc_id, length(text) AS n_chars, string_split_regex(text, '\s+') AS words FROM documents)
@@ -493,20 +488,6 @@ object TextQueries extends QueryPack {
         |    + 0.3 * (1.0 - CAST(len(list_filter(words, x -> x IN ('the','a','of','and'))) AS DOUBLE) / len(words))
         |    + 0.2 * least(CAST(len(words) AS DOUBLE) / 50.0, 1.0) AS quality_score
         |FROM w""".stripMargin,
-
-    "x_lang_id" ->
-      """WITH w AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS words FROM documents),
-        |hits AS (SELECT doc_id, lang,
-        |  len(list_filter(words, x -> x IN ('the','a','of','and','is'))) AS en_hits,
-        |  len(list_filter(words, x -> x IN ('der','die','das','und','ist'))) AS de_hits,
-        |  len(list_filter(words, x -> x IN ('el','la','los','de','es'))) AS es_hits
-        |FROM w)
-        |SELECT doc_id, lang, en_hits, de_hits, es_hits,
-        |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
-        |       WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
-        |       WHEN es_hits > 0 THEN 'es'
-        |       ELSE 'unknown' END AS predicted_lang
-        |FROM hits""".stripMargin,
 
     "x_fingerprint" ->
       s"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents),

@@ -6,9 +6,14 @@ package graft
 class TextQueriesSpec extends SparkSpec {
   import spark.implicits._
 
-  private def asDocs(texts: Seq[String]): Unit =
-    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+  private def asDocs(texts: Seq[String]): Unit = {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents")
+    // perplexityOver reads the multi-script union view; specs test the
+    // closed form on exactly these docs, so bind both names to the frame
+    df.createOrReplaceTempView("documents_uni")
+  }
 
   test("Zipf fit recovers slope -1 on a freq = C/rank corpus") {
     // frequencies 60/r for ranks 1..5: 60, 30, 20, 15, 12 — an exact
