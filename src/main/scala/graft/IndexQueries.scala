@@ -275,7 +275,7 @@ object IndexQueries extends QueryPack {
   private def trainedView(s: SparkSession, dir: String, name: String)(sql: => String): Unit =
     trained.synchronized {
       trained.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
-      trained.getOrElseUpdate((s, dir, name), s.sql(sql).localCheckpoint())
+      trained.getOrElseUpdate((s, dir, name), Tables.materializeView(s.sql(sql)))
         .createOrReplaceTempView(name)
     }
 

@@ -131,6 +131,36 @@ object Tables {
   private val cachedViews =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
 
+  /** Session conf key selecting how shared views materialize:
+    *
+    *   - `local` (default): `localCheckpoint()` — fastest, but blocks
+    *     live on the executors that computed them and are NOT
+    *     recomputable; on a multi-executor cluster one lost executor
+    *     kills every consumer of the view. The right choice for
+    *     single-node/bench runs.
+    *   - `reliable`: `checkpoint()` to the SparkContext checkpoint
+    *     directory — survives executor loss (re-read from storage), at
+    *     the cost of a write to the checkpoint dir. The right choice on
+    *     a real cluster; point `sparkContext.setCheckpointDir` at
+    *     durable shared storage (HDFS/object store). If no checkpoint
+    *     dir is set, one is created under java.io.tmpdir (fine locally;
+    *     a cluster deployment should set its own).
+    */
+  val ViewCheckpointModeKey = "spark.graft.view.checkpoint"
+
+  /** Materialize a shared view's frame per [[ViewCheckpointModeKey]]. */
+  private[graft] def materializeView(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get(ViewCheckpointModeKey, "local") match {
+      case "reliable" =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(
+            java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        df.checkpoint()
+      case _ => df.localCheckpoint()
+    }
+  }
+
   /** Materialize `df` ONCE (eager localCheckpoint) and register the
     * result as temp view `name`, reusing the live materialization when
     * the SAME computation is re-requested (cross-query sharing within
@@ -171,7 +201,7 @@ object Tables {
             case _ => ()
           }
         }
-        val served = df.localCheckpoint()
+        val served = materializeView(df)
         served.createOrReplaceTempView(name)
         cachedViews.update(name, (df, served))
         served

@@ -417,6 +417,64 @@ class PlanAuditSpec extends SparkSpec {
       "no global sort anywhere in the bootstrap plan")
   }
 
+  test("unpartitioned windows sit on value-bounded inputs, never a raw corpus scan") {
+    // The bench log's "No Partition Defined for Window" warnings are
+    // design-accepted ONLY because every such window runs over a
+    // distinct-value / model / histogram table (bounded by the value
+    // domain, not the row count). This pins that invariant: for every
+    // audited query, each unpartitioned logical Window's input subtree
+    // must pass through an Aggregate whose grouping keys are VALUE
+    // columns (never row-identity keys), a limit, or a literal/model
+    // leaf before reaching a file scan. A future edit that moves a
+    // full-corpus window onto one partition fails here, not in prod.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val identityKeys = Set("doc_id", "vec_id", "event_id", "l_orderkey",
+      "o_orderkey", "ps_partkey")
+    def bounded(p: SparkPlan): Boolean = p match {
+      // an aggregate bounds downstream cardinality to its distinct
+      // grouping values — unless the grouping carries a row-identity key,
+      // in which case it only inherits whatever bound its input has
+      // (e.g. the doc-pair aggregates over df-capped cached posting
+      // views: identity-keyed, but fed by audited model leaves)
+      case a: BaseAggregateExec =>
+        val keys = a.groupingExpressions.flatMap(_.references.toSeq.map(_.name)).toSet
+        keys.intersect(identityKeys).isEmpty || a.children.forall(bounded)
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+      // rank-limit pushdown caps the window input at k rows per group
+      case _: WindowGroupLimitExec => true
+      case _: LocalTableScanExec => true
+      // checkpointed model/view leaves: bounded by their builders, which
+      // have their own scan-count audits above
+      case _: RDDScanExec => true
+      case l: LeafExecNode => false
+      case other => other.children.nonEmpty && other.children.forall(bounded)
+    }
+    val audited = Seq(
+      "x_gini", "x_auc", "x_lift_deciles", "x_calibration", "x_psi",
+      "x_benford", "x_zipf_fit", "x_bucket_boundaries", "x_ntile_bucketing",
+      "x_chi_square", "x_feature_mi", "x_survival_hazard", "x_gbdt_stumps",
+      "q_median_window", "x_quality_score", "x_term_stats", "x_doc_similarity")
+    audited.foreach { n =>
+      val pp = SparkEntry.queries(n)(spark, dir).queryExecution.sparkPlan
+      pp.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          assert(bounded(w.child),
+            s"$n: unpartitioned window over an unbounded (corpus-scale) input:\n$w")
+        case _ => ()
+      }
+    }
+    // negative control: the checker itself must catch a global window
+    // directly over a corpus scan
+    val bad = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "row_number() OVER (ORDER BY doc_id) AS rn")
+      .queryExecution.sparkPlan
+    val badWindows = bad.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(badWindows.nonEmpty && badWindows.forall(w => !bounded(w.child)),
+      "checker failed to flag a global window over a raw scan")
+  }
+
   test("triangle count runs over the checkpointed edge table, not re-derived scans") {
     // the support-2 edge build happens once at view-build time; the
     // triangle/degree/orientation joins must read the in-memory leaf
