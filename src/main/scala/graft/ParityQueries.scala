@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.envelope.{DebeziumSchema, EnvelopeCodec}
 import graft.ops.{CdcMerge, CdcTable, Dedup, FileSkipping}
@@ -32,6 +32,155 @@ object ParityQueries extends QueryPack {
     cache.get((s, dir)).getOrElse(cache.synchronized {
       cache.getOrElseUpdate((s, dir), build)
     })
+
+  // ------------------------------------------------------------------
+  // S1/K2/K6/K7 end-to-end on the reference's 22-type fixture table
+  // (python_produce_data.py:103-129): every MySQL type of that CREATE
+  // TABLE rides the Debezium wire with its real logical-type annotation
+  // (ConnectDecimal, ZonedTimestamp, Timestamp, Date, MicroTime, Year,
+  // Enum, EnumSet, Json, int16/int32/int64, float32/float64, 4 text
+  // widths), through envelope decode → CREATE → a second MERGE window
+  // (inserts + updates + deletes) → an ALTER-ADD-COLUMN evolution batch.
+  // The oracle replays the same deterministic arithmetic over `orders`.
+  // ------------------------------------------------------------------
+
+  private[graft] val wideFieldNames: Seq[String] = Seq(
+    "invoice_id", "item_id", "smallint_col", "mediumint_col", "quantity",
+    "category", "gender", "price", "price1", "price2", "order_date",
+    "current_dt", "shipping_type", "json_col", "set_col", "tinytext_col",
+    "text_col", "mediumtext_col", "longtext_col", "dob", "start_to_work",
+    "year_col")
+
+  private def wideSchemaJson(withDiscount: Boolean): String = {
+    val discount =
+      if (withDiscount) """,{"field":"discount","type":"double","optional":true}""" else ""
+    """{"type":"struct","fields":[
+      |{"field":"invoice_id","type":"int64","optional":false},
+      |{"field":"item_id","type":"int32","optional":true},
+      |{"field":"smallint_col","type":"int16","optional":true},
+      |{"field":"mediumint_col","type":"int32","optional":true},
+      |{"field":"quantity","type":"int16","optional":true},
+      |{"field":"category","type":"string","optional":true},
+      |{"field":"gender","type":"string","optional":true},
+      |{"field":"price","type":"bytes","optional":true,"name":"org.apache.kafka.connect.data.Decimal"},
+      |{"field":"price1","type":"float32","optional":true},
+      |{"field":"price2","type":"double","optional":true},
+      |{"field":"order_date","type":"string","optional":true,"name":"io.debezium.time.ZonedTimestamp"},
+      |{"field":"current_dt","type":"int64","optional":true,"name":"io.debezium.time.Timestamp"},
+      |{"field":"shipping_type","type":"string","optional":true,"name":"io.debezium.data.Enum"},
+      |{"field":"json_col","type":"string","optional":true,"name":"io.debezium.data.Json"},
+      |{"field":"set_col","type":"string","optional":true,"name":"io.debezium.data.EnumSet"},
+      |{"field":"tinytext_col","type":"string","optional":true},
+      |{"field":"text_col","type":"string","optional":true},
+      |{"field":"mediumtext_col","type":"string","optional":true},
+      |{"field":"longtext_col","type":"string","optional":true},
+      |{"field":"dob","type":"int32","optional":true,"name":"io.debezium.time.Date"},
+      |{"field":"start_to_work","type":"int64","optional":true,"name":"io.debezium.time.MicroTime"},
+      |{"field":"year_col","type":"int32","optional":true,"name":"io.debezium.time.Year"}""".stripMargin
+      .replace("\n", "") + discount +
+      """,{"field":"__deleted","type":"string","optional":true}]}"""
+  }
+
+  /** Wire-value projection over `orders`: deterministic arithmetic on
+    * o_orderkey so the DuckDB oracle can replay the final state exactly.
+    * `mutated` applies the second window's update rule (category/price2
+    * of every 10th key).
+    */
+  private def wideWireCols(mutated: Boolean): Seq[String] = {
+    val category =
+      if (mutated) "CASE WHEN o_orderkey % 10 = 0 THEN 'UPDATED' ELSE o_orderpriority END"
+      else "o_orderpriority"
+    val price2 =
+      if (mutated) "CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END"
+      else "o_totalprice"
+    Seq(
+      "o_orderkey AS invoice_id",
+      "CAST(o_orderkey % 1000 AS INT) AS item_id",
+      "CAST(o_orderkey % 30000 AS INT) AS smallint_col",
+      "CAST(o_orderkey % 8000000 AS INT) AS mediumint_col",
+      "CAST(o_orderkey % 100 AS INT) AS quantity",
+      s"$category AS category",
+      "o_orderstatus AS gender",
+      "CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS STRING) AS price",
+      "CAST(o_orderkey % 900 + 0.25 AS FLOAT) AS price1",
+      s"$price2 AS price2",
+      "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS order_date",
+      "unix_millis(o_orderdate) AS current_dt",
+      "CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'Free' WHEN 1 THEN '3-Day' ELSE '2-Day' END AS shipping_type",
+      """concat('{"k":', CAST(o_orderkey % 7 AS STRING), '}') AS json_col""",
+      "CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'java' WHEN 1 THEN 'java,python' ELSE 'c++' END AS set_col",
+      "substring(o_orderpriority, 1, 3) AS tinytext_col",
+      "concat(o_orderpriority, ' txt') AS text_col",
+      "repeat(o_orderstatus, 5) AS mediumtext_col",
+      "repeat(o_orderpriority, 3) AS longtext_col",
+      "CAST(o_orderkey % 15000 AS INT) AS dob",
+      "(o_orderkey % 86400) * 1000000 AS start_to_work",
+      "CAST(1990 + o_orderkey % 30 AS INT) AS year_col")
+  }
+
+  /** Wrap wire-valued rows as Debezium envelopes (key/value/headers/
+    * topic) with a fixed op and source timestamp.
+    */
+  private def wideEnvelope(rows: DataFrame, op: String, tsMs: Long,
+                           withDiscount: Boolean): DataFrame = {
+    val names = if (withDiscount) wideFieldNames :+ "discount" else wideFieldNames
+    val payload = to_json(struct(names.map(col) :+
+      lit(if (op == "d") "true" else "false").as("__deleted"): _*))
+    val header = (k: String, v: Column) =>
+      struct(lit(k).as("key"), v.cast("binary").as("value"))
+    rows.select(
+      to_json(struct(col("invoice_id"))).as("key"),
+      concat(lit(s"""{"schema":${wideSchemaJson(withDiscount)},"payload":"""),
+        payload, lit("}")).as("value"),
+      array(
+        header("table", lit("wide")),
+        header("op", lit(op)),
+        header("source.ts_ms", lit(tsMs.toString)),
+        header("source.db", lit("oms1"))).as("headers"),
+      lit("source_glaucus1.oms1.wide").as("topic"))
+  }
+
+  private def decodeWide(env: DataFrame, withDiscount: Boolean): DataFrame = {
+    val fields = DebeziumSchema.parseFields(wideSchemaJson(withDiscount))
+    EnvelopeCodec.decodePayload(EnvelopeCodec.withMeta(env), fields,
+      primaryKey = Some("invoice_id"))
+  }
+
+  private val wideTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
+  private def wideTable(s: SparkSession, dir: String): CdcTable =
+    memoized(wideTables)(s, dir) {
+      val root = java.nio.file.Files.createTempDirectory("graft_wide").toString
+      val o = Tables(s, dir, "orders")
+      val k = col("o_orderkey")
+      val t = new CdcTable(s, s"$root/wide", keys = Seq("invoice_id"))
+      // window 1 (CREATE): even keys arrive as inserts
+      val b1 = decodeWide(wideEnvelope(
+        o.filter(k % 2 === 0).selectExpr(wideWireCols(mutated = false): _*),
+        "c", 1000000L, withDiscount = false), withDiscount = false)
+      t.init(b1.select(wideFieldNames.map(col): _*))
+      // window 2 (MERGE): odd keys insert, every 10th key updates, every
+      // 13th key deletes (including keys never inserted — must no-op)
+      val ins = wideEnvelope(o.filter(k % 2 === 1 && k % 13 =!= 0)
+        .selectExpr(wideWireCols(mutated = false): _*), "c", 2000000L, withDiscount = false)
+      val upd = wideEnvelope(o.filter(k % 10 === 0 && k % 13 =!= 0)
+        .selectExpr(wideWireCols(mutated = true): _*), "u", 2000000L, withDiscount = false)
+      val del = wideEnvelope(o.filter(k % 13 === 0)
+        .selectExpr(wideWireCols(mutated = false): _*), "d", 2000000L, withDiscount = false)
+      val b2 = decodeWide(ins.unionByName(upd).unionByName(del), withDiscount = false)
+      t.merge(b2.select((wideFieldNames :+ "__op" :+ "__ts_ms").map(col): _*), "__ts_ms")
+      // window 3 (EVOLVE): every 17th surviving key re-arrives carrying a
+      // NEW `discount` column — the first non-empty batch with the column
+      // widens the table schema; untouched rows read back NULL discount
+      val b3rows = o.filter(k % 17 === 3 && k % 13 =!= 0)
+        .selectExpr(wideWireCols(mutated = true) :+
+          "CAST(o_orderkey % 5 AS DOUBLE) * 1.5 AS discount": _*)
+      val b3 = decodeWide(wideEnvelope(b3rows, "u", 3000000L, withDiscount = true),
+        withDiscount = true)
+      t.merge(b3.select((wideFieldNames :+ "discount" :+ "__op" :+ "__ts_ms").map(col): _*),
+        "__ts_ms")
+      t
+    }
 
   // one key-range-clustered versioned copy of `orders` per (session, sfDir)
   // for the stats-pruned scan, plus the memoized key bounds the probe
@@ -402,6 +551,16 @@ object ParityQueries extends QueryPack {
           col("__op").as("op"), col("__db").as("db"), col("__ts_ms").as("ts_ms"))
     }),
 
+    // S1+K2+K6+K7: the 22-type wide matrix end-to-end — decode → create
+    // → merge (insert/update/delete) → evolve (ALTER ADD via the first
+    // non-empty batch carrying `discount`). The result schema carries
+    // every mapped type: long/int/short ints, strings (char, varchar,
+    // enum, set, json, 4 text widths), decimal(38,2), float, double,
+    // two timestamps, date, micro-time long, year int.
+    "s1_envelope_wide_types" -> ((s, dir) =>
+      wideTable(s, dir).read.select(
+        (wideFieldNames :+ "discount").map(col): _*)),
+
     // K2 + J1: full CDC merge — history half builds the base state, the
     // other half is the incoming batch; deletes drop, updates replace,
     // inserts append. Full-outer join on the key, exactly the
@@ -657,6 +816,33 @@ object ParityQueries extends QueryPack {
          |  'oms' || CAST(user_id % 2 + 1 AS VARCHAR) AS db,
          |  date_trunc('milliseconds', ts) AS ts_ms
          |FROM events""".stripMargin,
+
+    "s1_envelope_wide_types" ->
+      """SELECT
+        |  o_orderkey AS invoice_id,
+        |  CAST(o_orderkey % 1000 AS INTEGER) AS item_id,
+        |  CAST(o_orderkey % 30000 AS SMALLINT) AS smallint_col,
+        |  CAST(o_orderkey % 8000000 AS INTEGER) AS mediumint_col,
+        |  CAST(o_orderkey % 100 AS SMALLINT) AS quantity,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'UPDATED' ELSE o_orderpriority END AS category,
+        |  o_orderstatus AS gender,
+        |  CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DECIMAL(38,2)) AS price,
+        |  CAST(o_orderkey % 900 + 0.25 AS REAL) AS price1,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS price2,
+        |  date_trunc('second', o_orderdate) AS order_date,
+        |  date_trunc('milliseconds', o_orderdate) AS current_dt,
+        |  CASE CAST(o_orderkey % 3 AS INTEGER) WHEN 0 THEN 'Free' WHEN 1 THEN '3-Day' ELSE '2-Day' END AS shipping_type,
+        |  '{"k":' || CAST(o_orderkey % 7 AS VARCHAR) || '}' AS json_col,
+        |  CASE CAST(o_orderkey % 3 AS INTEGER) WHEN 0 THEN 'java' WHEN 1 THEN 'java,python' ELSE 'c++' END AS set_col,
+        |  substr(o_orderpriority, 1, 3) AS tinytext_col,
+        |  o_orderpriority || ' txt' AS text_col,
+        |  repeat(o_orderstatus, 5) AS mediumtext_col,
+        |  repeat(o_orderpriority, 3) AS longtext_col,
+        |  DATE '1970-01-01' + CAST(o_orderkey % 15000 AS INTEGER) AS dob,
+        |  (o_orderkey % 86400) * 1000000 AS start_to_work,
+        |  CAST(1990 + o_orderkey % 30 AS INTEGER) AS year_col,
+        |  CASE WHEN o_orderkey % 17 = 3 THEN CAST(o_orderkey % 5 AS DOUBLE) * 1.5 END AS discount
+        |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
 
     "k2_cdc_merge" ->
       s"""WITH ops AS (SELECT *, $opSql AS op FROM events),

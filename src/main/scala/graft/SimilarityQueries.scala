@@ -404,6 +404,108 @@ object SimilarityQueries extends QueryPack {
        |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
        |  FROM pairs)""".stripMargin
 
+  // ------------------------------------------------------------------
+  // 256-dim operating point (r14 verdict #3): real encoder output is
+  // 384-1536-dim, which changes the LSH plane budget and projection
+  // cost. The corpus lifts 64 -> 256 dims by a BLOCK ISOMETRY — four
+  // sign-flipped circular shifts stacked: dot256(x,y) = 4*dot64(x,y)
+  // and nrm256 = 4*nrm64 EXACTLY (integers), so cosine structure — and
+  // therefore the brute-force ground truth — is preserved by
+  // construction, while the index machinery (16 hyperplanes x 256
+  // terms, the band join, the projection pass) runs at genuine 256-dim
+  // cost. Both engines derive the lift from the same pure (b, j)
+  // functions, so the hash-compare holds at any scale factor.
+  // ------------------------------------------------------------------
+  private val sparkV256 =
+    """v256 AS (
+      |  SELECT vec_id, flatten(transform(sequence(0, 3), b ->
+      |    transform(sequence(0, 63), j ->
+      |      IF((j + b) % 2 = 0, 1L, -1L)
+      |        * element_at(qe, CAST(pmod(j + b * 16, 64) + 1 AS INT))))) AS qe
+      |  FROM v)""".stripMargin
+
+  private val duckV256 =
+    """v256 AS (
+      |  SELECT vec_id, flatten(list_transform(range(0, 4), b ->
+      |    list_transform(range(0, 64), j ->
+      |      CASE WHEN (j + b) % 2 = 0 THEN 1::BIGINT ELSE -1::BIGINT END
+      |        * qe[CAST((j + b * 16) % 64 + 1 AS INTEGER)]))) AS qe
+      |  FROM v)""".stripMargin
+
+  private val planeLit256Cache = scala.collection.concurrent.TrieMap.empty[Int, String]
+  private def planeLit256(p: Int): String =
+    planeLit256Cache.getOrElseUpdate(p,
+      (0 until 256).map(d => s"${planeWeight(p, d)}L").mkString("array(", ",", ")"))
+
+  /** 256-dim literal-plane banding: 4 bands x 4 sign bits, planes
+    * generated from the same pure (plane, dim) weight function extended
+    * to 256 dims. Banding runs over v256; scoring reuses the 64-dim
+    * vectors (the lift preserves cosine exactly, so candidates pay the
+    * cheap dot product).
+    */
+  private val sparkBands256 = {
+    val bval = (0 until 4).map(i => s"IF(pr[b*4+$i] > 0, ${1L << i}L, 0L)").mkString(" + ")
+    s"""projt AS (
+       |  SELECT vec_id, array(
+       |    ${(0 until 16).map(p => s"dot_i64(qe, ${planeLit256(p)})").mkString(",\n       |    ")}) AS pr
+       |  FROM v256),
+       |bands AS (
+       |  SELECT vec_id, b AS band, CAST($bval AS BIGINT) AS bval
+       |  FROM projt LATERAL VIEW explode(sequence(0, 3)) t AS b)""".stripMargin
+  }
+
+  private val duckBands256 =
+    s"""planes AS (
+       |  SELECT pp.p, dd.d, (${duckH64("pp.p::VARCHAR || '_' || dd.d::VARCHAR")} % 2001) - 1000 AS wgt
+       |  FROM (SELECT unnest(generate_series(0, 15)) AS p) pp
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS d) dd),
+       |proj AS (
+       |  SELECT v256.vec_id, planes.p, sum(v256.qe[planes.d + 1] * planes.wgt) AS s
+       |  FROM v256 CROSS JOIN planes GROUP BY v256.vec_id, planes.p),
+       |bands AS (
+       |  SELECT vec_id, p // 4 AS band,
+       |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (p % 4)) ELSE 0::BIGINT END) AS BIGINT) AS bval
+       |  FROM proj GROUP BY vec_id, p // 4)""".stripMargin
+
+  private val sparkLsh256Scored =
+    s"""$sparkV256,
+       |$sparkBands256,
+       |$sparkQsel,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id != b.vec_id
+       |  WHERE a.vec_id IN (SELECT vec_id FROM qsel)),
+       |pairs AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    dot_i64(qv.qe, nv.qe) AS dot, qv.nrm AS n1, nv.nrm AS n2
+       |  FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+       |              JOIN v nv ON nv.vec_id = c.neighbor_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+       |  FROM pairs)""".stripMargin
+
+  private val duckLsh256Scored =
+    s"""$duckV256,
+       |$duckBands256,
+       |$duckQsel,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id != b.vec_id
+       |  WHERE a.vec_id IN (SELECT vec_id FROM qsel)),
+       |pairs AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(list_dot_product(qv.qe::DOUBLE[], nv.qe::DOUBLE[]) AS BIGINT) AS dot,
+       |    qv.nrm AS n1, nv.nrm AS n2
+       |  FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+       |              JOIN v nv ON nv.vec_id = c.neighbor_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+       |  FROM pairs)""".stripMargin
+
   // Query-directed multi-probe LSH: besides its own 4 band values, each
   // query probes the buckets reached by flipping the 4 sign bits whose
   // projection magnitude |s| is smallest — exactly the bits most likely
@@ -769,6 +871,49 @@ object SimilarityQueries extends QueryPack {
          |SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin)),
+
+    // 256-dim LSH ANN: banded candidates from the block-isometric
+    // 256-dim lift (16 hyperplanes x 256 terms — the plane budget and
+    // projection cost of a real encoder dimension), scored by the exact
+    // cosine the lift preserves.
+    "x_ann_lsh_highdim" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuant,
+         |$sparkLsh256Scored
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin)),
+
+    // Recall@5 of the 256-dim banded search vs the exact ground truth
+    // (identical to the 64-dim truth by the isometry) — the high-dim
+    // point on the ANN operating dashboard.
+    "x_ann_recall_highdim" -> ((s, dir) => embs(s, dir,
+      s"""WITH $sparkQuant,
+         |$sparkLsh256Scored,
+         |lsh_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM scored) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
+         |    CAST(dot_i64(q2.qe, v2.qe) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
+         |  FROM qsel q2
+         |  JOIN v v2 ON q2.vec_id != v2.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN lsh_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5
+         |FROM hits""".stripMargin)),
 
     // Recall harness: recall@5 of the LSH-bucketed search against the
     // brute-force ground truth, as one aggregated row. Everything is
@@ -1281,6 +1426,42 @@ object SimilarityQueries extends QueryPack {
          |SELECT query_id, neighbor_id, rank, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "x_ann_lsh_highdim" ->
+      s"""WITH $duckQuant,
+         |$duckLsh256Scored
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "x_ann_recall_highdim" ->
+      s"""WITH $duckQuant,
+         |$duckLsh256Scored,
+         |lsh_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM scored) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(q2.qe::DOUBLE[], v2.qe::DOUBLE[]) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
+         |  FROM qsel q2
+         |  JOIN v v2 ON q2.vec_id != v2.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN lsh_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5
+         |FROM hits""".stripMargin,
 
     "x_ann_recall" ->
       s"""WITH $duckQuant,
