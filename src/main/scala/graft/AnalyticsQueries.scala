@@ -225,8 +225,15 @@ object AnalyticsQueries extends QueryPack {
         .agg(
           expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("sum_qty"),
           expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").as("sum_base_price"),
-          expr(s"CAST(SUM($discPrice) AS DOUBLE)").as("sum_disc_price"),
-          expr(s"CAST(SUM($charge) AS DOUBLE)").as("sum_charge"),
+          // scale-4/6 money sums outgrow 2^53 unscaled at sf1 — DuckDB's
+          // int128->double->/10^scale conversion double-rounds where
+          // Java's BigDecimal cast rounds once (last-ulp divergence), and
+          // any re-scale-then-cast trick ties differently (HALF_UP vs
+          // half-even). These two columns therefore stay EXACT decimals:
+          // a widening cast never rounds, so both engines emit the
+          // identical value at any scale factor
+          expr(s"CAST(SUM($discPrice) AS DECIMAL(38,4))").as("sum_disc_price"),
+          expr(s"CAST(SUM($charge) AS DECIMAL(38,6))").as("sum_charge"),
           expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)").as("avg_qty"),
           expr("CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)").as("avg_disc"),
           count(lit(1)).as("count_order"))),
@@ -521,8 +528,8 @@ object AnalyticsQueries extends QueryPack {
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-         |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
-         |  CAST(SUM($charge) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM($discPrice) AS DECIMAL(38,4)) AS sum_disc_price,
+         |  CAST(SUM($charge) AS DECIMAL(38,6)) AS sum_charge,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
          |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
          |  COUNT(*) AS count_order

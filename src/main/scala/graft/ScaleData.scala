@@ -35,8 +35,16 @@ import org.apache.spark.sql.functions._
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
-    val outDir = args.headOption.getOrElse("/root/repo/testdata/sf1")
-    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    // --zipf: skew the scaled data the way production traffic skews —
+    // 30% of lineitem rows concentrate on 5 hot order keys, and event
+    // user_ids draw log-uniform (Zipf-1 tail) over the user span — the
+    // fixture for measuring whether the salted/AQE plans hold where the
+    // uniform clones cannot show it. Perf fixture only: the oracle board
+    // runs on the uniform dirs.
+    val zipf = args.contains("--zipf")
+    val pos = args.filterNot(_.startsWith("--"))
+    val outDir = pos.headOption.getOrElse("/root/repo/testdata/sf1")
+    val factor = pos.lift(1).map(_.toInt).getOrElse(10)
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -62,9 +70,23 @@ object ScaleData {
       df.drop("__clone").repartition(parts)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
 
-    val (customer, supplier, part, orders, lineitem, events, documents, embeddings) =
+    val (customer, supplier, part, orders, lineitem, events, baseDocuments, embeddings) =
       (read("customer"), read("supplier"), read("part"), read("orders"),
         read("lineitem"), read("events"), read("documents"), read("embeddings"))
+    // append the multi-script fixture corpus (UnicodeQueries.fixtureDocs)
+    // BEFORE cloning, so every scaled dir carries Cyrillic/Greek/CJK/
+    // Hangul/Arabic/Devanagari text through the word-salting machinery —
+    // the dedup/BPE/perplexity family exercises non-Latin scripts at
+    // every slope point, not just via the inline board fixtures
+    val documents = {
+      val d0 = keySpan(baseDocuments, "doc_id")
+      val fix = spark.createDataFrame(
+        UnicodeQueries.fixtureDocs.zipWithIndex.map { case ((_, lang, text), i) =>
+          (d0 + i, text, lang, "fixture", text.length.toLong)
+        })
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      baseDocuments.unionByName(fix)
+    }
     val (cSpan, sSpan, pSpan, oSpan) = (keySpan(customer, "c_custkey"),
       keySpan(supplier, "s_suppkey"), keySpan(part, "p_partkey"),
       keySpan(orders, "o_orderkey"))
@@ -81,15 +103,33 @@ object ScaleData {
     write(clones(orders).select(off("o_orderkey", oSpan), off("o_custkey", cSpan),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority"), col("__clone")), "orders", 8)
-    write(clones(lineitem).select(off("l_orderkey", oSpan), off("l_partkey", pSpan),
+    // zipf mode: 30% of lineitem rows land on 5 hot order keys (the
+    // skewed-join fixture); the other 70% clone normally
+    val liOrderKey =
+      if (zipf) expr(
+        s"""IF(pmod(hash(l_orderkey, l_linenumber, __clone), 10) < 3,
+           |   CAST(pmod(hash(l_orderkey, l_linenumber, __clone, 7), 5) AS BIGINT),
+           |   l_orderkey + __clone * ${oSpan}L)""".stripMargin).as("l_orderkey")
+      else off("l_orderkey", oSpan)
+    write(clones(lineitem).select(liOrderKey, off("l_partkey", pSpan),
       off("l_suppkey", sSpan), col("l_linenumber"), col("l_quantity"),
       col("l_extendedprice"), col("l_discount"), col("l_tax"), col("l_returnflag"),
       col("l_linestatus"), col("l_shipdate"), col("__clone")), "lineitem", 16)
 
     val eSpan = keySpan(events, "event_id")
     val uSpan = keySpan(events, "user_id")
+    // zipf mode: user ids draw log-uniform over the scaled span — the
+    // frequency of user u falls off ~1/u, the sessionization/salted-agg
+    // hot-key shape
+    val evUser =
+      if (zipf) expr(
+        s"""CAST(least(CAST(${uSpan * factor}L AS DOUBLE) - 1,
+           |  pow(CAST(${uSpan * factor}L AS DOUBLE),
+           |      pmod(hash(event_id, __clone), 1000000) / 1000000.0)) AS BIGINT)""".stripMargin)
+        .as("user_id")
+      else off("user_id", uSpan)
     write(clones(events).select(off("event_id", eSpan), col("ts"),
-      off("user_id", uSpan), col("event_type"), col("value"), col("props"),
+      evUser, col("event_type"), col("value"), col("props"),
       col("__clone")), "events", 8)
 
     val dSpan = keySpan(documents, "doc_id")

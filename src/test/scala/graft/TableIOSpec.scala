@@ -190,7 +190,11 @@ class TableIOSpec extends SparkSpec {
               // how many replays the schedule needed.
               case e @ (_: java.io.IOException | _: CdcTable.CommitConflictException) =>
                 tries += 1
-                assert(tries < 200, s"writer $w: chaos replays exhausted — $e")
+                // 500, not 200: measured flake at 200 when the suite ran
+                // beside an external 13-core process (r15) — conflict
+                // windows stretch with host load, and the budget exists
+                // only to catch livelock, not to bound a loaded schedule
+                assert(tries < 500, s"writer $w: chaos replays exhausted — $e")
             }
           }
         }

@@ -7,6 +7,7 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
 import json
 import sys
+import tempfile
 
 import duckdb
 
@@ -38,6 +39,15 @@ def main():
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     con = duckdb.connect()
+    # an in-memory connection has NO spill path: the unrolled k-means /
+    # similarity oracles at sf1+ exceed RAM and die with "Out of Memory"
+    # at a 16 KB allocation. A temp_directory lets those oracles spill;
+    # the memory_limit keeps DuckDB from fighting a concurrently-running
+    # Spark for the whole host.
+    tmp = tempfile.mkdtemp(prefix="graft_duck_spill_")
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET max_temp_directory_size='200GB'")
     for t in TABLES:
         # driver testdata ships one file per table; ScaleData's sf1+
         # tables are parquet DIRECTORIES — fall back to the glob form
