@@ -94,14 +94,25 @@ object IndexQueries extends QueryPack {
        |        ORDER BY dot_i64(c.ce, c.ce) - 2 * dot_i64(v.qe, c.ce), c.cid) AS rnk
        |    FROM $vtab v CROSS JOIN $cent c) WHERE rnk = 1)""".stripMargin
 
+  // the distance projects to a SCALAR before the argmin window: carrying
+  // the 64-element lists through an n x k window materialized ~45 GB at
+  // sf1 (20k vectors x 313 adaptive cells) and non-spillably OOM'd
+  // DuckDB; with scalar window input the same chain runs in megabytes.
+  // The per-vector qe re-joins after the pick.
   private def duckAssign(name: String, cent: String, vtab: String = "v"): String =
-    s"""$name AS (
-       |  SELECT vec_id, qe, cid FROM (
-       |    SELECT v.vec_id, v.qe, c.cid,
-       |      row_number() OVER (PARTITION BY v.vec_id
-       |        ORDER BY CAST(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT)
-       |          - 2 * CAST(list_dot_product(v.qe::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT), c.cid) AS rnk
-       |    FROM $vtab v CROSS JOIN $cent c) WHERE rnk = 1)""".stripMargin
+    s"""${name}_d AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT)
+       |      - 2 * CAST(list_dot_product(v.qe::DOUBLE[], c.ce::DOUBLE[]) AS BIGINT) AS dist
+       |  FROM $vtab v CROSS JOIN $cent c),
+       |${name}_pick AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rnk
+       |    FROM ${name}_d) q WHERE rnk = 1),
+       |$name AS (
+       |  SELECT p.vec_id, v2.qe, p.cid
+       |  FROM ${name}_pick p JOIN $vtab v2 ON v2.vec_id = p.vec_id)""".stripMargin
 
   /** One Spark centroid-update CTE pair: per-dimension integer means of
     * the members assigned in `asg`, folded back into a k-row array table.
