@@ -303,12 +303,28 @@ final class ChaosTableIO(
     */
   private def slow[A](body: => A): A = { jitter(); body }
 
+  // Seeded-hash failure schedule at average rate 1/failEveryN — NOT the
+  // strictly periodic `n % failEveryN == 0`: once a single writer loops
+  // solo, its replay advances the op counter by a FIXED count k per
+  // attempt, and when k resonates with the period the injector fails
+  // the SAME op on every attempt — a deterministic livelock (observed
+  // r15: writer 4 burned its whole replay budget on one createDirExclusive,
+  // op #5555 = 505*11). splitmix64 of (op, seed) keeps the schedule
+  // reproducible per seed while aperiodic w.r.t. any replay loop.
+  private def shouldFail(n: Long): Boolean = {
+    var z = n + seed
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    java.lang.Math.floorMod(z, failEveryN.toLong) == 0L
+  }
+
   /** Latency + alternating pre/post-apply transient failures. */
   private def chaos[A](op: String)(apply: => A): A = {
     val n = opCount.incrementAndGet()
     jitter()
-    if (failEveryN > 0 && n % failEveryN == 0) {
-      if ((n / failEveryN) % 2 == 0) {
+    if (failEveryN > 0 && shouldFail(n)) {
+      if ((n & 1L) == 0L) {
         apply // the request LANDED...
         throw new TransientStoreException(
           s"injected post-apply failure on $op (op #$n)") // ...the response died

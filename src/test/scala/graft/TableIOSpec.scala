@@ -200,8 +200,14 @@ class TableIOSpec extends SparkSpec {
         }
       }
     }
+    // 2400s, not 900: this is a PROTOCOL test (exact final state +
+    // monotonic pointer history), not a latency test — under the full
+    // parallel suite every Spark job slows and the 4 writers' conflict
+    // windows stretch; the r15 suite (434 tests, new CdcTable-heavy
+    // suites running concurrently) pushed the schedule past 900s while
+    // still converging. Standalone it finishes in ~80s.
     scala.concurrent.Await.result(scala.concurrent.Future.sequence(futs),
-      scala.concurrent.duration.Duration(900, "s"))
+      scala.concurrent.duration.Duration(2400, "s"))
     pool.shutdown()
     val t = new CdcTable(spark, path, Seq("id"), io = store)
     val got = t.read.select("id", "v").collect()
