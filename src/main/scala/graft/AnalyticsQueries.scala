@@ -229,11 +229,15 @@ object AnalyticsQueries extends QueryPack {
           // int128->double->/10^scale conversion double-rounds where
           // Java's BigDecimal cast rounds once (last-ulp divergence), and
           // any re-scale-then-cast trick ties differently (HALF_UP vs
-          // half-even). These two columns therefore stay EXACT decimals:
-          // a widening cast never rounds, so both engines emit the
-          // identical value at any scale factor
-          expr(s"CAST(SUM($discPrice) AS DECIMAL(38,4))").as("sum_disc_price"),
-          expr(s"CAST(SUM($charge) AS DECIMAL(38,6))").as("sum_charge"),
+          // half-even). The arithmetic therefore stays EXACT decimal —
+          // but the BOARD projection renders it as the canonical
+          // full-scale string: a top-level DECIMAL reaches the driver's
+          // pandas hasher as Decimal from parquet yet float64 from
+          // DuckDB (r15 red row). Both engines print decimals in plain
+          // notation at full declared scale (DecimalRenderSpec pins it),
+          // so exactness survives and the hasher sees identical strings.
+          expr(s"CAST(CAST(SUM($discPrice) AS DECIMAL(38,4)) AS STRING)").as("sum_disc_price"),
+          expr(s"CAST(CAST(SUM($charge) AS DECIMAL(38,6)) AS STRING)").as("sum_charge"),
           expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)").as("avg_qty"),
           expr("CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)").as("avg_disc"),
           count(lit(1)).as("count_order"))),
@@ -528,8 +532,8 @@ object AnalyticsQueries extends QueryPack {
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-         |  CAST(SUM($discPrice) AS DECIMAL(38,4)) AS sum_disc_price,
-         |  CAST(SUM($charge) AS DECIMAL(38,6)) AS sum_charge,
+         |  CAST(CAST(SUM($discPrice) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+         |  CAST(CAST(SUM($charge) AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
          |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
          |  COUNT(*) AS count_order

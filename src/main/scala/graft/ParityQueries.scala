@@ -148,7 +148,7 @@ object ParityQueries extends QueryPack {
 
   private val wideTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
-  private def wideTable(s: SparkSession, dir: String): CdcTable =
+  private[graft] def wideTable(s: SparkSession, dir: String): CdcTable =
     memoized(wideTables)(s, dir) {
       val root = java.nio.file.Files.createTempDirectory("graft_wide").toString
       val o = Tables(s, dir, "orders")
@@ -553,13 +553,22 @@ object ParityQueries extends QueryPack {
 
     // S1+K2+K6+K7: the 22-type wide matrix end-to-end — decode → create
     // → merge (insert/update/delete) → evolve (ALTER ADD via the first
-    // non-empty batch carrying `discount`). The result schema carries
-    // every mapped type: long/int/short ints, strings (char, varchar,
-    // enum, set, json, 4 text widths), decimal(38,2), float, double,
-    // two timestamps, date, micro-time long, year int.
+    // non-empty batch carrying `discount`). The TABLE carries every
+    // mapped native type (long/int/short ints, char/varchar/enum/set/
+    // json/4 text widths, decimal(38,2), float, double, two timestamps,
+    // date, micro-time long, year int — WideTypesSpec pins the mapping);
+    // the BOARD projection re-renders the two hasher-hostile carriers:
+    // decimal(38,2) as its canonical full-scale string and float32
+    // widened to float64 (exact), because the driver's pandas hasher
+    // materializes parquet decimal128 as Decimal but DuckDB DECIMAL as
+    // float64 — same value, different representation, red row (r15).
     "s1_envelope_wide_types" -> ((s, dir) =>
       wideTable(s, dir).read.select(
-        (wideFieldNames :+ "discount").map(col): _*)),
+        (wideFieldNames :+ "discount").map {
+          case "price"  => col("price").cast("string").as("price")
+          case "price1" => col("price1").cast("double").as("price1")
+          case n        => col(n)
+        }: _*)),
 
     // K2 + J1: full CDC merge — history half builds the base state, the
     // other half is the incoming batch; deletes drop, updates replace,
@@ -826,8 +835,8 @@ object ParityQueries extends QueryPack {
         |  CAST(o_orderkey % 100 AS SMALLINT) AS quantity,
         |  CASE WHEN o_orderkey % 10 = 0 THEN 'UPDATED' ELSE o_orderpriority END AS category,
         |  o_orderstatus AS gender,
-        |  CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DECIMAL(38,2)) AS price,
-        |  CAST(o_orderkey % 900 + 0.25 AS REAL) AS price1,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DECIMAL(38,2)) AS VARCHAR) AS price,
+        |  CAST(CAST(o_orderkey % 900 + 0.25 AS REAL) AS DOUBLE) AS price1,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS price2,
         |  date_trunc('second', o_orderdate) AS order_date,
         |  date_trunc('milliseconds', o_orderdate) AS current_dt,

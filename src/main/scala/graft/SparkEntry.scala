@@ -51,4 +51,29 @@ object SparkEntry {
     * oracle-less entry, x_bpe_train, sat on the board as `no_oracle`.)
     */
   val oracleExempt: Set[String] = Set.empty
+
+  /** Board-schema type contract: the driver's pandas row hasher can only
+    * round-trip these Spark↔parquet↔pandas↔DuckDB identically. Everything
+    * else has bitten in a past round: Array/Map/Struct cells can't be
+    * sorted (r13 x_expectations), DECIMAL arrives as Decimal from parquet
+    * but float64 from DuckDB (r15 q1_pricing_summary), FLOAT is a float32
+    * vs float64 conversion hazard (r15 s1_envelope_wide_types). Exact
+    * decimals stay legal INSIDE a plan — render them as canonical
+    * full-scale strings (CAST(… AS STRING) / AS VARCHAR) at the board
+    * projection. Enforced at build time by BoardContractSpec and at dump
+    * time by Verify.
+    */
+  def boardTypeOk(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DoubleType |
+           StringType | BooleanType | DateType | TimestampType => true
+      case _ => false
+    }
+  }
+
+  def boardTypeOffenders(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.collect {
+      case f if !boardTypeOk(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
 }

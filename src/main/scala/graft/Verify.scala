@@ -38,17 +38,12 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // Board contract: scalar-only top-level schema — the driver's
-        // pandas row hasher cannot sort/factorize array/map/struct cells
-        // (r13's x_expectations red row). Fail the ROW, not the run.
-        val complex = df.schema.fields.filter(f => f.dataType match {
-          case _: org.apache.spark.sql.types.ArrayType
-             | _: org.apache.spark.sql.types.MapType
-             | _: org.apache.spark.sql.types.StructType => true
-          case _ => false
-        })
-        require(complex.isEmpty, s"board contract: non-scalar output columns " +
-          complex.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+        // Board contract: top-level schema restricted to the types the
+        // driver's pandas hasher round-trips (see SparkEntry.boardTypeOk
+        // — r13 arrays, r15 DECIMAL/FLOAT). Fail the ROW, not the run.
+        val offenders = SparkEntry.boardTypeOffenders(df.schema)
+        require(offenders.isEmpty,
+          s"board contract: non-hashable output columns ${offenders.mkString(", ")}")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

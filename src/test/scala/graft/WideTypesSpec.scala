@@ -12,7 +12,9 @@ class WideTypesSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("the final table schema carries every mapped type") {
-    val df = SparkEntry.queries("s1_envelope_wide_types")(spark, dir)
+    // the TABLE keeps the native types; the board query re-renders the
+    // two hasher-hostile carriers (see the board-projection test below)
+    val df = ParityQueries.wideTable(spark, dir).read
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     assert(types("invoice_id") === LongType)            // bigint
     assert(types("item_id") === IntegerType)            // int
@@ -37,6 +39,22 @@ class WideTypesSpec extends SparkSpec {
     assert(types("start_to_work") === LongType)         // time (micros-of-day)
     assert(types("year_col") === IntegerType)           // year
     assert(types("discount") === DoubleType)            // evolved column
+  }
+
+  test("the board projection re-renders only the hasher-hostile carriers") {
+    // r15: DECIMAL and FLOAT at board top level are unhashable by the
+    // driver (Decimal-from-parquet vs float64-from-DuckDB). The board
+    // row renders price as the canonical full-scale string and widens
+    // price1 to double (exact); every other column keeps its table type.
+    val table = ParityQueries.wideTable(spark, dir).read.schema
+      .fields.map(f => f.name -> f.dataType).toMap
+    val board = SparkEntry.queries("s1_envelope_wide_types")(spark, dir)
+      .schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(board("price") === StringType)
+    assert(board("price1") === DoubleType)
+    val unchanged = board.keySet - "price" - "price1"
+    assert(unchanged.forall(k => board(k) === table(k)),
+      unchanged.filter(k => board(k) != table(k)).mkString(", "))
   }
 
   test("merge and evolution semantics: deletes drop, updates win, discount is NULL pre-evolution") {
