@@ -322,7 +322,12 @@ final class GraftSession(val spark: SparkSession, val root: String,
     // silently replaced (the validate-then-restore race).
     val validatedHead = parts.flatMap { case (n, forkV) =>
       val t = table(n)
-      if (t.branches.contains(id)) None
+      // branch still staged: nothing to validate, but record the head
+      // anyway — if a CONCURRENT abort of this same tx drops the branch
+      // between this loop and the apply loop, the fall-through restore
+      // below must still be CAS-fenced on a head we actually observed
+      // (an unfenced restore reopens the validate-then-restore race)
+      if (t.branches.contains(id)) Some(n -> t.currentVersion.getOrElse(-1L))
       else {
         val cur = t.currentVersion.getOrElse(-1L)
         require(forkV >= 0L,

@@ -252,8 +252,17 @@ object ParityQueries extends QueryPack {
         ndvColumns = Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
       t.init(base.filter(col("o_orderkey") % 3 =!= 0))
       t.append(base.filter(col("o_orderkey") % 3 === 0))
-      t.delete(col("o_custkey") % 7 === 0)
-      t.deleteVectored(col("o_orderkey") % 11 === 2)
+      // both mutations are DATE-BOUNDED, which puts every stats path in
+      // one table simultaneously: months before 1995 are copy-on-write
+      // REWRITTEN (sidecars re-derived), 1995-96 months stay UNTOUCHED
+      // (sidecars max-merged as-is), and 1997+ months carry the DV mask
+      // (analyze rescans exactly those — the debt the vectored delete
+      // defers is partition-bounded, the shape a 100 TB table needs:
+      // unbounded-debt analyze was the r15 fixture's 23.8 s hot spot)
+      t.delete(col("o_custkey") % 7 === 0 &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+      t.deleteVectored(col("o_orderkey") % 11 === 2 &&
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
       t
     }
 
@@ -292,6 +301,43 @@ object ParityQueries extends QueryPack {
       t
     }
 
+  // ONE month-partitioned full-orders fact base and ONE customer dim
+  // base per (session, sfDir): the two orders-joining view fixtures
+  // below start from IDENTICAL table states, so each clones these
+  // (CdcTable.cloneTo — a metadata/hard-link pass, no data bytes) and
+  // diverges only in its churn window. r15 bench: the join-view
+  // fixtures spent ~44 s of the 103.6 s fixture_build rebuilding
+  // near-identical bases at sf0.1.
+  private val factBases =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
+  private def factBase(s: SparkSession, dir: String): CdcTable =
+    memoized(factBases)(s, dir) {
+      val root = java.nio.file.Files.createTempDirectory("graft_factbase").toString
+      val t = new CdcTable(s, s"$root/fact", Seq("o_orderkey"),
+        partitionSource = Some("o_orderdate"), retainVersions = 5)
+      t.init(Tables(s, dir, "orders"))
+      t
+    }
+  private val dimBases =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), CdcTable]
+  private def dimBase(s: SparkSession, dir: String): CdcTable =
+    memoized(dimBases)(s, dir) {
+      val root = java.nio.file.Files.createTempDirectory("graft_dimbase").toString
+      val t = new CdcTable(s, s"$root/dim", Seq("c_custkey"), retainVersions = 5)
+      t.init(Tables(s, dir, "customer"))
+      t
+    }
+
+  // Churn in the orders join-view fixtures is confined to this ship
+  // window (the star view's discipline): the merge rewrites only the
+  // window's month partitions and the refresh's delta stays
+  // window-bounded — the realistic recent-data churn shape, and what
+  // keeps fixture build cost month-bounded instead of table-bounded.
+  // Whole-table churn remains covered by CdcScaleBench.
+  private val churnWin = col("o_orderdate") >=
+    lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+  private val churnWinSql = "o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"
+
   // an incrementally-maintained `orders JOIN customer` enrichment view
   // (ops.JoinView) per (session, sfDir): fact and dim each take one
   // deterministic merge batch (modulo-gated so DuckDB can replay it),
@@ -308,24 +354,22 @@ object ParityQueries extends QueryPack {
         val onCols = Seq("o_custkey" -> "c_custkey")
         val orders = Tables(s, dir, "orders")
         val customer = Tables(s, dir, "customer")
-        val fact = new CdcTable(s, s"$root/fact", Seq("o_orderkey"),
-          partitionSource = Some("o_orderdate"), retainVersions = 5)
-        val dim = new CdcTable(s, s"$root/dim", Seq("c_custkey"), retainVersions = 5)
+        val fact = factBase(s, dir).cloneTo(s"$root/fact")
+        val dim = dimBase(s, dir).cloneTo(s"$root/dim")
         val view = new CdcTable(s, s"$root/view", Seq("o_orderkey"), retainVersions = 5)
-        fact.init(orders)
-        dim.init(customer)
         view.init(JoinView.compute(fact.read, dim.read, onCols)
           .withColumn(JoinView.TsCol, lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))))
         val (f0, d0) = (fact.currentVersion.get, dim.currentVersion.get)
-        // 60% repriced, 20% deleted, 20% re-inserted under fresh keys —
-        // the CdcScaleBench churn shape, modulo-gated for the SQL twin
+        // within the churn window: 60% repriced, 20% deleted, 20%
+        // re-inserted under fresh keys — the CdcScaleBench churn shape,
+        // modulo-gated for the SQL twin
         val slot = col("o_orderkey") % 10
         val fts = lit(java.sql.Timestamp.valueOf("2001-01-02 00:00:00"))
-        val ups = orders.filter(slot < 6)
+        val ups = orders.filter(slot < 6 && churnWin)
           .withColumn("o_totalprice", col("o_totalprice") * 1.1)
           .withColumn("__op", lit("u"))
-        val dels = orders.filter(slot >= 6 && slot < 8).withColumn("__op", lit("d"))
-        val ins = orders.filter(slot >= 8)
+        val dels = orders.filter(slot >= 6 && slot < 8 && churnWin).withColumn("__op", lit("d"))
+        val ins = orders.filter(slot >= 8 && churnWin)
           .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
           .withColumn("__op", lit("c"))
         fact.merge(ups.unionByName(dels).unionByName(ins).withColumn("f_ts", fts), "f_ts")
@@ -353,28 +397,25 @@ object ParityQueries extends QueryPack {
       val onCols = Seq("o_custkey" -> "c_custkey")
       val orders = Tables(s, dir, "orders")
       val customer = Tables(s, dir, "customer")
-      val fact = new CdcTable(s, s"$root/fact", Seq("o_orderkey"),
-        partitionSource = Some("o_orderdate"), retainVersions = 5)
-      val dim = new CdcTable(s, s"$root/dim", Seq("c_custkey"), retainVersions = 5)
+      val fact = factBase(s, dir).cloneTo(s"$root/fact")
+      val dim = dimBase(s, dir).cloneTo(s"$root/dim")
       val view = new CdcTable(s, s"$root/view", Seq("o_orderkey"), retainVersions = 5)
-      fact.init(orders)
-      dim.init(customer)
       view.init(JoinView.compute(fact.read, dim.read, onCols, outer = true)
         .withColumn(JoinView.TsCol, lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))))
       val (f0, d0) = (fact.currentVersion.get, dim.currentVersion.get)
       val slot = col("o_orderkey") % 10
       val fts = lit(java.sql.Timestamp.valueOf("2001-01-02 00:00:00"))
-      // slots 0-2: fk rerouted into the void (outer view keeps them,
-      // null-padded); 3-4: price bump; 5-6: fact delete; 8-9: inserts
-      // under fresh keys
-      val reroutes = orders.filter(slot < 3)
+      // within the churn window — slots 0-2: fk rerouted into the void
+      // (outer view keeps them, null-padded); 3-4: price bump; 5-6:
+      // fact delete; 8-9: inserts under fresh keys
+      val reroutes = orders.filter(slot < 3 && churnWin)
         .withColumn("o_custkey", col("o_custkey") + lit(900000000L))
         .withColumn("__op", lit("u"))
-      val ups = orders.filter(slot >= 3 && slot < 5)
+      val ups = orders.filter(slot >= 3 && slot < 5 && churnWin)
         .withColumn("o_totalprice", col("o_totalprice") * 1.2)
         .withColumn("__op", lit("u"))
-      val dels = orders.filter(slot >= 5 && slot < 7).withColumn("__op", lit("d"))
-      val ins = orders.filter(slot >= 8)
+      val dels = orders.filter(slot >= 5 && slot < 7 && churnWin).withColumn("__op", lit("d"))
+      val ins = orders.filter(slot >= 8 && churnWin)
         .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
         .withColumn("__op", lit("c"))
       fact.merge(reroutes.unionByName(ups).unionByName(dels).unionByName(ins)
@@ -903,7 +944,8 @@ object ParityQueries extends QueryPack {
     "k_analyze_ndv" ->
       """WITH rows_ AS (
         |  SELECT * FROM orders
-        |  WHERE o_custkey % 7 <> 0 AND o_orderkey % 11 <> 2),
+        |  WHERE NOT (o_custkey % 7 = 0 AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00')
+        |    AND NOT (o_orderkey % 11 = 2 AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')),
         |vals AS (
         |  SELECT 'o_custkey' AS col_name, o_custkey::VARCHAR AS v FROM rows_
         |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM rows_
@@ -947,14 +989,14 @@ object ParityQueries extends QueryPack {
         |FROM orders""".stripMargin,
 
     "x_join_view_incremental" ->
-      """WITH fact AS (
+      s"""WITH fact AS (
         |  SELECT o_orderkey, o_custkey,
-        |    CASE WHEN o_orderkey % 10 < 6 THEN o_totalprice * 1.1
+        |    CASE WHEN o_orderkey % 10 < 6 AND $churnWinSql THEN o_totalprice * 1.1
         |         ELSE o_totalprice END AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 10 NOT IN (6, 7)
+        |  FROM orders WHERE NOT (o_orderkey % 10 IN (6, 7) AND $churnWinSql)
         |  UNION ALL
         |  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice
-        |  FROM orders WHERE o_orderkey % 10 IN (8, 9)
+        |  FROM orders WHERE o_orderkey % 10 IN (8, 9) AND $churnWinSql
         |),
         |dim AS (
         |  SELECT c_custkey, c_name,
@@ -987,16 +1029,16 @@ object ParityQueries extends QueryPack {
         |FROM c""".stripMargin,
 
     "x_join_view_outer" ->
-      """WITH fact AS (
+      s"""WITH fact AS (
         |  SELECT o_orderkey,
-        |    CASE WHEN o_orderkey % 10 < 3 THEN o_custkey + 900000000
+        |    CASE WHEN o_orderkey % 10 < 3 AND $churnWinSql THEN o_custkey + 900000000
         |         ELSE o_custkey END AS o_custkey,
-        |    CASE WHEN o_orderkey % 10 IN (3, 4) THEN o_totalprice * 1.2
+        |    CASE WHEN o_orderkey % 10 IN (3, 4) AND $churnWinSql THEN o_totalprice * 1.2
         |         ELSE o_totalprice END AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 10 NOT IN (5, 6)
+        |  FROM orders WHERE NOT (o_orderkey % 10 IN (5, 6) AND $churnWinSql)
         |  UNION ALL
         |  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice
-        |  FROM orders WHERE o_orderkey % 10 IN (8, 9)
+        |  FROM orders WHERE o_orderkey % 10 IN (8, 9) AND $churnWinSql
         |),
         |dim AS (
         |  SELECT c_custkey, c_name,

@@ -104,7 +104,11 @@ object ScaleData {
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority"), col("__clone")), "orders", 8)
     // zipf mode: 30% of lineitem rows land on 5 hot order keys (the
-    // skewed-join fixture); the other 70% clone normally
+    // skewed-join fixture); the other 70% clone normally. The hot keys
+    // 0..4 all HIT build-side rows: the driver's orders table keys start
+    // at 0 (verified: SELECT min(o_orderkey) = 0 and each of 0..4 is
+    // present at every SF), and clone 0 preserves the original keys —
+    // so skewed probes stress the shuffle AND the match side.
     val liOrderKey =
       if (zipf) expr(
         s"""IF(pmod(hash(l_orderkey, l_linenumber, __clone), 10) < 3,

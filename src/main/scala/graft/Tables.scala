@@ -181,6 +181,16 @@ object Tables {
     * assert the leaf directly. Stale entries drop on replacement; their
     * blocks free with the RDD (context cleaner), same as every other
     * localCheckpoint in the engine.
+    *
+    * CONCURRENCY CONTRACT: replacement release is EAGER, and a
+    * checkpoint RDD is not recomputable — a caller still holding a
+    * previously returned frame (or running a query over it) when the
+    * same view name is re-materialized with a different plan would read
+    * lost blocks. Verify/Bench drive queries strictly sequentially, and
+    * per-name plans change only across sfDirs, which also run
+    * sequentially; callers embedding the engine in a concurrent driver
+    * must key view names per context (e.g. suffix the sfDir) instead of
+    * re-binding a live name.
     */
   def cacheView(name: String, df: DataFrame): DataFrame = {
     val reuse = cachedViews.get(name)
@@ -198,6 +208,20 @@ object Tables {
           stale.queryExecution.analyzed.foreach {
             case l: org.apache.spark.sql.execution.LogicalRDD =>
               l.rdd.unpersist(blocking = false)
+              // 'reliable' mode leaves checkpoint FILES behind: the
+              // ContextCleaner only tracks them when
+              // spark.cleaner.referenceTracking.cleanCheckpoints is set
+              // (defaults false, static conf), so a long session
+              // re-materializing views would leak disk in the
+              // checkpoint dir. Delete the stale RDD's directory here —
+              // same single-threaded contract as the block release.
+              l.rdd.getCheckpointFile.foreach { p =>
+                try {
+                  val path = new org.apache.hadoop.fs.Path(p)
+                  path.getFileSystem(l.rdd.context.hadoopConfiguration)
+                    .delete(path, true)
+                } catch { case _: java.io.IOException => () }
+              }
             case _ => ()
           }
         }
