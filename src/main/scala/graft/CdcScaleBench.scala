@@ -87,8 +87,64 @@ object CdcScaleBench {
     time("appends_x4")((1 to 4).foreach(_ => t.append(extra.limit(500))))
     val compacted = time("compact_cycle")(t.compactIfNeeded(maxFiles = 4))
 
+    // ---- skewed WRITE path (r15 verdict: the zipf fixture measured
+    // reads only). Three production churn skews, each sized near the 1%
+    // batch so wall times compare row-for-row; the sf1-vs-sf1z contrast
+    // on the SAME step isolates what key skew costs the merge itself.
+
+    // (a) hot-MONTH churn — every row of one month re-priced (a
+    // backfill). The partition-concentrated write: pruning confines the
+    // rewrite to 1 of 84 months, so despite carrying ~1.2x the 1%
+    // batch's rows this should be cheaper than the all-months-hot merge.
+    val ts2 = lit(java.sql.Timestamp.valueOf("2002-01-02 00:00:00"))
+    val hotMonth = li
+      .filter(col("l_shipdate") >= lit("1996-06-01") && col("l_shipdate") < lit("1996-07-01"))
+      .withColumn("l_extendedprice", col("l_extendedprice") * 1.05)
+      .withColumn("__op", lit("u")).withColumn("__ts", ts2)
+    val nHotMonth = hotMonth.count()
+    time("merge_hotmonth")(t.merge(hotMonth, "__ts"))
+
+    // (b) hot-KEY churn — updates drawn only from the 5 hottest order
+    // keys, gated to ~1% of the table. On the zipf dirs those keys carry
+    // ~30% of all rows so the gate bites; on uniform dirs they hold ~80
+    // rows total and the step degenerates (the meaningful contrast is
+    // sf1z merge_hotkey vs sf1z merge_1pct: same data, same batch size,
+    // clustered vs spread keys).
+    val hotRows = li.filter(col("l_orderkey") < 5)
+    val nHotRows = hotRows.count()
+    val keepPerMille = math.min(1000L, math.max(1L, (nRows / 100L) * 1000L / math.max(1L, nHotRows)))
+    val ts3 = lit(java.sql.Timestamp.valueOf("2002-01-03 00:00:00"))
+    val hotBatch = hotRows.filter(slot < lit(keepPerMille))
+      .withColumn("l_extendedprice", col("l_extendedprice") * 1.02)
+      .withColumn("__op", lit("u")).withColumn("__ts", ts3)
+    val nHotBatch = hotBatch.count()
+    time("merge_hotkey")(t.merge(hotBatch, "__ts"))
+
+    // (c) SINGLE-key skew — a user-state table keyed on user_id alone,
+    // fed by the event stream (every event upserts its user's latest
+    // state). Under the zipf dirs one user carries ~7% of all events,
+    // so the merge's latest-wins dedup sees one giant key group — the
+    // skewed CDC shape a composite key can never show (hot order keys
+    // still hash-spread on the 4-column composite). The bootstrap merge
+    // dedups the FULL stream; the churn merge replays a later-stamped
+    // 20% slice against the existing table.
+    val ev = Tables(spark, sfDir, "events")
+    val users = new graft.ops.CdcTable(spark, s"$root/users", keys = Seq("user_id"))
+    val evUpserts = ev.select(col("user_id"), col("ts").as("__ts"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+      .withColumn("__op", lit("u"))
+    val nEvents = evUpserts.count()
+    time("user_merge_bootstrap")(users.merge(evUpserts, "__ts"))
+    val churn = evUpserts
+      .filter(pmod(hash(col("user_id"), col("__ts")), lit(5)) === 0)
+      .withColumn("__ts", col("__ts") + expr("INTERVAL 30 DAYS"))
+      .withColumn("last_value", col("last_value") * 1.1)
+    time("user_merge_churn")(users.merge(churn, "__ts"))
+
     val qs = timings.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(s"""{"rows":$nRows,"batch_changes":$nChanges,"compacted":$compacted,"timings":$qs,"sf":"$sfDir"}""")
+    println(s"""{"rows":$nRows,"batch_changes":$nChanges,"compacted":$compacted,""" +
+      s""""hotmonth_rows":$nHotMonth,"hotkey_rows":$nHotBatch,"event_rows":$nEvents,""" +
+      s""""timings":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

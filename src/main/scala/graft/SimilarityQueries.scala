@@ -107,6 +107,37 @@ object SimilarityQueries extends QueryPack {
     s.sql(sql)
   }
 
+  /** [[embs]] plus the shared 256-dim projection artifact `proj256`
+    * (vec_id, pr): the 16 hyperplane projections of the block-isometric
+    * 256-dim lift, materialized once per (session, sfDir) and served to
+    * every high-dim ANN query — the projection pass (16 x 256-term dots
+    * per vector, the board's most expensive single computation) runs
+    * once, not once per query. Bands and multiprobe flip selection are
+    * row-local transforms of `pr`, so everything downstream of the
+    * artifact is a cheap derivation — the same shared-index discipline
+    * as the 64-dim `trainedView`s. localCheckpoint via
+    * Tables.materializeView (the plan contains SQL CTEs, which the
+    * Spark 4.1.2 cache-manager dedup crashes on).
+    */
+  private val proj256Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def embs256(s: SparkSession, dir: String, sql: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+    proj256Cache.synchronized {
+      proj256Cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      proj256Cache.getOrElseUpdate((s, dir),
+        Tables.materializeView(s.sql(
+          s"""WITH $sparkQuant,
+             |$sparkV256,
+             |$sparkProjt256
+             |SELECT vec_id, pr FROM projt""".stripMargin)))
+        .createOrReplaceTempView("proj256")
+    }
+    s.sql(sql)
+  }
+
   // 3-word shingle sets per doc, hashed to 60-bit longs at the source —
   // every downstream join/shuffle moves 8-byte keys, never shingle
   // strings. Spark and DuckDB twins.
@@ -437,21 +468,26 @@ object SimilarityQueries extends QueryPack {
     planeLit256Cache.getOrElseUpdate(p,
       (0 until 256).map(d => s"${planeWeight(p, d)}L").mkString("array(", ",", ")"))
 
-  /** 256-dim literal-plane banding: 4 bands x 4 sign bits, planes
-    * generated from the same pure (plane, dim) weight function extended
-    * to 256 dims. Banding runs over v256; scoring reuses the 64-dim
-    * vectors (the lift preserves cosine exactly, so candidates pay the
-    * cheap dot product).
+  /** 256-dim literal-plane projection: 16 hyperplanes from the same
+    * pure (plane, dim) weight function extended to 256 dims, computed
+    * over v256. Materialized once per session/dir as `proj256` (see
+    * [[embs256]]); banding and multiprobe flips derive row-locally.
+    * Scoring reuses the 64-dim vectors (the lift preserves cosine
+    * exactly, so candidates pay the cheap dot product).
     */
-  private val sparkBands256 = {
-    val bval = (0 until 4).map(i => s"IF(pr[b*4+$i] > 0, ${1L << i}L, 0L)").mkString(" + ")
+  private val sparkProjt256 =
     s"""projt AS (
        |  SELECT vec_id, array(
        |    ${(0 until 16).map(p => s"dot_i64(qe, ${planeLit256(p)})").mkString(",\n       |    ")}) AS pr
-       |  FROM v256),
-       |bands AS (
+       |  FROM v256)""".stripMargin
+
+  // 4 bands x 4 sign bits folded from the materialized projections — a
+  // row-local transform of proj256, no recomputation of the 256-term dots
+  private val sparkBands256 = {
+    val bval = (0 until 4).map(i => s"IF(pr[b*4+$i] > 0, ${1L << i}L, 0L)").mkString(" + ")
+    s"""bands AS (
        |  SELECT vec_id, b AS band, CAST($bval AS BIGINT) AS bval
-       |  FROM projt LATERAL VIEW explode(sequence(0, 3)) t AS b)""".stripMargin
+       |  FROM proj256 LATERAL VIEW explode(sequence(0, 3)) t AS b)""".stripMargin
   }
 
   private val duckBands256 =
@@ -468,8 +504,7 @@ object SimilarityQueries extends QueryPack {
        |  FROM proj GROUP BY vec_id, p // 4)""".stripMargin
 
   private val sparkLsh256Scored =
-    s"""$sparkV256,
-       |$sparkBands256,
+    s"""$sparkBands256,
        |$sparkQsel,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
@@ -546,6 +581,75 @@ object SimilarityQueries extends QueryPack {
 
   private val duckMultiprobeScored =
     s"""$duckLshBands,
+       |$duckQsel,
+       |qproj AS (SELECT vec_id, p, s FROM proj WHERE vec_id IN (SELECT vec_id FROM qsel)),
+       |flips AS (
+       |  SELECT vec_id, p // 4 AS band, (1::BIGINT << (p % 4)) AS bit,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(s), p) AS rnk
+       |  FROM qproj),
+       |probes AS (
+       |  SELECT vec_id, band, bval AS pval FROM bands WHERE vec_id IN (SELECT vec_id FROM qsel)
+       |  UNION ALL
+       |  SELECT f.vec_id, f.band, xor(b.bval, f.bit) AS pval
+       |  FROM flips f JOIN bands b ON b.vec_id = f.vec_id AND b.band = f.band
+       |  WHERE f.rnk <= 4),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM probes p JOIN bands b
+       |    ON b.band = p.band AND b.bval = p.pval AND b.vec_id != p.vec_id),
+       |pairs AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(list_dot_product(qv.qe::DOUBLE[], nv.qe::DOUBLE[]) AS BIGINT) AS dot,
+       |    qv.nrm AS n1, nv.nrm AS n2
+       |  FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+       |              JOIN v nv ON nv.vec_id = c.neighbor_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+       |  FROM pairs)""".stripMargin
+
+  // Directed multiprobe at the 256-dim operating point: identical probe
+  // policy to the 64-dim family (own 4 band values + the 4 lowest-|s|
+  // sign-bit flips = 8 probes/query), but the projections come from the
+  // materialized proj256 artifact — flip selection is a posexplode of
+  // the stored pr array, so the multiprobe point costs zero extra
+  // projection passes over the single-probe index. The 100 TB story is
+  // unchanged: probing multiplies bucket READS only; the index (one
+  // (band, bval) row per vector per band) is shared across the whole
+  // 256-dim family.
+  private val sparkMultiprobe256Scored =
+    s"""$sparkBands256,
+       |$sparkQsel,
+       |qproj AS (
+       |  SELECT vec_id, p, s FROM proj256 LATERAL VIEW posexplode(pr) t AS p, s
+       |  WHERE vec_id IN (SELECT vec_id FROM qsel)),
+       |flips AS (
+       |  SELECT vec_id, p DIV 4 AS band, shiftleft(CAST(1 AS BIGINT), p % 4) AS bit,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(s), p) AS rnk
+       |  FROM qproj),
+       |probes AS (
+       |  SELECT vec_id, band, bval AS pval FROM bands WHERE vec_id IN (SELECT vec_id FROM qsel)
+       |  UNION ALL
+       |  SELECT f.vec_id, f.band, b.bval ^ f.bit AS pval
+       |  FROM flips f JOIN bands b ON b.vec_id = f.vec_id AND b.band = f.band
+       |  WHERE f.rnk <= 4),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM probes p JOIN bands b
+       |    ON b.band = p.band AND b.bval = p.pval AND b.vec_id != p.vec_id),
+       |pairs AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    dot_i64(qv.qe, nv.qe) AS dot, qv.nrm AS n1, nv.nrm AS n2
+       |  FROM cand c JOIN v qv ON qv.vec_id = c.query_id
+       |              JOIN v nv ON nv.vec_id = c.neighbor_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) AS cos
+       |  FROM pairs)""".stripMargin
+
+  private val duckMultiprobe256Scored =
+    s"""$duckV256,
+       |$duckBands256,
        |$duckQsel,
        |qproj AS (SELECT vec_id, p, s FROM proj WHERE vec_id IN (SELECT vec_id FROM qsel)),
        |flips AS (
@@ -875,8 +979,9 @@ object SimilarityQueries extends QueryPack {
     // 256-dim LSH ANN: banded candidates from the block-isometric
     // 256-dim lift (16 hyperplanes x 256 terms — the plane budget and
     // projection cost of a real encoder dimension), scored by the exact
-    // cosine the lift preserves.
-    "x_ann_lsh_highdim" -> ((s, dir) => embs(s, dir,
+    // cosine the lift preserves. The projection pass is the shared
+    // proj256 artifact (embs256) — paid once for the whole family.
+    "x_ann_lsh_highdim" -> ((s, dir) => embs256(s, dir,
       s"""WITH $sparkQuant,
          |$sparkLsh256Scored
          |SELECT query_id, neighbor_id, rank, cos FROM (
@@ -886,7 +991,7 @@ object SimilarityQueries extends QueryPack {
     // Recall@5 of the 256-dim banded search vs the exact ground truth
     // (identical to the 64-dim truth by the isometry) — the high-dim
     // point on the ANN operating dashboard.
-    "x_ann_recall_highdim" -> ((s, dir) => embs(s, dir,
+    "x_ann_recall_highdim" -> ((s, dir) => embs256(s, dir,
       s"""WITH $sparkQuant,
          |$sparkLsh256Scored,
          |lsh_top AS (
@@ -914,6 +1019,46 @@ object SimilarityQueries extends QueryPack {
          |  CAST(sum(hit) AS BIGINT) AS n_hits,
          |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5
          |FROM hits""".stripMargin)),
+
+    // The 256-dim multiprobe point on the ANN operating dashboard:
+    // recall@5 vs the exact ground truth AND the corpus fraction
+    // scanned, as one value-checked row. Probes are derived from the
+    // shared proj256 artifact, so this point costs no extra projection
+    // pass over the single-probe 256-dim index — the recall/scan trade
+    // a user consults before choosing a probe budget at encoder
+    // dimensionality.
+    "x_ann_multiprobe_highdim" -> ((s, dir) => embs256(s, dir,
+      s"""WITH $sparkQuant,
+         |$sparkMultiprobe256Scored,
+         |lsh_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM scored) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
+         |    CAST(dot_i64(q2.qe, v2.qe) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
+         |  FROM qsel q2
+         |  JOIN v v2 ON q2.vec_id != v2.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN lsh_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id),
+         |scan AS (SELECT count(*) AS n_cand FROM cand),
+         |corpus AS (SELECT count(*) AS n FROM v)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5,
+         |  CAST(max(s.n_cand) AS BIGINT) AS n_candidates,
+         |  CAST(max(s.n_cand) AS DOUBLE) / (count(*) * (max(c.n) - 1)) AS scanned_frac
+         |FROM hits CROSS JOIN scan s CROSS JOIN corpus c""".stripMargin)),
 
     // Recall harness: recall@5 of the LSH-bucketed search against the
     // brute-force ground truth, as one aggregated row. Everything is
@@ -1462,6 +1607,39 @@ object SimilarityQueries extends QueryPack {
          |  CAST(sum(hit) AS BIGINT) AS n_hits,
          |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5
          |FROM hits""".stripMargin,
+
+    "x_ann_multiprobe_highdim" ->
+      s"""WITH $duckQuant,
+         |$duckMultiprobe256Scored,
+         |lsh_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM scored) t WHERE rank <= 5),
+         |brute AS (
+         |  SELECT q2.vec_id AS query_id, v2.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(q2.qe::DOUBLE[], v2.qe::DOUBLE[]) AS DOUBLE)
+         |      / (sqrt(CAST(q2.nrm AS DOUBLE)) * sqrt(CAST(v2.nrm AS DOUBLE))) AS cos
+         |  FROM qsel q2
+         |  JOIN v v2 ON q2.vec_id != v2.vec_id),
+         |brute_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM brute) t WHERE rank <= 5),
+         |hits AS (
+         |  SELECT b.query_id, count(l.neighbor_id) AS hit
+         |  FROM brute_top b LEFT JOIN lsh_top l
+         |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id),
+         |scan AS (SELECT count(*) AS n_cand FROM cand),
+         |corpus AS (SELECT count(*) AS n FROM v)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / (5 * count(*)) AS recall_at_5,
+         |  CAST(max(s.n_cand) AS BIGINT) AS n_candidates,
+         |  CAST(max(s.n_cand) AS DOUBLE) / (count(*) * (max(c.n) - 1)) AS scanned_frac
+         |FROM hits CROSS JOIN scan s CROSS JOIN corpus c""".stripMargin,
 
     "x_ann_recall" ->
       s"""WITH $duckQuant,
