@@ -134,6 +134,13 @@ object CdcScaleBench {
         col("event_type").as("last_type"), col("value").as("last_value"))
       .withColumn("__op", lit("u"))
     val nEvents = evUpserts.count()
+    // the dedup operator itself, both forms, on the single-key stream:
+    // agg (max_by, map-side partial reduce — what merge uses) vs the
+    // pre-r16 window row_number (whole hot group in one task)
+    time("dedup_agg")(graft.ops.Dedup.latestWins(
+      evUpserts, Seq("user_id"), "__ts", Seq("last_type")).count())
+    time("dedup_window")(graft.ops.Dedup.latestWinsWindow(
+      evUpserts, Seq("user_id"), "__ts", Seq("last_type")).count())
     time("user_merge_bootstrap")(users.merge(evUpserts, "__ts"))
     val churn = evUpserts
       .filter(pmod(hash(col("user_id"), col("__ts")), lit(5)) === 0)

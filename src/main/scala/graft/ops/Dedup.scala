@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * `latestWins` is the engine's flagship compaction step: the reference
   * compacts each micro-batch to one final state per row key before merging
   * (pandas-on-Spark sort + drop_duplicates keep='last',
-  * incremental_kafka_s3_cdc.py:321-325). We re-express it as a window
-  * row_number — a single hash-partition shuffle on the keys, map-side
-  * combinable by AQE, no driver round-trips.
+  * incremental_kafka_s3_cdc.py:321-325). We re-express it as a max_by
+  * aggregation — one hash-partition shuffle on the keys with a map-side
+  * partial reduce, no driver round-trips, no per-key task concentration.
   *
   * The reference's tie-break on equal `__ts_ms` was nondeterministic
   * (physical row order); we impose a total order with explicit tie-breaker
@@ -19,13 +19,38 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Keep the single latest row per key: order by `ts` desc, then
-    * `tieBreakers` desc. At scale this is one shuffle on `keys`; skewed hot
-    * keys are handled by AQE (the window itself cannot pre-aggregate, but
-    * batch sizes per key are bounded by micro-batch scope).
+  /** Keep the single latest row per key: largest `(ts, tieBreakers…)`
+    * wins (struct comparison is lexicographic, nulls smallest — the same
+    * order as the previous window's `desc` with NULLS LAST).
+    *
+    * Implemented as `max_by(struct(payload), struct(ts, tieBreakers))`,
+    * a declarative aggregate with PARTIAL support: each map partition
+    * reduces every key it holds to one row before the shuffle, so a hot
+    * key's update pile (one entity receiving most of a CDC batch — the
+    * production skew shape) collapses map-side instead of crossing the
+    * wire and landing on a single reducer. The previous window
+    * row_number form shuffles every row and gives the whole hot group
+    * to one task; it is kept as [[latestWinsWindow]] so the skew bench
+    * can measure the difference rather than assert it.
     */
   def latestWins(df: DataFrame, keys: Seq[String], ts: String,
                  tieBreakers: Seq[String] = Nil): DataFrame = {
+    val others = df.columns.filterNot(keys.contains).toSeq
+    if (others.isEmpty) return df.distinct()
+    val ord = struct((ts +: tieBreakers).map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), ord).as("__latest"))
+      .select(df.columns.toSeq.map { c =>
+        if (keys.contains(c)) col(c) else col("__latest").getField(c).as(c)
+      }: _*)
+  }
+
+  /** The pre-r16 window form of [[latestWins]] (one shuffle, whole key
+    * group in one task) — result-identical under a total order; retained
+    * for the CdcScaleBench skew comparison only.
+    */
+  private[graft] def latestWinsWindow(df: DataFrame, keys: Seq[String], ts: String,
+                                      tieBreakers: Seq[String] = Nil): DataFrame = {
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy((col(ts).desc +: tieBreakers.map(col(_).desc)): _*)

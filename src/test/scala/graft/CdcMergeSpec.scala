@@ -61,6 +61,54 @@ class CdcMergeSpec extends SparkSpec {
     assert(out.select("v").as[String].collect().toSeq == Seq("tie"))
   }
 
+  test("latest-wins agg form equals the window form, incl. null payloads and map columns") {
+    val events = Seq(
+      (1L, Option("a"), Map("k" -> 1), 10L, 1L),
+      (1L, None, Map("k" -> 2), 20L, 2L),
+      (2L, Option("only"), Map.empty[String, Int], 5L, 1L),
+      (3L, Option("x"), Map("z" -> 9), 7L, 2L),
+      (3L, Option("y"), Map("z" -> 8), 7L, 1L) // ts tie broken by seq
+    ).toDF("id", "v", "props", "ts", "seq")
+    val agg = Dedup.latestWins(events, Seq("id"), "ts", Seq("seq"))
+    val win = Dedup.latestWinsWindow(events, Seq("id"), "ts", Seq("seq"))
+    assert(agg.columns.toSeq == events.columns.toSeq)
+    assert(agg.orderBy("id").collect().toSeq == win.orderBy("id").collect().toSeq)
+    // the winner carries its OWN null payload (not backfilled from a loser)
+    val r1 = agg.filter($"id" === 1L).head()
+    assert(r1.isNullAt(r1.fieldIndex("v")) && r1.getMap[String, Int](2)("k") == 2)
+  }
+
+  test("latest-wins plans as a partial-combinable aggregate, not a window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val events = spark.range(0, 1000)
+      .select(($"id" % 10).as("id"), $"id".as("ts"), concat(lit("v"), $"id").as("v"))
+    val out = Dedup.latestWins(events, Seq("id"), "ts")
+    out.count() // materialize so AQE finalizes the physical plan
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => unwrap(q.plan)
+      case other => other
+    }
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val u = unwrap(p)
+      u +: u.children.flatMap(nodes)
+    }
+    val all = nodes(out.queryExecution.executedPlan)
+    assert(!all.exists(_.isInstanceOf[WindowExec]),
+      "hot-key dedup must not concentrate a key group in one window task")
+    // two aggregate stages (partial below the exchange, final above) —
+    // the map-side combine that makes hot-key batches shrink pre-shuffle
+    val aggs = all.count {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
+      case _ => false
+    }
+    assert(aggs >= 2,
+      s"expected partial+final aggregate stages, saw $aggs in:\n${out.queryExecution.executedPlan}")
+  }
+
   test("full-image batch merges via broadcast anti join (no full-outer shuffle of the table)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
