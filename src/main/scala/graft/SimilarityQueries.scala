@@ -107,36 +107,52 @@ object SimilarityQueries extends QueryPack {
     s.sql(sql)
   }
 
-  /** [[embs]] plus the shared 256-dim projection artifact `proj256`
-    * (vec_id, pr): the 16 hyperplane projections of the block-isometric
-    * 256-dim lift, materialized once per (session, sfDir) and served to
-    * every high-dim ANN query — the projection pass (16 x 256-term dots
-    * per vector, the board's most expensive single computation) runs
-    * once, not once per query. Bands and multiprobe flip selection are
-    * row-local transforms of `pr`, so everything downstream of the
-    * artifact is a cheap derivation — the same shared-index discipline
-    * as the 64-dim `trainedView`s. localCheckpoint via
-    * Tables.materializeView (the plan contains SQL CTEs, which the
-    * Spark 4.1.2 cache-manager dedup crashes on).
+  /** [[embs]] plus a shared hyperplane-projection artifact: the 16
+    * per-vector projections (`pr` array), materialized once per
+    * (session, sfDir, view) and served to every query of that LSH
+    * family — the projection pass runs once, not once per query. Bands
+    * and multiprobe flip selection are row-local transforms of `pr`, so
+    * everything downstream of the artifact is a cheap derivation — the
+    * same shared-index discipline as the k-means `trainedView`s.
+    * `proj64` serves the fixed-operating-point 64-dim family; `proj256`
+    * serves the 256-dim (encoder-dimensionality) family, whose
+    * 16 x 256-term pass is the board's most expensive single
+    * computation. localCheckpoint via Tables.materializeView (the plan
+    * contains SQL CTEs, which the Spark 4.1.2 cache-manager dedup
+    * crashes on). The adaptive-width near-dup path (x_dedup_embedding)
+    * stays inline: its plane count varies with corpus size, so a
+    * fixed-width artifact cannot serve it.
     */
-  private val proj256Cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val projCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  private def embs256(s: SparkSession, dir: String, sql: String): DataFrame = {
+  private def embsWithProj(s: SparkSession, dir: String, view: String,
+                           buildSql: => String, sql: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Tables(s, dir, "embeddings").createOrReplaceTempView("embeddings")
-    proj256Cache.synchronized {
-      proj256Cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      proj256Cache.getOrElseUpdate((s, dir),
-        Tables.materializeView(s.sql(
-          s"""WITH $sparkQuant,
-             |$sparkV256,
-             |$sparkProjt256
-             |SELECT vec_id, pr FROM projt""".stripMargin)))
-        .createOrReplaceTempView("proj256")
+    projCache.synchronized {
+      projCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+      projCache.getOrElseUpdate((s, dir, view), Tables.materializeView(s.sql(buildSql)))
+        .createOrReplaceTempView(view)
     }
     s.sql(sql)
   }
+
+  private def embs256(s: SparkSession, dir: String, sql: String): DataFrame =
+    embsWithProj(s, dir, "proj256",
+      s"""WITH $sparkQuant,
+         |$sparkV256,
+         |$sparkProjt256
+         |SELECT vec_id, pr FROM projt""".stripMargin, sql)
+
+  private def embs64(s: SparkSession, dir: String, sql: String): DataFrame =
+    embsWithProj(s, dir, "proj64",
+      s"""WITH $sparkQuant,
+         |projt AS (
+         |  SELECT vec_id, array(
+         |    ${(0 until 16).map(p => s"dot_i64(qe, ${planeLit(p)})").mkString(",\n         |    ")}) AS pr
+         |  FROM v)
+         |SELECT vec_id, pr FROM projt""".stripMargin, sql)
 
   // 3-word shingle sets per doc, hashed to 60-bit longs at the source —
   // every downstream join/shuffle moves 8-byte keys, never shingle
@@ -290,7 +306,15 @@ object SimilarityQueries extends QueryPack {
        |  FROM projt LATERAL VIEW explode(sequence(0, 3)) t AS b)""".stripMargin
   }
 
-  private val sparkLshBands = lshBandsSql(4)
+  // 4 bands x 4 sign bits folded row-locally from the materialized
+  // proj64 artifact (see embs64) — the fixed-point ANN family's banding
+  // without recomputing the projection pass per query
+  private val sparkBands64 = {
+    val bval = (0 until 4).map(i => s"IF(pr[b*4+$i] > 0, ${1L << i}L, 0L)").mkString(" + ")
+    s"""bands AS (
+       |  SELECT vec_id, b AS band, CAST($bval AS BIGINT) AS bval
+       |  FROM proj64 LATERAL VIEW explode(sequence(0, 3)) t AS b)""".stripMargin
+  }
 
   /** The corpus-adaptive band width for the all-pairs near-dup path:
     * smallest bits in [4, 16] with n <= 64 * 2^bits (expected bucket
@@ -386,7 +410,7 @@ object SimilarityQueries extends QueryPack {
     s"""qsel AS (SELECT * FROM v ORDER BY ${duckH64("'q_' || vec_id::VARCHAR")}, vec_id LIMIT 100)"""
 
   private val sparkLshScored =
-    s"""$sparkLshBands,
+    s"""$sparkBands64,
        |$sparkQsel,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
@@ -552,9 +576,11 @@ object SimilarityQueries extends QueryPack {
   // extra bucket READS only — no index copies, no rebuild — so at
   // 100 TB the same banded index serves every point on this frontier.
   private val sparkMultiprobeScored =
-    s"""$sparkLshBands,
+    s"""$sparkBands64,
        |$sparkQsel,
-       |qproj AS (SELECT vec_id, p, s FROM proj WHERE vec_id IN (SELECT vec_id FROM qsel)),
+       |qproj AS (
+       |  SELECT vec_id, p, s FROM proj64 LATERAL VIEW posexplode(pr) t AS p, s
+       |  WHERE vec_id IN (SELECT vec_id FROM qsel)),
        |flips AS (
        |  SELECT vec_id, p DIV 4 AS band, shiftleft(CAST(1 AS BIGINT), p % 4) AS bit,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(s), p) AS rnk
@@ -950,7 +976,7 @@ object SimilarityQueries extends QueryPack {
     // before the shuffle). Same total order as the window form, so the
     // window-based oracle applies (k=8).
     "x_ann_topk_agg" -> ((s, dir) => {
-      val scored = embs(s, dir,
+      val scored = embs64(s, dir,
         s"""WITH $sparkQuant,
            |$sparkLshScored
            |SELECT query_id, neighbor_id AS id, cos AS score FROM scored""".stripMargin)
@@ -969,7 +995,7 @@ object SimilarityQueries extends QueryPack {
     // LSH-banded ANN: top-5 by exact cosine within the banded candidate
     // set. The scale path: candidates come from 4 per-band hash-equi
     // joins, never the full corpus.
-    "x_ann_lsh" -> ((s, dir) => embs(s, dir,
+    "x_ann_lsh" -> ((s, dir) => embs64(s, dir,
       s"""WITH $sparkQuant,
          |$sparkLshScored
          |SELECT query_id, neighbor_id, rank, cos FROM (
@@ -1065,7 +1091,7 @@ object SimilarityQueries extends QueryPack {
     // deterministic integer/total-order math, so the measured recall is a
     // value-checked oracle quantity, not a flaky statistic — the number a
     // user tunes plane count / band shape against before scaling out.
-    "x_ann_recall" -> ((s, dir) => embs(s, dir,
+    "x_ann_recall" -> ((s, dir) => embs64(s, dir,
       s"""WITH $sparkQuant,
          |$sparkLshScored,
          |lsh_top AS (
@@ -1181,7 +1207,7 @@ object SimilarityQueries extends QueryPack {
 
     // Multi-probe LSH ANN: top-5 by exact cosine within the multi-probe
     // candidate set (own band value + 4 hamming-1 probes per band).
-    "x_ann_multiprobe" -> ((s, dir) => embs(s, dir,
+    "x_ann_multiprobe" -> ((s, dir) => embs64(s, dir,
       s"""WITH $sparkQuant,
          |$sparkMultiprobeScored
          |SELECT query_id, neighbor_id, rank, cos FROM (
@@ -1192,7 +1218,7 @@ object SimilarityQueries extends QueryPack {
     // force AND the fraction of the corpus actually scanned, as one
     // value-checked row — the third point on the ANN operating-point
     // dashboard (single-probe LSH, IVF nprobe=1, multi-probe LSH).
-    "x_ann_recall_multiprobe" -> ((s, dir) => embs(s, dir,
+    "x_ann_recall_multiprobe" -> ((s, dir) => embs64(s, dir,
       s"""WITH $sparkQuant,
          |$sparkMultiprobeScored,
          |lsh_top AS (
