@@ -22,10 +22,19 @@ object Explain {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_FINAL=1: execute each query first so the printed plan
+    // is AQE's FINAL re-optimized plan (runtime join-strategy changes,
+    // coalesced reads) instead of the initial isFinalPlan=false sketch.
+    val showFinal = sys.env.get("SPARK_GRAFT_FINAL").contains("1")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      // df.count() would execute a DIFFERENT QueryExecution (an aggregate
+      // over df); driving this plan's own RDD is what makes THIS df's
+      // AdaptiveSparkPlanExec reach its final plan.
+      if (showFinal) df.queryExecution.executedPlan.execute().count(): Unit
+      df.explain("formatted")
     }
     spark.stop()
   }

@@ -220,21 +220,32 @@ object JoinView {
         aNewFor(if (branches.length == 1) branches.head
                 else Seq(FileSkipping.AnyOf(branches)))
       }
-    val hits = active.map { k =>
+    // ONE chained pass instead of a semi-join per dimension: each
+    // dimension's (distinct-keyed) change-key set left-outer joins onto
+    // the fact snapshot carrying a `__hit_i` marker, and a fact row is
+    // affected when ANY marker landed. The previous shape ran a separate
+    // semi-join per dimension — re-executing the fact snapshot scan N
+    // times — then a dropDuplicates SHUFFLE to un-double facts hit by two
+    // dimensions; here the snapshot scans once, the key sets broadcast
+    // (delta-bounded) or shuffle per join exactly as the semi-joins did,
+    // and no dedup is needed because each fact row flows through the
+    // chain exactly once (key sets are distinct tuples, so an outer join
+    // can never fan out).
+    val hitMarks = active.indices.map(i => s"__hit$i")
+    val marked = active.zipWithIndex.foldLeft(aNew) { case (acc, (k, i)) =>
       val bKeyed = k.dim.on.zipWithIndex.foldLeft(k.keyDf) {
-        case (d, ((_, bc), i)) => d.withColumnRenamed(bc, s"__bk$i")
-      }
-      val hit = k.dim.on.zipWithIndex.map { case ((ac, _), i) =>
-        aNew(ac) === bKeyed(s"__bk$i")
+        case (d, ((_, bc), j)) => d.withColumnRenamed(bc, s"__bk${i}_$j")
+      }.withColumn(s"__hit$i", lit(1))
+      val hit = k.dim.on.zipWithIndex.map { case ((ac, _), j) =>
+        acc(ac) === bKeyed(s"__bk${i}_$j")
       }.reduce(_ && _)
-      aNew.join(bKeyed, hit, "left_semi")
+      acc.join(bKeyed, hit, "left_outer")
+        .drop(k.dim.on.indices.map(j => s"__bk${i}_$j"): _*)
     }
-    // a fact hit by two dimensions' deltas is one affected row, not two
-    val aDimHit = (hits match {
-      case Nil      => aNew // already the empty-filtered snapshot
-      case Seq(one) => one
-      case many     => many.reduce(_.unionByName(_)).dropDuplicates(aKeys)
-    }).join(aTouched, aKeys, "left_anti")
+    val aDimHit = (if (active.isEmpty) aNew // already the empty-filtered snapshot
+      else marked.filter(hitMarks.map(c => col(c).isNotNull).reduce(_ || _))
+        .drop(hitMarks: _*))
+      .join(aTouched, aKeys, "left_anti")
       .localCheckpoint() // reused below; recomputing = extra fact scans
     // end-state fact rows for every affected key that still exists;
     // aPost carries the feed's (union) schema, aDimHit the end-version
