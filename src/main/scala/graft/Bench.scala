@@ -36,13 +36,32 @@ object Bench {
     val fixtureBacked = Seq("k_", "x_join_view", "x_derived_view",
       "x_gram_view", "x_pca_view", "x_hll_view", "x_ann_index_incremental",
       "x_mv_rewrite", "x_join_rewrite", "s1_envelope_wide_types")
+    // The builds are independent (separate temp roots; every shared base
+    // and registry is synchronized-memoized) and each spends much of its
+    // wall in driver-side commit work — overlapping a few of them
+    // back-fills the executors exactly as guide §2.6 prescribes for
+    // independent jobs, cutting the phase wall without touching what any
+    // query computes. Per-name entries keep each build's own wall clock
+    // (they overlap; their sum exceeds the phase), and fixture_build_sec
+    // reports the PHASE wall — the number that actually gates a bench or
+    // Verify run.
+    val fixtureWall0 = System.nanoTime()
+    val fixturePool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, math.max(2, scala.util.Try(cpus.toInt).getOrElse(4) / 8)))
     val fixtureTimes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => fixtureBacked.exists(n.startsWith) }
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> fixturePool.submit(new java.util.concurrent.Callable[Double] {
+          def call(): Double = {
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+            (System.nanoTime() - t0) / 1e9
+          }
+        })
       }
+      .map { case (name, fut) => name -> fut.get() }
+    fixturePool.shutdown()
+    val fixtureWallSec = (System.nanoTime() - fixtureWall0) / 1e9
     // fixed name order: per-query timings comparable across rounds.
     // best-of-3 per query: the host environment shows multi-second burst
     // pauses (external VM contention); min-of-n is the standard way to
@@ -68,7 +87,7 @@ object Bench {
     // (total/ok_count/errors) last — they must survive the truncation
     val fx = fixtureTimes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val line = s"""{"queries":$qs,"fixture_build":$fx,"errors":$errors,"ok_count":${ok.size},"fixture_build_sec":${fixtureTimes.map(_._2).sum},"metric":"total","value":${ok.sum},"unit":"sec","sf":"$sfDir"}"""
+    val line = s"""{"queries":$qs,"fixture_build":$fx,"errors":$errors,"ok_count":${ok.size},"fixture_build_sec":$fixtureWallSec,"metric":"total","value":${ok.sum},"unit":"sec","sf":"$sfDir"}"""
     println(line)
     // the stdout tail truncates the first ~68 per-query entries, so the
     // complete line is also written to a file for full per-query history
