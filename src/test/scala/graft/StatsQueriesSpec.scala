@@ -155,6 +155,8 @@ class StatsQueriesSpec extends SparkSpec {
       (11L, 1L), (11L, 2L), (11L, 3L),
       (12L, 3L), (12L, 4L))
       .toDF("l_orderkey", "l_partkey").createOrReplaceTempView("lineitem")
+    spark.sql("SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")
+      .createOrReplaceTempView("mb_li")
     spark.sql(StatsQueries.triEdgeSql).localCheckpoint().createOrReplaceTempView("tri_e")
     val row = spark.sql(StatsQueries.triangleSql).collect().head
     assert(row.getAs[Long]("n_nodes") === 3L)
@@ -169,6 +171,8 @@ class StatsQueriesSpec extends SparkSpec {
     Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
         (12L, 2L), (12L, 3L), (13L, 2L), (13L, 3L))
       .toDF("l_orderkey", "l_partkey").createOrReplaceTempView("lineitem")
+    spark.sql("SELECT DISTINCT l_orderkey, l_partkey FROM lineitem")
+      .createOrReplaceTempView("mb_li")
     spark.sql(StatsQueries.triEdgeSql).localCheckpoint().createOrReplaceTempView("tri_e")
     val row = spark.sql(StatsQueries.triangleSql).collect().head
     assert(row.getAs[Long]("n_triangles") === 0L)
