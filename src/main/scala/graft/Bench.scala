@@ -48,8 +48,20 @@ object Bench {
     val fixtureWall0 = System.nanoTime()
     val fixturePool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(4, math.max(2, scala.util.Try(cpus.toInt).getOrElse(4) / 8)))
-    val fixtureTimes = SparkEntry.queries.toSeq.sortBy(_._1)
+    // longest-expected-first submission (static cost hints from measured
+    // builds): alphabetical order started the three ~20s join-view
+    // builds LAST, tailing together on a near-empty pool — classic LPT
+    // makespan. Hints only order the queue; timing/reporting unchanged.
+    val costHint = Map(
+      "x_join_view_star" -> 20, "x_join_view_incremental" -> 20,
+      "x_join_view_outer" -> 19, "s1_envelope_wide_types" -> 15,
+      "k_analyze_ndv" -> 15, "x_hll_view_incremental" -> 9,
+      "x_ann_index_incremental" -> 9, "x_derived_view_incremental" -> 6,
+      "x_gram_view_incremental" -> 3, "k_dv_delete" -> 3, "k_ttl_drop" -> 3,
+      "k_bloom_pruned_scan" -> 3, "k_hour_pruned_scan" -> 2)
+    val fixtureTimes = SparkEntry.queries.toSeq
       .filter { case (n, _) => fixtureBacked.exists(n.startsWith) }
+      .sortBy { case (n, _) => (-costHint.getOrElse(n, 1), n) }
       .map { case (name, fn) =>
         name -> fixturePool.submit(new java.util.concurrent.Callable[Double] {
           def call(): Double = {
@@ -60,6 +72,7 @@ object Bench {
         })
       }
       .map { case (name, fut) => name -> fut.get() }
+      .sortBy(_._1) // fixed name order in the report, as before
     fixturePool.shutdown()
     val fixtureWallSec = (System.nanoTime() - fixtureWall0) / 1e9
     // fixed name order: per-query timings comparable across rounds.
