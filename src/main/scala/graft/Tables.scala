@@ -131,6 +131,21 @@ object Tables {
   private val cachedViews =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
 
+  // per-name locks making cacheView's get -> remove -> update sequence
+  // atomic per view name: the registry invariant "no fixture-backed
+  // query path touches cacheView" is what keeps the bench's concurrent
+  // fixture pre-build pool safe today, but it was enforced only by
+  // convention — a future cacheView call from inside a fixture builder
+  // would have raced the non-atomic replace into silent lost-block
+  // reads. Distinct names now serialize only against themselves (the
+  // TrieMap is already safe for distinct keys); the documented
+  // single-consumer contract for SAME-name re-binding while a caller
+  // still holds the previous frame is unchanged.
+  private val viewLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def perName(name: String): Object =
+    viewLocks.getOrElseUpdate(name, new Object)
+
   /** Session conf key selecting how shared views materialize:
     *
     *   - `local` (default): `localCheckpoint()` — fastest, but blocks
@@ -192,7 +207,7 @@ object Tables {
     * must key view names per context (e.g. suffix the sfDir) instead of
     * re-binding a live name.
     */
-  def cacheView(name: String, df: DataFrame): DataFrame = {
+  def cacheView(name: String, df: DataFrame): DataFrame = perName(name).synchronized {
     val reuse = cachedViews.get(name)
       .filter(_._1.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
     reuse match {

@@ -1742,7 +1742,24 @@ final class CdcTable(
       if (partitionSource.isDefined)
         concat_ws("/", element_at(pathParts, -3), element_at(pathParts, -2))
       else element_at(pathParts, -2)
-    val scans = spark.read.option("mergeSchema", "true")
+    // Read schema: the sidecar UNION schema when the table has one (every
+    // commit since the sidecars landed writes it), parquet mergeSchema
+    // only as the legacy fallback. The one multi-path scan spans ALL
+    // commit dirs at once, and after a type-widening merge only the
+    // touched months were rewritten at the wide type — mergeSchema
+    // REFUSES to reconcile e.g. int files (untouched months) with bigint
+    // files (rewritten months), whereas the explicit wide read schema
+    // upcasts the narrow files at scan time (the same union type the
+    // readParts per-commit-group unionByName coercion produces), so a
+    // table readable via read() stays vector-deletable. PartCol is
+    // stripped: on the partitioned layout it lives in directory names,
+    // not in the files this scan opens directly.
+    val reader = schemaAt(cur) match {
+      case Some(sc) => spark.read.schema(
+        org.apache.spark.sql.types.StructType(sc.fields.filterNot(_.name == PartCol)))
+      case None => spark.read.option("mergeSchema", "true")
+    }
+    val scans = reader
       .parquet(dirs.map(_._2.getPath): _*)
       .withColumn(DvDirCol, dirExpr)
       .withColumn(DvSubCol, dvSubExpr)

@@ -73,6 +73,39 @@ class TypeWideningSpec extends SparkSpec {
       .select("qty").as[Long].head() == 3000000000L)
   }
 
+  test("deleteVectored spans mixed-type months after a widening merge") {
+    val root = tmpDir("widen_dv")
+    val t = new CdcTable(spark, s"$root/t", Seq("id"),
+      partitionSource = Some("created"), retainVersions = 10)
+    t.init(Seq(
+      (1L, 10, java.sql.Timestamp.valueOf("2000-01-05 00:00:00")),
+      (2L, 20, java.sql.Timestamp.valueOf("2000-02-05 00:00:00")),
+      (3L, 30, java.sql.Timestamp.valueOf("2000-01-06 00:00:00")),
+      (4L, 40, java.sql.Timestamp.valueOf("2000-02-07 00:00:00"))
+    ).toDF("id", "qty", "created"))
+    // widening merge touches ONLY February: January's files keep int32 on
+    // disk while February's rewrite at int64 — the vectored delete's one
+    // multi-path scan must reconcile both (plain parquet mergeSchema
+    // refuses conflicting primitive types; the sidecar union schema reads
+    // the narrow files upcast)
+    t.merge(Seq(
+      (2L, 3000000000L, java.sql.Timestamp.valueOf("2000-02-06 00:00:00"), ts(2), "u"))
+      .toDF("id", "qty", "created", "ts", "__op"), "ts")
+    assert(t.read.schema("qty").dataType == LongType)
+    // matches one row in the NARROW month (id=1, Jan) and one in the
+    // WIDENED month (id=2, Feb): the delete must scan across both types
+    t.deleteVectored(col("qty") < 15 || col("id") === 2L)
+    val m = t.read.select("id", "qty").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(3L -> 30L, 4L -> 40L))
+    // the k_analyze_ndv-style debt rescan over the masked dirs stays exact
+    assert(t.read.count() == 2L)
+    // a second vectored delete re-reads (visible-rows-only dedup) across
+    // the same mixed-type layout and extends the vector
+    t.deleteVectored(col("id") === 4L)
+    assert(t.read.select("id").as[Long].collect().toSet == Set(3L))
+  }
+
   test("incompatible type change rejects loudly — never source-wins") {
     val root = tmpDir("widen3")
     val t = new CdcTable(spark, s"$root/t", Seq("id"))
