@@ -26,6 +26,19 @@ object Bench {
         |FROM (SELECT id AS x FROM range(100000)) GROUP BY x % 10, x""".stripMargin).count()
     try SparkEntry.queries.get("a1_minmax_bounds").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
+    // the HLL register aggregator and the hive dynamic-partition writer
+    // each cost seconds of one-time codegen/classloading on first use
+    // (measured: the ndv fixture's first NDV sidecar job ran 3.3 s vs
+    // 1.1 s steady, its first partitioned write 2.6 s vs 1.4 s) — warm
+    // both on 100 synthetic rows so the fixture phase measures the
+    // builders, not the JVM
+    try {
+      val wdf = spark.range(100).selectExpr("id", "CAST(id % 3 AS STRING) AS p")
+      graft.ops.TableStats.collectRegs(
+        graft.ops.TableStats.regsByGroup(wdf, Seq("p"), Seq("id")), Seq("p")): Unit
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warm").toString
+      wdf.write.mode("overwrite").partitionBy("p").parquet(s"$tmp/w")
+    } catch { case _: Throwable => () }
     // fixture-backed rows (versioned CdcTable fixtures, maintained views,
     // incremental indexes) are built ONCE per (session, sfDir) by their
     // memoized builders — pre-build them here, untimed-per-query but
@@ -46,19 +59,27 @@ object Bench {
     // reports the PHASE wall — the number that actually gates a bench or
     // Verify run.
     val fixtureWall0 = System.nanoTime()
+    // pool sized from the contract's core-count env (never a local[32]
+    // constant): cpus/5 rounded, floor 2, cap 6. The builds spend most
+    // of their wall in driver-side commit work (sidecars, manifests,
+    // small collects) with the executors near-idle — measured at r17:
+    // pool 4 left the phase wall schedule-bound at ~31 s while the
+    // longest single build was 20 s; pool 6 starts all five multi-second
+    // builds together and the wall converges to the longest build.
     val fixturePool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(4, math.max(2, scala.util.Try(cpus.toInt).getOrElse(4) / 8)))
+      math.min(6, math.max(2, scala.util.Try(cpus.toInt).getOrElse(4) / 5)))
     // longest-expected-first submission (static cost hints from measured
     // builds): alphabetical order started the three ~20s join-view
     // builds LAST, tailing together on a near-empty pool — classic LPT
     // makespan. Hints only order the queue; timing/reporting unchanged.
     val costHint = Map(
-      "x_join_view_star" -> 20, "x_join_view_incremental" -> 20,
-      "x_join_view_outer" -> 19, "s1_envelope_wide_types" -> 15,
-      "k_analyze_ndv" -> 15, "x_hll_view_incremental" -> 9,
-      "x_ann_index_incremental" -> 9, "x_derived_view_incremental" -> 6,
-      "x_gram_view_incremental" -> 3, "k_dv_delete" -> 3, "k_ttl_drop" -> 3,
-      "k_bloom_pruned_scan" -> 3, "k_hour_pruned_scan" -> 2)
+      "x_join_view_star" -> 20, "x_join_view_incremental" -> 18,
+      "x_join_view_outer" -> 18, "k_analyze_ndv" -> 15,
+      "s1_envelope_wide_types" -> 12, "x_hll_view_incremental" -> 8,
+      "x_ann_index_incremental" -> 6, "x_derived_view_incremental" -> 3,
+      "x_gram_view_incremental" -> 3, "x_pca_view_incremental" -> 3,
+      "k_dv_delete" -> 3, "k_ttl_drop" -> 2,
+      "k_bloom_pruned_scan" -> 2, "k_hour_pruned_scan" -> 2)
     val fixtureTimes = SparkEntry.queries.toSeq
       .filter { case (n, _) => fixtureBacked.exists(n.startsWith) }
       .sortBy { case (n, _) => (-costHint.getOrElse(n, 1), n) }

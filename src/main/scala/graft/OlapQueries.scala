@@ -959,10 +959,11 @@ object OlapQueries extends QueryPack {
         |        c12 * 1000000 DIV nb.n AS support_ppm,
         |        c12 * 1000000 DIV ia.c AS confidence_ppm,
         |        c12 * nb.n * 1000000 DIV (ia.c * ib.c) AS lift_ppm
-        |      FROM pr JOIN itm ia ON ia.l_partkey = pr.p1 JOIN itm ib ON ib.l_partkey = pr.p2 CROSS JOIN nb)
+        |      FROM pr JOIN itm ia ON ia.l_partkey = pr.p1 JOIN itm ib ON ib.l_partkey = pr.p2 CROSS JOIN nb),
+        |top AS (SELECT * FROM r ORDER BY lift_ppm DESC, p1, p2 LIMIT 25)
         |SELECT p1, p2, c12 AS c_both, c1, c2, support_ppm, confidence_ppm, lift_ppm,
         |  CAST(row_number() OVER (ORDER BY lift_ppm DESC, p1, p2) AS BIGINT) AS rank
-        |FROM r ORDER BY lift_ppm DESC, p1, p2 LIMIT 25""".stripMargin)
+        |FROM top ORDER BY lift_ppm DESC, p1, p2 LIMIT 25""".stripMargin)
     })
   )
 

@@ -377,21 +377,25 @@ object SimilarityQueries extends QueryPack {
           "pointer-jumping propagation should converge in O(log n); " +
           "refusing to return partially-propagated cluster labels")
       // (1) neighbor-min, (2) pointer-jump label(label) — halves the
-      // rounds needed vs pure propagation
+      // rounds needed vs pure propagation. The round's PREVIOUS label
+      // rides along as `old` inside the checkpointed frame, so the
+      // convergence probe is a filter-count over the checkpoint — the
+      // prior shape paid one more shuffle join per round (next ⋈ labels
+      // on node) just to compare new against old.
       val byNeighbor = edges
         .join(labels.select(col("node").as("b"), col("label")), "b")
         .groupBy(col("a").as("node")).agg(min("label").as("nlabel"))
-      val stepped = labels.join(byNeighbor, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val stepped = labels.withColumnRenamed("label", "old")
+        .join(byNeighbor, Seq("node"), "left")
+        .select(col("node"), col("old"),
+          least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"))
       val next = stepped
         .join(stepped.select(col("node").as("label"), col("label").as("jump")),
           Seq("label"), "left")
-        .select(col("node"), coalesce(col("jump"), col("label")).as("label"))
+        .select(col("node"), col("old"), coalesce(col("jump"), col("label")).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("node", "label")
       rounds += 1
     }
     labels

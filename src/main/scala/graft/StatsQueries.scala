@@ -240,7 +240,13 @@ object StatsQueries extends QueryPack {
       |FROM st CROSS JOIN t""".stripMargin
 
   /** Top-20 rare-shingle Jaccard pairs over a `rare_postings`
-    * (doc_id, shingle_h) view.
+    * (doc_id, shingle_h) view. The rank window runs AFTER a plain
+    * ORDER BY ... LIMIT 20 (`top`): the limit plans as a map-side
+    * partial TakeOrdered over the pair table, and the single-partition
+    * rank window then numbers 20 rows instead of sorting every candidate
+    * pair on one task. Results are identical because the sort order is
+    * total ((d1, d2) is unique per pair), so the top-20 set and its
+    * within-set row numbers match the global ranking exactly.
     */
   private[graft] val docSimTopSql: String =
     """WITH nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rare_postings GROUP BY doc_id),
@@ -250,10 +256,12 @@ object StatsQueries extends QueryPack {
       |      GROUP BY a.doc_id, b.doc_id),
       |j AS (SELECT p.d1, p.d2, p.shared,
       |    CAST(p.shared * 1000 DIV (na.n + nb.n - p.shared) AS BIGINT) AS jaccard_permille
-      |  FROM p JOIN nd na ON na.doc_id = p.d1 JOIN nd nb ON nb.doc_id = p.d2)
+      |  FROM p JOIN nd na ON na.doc_id = p.d1 JOIN nd nb ON nb.doc_id = p.d2),
+      |top AS (SELECT d1, d2, shared, jaccard_permille
+      |  FROM j ORDER BY jaccard_permille DESC, d1, d2 LIMIT 20)
       |SELECT d1, d2, shared, jaccard_permille,
       |  CAST(row_number() OVER (ORDER BY jaccard_permille DESC, d1, d2) AS BIGINT) AS rank
-      |FROM j ORDER BY jaccard_permille DESC, d1, d2 LIMIT 20""".stripMargin
+      |FROM top ORDER BY jaccard_permille DESC, d1, d2 LIMIT 20""".stripMargin
 
   /** Rare-shingle posting extraction (df in [2, 10]) over a `documents`
     * view, on the shared hashed-shingle convention.

@@ -150,7 +150,9 @@ final class IvfIndex(
       .unionByName(stale.withColumn(DerivedView.OpCol, lit("d")),
         allowMissingColumns = true)
       .withColumn(DerivedView.TsCol, lit(new java.sql.Timestamp(0L)))
-    lists.merge(batch, DerivedView.TsCol)
+    // one assignment row per vec_id + disjoint anti-joined deletes: the
+    // batch is already uniquely keyed, skip the latest-wins shuffle
+    lists.mergePreDeduped(batch)
     io.writeAtomic(markerFile, v.toString)
   }
 

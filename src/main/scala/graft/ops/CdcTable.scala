@@ -1312,7 +1312,7 @@ final class CdcTable(
     val expected = currentVersion
     partitionSource match {
       case Some(_) =>
-        val wp = withPart(df)
+        val wp = distributeByMonth(withPart(df))
         commitPartitioned(wp, replaced = allMonths(expected), expected)
       case None => commitFull(df, expected)
     }
@@ -1336,7 +1336,7 @@ final class CdcTable(
     partitionSource match {
       case Some(_) =>
         exists: Unit // legacy hive-at-root guard (throws); bootstrap on a truly-empty dir is fine
-        commitPartitioned(withPart(df), replaced = Set.empty, currentVersion)
+        commitPartitioned(distributeByMonth(withPart(df)), replaced = Set.empty, currentVersion)
       case None =>
         if (!exists) init(df)
         else {
@@ -1379,6 +1379,22 @@ final class CdcTable(
     case Some(src) => df.withColumn(PartCol, date_format(col(src), partPattern))
     case None      => df
   }
+
+  /** Hash-distribute an UN-SHAPED commit batch by its month key before
+    * the hive dynamic-partition write (the Iceberg
+    * `write.distribution-mode=hash` discipline, guide §6): without it
+    * every write task opens a writer for EVERY month it holds — at scale
+    * that is tasks x months small files per commit, and locally the
+    * single-scan-task init serializes all months through one writer.
+    * With it each month lands whole in one task: one file per month,
+    * months written in parallel, shuffle width = shuffle.partitions
+    * (core-count locally, cluster-sized on a cluster) with AQE
+    * coalescing. Applied ONLY to init/append/merge batches — compaction
+    * paths pre-shape their own distribution (range/z-order cluster
+    * layouts a blanket repartition would destroy).
+    */
+  private def distributeByMonth(df: DataFrame): DataFrame =
+    df.repartition(col(PartCol))
 
   /** Align an appended batch to the CURRENT stored column types: a
     * NARROWER batch column upcasts losslessly to the stored type; a
@@ -1431,13 +1447,26 @@ final class CdcTable(
     * column) instead of relying on evolve-via-empty-batch. The isEmpty
     * probe costs one driver job over the already-checkpointed batch.
     */
-  def merge(batch: DataFrame, tsCol: String, tieBreakers: Seq[String] = Nil): Unit = withOp("MERGE") {
+  def merge(batch: DataFrame, tsCol: String, tieBreakers: Seq[String] = Nil): Unit =
+    mergeImpl(Dedup.latestWins(batch, keys, tsCol, tieBreakers))
+
+  /** [[merge]] minus the latest-wins dedup pass, for batches that are
+    * ALREADY one row per key BY CONSTRUCTION — the maintained-view
+    * refreshes ([[JoinView.starBatch]], [[DerivedView.deltaBatch]],
+    * [[AnnIndex.rebootstrap]]) each emit exactly one CDC row per
+    * affected view key, so the dedup's groupBy was a full extra shuffle
+    * + aggregation of every refresh batch that provably returned its
+    * input unchanged. Raw CDC feeds (multiple events per key) must keep
+    * using [[merge]]; this is deliberately package-private so external
+    * batches cannot skip the dedup contract.
+    */
+  private[graft] def mergePreDeduped(batch: DataFrame): Unit = mergeImpl(batch)
+
+  private def mergeImpl(dedupedIn: DataFrame): Unit = withOp("MERGE") {
     if (!exists) {
       // first batch bootstraps the table (CREATE TABLE path, K6)
-      val deduped = Dedup.latestWins(batch, keys, tsCol, tieBreakers)
-        .filter(col(CdcMerge.OpColumn) =!= "d")
-        .drop(CdcMerge.OpColumn)
-      init(deduped)
+      init(dedupedIn.filter(col(CdcMerge.OpColumn) =!= "d")
+        .drop(CdcMerge.OpColumn))
       return
     }
     // localCheckpoint: the deduped batch is referenced up to three times
@@ -1445,7 +1474,7 @@ final class CdcTable(
     // once keeps the CALLER's batch plan from re-executing per reference
     // (a streaming foreachBatch source or a derived churn set would
     // otherwise be recomputed 3x), and it is delta-sized by assumption
-    val deduped = Dedup.latestWins(batch, keys, tsCol, tieBreakers).localCheckpoint()
+    val deduped = dedupedIn.localCheckpoint()
     // an EMPTY batch is a complete no-op: without this, it would still
     // burn a version — a full table rewrite on the unpartitioned layout —
     // for zero row changes (reachable from maintenance refreshes that net
@@ -1483,7 +1512,7 @@ final class CdcTable(
           if (entries.exists(e => touched.contains(e._1)))
             readParts(entries, Some(touched), expected).drop(PartCol)
           else deduped.drop(CdcMerge.OpColumn).filter(lit(false))
-        val merged = withPart(CdcMerge.merge(existing, deduped, keys))
+        val merged = distributeByMonth(withPart(CdcMerge.merge(existing, deduped, keys)))
         commitPartitioned(merged, replaced = touched, Some(expected))
       case None =>
         // versioned commit: the new version materializes fully before the

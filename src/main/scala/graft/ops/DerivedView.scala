@@ -85,6 +85,9 @@ object DerivedView {
               refreshTs: java.sql.Timestamp): Unit = {
     val batch = deltaBatch(source.changesBetween(fromV, toV), transform, view.keys)
       .withColumn(TsCol, lit(refreshTs))
-    view.merge(batch, TsCol)
+    // deltaBatch emits one row per derived key (post-image transforms are
+    // key-unique by the view-key contract; deletes are the anti-joined
+    // complement), so the merge's latest-wins shuffle is the identity
+    view.mergePreDeduped(batch)
   }
 }

@@ -199,10 +199,23 @@ object JoinView {
     // empty (and not over the cap) costs NO fact pass at all.
     case class DimKeys(dim: Dim, keyDf: DataFrame,
                        usable: Array[org.apache.spark.sql.Row], overCap: Boolean)
+    val spark = aChanges.sparkSession
     val dimKeys = dims.map { d =>
-      val keyDf = d.changes.select(d.on.map(p => col(p._2)): _*).distinct().localCheckpoint()
-      val rows = keyDf.limit(MaxPruneKeys + 1).collect()
-      DimKeys(d, keyDf, joinableRows(rows), rows.length > MaxPruneKeys)
+      val keyPlan = d.changes.select(d.on.map(p => col(p._2)): _*).distinct()
+      // collect FIRST (one capped job per dimension): under the cap the
+      // collected rows ARE the key set, so the marker-join side below is
+      // a LocalRelation — no localCheckpoint job, no shuffle read, and a
+      // build side Catalyst broadcasts for free. Only an over-cap
+      // dimension (pruning stops paying anyway) still checkpoints the
+      // full distinct-key frame. Previously every dimension paid
+      // checkpoint + collect = two driver jobs over the change feed.
+      val rows = keyPlan.limit(MaxPruneKeys + 1).collect()
+      val overCap = rows.length > MaxPruneKeys
+      val keyDf =
+        if (overCap) keyPlan.localCheckpoint()
+        else spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), keyPlan.schema)
+      DimKeys(d, keyDf, joinableRows(rows), overCap)
     }
     val active = dimKeys.filter(k => k.overCap || k.usable.nonEmpty)
     // facts (unchanged by the fact feed) whose fk hits a changed dim key:
@@ -246,12 +259,14 @@ object JoinView {
       else marked.filter(hitMarks.map(c => col(c).isNotNull).reduce(_ || _))
         .drop(hitMarks: _*))
       .join(aTouched, aKeys, "left_anti")
-      .localCheckpoint() // reused below; recomputing = extra fact scans
     // end-state fact rows for every affected key that still exists;
     // aPost carries the feed's (union) schema, aDimHit the end-version
     // schema — null-pad to their union like any evolved read would.
-    // Checkpointed: the per-dimension fk collects below and the final
-    // compute would otherwise each re-execute the union plan.
+    // ONE checkpoint materializes the whole fact-snapshot subtree (the
+    // per-dimension fk collects below, the final compute and the
+    // affected-key set all read it); the previous separate aDimHit
+    // checkpoint paid an extra materialization job for a frame factEnd
+    // fully contains.
     val factEnd = aPost.unionByName(aDimHit, allowMissingColumns = true).localCheckpoint()
     // each dimension's snapshot pass reads only files that can hold a
     // partner of an affected fact: the affected fks are delta-bounded,
@@ -270,8 +285,12 @@ object JoinView {
     }
     // the restricted recompute: exactly the view rows that should exist
     val current = computeStar(factEnd, bNews, outer).localCheckpoint()
+    // affected = aTouched ∪ aDimHit-keys, and since the feed's post-image
+    // keys are a subset of aTouched, factEnd's keys (aPost ∪ aDimHit)
+    // union aTouched to the same set — read from the checkpoint instead
+    // of re-deriving aDimHit
     val affected = aTouched
-      .unionByName(aDimHit.select(aKeys.map(col): _*))
+      .unionByName(factEnd.select(aKeys.map(col): _*))
       .distinct()
     // an affected key with no recomputed row has lost its fact row (or,
     // inner flavor, a partner) — delete (a no-op if the view never had it)
@@ -351,6 +370,10 @@ object JoinView {
       },
       fact.keys, outer)
       .withColumn(TsCol, lit(refreshTs))
-    view.merge(batch, TsCol)
+    // starBatch emits exactly one CDC row per affected fact key (the
+    // restricted recompute is uniquely keyed; deletes are the anti-joined
+    // complement), so the merge's latest-wins dedup pass — a full
+    // shuffle + aggregation of the batch — is provably the identity
+    view.mergePreDeduped(batch)
   }
 }

@@ -19,6 +19,47 @@ class CdcTableSpec extends SparkSpec {
     assert(got == Seq((2L, "b2"), (3L, "c")))
   }
 
+  test("mergePreDeduped equals merge for a uniquely-keyed batch (both layouts)") {
+    // the maintained-view refresh fast path: a batch already one-row-per-
+    // key skips the latest-wins shuffle — results must be identical,
+    // including empty-batch no-op and bootstrap semantics
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("id", "v", "ts")
+    val batch = Seq((2L, "b2", 2L, "u"), (4L, "d", 2L, "c"), (3L, null.asInstanceOf[String], 2L, "d"))
+      .toDF("id", "v", "ts", "__op")
+    val t1 = new CdcTable(spark, tmpDir("prededup") + "/t1", Seq("id"))
+    val t2 = new CdcTable(spark, tmpDir("prededup") + "/t2", Seq("id"))
+    t1.init(base); t2.init(base)
+    t1.merge(batch, "ts")
+    t2.mergePreDeduped(batch)
+    val a = t1.read.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    val b = t2.read.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+    assert(a == b && a == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+    // empty batch: still a complete no-op (no version burned)
+    val v = t2.currentVersion.get
+    t2.mergePreDeduped(Seq.empty[(Long, String, Long, String)].toDF("id", "v", "ts", "__op"))
+    assert(t2.currentVersion.contains(v))
+    // bootstrap: first pre-deduped batch creates the table, deletes dropped
+    val t3 = new CdcTable(spark, tmpDir("prededup") + "/t3", Seq("id"))
+    t3.mergePreDeduped(batch)
+    assert(t3.read.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+      == Seq((2L, "b2"), (4L, "d")))
+    // partitioned layout
+    val p1 = new CdcTable(spark, tmpDir("prededup") + "/p1", Seq("id"),
+      partitionSource = Some("created_at"))
+    val p2 = new CdcTable(spark, tmpDir("prededup") + "/p2", Seq("id"),
+      partitionSource = Some("created_at"))
+    val pbase = Seq((1L, "a", ts("2001-01-01 00:00:00")), (2L, "b", ts("2001-02-01 00:00:00")))
+      .toDF("id", "v", "created_at")
+    val pbatch = Seq((2L, "b2", ts("2001-02-02 00:00:00"), 2L, "u"),
+      (1L, null.asInstanceOf[String], ts("2001-01-01 00:00:00"), 2L, "d"))
+      .toDF("id", "v", "created_at", "mts", "__op")
+    p1.init(pbase); p2.init(pbase)
+    p1.merge(pbatch, "mts")
+    p2.mergePreDeduped(pbatch)
+    assert(p1.read.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+      == p2.read.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq)
+  }
+
   test("an empty merge batch is a complete no-op: no version burned, no files rewritten") {
     // unpartitioned: the rewrite would be FULL-table for zero changes
     val path = tmpDir("cdcempty") + "/t"

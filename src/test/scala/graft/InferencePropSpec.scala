@@ -44,6 +44,7 @@ class InferencePropSpec extends SparkSpec {
   test("property: both bootstrap CIs bracket their sentinel point estimate") {
     val prop = Prop.forAll(popGen) { pop =>
       loadEvents(pop)
+      spark.sql(InferenceQueries.bootstrapUserSql).createOrReplaceTempView("bs_u")
       val m = spark.sql(InferenceQueries.bootstrapSql).collect().head
       val md = spark.sql(InferenceQueries.bootstrapMedianSql).collect().head
       val meanOk = m.getAs[Long]("ci_lo_cents") <= m.getAs[Long]("point_mean_cents") &&

@@ -40,6 +40,7 @@ class InferenceQueriesSpec extends SparkSpec {
     // 20 users, each exactly $3.00 — every replica's weighted mean is 300
     // cents whatever the Poisson weights (as long as any weight is > 0).
     asEvents((1 to 20).map(u => (u.toLong, t0, u.toLong, "buy", 3.0)))
+    spark.sql(InferenceQueries.bootstrapUserSql).createOrReplaceTempView("bs_u")
     val row = spark.sql(InferenceQueries.bootstrapSql).collect().head
     assert(row.getAs[Long]("n_users") === 20L)
     assert(row.getAs[Long]("point_mean_cents") === 300L)
@@ -51,6 +52,7 @@ class InferenceQueriesSpec extends SparkSpec {
     // users 1..40 with revenue u dollars: the replica means vary, the CI
     // must contain the point mean and be ordered.
     asEvents((1 to 40).map(u => (u.toLong, t0, u.toLong, "buy", u.toDouble)))
+    spark.sql(InferenceQueries.bootstrapUserSql).createOrReplaceTempView("bs_u")
     val row = spark.sql(InferenceQueries.bootstrapSql).collect().head
     val (p, lo, hi) = (row.getAs[Long]("point_mean_cents"),
       row.getAs[Long]("ci_lo_cents"), row.getAs[Long]("ci_hi_cents"))
@@ -163,6 +165,7 @@ class InferenceQueriesSpec extends SparkSpec {
 
   test("bootstrap median collapses to a point on a constant population") {
     asEvents((1 to 25).map(u => (u.toLong, t0, u.toLong, "buy", 7.0)))
+    spark.sql(InferenceQueries.bootstrapUserSql).createOrReplaceTempView("bs_u")
     val row = spark.sql(InferenceQueries.bootstrapMedianSql).collect().head
     assert(row.getAs[Long]("point_median_cents") === 700L)
     assert(row.getAs[Long]("ci_lo_cents") === 700L)
@@ -171,6 +174,7 @@ class InferenceQueriesSpec extends SparkSpec {
 
   test("bootstrap median CI brackets the exact median on a spread population") {
     asEvents((1 to 41).map(u => (u.toLong, t0, u.toLong, "buy", u.toDouble)))
+    spark.sql(InferenceQueries.bootstrapUserSql).createOrReplaceTempView("bs_u")
     val row = spark.sql(InferenceQueries.bootstrapMedianSql).collect().head
     // 41 users with totals 100..4100: the exact (lower) median is user 21
     assert(row.getAs[Long]("point_median_cents") === 2100L)
