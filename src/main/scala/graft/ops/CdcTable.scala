@@ -1386,15 +1386,30 @@ final class CdcTable(
     * every write task opens a writer for EVERY month it holds — at scale
     * that is tasks x months small files per commit, and locally the
     * single-scan-task init serializes all months through one writer.
-    * With it each month lands whole in one task: one file per month,
-    * months written in parallel, shuffle width = shuffle.partitions
-    * (core-count locally, cluster-sized on a cluster) with AQE
-    * coalescing. Applied ONLY to init/append/merge batches — compaction
-    * paths pre-shape their own distribution (range/z-order cluster
-    * layouts a blanket repartition would destroy).
+    * REBALANCE rather than a plain repartition: AQE coalesces small
+    * months together (few files locally) AND SPLITS a hot month across
+    * tasks by byte size (optimizeSkewsInRebalancePartitions, on by
+    * default) — a plain hash repartition would funnel a skewed month
+    * through one writer task, the exact straggler guide §2.5 warns a
+    * monthly-partitioned 100 TB table produces. Applied ONLY to
+    * init/append/merge batches — compaction paths pre-shape their own
+    * distribution (range/z-order cluster layouts a blanket repartition
+    * would destroy), and a batch the CALLER explicitly repartitioned or
+    * sorted keeps its shape — pre-clustering an init batch so file
+    * min/max stats prune (the FileSkipping discipline) is a supported
+    * idiom this distribution must not silently undo.
     */
-  private def distributeByMonth(df: DataFrame): DataFrame =
-    df.repartition(col(PartCol))
+  private def distributeByMonth(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def userShaped(p: LogicalPlan): Boolean = p match {
+      case _: RepartitionOperation => true
+      case _: Sort => true
+      case p: Project => userShaped(p.child) // withPart/projections keep partitioning
+      case _ => false
+    }
+    if (userShaped(df.queryExecution.logical)) df
+    else df.hint("rebalance", col(PartCol))
+  }
 
   /** Align an appended batch to the CURRENT stored column types: a
     * NARROWER batch column upcasts losslessly to the stored type; a

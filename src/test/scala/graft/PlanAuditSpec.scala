@@ -363,10 +363,18 @@ class PlanAuditSpec extends SparkSpec {
     // one data pass each: the bootstrap's 200 replicas, the fold
     // encoding's two-level aggregate, and the Gram matrix's d² partials
     // all derive from ONE scan of their source table
-    Seq("x_bootstrap_ci", "x_target_encoding", "x_gram_matrix",
+    Seq("x_target_encoding", "x_gram_matrix",
       "x_anova_f", "x_ols_multi").foreach { n =>
       val scans = plan(n).linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*"))
       assert(scans == 1, s"$n: expected one source scan, saw $scans")
+    }
+    // both bootstrap rows share the bs_u per-user revenue view (r17):
+    // their plans read the checkpointed leaf, never events parquet
+    Seq("x_bootstrap_ci", "x_bootstrap_median").foreach { n =>
+      val p = plan(n)
+      assert(p.linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*")) == 0,
+        s"$n: replica lattice must read the shared bs_u leaf, not events")
+      assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"))
     }
     // spearman's one events pass materializes (localCheckpoint) because
     // the rank stage references it three times — the final plan reads
@@ -392,11 +400,8 @@ class PlanAuditSpec extends SparkSpec {
       val scans = plan(n).linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*"))
       assert(scans == 2, s"$n: expected main scan + one probe, saw $scans")
     }
-    // the median bootstrap is the same one-pass sentinel-replica shape as
-    // the mean bootstrap
-    val bm = plan("x_bootstrap_median")
-    assert(bm.linesIterator.count(_.matches("\\([0-9]+\\) Scan parquet.*")) == 1,
-      "median bootstrap must stay a single events pass")
+    // the median bootstrap is the same sentinel-replica shape as the
+    // mean bootstrap, over the same shared bs_u leaf (asserted above)
     // the replica fan-outs cross-join only 1-row/200-row generator sides
     // — never a cartesian product over data
     Seq("x_bootstrap_ci", "x_permutation_test", "x_js_divergence",
